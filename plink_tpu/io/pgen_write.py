@@ -1,0 +1,189 @@
+""".pgen writer.
+
+Writes standard mode-0x10 files with per-record compression selection
+(dense / 1-bit / difflist / LD-diff), mirroring the behavior of the
+reference single-threaded writer (2.0/include/pgenlib_write.{h,cc},
+SpgwAppendBiallelicGenovec) without copying its structure: representation
+choice is by encoded byte cost, computed from vectorized category counts.
+
+Two-pass layout handling (pgen_spec.tex:108-116): record bodies are written
+to the file after a reserved header region sized for the worst-case
+length-byte width; the header is backfilled on close.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import pack
+from .pgen_read import MAGIC
+from .varint import encode_difflist
+
+_VBLOCK = 1 << 16
+
+
+def _choose_onebit_pair(counts: np.ndarray) -> tuple[int, int, int]:
+    """Pick the two most common categories; return (code_byte, low, high)."""
+    order = np.argsort(-counts, kind="stable")
+    a, b = sorted((int(order[0]), int(order[1])))
+    code = {(0, 1): 1, (0, 2): 2, (0, 3): 3, (1, 2): 5, (1, 3): 6, (2, 3): 9}[(a, b)]
+    return code, a, b
+
+
+def _difflist_cost(n_entries: int, sample_ct: int) -> int:
+    """Approximate encoded byte size of a difflist with genotype values."""
+    if n_entries == 0:
+        return 1
+    G = (n_entries + 63) // 64
+    width = 1 if sample_ct <= 256 else 2 if sample_ct <= 65536 else 3 if sample_ct <= (1 << 24) else 4
+    # varint len (<=3 bytes typical) + leaders + group sizes + genovals + ~2B/delta
+    return 3 + G * width + (G - 1) + (n_entries + 3) // 4 + 2 * (n_entries - G)
+
+
+class PgenWriter:
+    """Streaming .pgen writer (hardcalls; mode 0x10)."""
+
+    def __init__(self, path: str, sample_ct: int, variant_ct: int, use_ld: bool = True):
+        self.path = path
+        self.sample_ct = sample_ct
+        self.variant_ct = variant_ct
+        self.use_ld = use_ld
+        self._nb = pack.bytes_per_variant(sample_ct)
+        self._f = open(path, "wb")
+        self._vrtypes: list[int] = []
+        self._rec_lens: list[int] = []
+        self._block_offsets: list[int] = []
+        self._ld_base: np.ndarray | None = None  # unpacked codes of last non-LD record
+        self._written = 0
+        # Reserve header space: worst-case length width = 4 bytes, 4-bit vrtypes.
+        n_blocks = (variant_ct + _VBLOCK - 1) >> 16
+        self._len_bytes = 4 if self._nb >= (1 << 24) else 3 if self._nb >= (1 << 16) else 2 if self._nb >= (1 << 8) else 1
+        header_size = 12 + 8 * n_blocks
+        for b in range(n_blocks):
+            vct = min(_VBLOCK, variant_ct - (b << 16))
+            header_size += (vct + 1) // 2 + self._len_bytes * vct
+        self._data_start = header_size
+        self._f.write(b"\x00" * header_size)
+
+    # ------------------------------------------------------------------
+    def append_codes(self, codes: np.ndarray) -> None:
+        """Append one or more variants given unpacked uint8 codes [*, N]."""
+        codes = np.atleast_2d(np.asarray(codes, dtype=np.uint8))
+        for row in codes:
+            self._append_one(row)
+
+    def append_packed(self, packed: np.ndarray) -> None:
+        packed = np.atleast_2d(np.asarray(packed, dtype=np.uint8))
+        for row in packed:
+            self._append_one(pack.unpack2(row, self.sample_ct))
+
+    def _append_one(self, row: np.ndarray) -> None:
+        if self._written >= self.variant_ct:
+            raise ValueError("more variants appended than declared")
+        N = self.sample_ct
+        at_block_start = (self._written & (_VBLOCK - 1)) == 0
+        if at_block_start:
+            self._block_offsets.append(self._f.tell())
+        counts = np.bincount(row, minlength=4).astype(np.int64)
+
+        candidates: list[tuple[int, int, bytes]] = []  # (cost, vrtype, body)
+        dense_body = pack.pack2(row).tobytes()
+        candidates.append((len(dense_body), 0, dense_body))
+
+        # Difflist-only representations (types 4/6/7): all samples outside one category.
+        for vrtype, cat in ((4, 0), (6, 2), (7, 3)):
+            n_out = int(N - counts[cat])
+            if _difflist_cost(n_out, N) < len(dense_body):
+                sids = np.flatnonzero(row != cat).astype(np.uint32)
+                body = encode_difflist(sids, row[sids], N)
+                candidates.append((len(body), vrtype, body))
+
+        # 1-bit representation.
+        order = np.argsort(-counts, kind="stable")
+        rare_ct = int(counts[order[2]] + counts[order[3]])
+        onebit_cost = 1 + (N + 7) // 8 + _difflist_cost(rare_ct, N)
+        if onebit_cost < len(dense_body):
+            code, low, high = _choose_onebit_pair(counts)
+            in_pair = (row == low) | (row == high)
+            bits = np.zeros(N, dtype=np.uint8)
+            bits[row == high] = 1
+            bitbytes = np.packbits(bits, bitorder="little").tobytes()
+            sids = np.flatnonzero(~in_pair).astype(np.uint32)
+            body = bytes([code]) + bitbytes + encode_difflist(sids, row[sids], N)
+            candidates.append((len(body), 1, body))
+
+        # LD-compressed (type 2) against the last non-LD record.
+        if self.use_ld and self._ld_base is not None and not at_block_start:
+            diff_ct = int((row != self._ld_base).sum())
+            if _difflist_cost(diff_ct, N) < min(c[0] for c in candidates):
+                sids = np.flatnonzero(row != self._ld_base).astype(np.uint32)
+                body = encode_difflist(sids, row[sids], N)
+                candidates.append((len(body), 2, body))
+
+        cost, vrtype, body = min(candidates, key=lambda c: c[0])
+        self._f.write(body)
+        self._vrtypes.append(vrtype)
+        self._rec_lens.append(len(body))
+        if vrtype not in (2, 3):
+            self._ld_base = row.copy()
+        self._written += 1
+
+    # ------------------------------------------------------------------
+    def close(self) -> None:
+        if self._written != self.variant_ct:
+            raise ValueError(f"declared {self.variant_ct} variants, wrote {self._written}")
+        f = self._f
+        f.seek(0)
+        f.write(MAGIC + bytes([0x10]))
+        f.write(np.asarray([self.variant_ct, self.sample_ct], dtype="<u4").tobytes())
+        # 4-bit vrtypes, fixed len_bytes, no allele counts, provisional-ref "all"
+        # (matching plink2's default when converting PLINK1 data; callers with
+        # trusted REF should flip to 0x40 via trusted_ref=True in the future).
+        fmt = (self._len_bytes - 1) | (0x40 if self._trusted_ref else 0x80)
+        f.write(bytes([fmt]))
+        f.write(np.asarray(self._block_offsets, dtype="<u8").tobytes())
+        vrtypes = np.asarray(self._vrtypes, dtype=np.uint8)
+        rec_lens = np.asarray(self._rec_lens, dtype=np.uint64)
+        for b in range(len(self._block_offsets)):
+            vstart = b << 16
+            vct = min(_VBLOCK, self.variant_ct - vstart)
+            vt = vrtypes[vstart : vstart + vct]
+            if vct & 1:
+                vt = np.concatenate([vt, np.zeros(1, dtype=np.uint8)])
+            packed_vt = (vt[0::2] | (vt[1::2] << 4)).astype(np.uint8)
+            f.write(packed_vt.tobytes())
+            lens = rec_lens[vstart : vstart + vct]
+            lraw = np.empty((vct, self._len_bytes), dtype=np.uint8)
+            for k in range(self._len_bytes):
+                lraw[:, k] = (lens >> np.uint64(8 * k)).astype(np.uint8)
+            f.write(lraw.tobytes())
+        assert f.tell() == self._data_start, "header size mismatch"
+        f.close()
+
+    _trusted_ref = False
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *exc):
+        if exc_type is None:
+            self.close()
+        else:
+            self._f.close()
+
+
+def write_bed(path: str, packed_pgen: np.ndarray) -> None:
+    """Write PLINK1 variant-major .bed from pgen-encoded packed rows."""
+    with open(path, "wb") as f:
+        f.write(MAGIC + b"\x01")
+        f.write(pack.PGEN2BED_BYTE[packed_pgen].tobytes())
+
+
+def write_pgen_simple(path: str, packed_pgen: np.ndarray, sample_ct: int) -> None:
+    """Write fixed-width mode-0x02 .pgen (all records dense)."""
+    packed_pgen = np.atleast_2d(packed_pgen)
+    with open(path, "wb") as f:
+        f.write(MAGIC + b"\x02")
+        f.write(np.asarray([packed_pgen.shape[0], sample_ct], dtype="<u4").tobytes())
+        f.write(bytes([0x40]))  # no vrtype info, no allele cts, all REF trusted
+        f.write(packed_pgen.tobytes())

@@ -1,0 +1,236 @@
+""".psam / .fam sample-information parser and writer.
+
+Format per /root/reference/pgen_spec/pgen_spec.tex:695-784 (PSAM spec) and
+behavior per 2.0/plink2_psam.cc:58 (LoadPsam): tripartite sample IDs
+(FID-IID-SID), optional PAT/MAT/SEX columns, and phenotype columns whose
+class (binary / quantitative / categorical) is inferred from their values.
+"""
+
+from __future__ import annotations
+
+import gzip
+from dataclasses import dataclass, field
+
+import numpy as np
+
+MISSING_CAT = "NONE"
+
+
+@dataclass
+class PhenoCol:
+    """A phenotype/covariate column (ref: 2.0/plink2_common.h:1207-1222).
+
+    kind: 'cc' (case/control; data stored 0=control 1=case),
+          'qt' (quantitative, float64), or
+          'cat' (categorical; data stores int codes into `categories`,
+                 code 0 == missing).
+    """
+
+    name: str
+    kind: str
+    data: np.ndarray
+    nonmiss: np.ndarray  # bool mask
+    categories: list[str] = field(default_factory=list)
+
+    @property
+    def n_nonmiss(self) -> int:
+        return int(self.nonmiss.sum())
+
+
+@dataclass
+class SampleInfo:
+    fid: np.ndarray  # object arrays of str
+    iid: np.ndarray
+    sid: np.ndarray | None
+    pat: np.ndarray | None
+    mat: np.ndarray | None
+    sex: np.ndarray  # int8: 0 = unknown, 1 = male, 2 = female
+    phenos: dict[str, PhenoCol]
+
+    @property
+    def sample_ct(self) -> int:
+        return len(self.iid)
+
+    def full_ids(self) -> np.ndarray:
+        """FID<tab>IID (SID-aware) keys for --keep/--remove matching."""
+        if self.sid is not None:
+            return np.array(
+                [f"{f}\t{i}\t{s}" for f, i, s in zip(self.fid, self.iid, self.sid)], dtype=object
+            )
+        return np.array([f"{f}\t{i}" for f, i in zip(self.fid, self.iid)], dtype=object)
+
+
+def _open_text(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rt")
+    if path.endswith(".zst"):
+        import io
+        import subprocess
+
+        p = subprocess.run(["zstd", "-dc", path], capture_output=True, check=True)
+        return io.StringIO(p.stdout.decode())
+    return open(path, "rt")
+
+
+_BINARY_OK = {"1", "2", "-9", "0", "NA", "na", "nan", "NaN", "NAN", "Na"}
+_MISSING_NUM = {"-9", "NA", "na", "nan", "NaN", "NAN", "Na", "."}
+
+
+def _is_numeric_start(tok: str) -> bool:
+    if not tok:
+        return False
+    c = tok[0]
+    if c.isdigit():
+        return True
+    if c in "+-." and len(tok) > 1:
+        rest = tok.lstrip("+-")
+        return bool(rest) and (rest[0].isdigit() or (rest[0] == "." and len(rest) > 1 and rest[1].isdigit()))
+    return False
+
+
+def _classify_pheno(values: list[str]) -> str:
+    """Infer phenotype class per pgen_spec.tex:767-784."""
+    seen_non_na = False
+    for v in values:
+        if v.upper() in ("NA", "NAN"):
+            continue
+        seen_non_na = True
+        if not _is_numeric_start(v):
+            return "cat"
+    if not seen_non_na:
+        return "qt"
+    for v in values:
+        if v not in _BINARY_OK:
+            return "qt"
+    return "cc"
+
+
+def _build_pheno(name: str, values: list[str], missing_pheno: float = -9) -> PhenoCol:
+    kind = _classify_pheno(values)
+    n = len(values)
+    if kind == "cat":
+        cats = [MISSING_CAT]
+        index = {MISSING_CAT: 0}
+        data = np.zeros(n, dtype=np.int32)
+        for i, v in enumerate(values):
+            key = MISSING_CAT if v.upper() in ("NA", "NAN") or v == MISSING_CAT else v
+            if key not in index:
+                index[key] = len(cats)
+                cats.append(key)
+            data[i] = index[key]
+        return PhenoCol(name, "cat", data, data != 0, cats)
+    vals = np.full(n, np.nan)
+    for i, v in enumerate(values):
+        if v in _MISSING_NUM:
+            continue
+        try:
+            vals[i] = float(v)
+        except ValueError:
+            vals[i] = np.nan
+    if missing_pheno == missing_pheno:  # not nan
+        vals[vals == missing_pheno] = np.nan
+    nonmiss = ~np.isnan(vals)
+    if kind == "cc":
+        data = np.where(nonmiss, vals - 1.0, np.nan)  # 1/2 -> 0/1
+        # plink treats 0 (and -9, handled above) as missing for cc phenotypes
+        data[vals == 0] = np.nan
+        nonmiss = ~np.isnan(data)
+        return PhenoCol(name, "cc", data, nonmiss)
+    return PhenoCol(name, "qt", vals, nonmiss)
+
+
+def read_psam(path: str, missing_pheno: float = -9) -> SampleInfo:
+    with _open_text(path) as f:
+        lines = [ln.rstrip("\r\n") for ln in f]
+    lines = [ln for ln in lines if ln.strip()]
+    header_cols = None
+    body_start = 0
+    for i, ln in enumerate(lines):
+        if ln.startswith("#"):
+            if ln.startswith("#FID") or ln.startswith("#IID"):
+                header_cols = ln[1:].split()
+                body_start = i + 1
+        else:
+            body_start = i
+            break
+    else:
+        body_start = len(lines)
+    body = [ln.split() for ln in lines[body_start:]]
+    body = [t for t in body if t]
+    if header_cols is None:
+        ncol = len(body[0]) if body else 6
+        if ncol >= 6:
+            header_cols = ["FID", "IID", "PAT", "MAT", "SEX", "PHENO1"]
+        else:
+            header_cols = ["FID", "IID", "PAT", "MAT", "SEX"]
+    col = {c: j for j, c in enumerate(header_cols)}
+    n = len(body)
+
+    def get(name) -> list[str] | None:
+        j = col.get(name)
+        if j is None:
+            return None
+        return [t[j] for t in body]
+
+    fid = get("FID")
+    iid = get("IID")
+    if iid is None:
+        raise ValueError(".psam has no IID column")
+    fid = fid if fid is not None else ["0"] * n
+    sid = get("SID")
+    pat, mat = get("PAT"), get("MAT")
+    sex_raw = get("SEX")
+    sex = np.zeros(n, dtype=np.int8)
+    if sex_raw is not None:
+        for i, v in enumerate(sex_raw):
+            if v in ("1", "M", "m"):
+                sex[i] = 1
+            elif v in ("2", "F", "f"):
+                sex[i] = 2
+    known = {"FID", "IID", "SID", "PAT", "MAT", "SEX"}
+    phenos: dict[str, PhenoCol] = {}
+    for c in header_cols:
+        if c in known:
+            continue
+        phenos[c] = _build_pheno(c, get(c), missing_pheno)
+    return SampleInfo(
+        fid=np.array(fid, dtype=object),
+        iid=np.array(iid, dtype=object),
+        sid=np.array(sid, dtype=object) if sid is not None else None,
+        pat=np.array(pat, dtype=object) if pat is not None else None,
+        mat=np.array(mat, dtype=object) if mat is not None else None,
+        sex=sex,
+        phenos=phenos,
+    )
+
+
+def write_psam(path: str, si: SampleInfo, sample_mask: np.ndarray | None = None) -> None:
+    idx = np.flatnonzero(sample_mask) if sample_mask is not None else np.arange(si.sample_ct)
+    cols = ["#FID", "IID"]
+    if si.sid is not None:
+        cols.append("SID")
+    if si.pat is not None:
+        cols += ["PAT", "MAT"]
+    cols.append("SEX")
+    pheno_names = list(si.phenos)
+    cols += pheno_names
+    with open(path, "w") as f:
+        f.write("\t".join(cols) + "\n")
+        sex_str = {0: "NA", 1: "1", 2: "2"}
+        for i in idx:
+            row = [str(si.fid[i]), str(si.iid[i])]
+            if si.sid is not None:
+                row.append(str(si.sid[i]))
+            if si.pat is not None:
+                row += [str(si.pat[i]), str(si.mat[i])]
+            row.append(sex_str[int(si.sex[i])])
+            for name in pheno_names:
+                pc = si.phenos[name]
+                if pc.kind == "cat":
+                    row.append(pc.categories[int(pc.data[i])] if pc.data[i] else "NA")
+                elif pc.kind == "cc":
+                    row.append("NA" if not pc.nonmiss[i] else str(int(pc.data[i]) + 1))
+                else:
+                    v = pc.data[i]
+                    row.append("NA" if not pc.nonmiss[i] else f"{v:g}")
+            f.write("\t".join(row) + "\n")
