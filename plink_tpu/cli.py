@@ -1,0 +1,240 @@
+"""Command-line interface: plink2-compatible flag parsing into a typed config.
+
+Mirrors the role of CmdlineParsePhase1/2/3 + the alphabetical flag chain
+(2.0/plink2_cmdline.h:1747-1763, 2.0/plink2.cc:3700+), implemented as a
+declarative flag table instead of a hand-rolled case chain.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Config:
+    # input
+    pfile: str | None = None
+    bfile: str | None = None
+    pedmap: str | None = None  # --file / --pedmap prefix
+    vcf: str | None = None
+    out: str = "plink2"
+    # sample filters
+    keep: str | None = None
+    remove: str | None = None
+    mind: float | None = None
+    keep_females: bool = False
+    keep_males: bool = False
+    # variant filters
+    extract: str | None = None
+    exclude: str | None = None
+    chr: list[str] = field(default_factory=list)
+    not_chr: list[str] = field(default_factory=list)
+    autosome: bool = False
+    from_bp: int | None = None
+    to_bp: int | None = None
+    snps_only: bool = False
+    geno: float | None = None
+    maf: float | None = None
+    max_maf: float | None = None
+    mac: float | None = None
+    max_mac: float | None = None
+    hwe: float | None = None
+    hwe_midp: bool = False
+    nonfounders: bool = False
+    # commands
+    freq: bool = False
+    freq_counts: bool = False
+    missing: bool = False
+    hardy: bool = False
+    hardy_midp: bool = False
+    geno_counts: bool = False
+    het: bool = False
+    sample_counts: bool = False
+    make_pgen: bool = False
+    make_bed: bool = False
+    export_fmts: list[str] = field(default_factory=list)
+    write_snplist: bool = False
+    validate: bool = False
+    pgen_info: bool = False
+    # relationship / matrix
+    make_king: bool = False
+    make_king_table: bool = False
+    king_cutoff: float | None = None
+    make_grm_bin: bool = False
+    make_grm_list: bool = False
+    make_rel: str | None = None
+    pca: int | None = None
+    pca_approx: bool = False
+    # LD
+    indep_pairwise: tuple | None = None  # (window, step, r2) window may be "Nkb"
+    ld_window_kb: bool = False
+    r2_phased: bool = False
+    # GLM
+    glm: bool = False
+    glm_modifiers: list[str] = field(default_factory=list)
+    pheno: str | None = None
+    pheno_name: list[str] = field(default_factory=list)
+    covar: str | None = None
+    covar_name: list[str] = field(default_factory=list)
+    covar_variance_standardize: bool = False
+    quantile_normalize: bool = False
+    # scoring
+    score: tuple | None = None  # (path, modifiers...)
+    score_col_nums: str | None = None
+    # misc
+    threads: int | None = None
+    memory: int | None = None
+    seed: int | None = None
+    silent: bool = False
+    parallel: tuple[int, int] | None = None
+    dummy: tuple | None = None  # --dummy sample_ct variant_ct [opts]
+    # raw argv for the log
+    argv: list[str] = field(default_factory=list)
+
+
+class FlagError(ValueError):
+    pass
+
+
+def _tok_groups(argv: list[str]) -> list[tuple[str, list[str]]]:
+    groups = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if not a.startswith("--"):
+            raise FlagError(f"unexpected argument '{a}' (flags start with --)")
+        name = a[2:].replace("-", "_")
+        args = []
+        i += 1
+        while i < len(argv) and not argv[i].startswith("--"):
+            args.append(argv[i])
+            i += 1
+        groups.append((name, args))
+    return groups
+
+
+def parse_args(argv: list[str]) -> Config:
+    cfg = Config(argv=list(argv))
+    for name, args in _tok_groups(argv):
+        if name in ("pfile", "bfile", "file", "pedmap"):
+            key = {"file": "pedmap", "pedmap": "pedmap"}.get(name, name)
+            setattr(cfg, key, args[0])
+        elif name == "vcf":
+            cfg.vcf = args[0]
+        elif name == "out":
+            cfg.out = args[0]
+        elif name in ("keep", "remove", "extract", "exclude", "pheno", "covar"):
+            setattr(cfg, name, args[0])
+        elif name in ("pheno_name", "covar_name"):
+            setattr(cfg, name, [t for a in args for t in a.split(",")])
+        elif name in ("mind", "geno"):
+            setattr(cfg, name, float(args[0]) if args else 0.1)
+        elif name in ("maf", "max_maf", "mac", "max_mac"):
+            setattr(cfg, name, float(args[0]) if args else (0.01 if name == "maf" else None))
+        elif name == "hwe":
+            cfg.hwe = float(args[0])
+            cfg.hwe_midp = "midp" in args[1:]
+        elif name in ("chr", "not_chr"):
+            setattr(cfg, name, [t for a in args for t in a.split(",")])
+        elif name == "autosome":
+            cfg.autosome = True
+        elif name == "snps_only":
+            cfg.snps_only = True
+        elif name == "from_bp":
+            cfg.from_bp = int(args[0])
+        elif name == "to_bp":
+            cfg.to_bp = int(args[0])
+        elif name == "nonfounders":
+            cfg.nonfounders = True
+        elif name == "freq":
+            cfg.freq = True
+            cfg.freq_counts = "counts" in args
+        elif name == "missing":
+            cfg.missing = True
+        elif name == "hardy":
+            cfg.hardy = True
+            cfg.hardy_midp = "midp" in args
+        elif name == "geno_counts":
+            cfg.geno_counts = True
+        elif name == "het":
+            cfg.het = True
+        elif name == "sample_counts":
+            cfg.sample_counts = True
+        elif name == "make_pgen":
+            cfg.make_pgen = True
+        elif name == "make_bed":
+            cfg.make_bed = True
+        elif name == "export":
+            cfg.export_fmts = args
+        elif name == "write_snplist":
+            cfg.write_snplist = True
+        elif name == "validate":
+            cfg.validate = True
+        elif name == "pgen_info":
+            cfg.pgen_info = True
+        elif name == "make_king":
+            cfg.make_king = True
+        elif name == "make_king_table":
+            cfg.make_king_table = True
+        elif name == "king_cutoff":
+            cfg.king_cutoff = float(args[0]) if args else 0.177
+        elif name == "make_grm_bin":
+            cfg.make_grm_bin = True
+        elif name == "make_grm_list":
+            cfg.make_grm_list = True
+        elif name == "make_rel":
+            cfg.make_rel = args[0] if args else "square"
+        elif name == "pca":
+            cfg.pca = 10
+            for a in args:
+                if a == "approx":
+                    cfg.pca_approx = True
+                elif a.isdigit():
+                    cfg.pca = int(a)
+        elif name == "indep_pairwise":
+            cfg.indep_pairwise = tuple(args)
+        elif name == "glm":
+            cfg.glm = True
+            cfg.glm_modifiers = args
+        elif name == "covar_variance_standardize":
+            cfg.covar_variance_standardize = True
+        elif name == "quantile_normalize":
+            cfg.quantile_normalize = True
+        elif name == "score":
+            cfg.score = tuple(args)
+        elif name == "score_col_nums":
+            cfg.score_col_nums = args[0]
+        elif name == "threads":
+            cfg.threads = int(args[0])
+        elif name == "memory":
+            cfg.memory = int(args[0])
+        elif name == "seed":
+            cfg.seed = int(args[0])
+        elif name == "silent":
+            cfg.silent = True
+        elif name == "parallel":
+            cfg.parallel = (int(args[0]), int(args[1]))
+        elif name == "dummy":
+            cfg.dummy = tuple(args)
+        elif name in ("keep_females", "keep_males"):
+            setattr(cfg, name, True)
+        else:
+            raise FlagError(f"unrecognized flag '--{name.replace('_', '-')}'")
+    return cfg
+
+
+def main(argv: list[str] | None = None) -> int:
+    from .pipeline import run_pipeline
+
+    argv = argv if argv is not None else sys.argv[1:]
+    try:
+        cfg = parse_args(argv)
+    except FlagError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 2
+    return run_pipeline(cfg)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

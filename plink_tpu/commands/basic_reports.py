@@ -1,0 +1,274 @@
+"""--freq / --missing / --hardy / --geno-counts report commands.
+
+Behavior references: WriteAlleleFreqs / WriteMissingnessReports / HardyReport
+/ WriteGenoCounts in 2.0/plink2_misc.cc, with counts produced by the device
+counting kernels (ops/counts.py) instead of LoadAlleleAndGenoCountsThread
+(2.0/plink2_data.cc:2304).
+
+Sex-chromosome conventions (matching the reference):
+- chrX: females contribute 2 alleles, males 1 (het male X = "hethap",
+  treated as missing); chrY: only males, haploid; MT: haploid for all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..dataset import Dataset
+from ..ops.counts import GenoCounter, sample_missing_counts
+from ..stats.hwe import hwe_exact_pvals
+from ..utils.chrom import MT_CODE, X_CODE, Y_CODE
+from ..utils.fmt import g6
+from ..utils.logging import RunLogger
+
+
+def _group_counts(ds: Dataset, founders_only: bool) -> dict[str, np.ndarray]:
+    """Counts [M,4] for 'all', 'male', 'female' subsets of included samples."""
+    base = ds.sample_mask & (ds.founder_mask if founders_only else True)
+    male = base & ds.male_mask()
+    female = base & ds.female_mask()
+    counters = {
+        "all": GenoCounter(ds.raw_sample_ct, base.astype(np.float32)),
+        "male": GenoCounter(ds.raw_sample_ct, male.astype(np.float32)),
+        "female": GenoCounter(ds.raw_sample_ct, female.astype(np.float32)),
+    }
+    for _, packed in ds.iter_packed_blocks():
+        for gc in counters.values():
+            gc.add_block(packed)
+    return {k: gc.result() for k, gc in counters.items()}
+
+
+def allele_counts_and_obs(ds: Dataset, founders_only: bool = False):
+    """Per-variant (alt_allele_ct, obs_allele_ct) honoring X/Y/MT ploidy.
+
+    Returns (alt_ct, obs_ct) float64 [M].
+    """
+    cts = _group_counts(ds, founders_only)
+    chrom = ds.vi.chrom
+    is_x = chrom == X_CODE
+    is_y = chrom == Y_CODE
+    is_mt = chrom == MT_CODE
+    a = cts["all"]
+    m = cts["male"]
+    f = cts["female"]
+    # Diploid default.
+    alt = (a[:, 1] + 2 * a[:, 2]).astype(np.float64)
+    obs = (2 * (a[:, 0] + a[:, 1] + a[:, 2])).astype(np.float64)
+    # chrX: females diploid + males haploid (male het excluded).
+    x_alt = (f[:, 1] + 2 * f[:, 2] + m[:, 2]).astype(np.float64)
+    x_obs = (2 * (f[:, 0] + f[:, 1] + f[:, 2]) + m[:, 0] + m[:, 2]).astype(np.float64)
+    alt = np.where(is_x, x_alt, alt)
+    obs = np.where(is_x, x_obs, obs)
+    # chrY: males haploid only.
+    alt = np.where(is_y, m[:, 2], alt)
+    obs = np.where(is_y, (m[:, 0] + m[:, 2]).astype(np.float64), obs)
+    # MT: all samples haploid.
+    alt = np.where(is_mt, a[:, 2], alt)
+    obs = np.where(is_mt, (a[:, 0] + a[:, 2]).astype(np.float64), obs)
+    return alt, obs
+
+
+def alt_allele_freqs(ds: Dataset, founders_only: bool = True) -> np.ndarray:
+    """ALT allele frequencies used by filters (--maf etc.; founders default,
+    matching the reference's MAF-filter convention)."""
+    alt, obs = allele_counts_and_obs(ds, founders_only)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(obs > 0, alt / obs, np.nan)
+
+
+def _provref_strs(ds: Dataset):
+    hdr = ds.reader.header
+    if hdr.all_provisional:
+        return "\tPROVISIONAL_REF?", lambda i: "\tY"
+    if hdr.provisional_ref is not None:
+        pr = hdr.provisional_ref
+        return "\tPROVISIONAL_REF?", lambda i: "\tY" if pr[i] else "\tN"
+    if ds.reader.header.mode == 0x01:
+        return "\tPROVISIONAL_REF?", lambda i: "\tY"
+    return "", lambda i: ""
+
+
+def write_freq(ds: Dataset, out_prefix: str, log: RunLogger, founders_only: bool = True) -> str:
+    """--freq -> <out>.afreq."""
+    alt, obs = allele_counts_and_obs(ds, founders_only)
+    path = out_prefix + ".afreq"
+    ci = ds.vi.chr_info
+    prov_hdr, prov_fn = _provref_strs(ds)
+    with open(path, "w") as fh:
+        fh.write(f"#CHROM\tID\tREF\tALT{prov_hdr}\tALT_FREQS\tOBS_CT\n")
+        for i in np.flatnonzero(ds.variant_mask):
+            fr = alt[i] / obs[i] if obs[i] > 0 else np.nan
+            fh.write(
+                f"{ci.name(int(ds.vi.chrom[i]))}\t{ds.vi.vid[i]}\t{ds.vi.ref[i]}\t{ds.vi.alt[i]}"
+                f"{prov_fn(i)}\t{g6(fr)}\t{int(obs[i])}\n"
+            )
+    log.log(f"--freq: Allele frequencies ({'founders' if founders_only else 'all samples'}) "
+            f"written to {path} .")
+    return path
+
+
+def write_missing(
+    ds: Dataset, out_prefix: str, log: RunLogger, sample: bool = True, variant: bool = True
+) -> list[str]:
+    """--missing -> <out>.vmiss / <out>.smiss."""
+    out_paths = []
+    ci = ds.vi.chr_info
+    base = ds.sample_mask
+    male = base & ds.male_mask()
+    n_all = int(base.sum())
+    n_male = int(male.sum())
+    if variant:
+        cts = ds.geno_counts(founders_only=False)
+        # chrY OBS_CT counts males only; missing among males.
+        gc_male = None
+        if (ds.vi.chrom == Y_CODE).any():
+            gc = GenoCounter(ds.raw_sample_ct, male.astype(np.float32))
+            for _, packed in ds.iter_packed_blocks():
+                gc.add_block(packed)
+            gc_male = gc.result()
+        path = out_prefix + ".vmiss"
+        with open(path, "w") as fh:
+            fh.write("#CHROM\tID\tMISSING_CT\tOBS_CT\tF_MISS\n")
+            for i in np.flatnonzero(ds.variant_mask):
+                if gc_male is not None and ds.vi.chrom[i] == Y_CODE:
+                    miss, obs = int(gc_male[i, 3]), n_male
+                else:
+                    miss, obs = int(cts[i, 3]), n_all
+                fm = miss / obs if obs else np.nan
+                fh.write(f"{ci.name(int(ds.vi.chrom[i]))}\t{ds.vi.vid[i]}\t{miss}\t{obs}\t{g6(fm)}\n")
+        out_paths.append(path)
+    if sample:
+        vmask = ds.variant_mask.astype(np.float32)
+        vmask_nony = vmask * (ds.vi.chrom != Y_CODE)
+        # Stream per-sample missing counts (two masks: non-Y for everyone,
+        # Y-only for males).
+        miss_nony = np.zeros(ds.raw_sample_ct, dtype=np.int64)
+        miss_y = np.zeros(ds.raw_sample_ct, dtype=np.int64)
+        has_y = bool((ds.vi.chrom == Y_CODE).any())
+        for vstart, packed in ds.iter_packed_blocks():
+            sl = slice(vstart, vstart + packed.shape[0])
+            miss_nony += sample_missing_counts(packed, ds.raw_sample_ct, vmask_nony[sl])
+            if has_y:
+                miss_y += sample_missing_counts(
+                    packed, ds.raw_sample_ct, (vmask * (ds.vi.chrom == Y_CODE))[sl]
+                )
+        vct_nony = int(vmask_nony.sum())
+        vct_all = int(vmask.sum())
+        path = out_prefix + ".smiss"
+        pheno_names = list(ds.si.phenos)
+        with open(path, "w") as fh:
+            pheno_hdr = "".join(f"\t{n}" for n in pheno_names)
+            fh.write(f"{ds.si.id_header()}{pheno_hdr}\tMISSING_CT\tOBS_CT\tF_MISS\n")
+            for s in np.flatnonzero(ds.sample_mask):
+                if ds.si.sex[s] == 1 and has_y:
+                    miss, obs = int(miss_nony[s] + miss_y[s]), vct_all
+                else:
+                    miss, obs = int(miss_nony[s]), vct_nony
+                fm = miss / obs if obs else np.nan
+                # Per-phenotype missingness indicator: Y = missing, N = present.
+                pcols = "".join(
+                    "\tN" if ds.si.phenos[n].nonmiss[s] else "\tY" for n in pheno_names
+                )
+                fh.write(f"{ds.si.id_str(s)}{pcols}\t{miss}\t{obs}\t{g6(fm)}\n")
+        out_paths.append(path)
+    log.log(f"--missing: Sample/variant missing data report(s) written to "
+            f"{' + '.join(out_paths)} .")
+    return out_paths
+
+
+def write_hardy(
+    ds: Dataset, out_prefix: str, log: RunLogger, midp: bool = False, founders_only: bool = True
+) -> str:
+    """--hardy -> <out>.hardy (autosomal; chrX uses female-only genotype test
+    here — the reference's ComputeHweXLnPvals refinement is a TODO)."""
+    base = ds.sample_mask & (ds.founder_mask if founders_only else True)
+    female = base & ds.female_mask()
+    gc_all = GenoCounter(ds.raw_sample_ct, base.astype(np.float32))
+    need_female = bool((ds.vi.chrom == X_CODE).any())
+    gc_f = GenoCounter(ds.raw_sample_ct, female.astype(np.float32)) if need_female else None
+    for _, packed in ds.iter_packed_blocks():
+        gc_all.add_block(packed)
+        if gc_f:
+            gc_f.add_block(packed)
+    cts = gc_all.result()
+    cts_f = gc_f.result() if gc_f else None
+    is_x = ds.vi.chrom == X_CODE
+    use = np.where(is_x[:, None], cts_f if cts_f is not None else cts, cts)
+    hom_ref, het, hom_alt = use[:, 0], use[:, 1], use[:, 2]
+    pvals = hwe_exact_pvals(hom_ref, het, hom_alt, midp=midp)
+    path = out_prefix + ".hardy"
+    ci = ds.vi.chr_info
+    with open(path, "w") as fh:
+        fh.write("#CHROM\tID\tA1\tAX\tHOM_A1_CT\tHET_A1_CT\tTWO_AX_CT\tO(HET_A1)\tE(HET_A1)\tP\n")
+        for i in np.flatnonzero(ds.variant_mask):
+            if ds.vi.chrom[i] in (X_CODE, Y_CODE, MT_CODE):
+                # Main report is autosomal; chrX uses the separate .hardy.x
+                # female+male test (HardyReport, plink2_misc.cc:5696+; TODO).
+                continue
+            n = int(hom_ref[i] + het[i] + hom_alt[i])
+            # Reproduce the reference's fp expression order for bit-identical
+            # output (plink2_misc.cc:5648-5660): recip multiply, then
+            # E = maj2 * (1 - maj2*0.5).
+            recip = 1.0 / n if n else np.nan
+            ohet = float(het[i]) * recip if n else np.nan
+            if n and hom_ref[i] == n:
+                ehet_str = "0"
+            elif n:
+                maj2 = float(hom_ref[i] * 2 + het[i]) * recip
+                ehet_str = g6(maj2 * (1.0 - maj2 * 0.5))
+            else:
+                ehet_str = "NA"
+            fh.write(
+                f"{ci.name(int(ds.vi.chrom[i]))}\t{ds.vi.vid[i]}\t{ds.vi.ref[i]}\t{ds.vi.alt[i]}"
+                f"\t{int(hom_ref[i])}\t{int(het[i])}\t{int(hom_alt[i])}"
+                f"\t{g6(ohet)}\t{ehet_str}\t{g6(pvals[i])}\n"
+            )
+    log.log(
+        f"--hardy{' midp' if midp else ''}: Autosomal Hardy-Weinberg report "
+        f"({'all samples' if not founders_only else 'founders only'}) written to {path} ."
+    )
+    return path
+
+
+def write_geno_counts(ds: Dataset, out_prefix: str, log: RunLogger) -> str:
+    """--geno-counts -> <out>.gcount."""
+    cts = ds.geno_counts(founders_only=False)
+    male = ds.sample_mask & ds.male_mask()
+    need_sexed = bool(((ds.vi.chrom == X_CODE) | (ds.vi.chrom == Y_CODE) | (ds.vi.chrom == MT_CODE)).any())
+    cts_m = None
+    if need_sexed:
+        gc = GenoCounter(ds.raw_sample_ct, male.astype(np.float32))
+        for _, packed in ds.iter_packed_blocks():
+            gc.add_block(packed)
+        cts_m = gc.result()
+    path = out_prefix + ".gcount"
+    ci = ds.vi.chr_info
+    prov_hdr, prov_fn = _provref_strs(ds)
+    with open(path, "w") as fh:
+        fh.write(
+            f"#CHROM\tID\tREF\tALT{prov_hdr}\tHOM_REF_CT\tHET_REF_ALT_CTS\tTWO_ALT_GENO_CTS"
+            "\tHAP_REF_CT\tHAP_ALT_CTS\tMISSING_CT\n"
+        )
+        for i in np.flatnonzero(ds.variant_mask):
+            c = cts[i]
+            chrom = int(ds.vi.chrom[i])
+            hom_ref, het, hom_alt, miss = int(c[0]), int(c[1]), int(c[2]), int(c[3])
+            hap_ref = hap_alt = 0
+            if chrom == MT_CODE:
+                hap_ref, hap_alt = hom_ref, hom_alt
+                hom_ref = hom_alt = 0
+            elif chrom == Y_CODE and cts_m is not None:
+                cm = cts_m[i]
+                hap_ref, hap_alt, miss = int(cm[0]), int(cm[2]), int(cm[3])
+                hom_ref = hom_alt = het = 0
+            elif chrom == X_CODE and cts_m is not None:
+                cm = cts_m[i]
+                hap_ref, hap_alt = int(cm[0]), int(cm[2])
+                hom_ref -= hap_ref
+                hom_alt -= hap_alt
+            fh.write(
+                f"{ci.name(chrom)}\t{ds.vi.vid[i]}\t{ds.vi.ref[i]}\t{ds.vi.alt[i]}{prov_fn(i)}"
+                f"\t{hom_ref}\t{het}\t{hom_alt}\t{hap_ref}\t{hap_alt}\t{miss}\n"
+            )
+    log.log(f"--geno-counts: Genotype counts written to {path} .")
+    return path

@@ -1,0 +1,164 @@
+"""Sample/variant filters (ref: 2.0/plink2_filter.cc).
+
+Each filter narrows ds.sample_mask / ds.variant_mask; application order
+follows the reference's fixed Plink2Core sequence (2.0/plink2.cc:1325-1770):
+sample filters (keep/remove, mind) before variant filters
+(extract/exclude/chr, geno, maf/mac, hwe).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..dataset import Dataset
+from ..ops.counts import sample_missing_counts
+from ..stats.hwe import hwe_exact_thresh
+from ..utils.logging import RunLogger
+from .basic_reports import allele_counts_and_obs
+
+
+def keep_remove_samples(ds: Dataset, path: str, keep: bool, log: RunLogger) -> None:
+    """--keep / --remove: FID IID (or IID-only) files."""
+    wanted_raw = []
+    with open(path) as f:
+        for ln in f:
+            t = ln.split()
+            if not t or t[0].startswith("#"):
+                continue
+            wanted_raw.append(t)
+    # Match on FID+IID when two columns present, else IID alone.
+    two_col = {f"{t[0]}\t{t[1]}" for t in wanted_raw if len(t) >= 2}
+    one_col = {t[0] for t in wanted_raw if len(t) == 1}
+    fid_iid = np.array([f"{f}\t{i}" for f, i in zip(ds.si.fid, ds.si.iid)], dtype=object)
+    hit = np.isin(fid_iid, list(two_col)) | np.isin(ds.si.iid, list(one_col))
+    before = ds.sample_ct
+    ds.sample_mask &= hit if keep else ~hit
+    ds.invalidate_counts()
+    log.log(
+        f"--{'keep' if keep else 'remove'}: {ds.sample_ct} sample"
+        f"{'s' if ds.sample_ct != 1 else ''} remaining (was {before})."
+    )
+
+
+def extract_exclude_variants(ds: Dataset, path: str, extract: bool, log: RunLogger) -> None:
+    """--extract / --exclude: variant-ID token files."""
+    ids = set()
+    with open(path) as f:
+        for ln in f:
+            ids.update(ln.split())
+    hit = np.isin(ds.vi.vid.astype(str), list(ids))
+    before = ds.variant_ct
+    ds.variant_mask &= hit if extract else ~hit
+    log.log(
+        f"--{'extract' if extract else 'exclude'}: {ds.variant_ct} variants remaining "
+        f"(was {before})."
+    )
+
+
+def filter_chr(ds: Dataset, chr_names: list[str], log: RunLogger, keep: bool = True) -> None:
+    """--chr / --not-chr."""
+    codes = set()
+    for name in chr_names:
+        if "-" in name and not name.lower().startswith("chr"):
+            lo, hi = name.split("-")
+            codes.update(range(int(lo), int(hi) + 1))
+        else:
+            codes.add(ds.vi.chr_info.code(name))
+    hit = np.isin(ds.vi.chrom, list(codes))
+    ds.variant_mask &= hit if keep else ~hit
+    log.log(f"--{'chr' if keep else 'not-chr'}: {ds.variant_ct} variants remaining.")
+
+
+def filter_autosomes(ds: Dataset, log: RunLogger) -> None:
+    ds.variant_mask &= ds.vi.chr_info.is_autosomal(ds.vi.chrom)
+    log.log(f"--autosome: {ds.variant_ct} variants remaining.")
+
+
+def mind_filter(ds: Dataset, thresh: float, log: RunLogger) -> None:
+    """--mind: remove samples with missing-call rate > thresh
+    (ref: MindFilter, 2.0/plink2_filter.h:112)."""
+    vmask = ds.variant_mask.astype(np.float32)
+    miss = np.zeros(ds.raw_sample_ct, dtype=np.int64)
+    for vstart, packed in ds.iter_packed_blocks():
+        miss += sample_missing_counts(packed, ds.raw_sample_ct, vmask[vstart : vstart + packed.shape[0]])
+    obs = int(ds.variant_mask.sum())
+    before = ds.sample_ct
+    if obs:
+        keep = miss <= thresh * obs
+        ds.sample_mask &= keep
+        ds.invalidate_counts()
+    removed = before - ds.sample_ct
+    log.log(f"{removed} sample{'s' if removed != 1 else ''} removed due to "
+            f"missing genotype data (--mind).")
+
+
+def geno_filter(ds: Dataset, thresh: float, log: RunLogger) -> None:
+    """--geno: remove variants with missing-call rate > thresh."""
+    cts = ds.geno_counts(founders_only=False)
+    n = cts.sum(axis=1)
+    before = ds.variant_ct
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ok = np.where(n > 0, cts[:, 3] / np.maximum(n, 1) <= thresh, True)
+    ds.variant_mask &= ok
+    removed = before - ds.variant_ct
+    log.log(f"{removed} variant{'s' if removed != 1 else ''} removed due to "
+            f"missing genotype data (--geno).")
+
+
+def maf_filter(
+    ds: Dataset,
+    log: RunLogger,
+    min_af: float | None = None,
+    max_af: float | None = None,
+    min_ac: float | None = None,
+    max_ac: float | None = None,
+    nonfounders: bool = False,
+) -> None:
+    """--maf/--max-maf/--mac/--max-mac (founders-based by default)."""
+    alt, obs = allele_counts_and_obs(ds, founders_only=not nonfounders)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        af = np.where(obs > 0, alt / obs, np.nan)
+    maf = np.minimum(af, 1 - af)
+    mac = np.minimum(alt, obs - alt)
+    before = ds.variant_ct
+    ok = np.ones(ds.raw_variant_ct, dtype=bool)
+    if min_af is not None:
+        ok &= ~(maf < min_af) & ~np.isnan(maf)
+    if max_af is not None:
+        ok &= ~(maf > max_af) & ~np.isnan(maf)
+    if min_ac is not None:
+        ok &= mac >= min_ac
+    if max_ac is not None:
+        ok &= mac <= max_ac
+    ds.variant_mask &= ok
+    removed = before - ds.variant_ct
+    log.log(f"{removed} variant{'s' if removed != 1 else ''} removed due to "
+            f"allele frequency threshold(s).")
+
+
+def hwe_filter(ds: Dataset, thresh: float, midp: bool, log: RunLogger) -> None:
+    """--hwe: remove variants failing the HWE exact test
+    (ref: EnforceHweThresh, 2.0/plink2_filter.h:118; founders-based,
+    chrX female-only)."""
+    from ..ops.counts import GenoCounter
+    from ..utils.chrom import MT_CODE, X_CODE, Y_CODE
+
+    base = ds.sample_mask & ds.founder_mask
+    gc = GenoCounter(ds.raw_sample_ct, base.astype(np.float32))
+    is_x = ds.vi.chrom == X_CODE
+    gc_f = GenoCounter(ds.raw_sample_ct, (base & ds.female_mask()).astype(np.float32)) if is_x.any() else None
+    for _, packed in ds.iter_packed_blocks():
+        gc.add_block(packed)
+        if gc_f:
+            gc_f.add_block(packed)
+    cts = gc.result()
+    if gc_f:
+        cts = np.where(is_x[:, None], gc_f.result(), cts)
+    fails = hwe_exact_thresh(cts[:, 0], cts[:, 1], cts[:, 2], thresh, midp=midp)
+    # No HWE test on haploid chromosomes.
+    fails &= ~np.isin(ds.vi.chrom, (Y_CODE, MT_CODE))
+    before = ds.variant_ct
+    ds.variant_mask &= ~fails
+    removed = before - ds.variant_ct
+    log.log(f"--hwe: {removed} variant{'s' if removed != 1 else ''} removed due to "
+            f"Hardy-Weinberg exact test (founders only).")

@@ -1,0 +1,80 @@
+"""--make-pgen / --make-bed / --make-bpgen (ref: MakePlink2NoVsort,
+2.0/plink2_data.cc:8287): write the current filtered dataset to a new
+fileset, applying sample/variant masks."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..dataset import Dataset
+from ..io import PgenWriter, write_bed, write_bim, write_psam, write_pvar
+from ..io.pack import pack2
+from ..utils.logging import RunLogger
+
+
+def _subset_codes(packed_block: np.ndarray, sample_idx: np.ndarray, sample_ct_raw: int) -> np.ndarray:
+    from ..io.pack import unpack2
+
+    codes = unpack2(packed_block, sample_ct_raw)
+    return codes[:, sample_idx]
+
+
+def make_pgen(ds: Dataset, out_prefix: str, log: RunLogger, fmt: str = "pgen") -> None:
+    """fmt: 'pgen' (pgen+pvar+psam) or 'bed' (bed+bim+fam)."""
+    sample_idx = np.flatnonzero(ds.sample_mask)
+    variant_idx = np.flatnonzero(ds.variant_mask)
+    N, V = sample_idx.size, variant_idx.size
+    all_samples = N == ds.raw_sample_ct
+
+    if fmt == "bed":
+        rows = []
+        for vstart, packed in ds.iter_packed_blocks():
+            vsel = variant_idx[(variant_idx >= vstart) & (variant_idx < vstart + packed.shape[0])]
+            if vsel.size == 0:
+                continue
+            block = packed[vsel - vstart]
+            if not all_samples:
+                block = pack2(_subset_codes(block, sample_idx, ds.raw_sample_ct))
+            rows.append(block)
+        write_bed(
+            out_prefix + ".bed",
+            np.concatenate(rows) if rows else np.zeros((0, (N + 3) // 4), np.uint8),
+            sample_ct=N,
+        )
+        write_bim(out_prefix + ".bim", ds.vi, ds.variant_mask)
+        _write_fam(out_prefix + ".fam", ds)
+        log.log(f"--make-bed: {out_prefix}.bed + .bim + .fam written ({V} variants, {N} samples).")
+        return
+
+    hdr = ds.reader.header
+    trusted = (not hdr.all_provisional) and hdr.provisional_ref is None and hdr.mode != 0x01
+    with PgenWriter(out_prefix + ".pgen", N, V, trusted_ref=trusted) as w:
+        for vstart, packed in ds.iter_packed_blocks():
+            vsel = variant_idx[(variant_idx >= vstart) & (variant_idx < vstart + packed.shape[0])]
+            if vsel.size == 0:
+                continue
+            block = packed[vsel - vstart]
+            if all_samples:
+                w.append_packed(block)
+            else:
+                w.append_codes(_subset_codes(block, sample_idx, ds.raw_sample_ct))
+    write_pvar(out_prefix + ".pvar", ds.vi, ds.variant_mask)
+    write_psam(out_prefix + ".psam", ds.si, ds.sample_mask)
+    log.log(f"--make-pgen: {out_prefix}.pgen + .pvar + .psam written ({V} variants, {N} samples).")
+
+
+def _write_fam(path: str, ds: Dataset) -> None:
+    si = ds.si
+    pheno = next(iter(si.phenos.values())) if si.phenos else None
+    with open(path, "w") as f:
+        for i in np.flatnonzero(ds.sample_mask):
+            pat = si.pat[i] if si.pat is not None else "0"
+            mat = si.mat[i] if si.mat is not None else "0"
+            sex = int(si.sex[i])
+            if pheno is None or not pheno.nonmiss[i]:
+                ph = "-9"
+            elif pheno.kind == "cc":
+                ph = str(int(pheno.data[i]) + 1)
+            else:
+                ph = f"{pheno.data[i]:g}"
+            f.write(f"{si.fid[i]}\t{si.iid[i]}\t{pat}\t{mat}\t{sex}\t{ph}\n")

@@ -1,0 +1,146 @@
+"""Dataset: the shared in-memory state commands operate on.
+
+Mirrors the role of Plink2Core's shared state (2.0/plink2.cc:836):
+sample_include / variant_include bitmasks, founder info, sex, cached allele
+counts — threaded through the fixed-order command pipeline.  Genotypes are
+streamed from the .pgen in variant blocks as packed 2-bit arrays, the
+host->HBM transfer format.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .io import PgenReader, read_bim, read_psam, read_pvar
+from .io.psam import SampleInfo
+from .io.pvar import VariantInfo
+from .utils.chrom import X_CODE, Y_CODE, MT_CODE
+
+DEFAULT_BLOCK = 8192  # variants per streamed block (vblock analogue)
+
+
+@dataclass
+class Dataset:
+    reader: PgenReader
+    vi: VariantInfo
+    si: SampleInfo
+    sample_mask: np.ndarray  # bool [N]
+    variant_mask: np.ndarray  # bool [M]
+    founder_mask: np.ndarray  # bool [N]
+    block_size: int = DEFAULT_BLOCK
+    _counts_cache: dict = field(default_factory=dict)
+
+    @property
+    def sample_ct(self) -> int:
+        return int(self.sample_mask.sum())
+
+    @property
+    def variant_ct(self) -> int:
+        return int(self.variant_mask.sum())
+
+    @property
+    def raw_sample_ct(self) -> int:
+        return self.reader.sample_ct
+
+    @property
+    def raw_variant_ct(self) -> int:
+        return self.reader.variant_ct
+
+    def iter_packed_blocks(self, block_size: int | None = None, pad: bool = False):
+        """Yield (vstart, packed[uint8, B x NB]) over ALL raw variants in order.
+
+        With pad=True, the final block is zero-padded to the full block size
+        so every device kernel call sees one static shape (one XLA compile);
+        padded rows decode to hom-REF and must be masked by the caller.
+        """
+        bs = block_size or self.block_size
+        M = self.raw_variant_ct
+        for vstart in range(0, M, bs):
+            vct = min(bs, M - vstart)
+            packed = self.reader.read_packed(vstart, vct)
+            if pad and vct < bs:
+                packed = np.concatenate(
+                    [packed, np.zeros((bs - vct, packed.shape[1]), dtype=np.uint8)]
+                )
+            yield vstart, packed
+
+    # -- cached whole-file counting ------------------------------------
+    def geno_counts(self, founders_only: bool = False, mask: np.ndarray | None = None) -> np.ndarray:
+        """Per-variant genotype counts [M, 4] over current sample set.
+
+        Cached per (founders_only, id(mask)) the way the reference computes
+        LoadAlleleAndGenoCounts once and reuses (plink2.cc:2280).
+        """
+        key = ("founders" if founders_only else "all") if mask is None else ("mask", mask.tobytes())
+        if key in self._counts_cache:
+            return self._counts_cache[key]
+        from .ops.counts import GenoCounter
+
+        smask = self.sample_mask & self.founder_mask if founders_only else self.sample_mask
+        if mask is not None:
+            smask = smask & mask
+        gc = GenoCounter(self.raw_sample_ct, smask.astype(np.float32))
+        for _, packed in self.iter_packed_blocks():
+            gc.add_block(packed)
+        res = gc.result()
+        self._counts_cache[key] = res
+        return res
+
+    def invalidate_counts(self) -> None:
+        self._counts_cache.clear()
+
+    def is_chrx(self) -> np.ndarray:
+        return self.vi.chrom == X_CODE
+
+    def is_chry(self) -> np.ndarray:
+        return self.vi.chrom == Y_CODE
+
+    def is_haploid_all(self) -> np.ndarray:
+        return (self.vi.chrom == Y_CODE) | (self.vi.chrom == MT_CODE)
+
+    def male_mask(self) -> np.ndarray:
+        return self.si.sex == 1
+
+    def female_mask(self) -> np.ndarray:
+        return self.si.sex == 2
+
+
+def _founders_from_pedigree(si: SampleInfo) -> np.ndarray:
+    if si.pat is None or si.mat is None:
+        return np.ones(si.sample_ct, dtype=bool)
+    return np.array([(p == "0" and m == "0") for p, m in zip(si.pat, si.mat)], dtype=bool)
+
+
+def load_dataset(prefix: str, block_size: int = DEFAULT_BLOCK) -> Dataset:
+    """Load a .pgen/.pvar/.psam or .bed/.bim/.fam fileset by prefix."""
+    if os.path.exists(prefix + ".pgen"):
+        si = read_psam(prefix + (".psam" if os.path.exists(prefix + ".psam") else ".fam"))
+        vi = (
+            read_pvar(prefix + ".pvar")
+            if os.path.exists(prefix + ".pvar")
+            else read_bim(prefix + ".bim")
+        )
+        reader = PgenReader(prefix + ".pgen", sample_ct=si.sample_ct)
+    elif os.path.exists(prefix + ".bed"):
+        si = read_psam(prefix + ".fam")
+        vi = read_bim(prefix + ".bim")
+        reader = PgenReader(prefix + ".bed", sample_ct=si.sample_ct)
+    else:
+        raise FileNotFoundError(f"no .pgen or .bed found for prefix {prefix}")
+    if reader.variant_ct != vi.variant_ct:
+        raise ValueError(
+            f"variant count mismatch: genotype file has {reader.variant_ct}, metadata {vi.variant_ct}"
+        )
+    N, M = si.sample_ct, vi.variant_ct
+    return Dataset(
+        reader=reader,
+        vi=vi,
+        si=si,
+        sample_mask=np.ones(N, dtype=bool),
+        variant_mask=np.ones(M, dtype=bool),
+        founder_mask=_founders_from_pedigree(si),
+        block_size=block_size,
+    )

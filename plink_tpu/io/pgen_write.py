@@ -43,11 +43,19 @@ def _difflist_cost(n_entries: int, sample_ct: int) -> int:
 class PgenWriter:
     """Streaming .pgen writer (hardcalls; mode 0x10)."""
 
-    def __init__(self, path: str, sample_ct: int, variant_ct: int, use_ld: bool = True):
+    def __init__(
+        self,
+        path: str,
+        sample_ct: int,
+        variant_ct: int,
+        use_ld: bool = True,
+        trusted_ref: bool = False,
+    ):
         self.path = path
         self.sample_ct = sample_ct
         self.variant_ct = variant_ct
         self.use_ld = use_ld
+        self._trusted_ref = trusted_ref
         self._nb = pack.bytes_per_variant(sample_ct)
         self._f = open(path, "wb")
         self._vrtypes: list[int] = []
@@ -160,8 +168,6 @@ class PgenWriter:
         assert f.tell() == self._data_start, "header size mismatch"
         f.close()
 
-    _trusted_ref = False
-
     def __enter__(self):
         return self
 
@@ -172,11 +178,20 @@ class PgenWriter:
             self._f.close()
 
 
-def write_bed(path: str, packed_pgen: np.ndarray) -> None:
-    """Write PLINK1 variant-major .bed from pgen-encoded packed rows."""
+def write_bed(path: str, packed_pgen: np.ndarray, sample_ct: int | None = None) -> None:
+    """Write PLINK1 variant-major .bed from pgen-encoded packed rows.
+
+    Padding 2-bit fields in the final byte are zeroed (hom-A1 in bed coding),
+    matching the reference writer's convention.
+    """
+    packed_pgen = np.atleast_2d(packed_pgen)
+    bed = pack.PGEN2BED_BYTE[packed_pgen]
+    if sample_ct is not None and (sample_ct & 3) and bed.shape[1]:
+        keep = np.uint8((1 << (2 * (sample_ct & 3))) - 1)
+        bed[:, -1] &= keep
     with open(path, "wb") as f:
         f.write(MAGIC + b"\x01")
-        f.write(pack.PGEN2BED_BYTE[packed_pgen].tobytes())
+        f.write(bed.tobytes())
 
 
 def write_pgen_simple(path: str, packed_pgen: np.ndarray, sample_ct: int) -> None:

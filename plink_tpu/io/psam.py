@@ -46,10 +46,18 @@ class SampleInfo:
     mat: np.ndarray | None
     sex: np.ndarray  # int8: 0 = unknown, 1 = male, 2 = female
     phenos: dict[str, PhenoCol]
+    has_fid: bool = True  # False when the .psam header was #IID-first
 
     @property
     def sample_ct(self) -> int:
         return len(self.iid)
+
+    def id_header(self) -> str:
+        """Leading sample-ID column header for reports (#FID\tIID or #IID)."""
+        return "#FID\tIID" if self.has_fid else "#IID"
+
+    def id_str(self, i: int) -> str:
+        return f"{self.fid[i]}\t{self.iid[i]}" if self.has_fid else str(self.iid[i])
 
     def full_ids(self) -> np.ndarray:
         """FID<tab>IID (SID-aware) keys for --keep/--remove matching."""
@@ -176,6 +184,7 @@ def read_psam(path: str, missing_pheno: float = -9) -> SampleInfo:
     iid = get("IID")
     if iid is None:
         raise ValueError(".psam has no IID column")
+    has_fid = fid is not None
     fid = fid if fid is not None else ["0"] * n
     sid = get("SID")
     pat, mat = get("PAT"), get("MAT")
@@ -201,12 +210,13 @@ def read_psam(path: str, missing_pheno: float = -9) -> SampleInfo:
         mat=np.array(mat, dtype=object) if mat is not None else None,
         sex=sex,
         phenos=phenos,
+        has_fid=has_fid,
     )
 
 
 def write_psam(path: str, si: SampleInfo, sample_mask: np.ndarray | None = None) -> None:
     idx = np.flatnonzero(sample_mask) if sample_mask is not None else np.arange(si.sample_ct)
-    cols = ["#FID", "IID"]
+    cols = ["#FID", "IID"] if si.has_fid else ["#IID"]
     if si.sid is not None:
         cols.append("SID")
     if si.pat is not None:
@@ -218,7 +228,7 @@ def write_psam(path: str, si: SampleInfo, sample_mask: np.ndarray | None = None)
         f.write("\t".join(cols) + "\n")
         sex_str = {0: "NA", 1: "1", 2: "2"}
         for i in idx:
-            row = [str(si.fid[i]), str(si.iid[i])]
+            row = [str(si.fid[i]), str(si.iid[i])] if si.has_fid else [str(si.iid[i])]
             if si.sid is not None:
                 row.append(str(si.sid[i]))
             if si.pat is not None:

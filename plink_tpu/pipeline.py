@@ -1,0 +1,187 @@
+"""Fixed-order command pipeline (ref: Plink2Core, 2.0/plink2.cc:836).
+
+Commands in one invocation execute as a dataflow over shared masks in the
+reference's fixed dependency order (SURVEY.md section 3.1):
+  load -> sample filters -> variant filters -> counts -> freq/missing/hardy
+  reports -> hwe/maf enforcement -> king -> grm -> pca -> make-pgen/export
+  -> ld prune -> score -> glm
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .cli import Config
+from .dataset import Dataset, load_dataset
+from .utils.logging import RunLogger, set_logger
+
+
+def _load(cfg: Config, log: RunLogger) -> Dataset:
+    if cfg.pfile:
+        return load_dataset(cfg.pfile)
+    if cfg.bfile:
+        return load_dataset(cfg.bfile)
+    if cfg.pedmap:
+        return _import_pedmap(cfg.pedmap, cfg.out, log)
+    if cfg.dummy:
+        return _generate_dummy(cfg, log)
+    raise ValueError("no input fileset specified (--pfile/--bfile/--file/--dummy)")
+
+
+def _import_pedmap(prefix: str, out_prefix: str, log: RunLogger) -> Dataset:
+    """Convert .ped/.map to an in-memory dataset backed by a temp .pgen."""
+    from .io.ped import read_map, read_ped
+    from .io.pgen_write import PgenWriter
+    from .io.psam import write_psam
+    from .io.pvar import write_pvar
+
+    vi = read_map(prefix + ".map")
+    si, codes = read_ped(prefix + ".ped", vi)
+    tmp = out_prefix + "-temporary"
+    with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct) as w:
+        w.append_codes(codes)
+    write_pvar(tmp + ".pvar", vi)
+    write_psam(tmp + ".psam", si)
+    log.log(f"--file: {vi.variant_ct} variants, {si.sample_ct} samples imported from "
+            f"{prefix}.ped + .map.")
+    return load_dataset(tmp)
+
+
+def _generate_dummy(cfg: Config, log: RunLogger) -> Dataset:
+    """--dummy: synthetic panel generator (ref: GenerateDummy,
+    2.0/plink2_import.cc:16326)."""
+    from .commands.dummy import generate_dummy
+
+    return generate_dummy(cfg, log)
+
+
+def run_pipeline(cfg: Config) -> int:
+    log = RunLogger(cfg.out, silent=cfg.silent)
+    set_logger(log)
+    log.banner(["plink2t"] + cfg.argv)
+    if cfg.seed is not None:
+        np.random.seed(cfg.seed)
+    try:
+        ds = _load(cfg, log)
+        log.log(
+            f"{ds.raw_variant_ct} variants and {ds.raw_sample_ct} samples loaded."
+        )
+
+        # ---- sample filters (plink2.cc:1325-1899 order) ----
+        from .commands import filters as F
+
+        if cfg.keep:
+            F.keep_remove_samples(ds, cfg.keep, keep=True, log=log)
+        if cfg.remove:
+            F.keep_remove_samples(ds, cfg.remove, keep=False, log=log)
+        if cfg.keep_females:
+            ds.sample_mask &= ds.female_mask()
+            ds.invalidate_counts()
+            log.log(f"--keep-females: {ds.sample_ct} samples remaining.")
+        if cfg.keep_males:
+            ds.sample_mask &= ds.male_mask()
+            ds.invalidate_counts()
+            log.log(f"--keep-males: {ds.sample_ct} samples remaining.")
+        if cfg.mind is not None:
+            F.mind_filter(ds, cfg.mind, log)
+
+        # ---- variant filters ----
+        if cfg.extract:
+            F.extract_exclude_variants(ds, cfg.extract, extract=True, log=log)
+        if cfg.exclude:
+            F.extract_exclude_variants(ds, cfg.exclude, extract=False, log=log)
+        if cfg.chr:
+            F.filter_chr(ds, cfg.chr, log, keep=True)
+        if cfg.not_chr:
+            F.filter_chr(ds, cfg.not_chr, log, keep=False)
+        if cfg.autosome:
+            F.filter_autosomes(ds, log)
+        if cfg.from_bp is not None:
+            ds.variant_mask &= ds.vi.pos >= cfg.from_bp
+        if cfg.to_bp is not None:
+            ds.variant_mask &= ds.vi.pos <= cfg.to_bp
+
+        # ---- counts-based reports and enforcement, in the reference's exact
+        # order (plink2.cc:2310-2479): freq -> geno-counts -> missing ->
+        # --geno enforcement -> hardy -> --hwe -> --maf/--mac ----
+        from .commands import basic_reports as R
+
+        if cfg.freq:
+            R.write_freq(ds, cfg.out, log, founders_only=not cfg.nonfounders)
+        if cfg.geno_counts:
+            R.write_geno_counts(ds, cfg.out, log)
+        if cfg.missing:
+            R.write_missing(ds, cfg.out, log)
+        if cfg.geno is not None:
+            F.geno_filter(ds, cfg.geno, log)
+        if cfg.hardy:
+            R.write_hardy(ds, cfg.out, log, midp=cfg.hardy_midp,
+                          founders_only=not cfg.nonfounders)
+        if cfg.hwe is not None:
+            F.hwe_filter(ds, cfg.hwe, cfg.hwe_midp, log)
+        if any(v is not None for v in (cfg.maf, cfg.max_maf, cfg.mac, cfg.max_mac)):
+            F.maf_filter(ds, log, cfg.maf, cfg.max_maf, cfg.mac, cfg.max_mac,
+                         nonfounders=cfg.nonfounders)
+
+        # ---- relationship / matrix commands ----
+        if cfg.make_king or cfg.make_king_table or cfg.king_cutoff is not None:
+            from .commands.king import run_king
+
+            run_king(ds, cfg, log)
+        if cfg.make_grm_bin or cfg.make_grm_list or cfg.make_rel or cfg.pca is not None:
+            from .commands.grm import run_grm_pca
+
+            run_grm_pca(ds, cfg, log)
+
+        # ---- sample reports ----
+        if cfg.het:
+            from .commands.het import write_het
+
+            write_het(ds, cfg.out, log)
+        if cfg.sample_counts:
+            from .commands.sample_counts import write_sample_counts
+
+            write_sample_counts(ds, cfg.out, log)
+
+        # ---- dataset writers ----
+        if cfg.write_snplist:
+            path = cfg.out + ".snplist"
+            with open(path, "w") as f:
+                for i in np.flatnonzero(ds.variant_mask):
+                    f.write(str(ds.vi.vid[i]) + "\n")
+            log.log(f"--write-snplist: IDs written to {path} .")
+        if cfg.make_pgen or cfg.make_bed:
+            from .commands.make_pgen import make_pgen
+
+            if cfg.make_bed:
+                make_pgen(ds, cfg.out, log, fmt="bed")
+            if cfg.make_pgen:
+                make_pgen(ds, cfg.out, log, fmt="pgen")
+        if cfg.export_fmts:
+            from .commands.export import run_export
+
+            run_export(ds, cfg, log)
+
+        # ---- LD / scoring / association ----
+        if cfg.indep_pairwise:
+            from .commands.ld import indep_pairwise
+
+            indep_pairwise(ds, cfg, log)
+        if cfg.score:
+            from .commands.score import score_report
+
+            score_report(ds, cfg, log)
+        if cfg.glm:
+            from .commands.glm import run_glm
+
+            run_glm(ds, cfg, log)
+
+        log.log(f"End of run; total wall-clock {log.elapsed():.2f}s.")
+        return 0
+    except Exception as e:
+        log.log(f"Error: {e}")
+        raise
+    finally:
+        log.close()

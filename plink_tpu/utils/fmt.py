@@ -1,0 +1,156 @@
+"""Number formatting for report files: a semantic port of the reference's
+dtoa_g (2.0/include/plink2_string.cc:2507, dtoa_so6 :2297, BankerRoundD*
+:2234-2296): 6-significant-digit shortest formatting where the scaled double
+is rounded with a banker's band of +/-5e-9 around .5 ties (kBankerRound8).
+Bit-identical output requires reproducing both this rounding and the
+caller's floating-point expression order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_BR8 = (0.499999995, 0.500000005)
+
+
+def _broundd(d: float) -> int:
+    i = int(d)
+    return i + int((d - i) + _BR8[i & 1])
+
+
+_SMALL_LADDER = (
+    (9.9999949999999e-16, 1e16, 16),
+    (9.9999949999999e-8, 1e8, 8),
+    (9.9999949999999e-4, 1e4, 4),
+    (9.9999949999999e-2, 1e2, 2),
+    (9.9999949999999e-1, 1e1, 1),
+)
+_BIG_LADDER = (
+    (9.9999949999999e15, 1e-16, 16),
+    (9.9999949999999e7, 1e-8, 8),
+    (9.9999949999999e3, 1e-4, 4),
+    (9.9999949999999e1, 1e-2, 2),
+    (9.9999949999999e0, 1e-1, 1),
+)
+
+
+def _mantissa_1p5(dxx: float) -> str:
+    """1 leading digit + up to 5 decimals, trailing zeros stripped."""
+    r = _broundd(dxx * 100000.0)
+    q, rem = divmod(r, 100000)
+    if not rem:
+        return str(q)
+    s = f"{q}.{rem:05d}".rstrip("0")
+    return s
+
+
+def dtoa_g(x: float) -> str:
+    if x != x:
+        return "nan"
+    sign = ""
+    if x < 0:
+        sign = "-"
+        x = -x
+    if x < 9.9999949999999e-5:
+        if x == 0.0:
+            return "0"
+        xp10 = 0
+        # extra deep-subnormal rungs (e-128 / e-256)
+        if x < 9.9999949999999e-128:
+            if x < 9.9999949999999e-256:
+                x *= 1.0e256
+                xp10 |= 256
+            else:
+                x *= 1.0e128
+                xp10 |= 128
+        if x < 9.9999949999999e-64:
+            x *= 1.0e64
+            xp10 |= 64
+        if x < 9.9999949999999e-32:
+            x *= 1.0e32
+            xp10 |= 32
+        for thresh, mult, bits in _SMALL_LADDER:
+            if x < thresh:
+                x *= mult
+                xp10 |= bits
+        return f"{sign}{_mantissa_1p5(x)}e-{xp10:02d}"
+    if x >= 999999.49999999:
+        if x > np.finfo(np.float64).max:
+            return sign + "inf"
+        xp10 = 0
+        if x >= 9.9999949999999e127:
+            if x >= 9.9999949999999e255:
+                x *= 1.0e-256
+                xp10 |= 256
+            else:
+                x *= 1.0e-128
+                xp10 |= 128
+        if x >= 9.9999949999999e63:
+            x *= 1.0e-64
+            xp10 |= 64
+        if x >= 9.9999949999999e31:
+            x *= 1.0e-32
+            xp10 |= 32
+        for thresh, mult, bits in _BIG_LADDER:
+            if x >= thresh:
+                x *= mult
+                xp10 |= bits
+        return f"{sign}{_mantissa_1p5(x)}e+{xp10:02d}"
+    if x >= 0.99999949999999:
+        # dtoa_so6: decimals shrink as magnitude grows.
+        if x < 9.9999949999999:
+            return sign + _mantissa_1p5(x)
+        for bound, scale, digits in (
+            (99.999949999999, 10000.0, 4),
+            (999.99949999999, 1000.0, 3),
+            (9999.9949999999, 100.0, 2),
+            (99999.949999999, 10.0, 1),
+        ):
+            if x < bound:
+                r = _broundd(x * scale)
+                q, rem = divmod(r, int(scale))
+                if not rem:
+                    return f"{sign}{q}"
+                s = f"{q}.{rem:0{digits}d}".rstrip("0")
+                return sign + s
+        return f"{sign}{_broundd(x)}"
+    # 6 sig fig decimal in [~1e-4, 1).
+    prefix = "0."
+    if x < 9.9999949999999e-3:
+        x *= 100
+        prefix += "00"
+    if x < 9.9999949999999e-2:
+        x *= 10
+        prefix += "0"
+    r = _broundd(x * 1000000.0)
+    s = f"{r:06d}".rstrip("0")
+    return f"{sign}{prefix}{s}"
+
+
+def g6(x: float) -> str:
+    if x != x:
+        return "NA"
+    return dtoa_g(float(x))
+
+
+def g6_vec(xs) -> list[str]:
+    return [g6(float(x)) for x in np.asarray(xs)]
+
+
+def pval_str(p: float) -> str:
+    if p != p:
+        return "NA"
+    return dtoa_g(float(p))
+
+
+def logp_to_str(logp: float) -> str:
+    """Format exp(logp) the way the reference's lntoa_g does: stays nonzero
+    below DBL_MIN by switching to mantissa x 10^-exp notation."""
+    if logp != logp:
+        return "NA"
+    log10p = logp / np.log(10.0)
+    if log10p > -300:
+        return dtoa_g(float(np.exp(logp)))
+    e = int(np.floor(log10p))
+    mant = 10.0 ** (log10p - e)
+    return f"{dtoa_g(mant)}e{e:+03d}"

@@ -64,9 +64,9 @@ def test_f_logsf():
         # only where scipy is reliable.
         solid = want > -600
         np.testing.assert_allclose(got[solid], want[solid], rtol=1e-9, atol=1e-11)
-        deep = (~solid) & np.isfinite(want)  # scipy -inf past underflow
+        deep = (~solid) & (want > -700)  # scipy unreliable past subnormal range
         np.testing.assert_allclose(got[deep], want[deep], rtol=1e-4)
-        assert np.isfinite(got).all()
+        assert np.isfinite(got).all() and (np.diff(got) < 1e-9).all()
 
 
 def test_normal_logsf():
