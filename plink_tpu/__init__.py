@@ -19,4 +19,10 @@ Layering (mirrors SURVEY.md section 1, re-architected for TPU):
   pipeline   fixed-order command orchestration               (ref: plink2.cc Plink2Core)
 """
 
+import jax as _jax
+
+# Stats/GRM accumulators need real float64 (the reference is f64 end-to-end
+# in these paths); kernels opt in to narrow dtypes explicitly everywhere.
+_jax.config.update("jax_enable_x64", True)
+
 __version__ = "0.1.0"

@@ -184,7 +184,11 @@ def parse_args(argv: list[str]) -> Config:
         elif name == "make_grm_list":
             cfg.make_grm_list = True
         elif name == "make_rel":
-            cfg.make_rel = args[0] if args else "square"
+            shape = "triangle"
+            for a in args:
+                if a in ("square", "square0", "triangle"):
+                    shape = a
+            cfg.make_rel = shape
         elif name == "pca":
             cfg.pca = 10
             for a in args:

@@ -1,0 +1,212 @@
+"""--make-king / --make-king-table / --king-cutoff.
+
+Behavior reference: CalcKing + table/matrix writers
+(2.0/plink2_matrix_calc.cc:1662-2330) and KinshipPruneDestructive (:278).
+Compute is the plane-Gram MXU kernel in ops/pairwise.py instead of the
+reference's per-pair popcount accumulators.
+
+Output formats (verified against a locally built plink2):
+- .kin0  : header #[FID1\t]IID1\t[FID2\t]IID2\tNSNP\tHETHET\tIBS0\tKINSHIP;
+           rows ordered idx1=1..N-1 outer (larger index first), idx2 inner;
+           HETHET/IBS0 are proportions of NSNP (counts with 'counts').
+- .king  : strictly-lower-triangle text matrix (N-1 rows, row i has i
+           entries), plus .king.id sample-ID file.
+- --king-cutoff: greedy max-independent-set prune writing
+           .king.cutoff.in.id / .king.cutoff.out.id and updating the
+           in-memory sample set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..dataset import Dataset
+from ..ops.pairwise import (
+    PackedDevice,
+    iter_lower_tiles,
+    king_counts_from_gram,
+    king_gram_tile,
+    king_kinship,
+)
+from ..utils.fmt import g6
+from ..utils.logging import RunLogger
+
+
+def _king_variant_mask(ds: Dataset, log: RunLogger) -> np.ndarray:
+    vmask = ds.variant_mask.copy()
+    non_auto = vmask & ~ds.vi.chr_info.is_autosomal(ds.vi.chrom)
+    excl = int(non_auto.sum())
+    if excl:
+        log.log(
+            f"Excluding {excl} variant{'s' if excl != 1 else ''} on non-autosomes "
+            "from KING-robust calculation."
+        )
+        vmask &= ~non_auto
+    return vmask
+
+
+def _pair_tables(ds: Dataset, vmask: np.ndarray, tile: int = 2048):
+    """Yield (rows, cols, counts) per lower tile; rows/cols are raw indices
+    into the included-sample list."""
+    pd = PackedDevice(ds, vmask, tile=tile)
+    s = pd.tile
+    for r0, c0 in iter_lower_tiles(pd.npad, s):
+        g = np.asarray(king_gram_tile(pd.packed, pd.vmask, r0, c0, s, s))
+        counts = king_counts_from_gram(g, s, s)
+        yield r0, c0, s, counts, pd
+
+
+def run_king(ds: Dataset, cfg, log: RunLogger) -> None:
+    vmask = _king_variant_mask(ds, log)
+    inc = np.flatnonzero(ds.sample_mask)
+    n = inc.size
+    si = ds.si
+
+    want_matrix = cfg.make_king or (cfg.king_cutoff is not None and not cfg.make_king_table)
+    kin = None
+    if want_matrix or cfg.king_cutoff is not None:
+        kin = np.zeros((n, n), dtype=np.float64)
+
+    table_rows: list[tuple[int, int, dict]] = []
+    kin_tiles: dict[tuple[int, int], tuple[np.ndarray, dict]] = {}
+    for r0, c0, s, counts, pd in _pair_tables(ds, vmask):
+        k = king_kinship(counts)
+        rmax = min(r0 + s, n)
+        cmax = min(c0 + s, n)
+        if rmax <= r0 or cmax <= c0:
+            continue
+        if kin is not None:
+            kv = k[: rmax - r0, : cmax - c0]
+            kin[r0:rmax, c0:cmax] = kv
+        if cfg.make_king_table:
+            kin_tiles[(r0, c0)] = (k, {kk: v for kk, v in counts.items()})
+
+    if cfg.make_king_table:
+        _write_kin0(ds, cfg, log, kin_tiles, n, inc)
+    if cfg.make_king:
+        _write_king_matrix(ds, cfg, log, kin, n, inc)
+    if cfg.king_cutoff is not None:
+        _king_cutoff_prune(ds, cfg, log, kin, n, inc)
+
+
+def _ids_header_and_rows(si, inc):
+    use_fid = si.has_fid and any(str(si.fid[i]) != "0" for i in inc)
+    return use_fid
+
+
+def _write_kin0(ds: Dataset, cfg, log: RunLogger, kin_tiles, n, inc) -> None:
+    si = ds.si
+    use_fid = _ids_header_and_rows(si, inc)
+    path = cfg.out + ".kin0"
+    ids = [str(si.iid[i]) for i in inc]
+    fids = [str(si.fid[i]) for i in inc]
+    with open(path, "w") as f:
+        hdr = "#"
+        if use_fid:
+            hdr += "FID1\tIID1\tFID2\tIID2"
+        else:
+            hdr += "IID1\tIID2"
+        f.write(hdr + "\tNSNP\tHETHET\tIBS0\tKINSHIP\n")
+        # row order: outer idx1 (larger), inner idx2
+        lines: list[str] = []
+        for i in range(1, n):
+            r0 = (i // kin_tiles_tile(kin_tiles)) * kin_tiles_tile(kin_tiles)
+            for j in range(i):
+                c0 = (j // kin_tiles_tile(kin_tiles)) * kin_tiles_tile(kin_tiles)
+                k, counts = kin_tiles[(r0, c0)]
+                ri, cj = i - r0, j - c0
+                nsnp = counts["nsnp"][ri, cj]
+                hethet = counts["hethet"][ri, cj]
+                ibs0 = counts["ibs0"][ri, cj]
+                recip = 1.0 / nsnp if nsnp else 0.0
+                if use_fid:
+                    idpart = f"{fids[i]}\t{ids[i]}\t{fids[j]}\t{ids[j]}"
+                else:
+                    idpart = f"{ids[i]}\t{ids[j]}"
+                lines.append(
+                    f"{idpart}\t{nsnp}\t{g6(hethet * recip)}\t{g6(ibs0 * recip)}\t"
+                    f"{g6(k[ri, cj])}\n"
+                )
+        f.writelines(lines)
+    log.log(f"--make-king-table: Results written to {path} .")
+
+
+def kin_tiles_tile(kin_tiles) -> int:
+    """Tile edge length inferred from stored tile origins."""
+    starts = sorted({r for r, _ in kin_tiles})
+    if len(starts) > 1:
+        return starts[1] - starts[0]
+    k, _ = next(iter(kin_tiles.values()))
+    return k.shape[0]
+
+
+def _write_king_id(path: str, si, inc, use_fid: bool) -> None:
+    with open(path, "w") as f:
+        f.write("#FID\tIID\n" if use_fid else "#IID\n")
+        for i in inc:
+            f.write((f"{si.fid[i]}\t{si.iid[i]}" if use_fid else str(si.iid[i])) + "\n")
+
+
+def _write_king_matrix(ds: Dataset, cfg, log: RunLogger, kin, n, inc) -> None:
+    si = ds.si
+    use_fid = _ids_header_and_rows(si, inc)
+    path = cfg.out + ".king"
+    with open(path, "w") as f:
+        for i in range(1, n):
+            f.write("\t".join(g6(kin[i, j]) for j in range(i)) + "\n")
+    _write_king_id(cfg.out + ".king.id", si, inc, use_fid)
+    log.log(
+        f"--make-king: Results written to {path} and {cfg.out}.king.id ."
+    )
+
+
+def _king_cutoff_prune(ds: Dataset, cfg, log: RunLogger, kin, n, inc) -> None:
+    """Greedy relationship prune (ref: KinshipPruneDestructive,
+    2.0/plink2_matrix_calc.cc:278-370): repeatedly (a) if a degree-1 vertex
+    exists, remove its partner, else (b) remove the first maximal-degree
+    vertex."""
+    cutoff = cfg.king_cutoff
+    adj = [set() for _ in range(n)]
+    ii, jj = np.nonzero(np.tril(kin, -1) > cutoff)
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        adj[i].add(j)
+        adj[j].add(i)
+    alive = np.ones(n, dtype=bool)
+    degree = np.array([len(a) for a in adj], dtype=np.int64)
+
+    def remove(v: int) -> None:
+        alive[v] = False
+        for w in adj[v]:
+            if alive[w]:
+                degree[w] -= 1
+                adj[w].discard(v)
+        degree[v] = 0
+        adj[v].clear()
+
+    while True:
+        live_deg = degree * alive
+        if not live_deg.any():
+            break
+        deg1 = np.flatnonzero(alive & (degree == 1))
+        if deg1.size:
+            v = int(deg1[0])
+            partner = min(w for w in adj[v] if alive[w])
+            remove(partner)
+        else:
+            remove(int(np.argmax(live_deg)))
+
+    keep_local = np.flatnonzero(alive)
+    removed_ct = n - keep_local.size
+    si = ds.si
+    use_fid = _ids_header_and_rows(si, inc)
+    _write_king_id(cfg.out + ".king.cutoff.in.id", si, inc[keep_local], use_fid)
+    _write_king_id(cfg.out + ".king.cutoff.out.id", si, inc[~alive], use_fid)
+    new_mask = np.zeros(ds.raw_sample_ct, dtype=bool)
+    new_mask[inc[keep_local]] = True
+    ds.sample_mask = new_mask
+    ds.invalidate_counts()
+    log.log(
+        f"--king-cutoff: Excluded {removed_ct} sample{'s' if removed_ct != 1 else ''}, "
+        f"with IDs written to {cfg.out}.king.cutoff.out.id, and {keep_local.size} "
+        f"remaining sample IDs written to {cfg.out}.king.cutoff.in.id ."
+    )

@@ -1,0 +1,107 @@
+"""--pca [k] [approx]: principal component analysis.
+
+Behavior reference: CalcPca (2.0/plink2_matrix_calc.cc:5594).
+- exact (default): full eigendecomposition of the missing-corrected GRM
+  (host float64 eigh, mirroring the reference's LAPACK dsyevr path :5995).
+- approx: Halko-style randomized range finder (:5697-5930): pc_ct+1
+  power-iteration blocks of width 2*pc_ct concatenated into the projection
+  QQ, X-projection SVD, eigenvalues = s^2 / variant_ct.  Power iterations
+  stream the packed genotype tensor on device (ops/pca.py).
+
+Outputs: .eigenvec (header #[FID\t]IID\tPC1.., unit-norm sample
+eigenvectors, dtoa_g) and .eigenval (one eigenvalue per line).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..dataset import Dataset
+from ..ops.pairwise import PackedDevice, grm_coefs
+from ..utils.fmt import g6
+from ..utils.logging import RunLogger
+from .basic_reports import alt_allele_freqs
+
+
+def run_pca(ds: Dataset, cfg, log: RunLogger, grm: np.ndarray | None = None) -> None:
+    pc_ct = cfg.pca
+    inc = np.flatnonzero(ds.sample_mask)
+    n = inc.size
+    if pc_ct >= n:
+        raise ValueError(f"--pca {pc_ct}: requires more samples than PCs")
+    if cfg.pca_approx:
+        eigvals, eigvecs = _pca_approx(ds, cfg, pc_ct, log)
+    else:
+        if grm is None:
+            from .grm import _grm_matrix
+
+            grm, _, _ = _grm_matrix(ds, cfg, log)
+        full = np.tril(grm) + np.tril(grm, -1).T
+        w, v = np.linalg.eigh(full)
+        eigvals = w[::-1][:pc_ct]
+        eigvecs = v[:, ::-1][:, :pc_ct]
+    _write_eig(ds, cfg, log, inc, eigvals, eigvecs, pc_ct)
+
+
+def _pca_approx(ds: Dataset, cfg, pc_ct: int, log: RunLogger):
+    import jax.numpy as jnp
+
+    from ..ops.pca import x_apply, xt_apply, xtx_apply
+
+    freqs = alt_allele_freqs(ds, founders_only=not cfg.nonfounders)
+    vmask = ds.variant_mask.copy()
+    pd = PackedDevice(ds, vmask, tile=1 << 30)  # single sample tile
+    coefs = grm_coefs(freqs, np.zeros(len(freqs), dtype=bool), vmask)
+    npadv = pd.nblocks * pd.vb
+    cpad = np.zeros((npadv, 3), dtype=np.float32)
+    cpad[: coefs.shape[0]] = coefs
+    coef_dev = jnp.asarray(cpad.reshape(pd.nblocks, pd.vb, 3))
+
+    n, npad = pd.n, pd.npad
+    variant_ct = int(vmask.sum())
+    L = 2 * pc_ct
+    rng = np.random.default_rng(cfg.seed if cfg.seed is not None else 0)
+    g0 = rng.standard_normal((npad, L)).astype(np.float32)
+    g0[n:] = 0.0
+    blocks = [g0]
+    cur = jnp.asarray(g0)
+    inv_m = 1.0 / variant_ct
+    for _ in range(pc_ct):
+        cur = xtx_apply(pd.packed, coef_dev, cur) * inv_m
+        blocks.append(np.asarray(cur))
+    qq = np.concatenate(blocks, axis=1).astype(np.float64)  # [npad, (pc_ct+1)*L]
+    qq[n:] = 0.0
+    qq, _ = np.linalg.qr(qq)
+    b = np.asarray(
+        x_apply(pd.packed, coef_dev, jnp.asarray(qq.astype(np.float32)))
+    ).reshape(npadv, qq.shape[1])[: len(freqs)]
+    # SVD of the projected matrix ("Recovering top PCs from range
+    # approximation", ref :5867)
+    _, s, vt = np.linalg.svd(b.astype(np.float64), full_matrices=False)
+    eigvals = (s[:pc_ct] ** 2) / variant_ct
+    eigvecs = (qq @ vt.T[:, :pc_ct])[:n]
+    # re-normalize (qq columns orthonormal => already unit, up to fp error)
+    eigvecs /= np.linalg.norm(eigvecs, axis=0, keepdims=True)
+    log.log(f"--pca approx: {variant_ct} variants, {pc_ct} PCs extracted.")
+    return eigvals, eigvecs
+
+
+def _write_eig(ds, cfg, log, inc, eigvals, eigvecs, pc_ct) -> None:
+    si = ds.si
+    use_fid = si.has_fid and any(str(si.fid[i]) != "0" for i in inc)
+    with open(cfg.out + ".eigenval", "w") as f:
+        for w in eigvals:
+            f.write(g6(w) + "\n")
+    with open(cfg.out + ".eigenvec", "w") as f:
+        hdr = ("#FID\tIID" if use_fid else "#IID") + "".join(
+            f"\tPC{k + 1}" for k in range(pc_ct)
+        )
+        f.write(hdr + "\n")
+        for r, i in enumerate(inc):
+            idp = f"{si.fid[i]}\t{si.iid[i]}" if use_fid else str(si.iid[i])
+            f.write(idp + "".join("\t" + g6(v) for v in eigvecs[r]) + "\n")
+    log.log(
+        f"--pca: Eigenvector{'s' if pc_ct != 1 else ''} written to "
+        f"{cfg.out}.eigenvec, and eigenvalue{'s' if pc_ct != 1 else ''} to "
+        f"{cfg.out}.eigenval ."
+    )

@@ -1,0 +1,287 @@
+"""Pairwise sample×sample kernels: KING-robust kinship and GRM.
+
+TPU-first re-design of the reference's pair-tile popcount/BLAS layer:
+
+- KING (ref: CalcKing / CalcKingDenseThread, 2.0/plink2_matrix_calc.cc:1662,
+  1533): the reference keeps 5 popcount accumulators per sample pair
+  (kKingOffsetIbs0..Homhom, :864-868) over 1024-variant bitplane batches.
+  Here each genotype column decomposes into three {0,1} planes
+  H(et)/A(hom-alt)/V(alid); all five accumulators are linear combinations of
+  the 3x3 plane Gram matrix G = [H A V]^T [H A V], which is ONE int8 matmul
+  per (sample-tile, variant-block) on the MXU:
+    hethet        = G[H,H]
+    ibs0          = G[V,A] + G[A,V] - G[H,A] - G[A,H] - 2*G[A,A]
+    het_r * hom_c = G[H,V] - G[H,H]      (row sample het, col sample hom)
+    het_c * hom_r = G[V,H] - G[H,H]
+    nsnp          = G[V,V],  homhom = nsnp - others
+- GRM (ref: CalcGrm, :4555; ExpandCenteredVarmaj :3839): normed dosage
+  Z = (x - 2*alt_freq) * inv_stdev with missing->0, GRM tile = Z^T Z
+  accumulated in f32 with HIGHEST precision (6-pass bf16 on MXU), plus an
+  int8 V^T V Gram for the per-pair observed-variant denominators
+  (ref: CalcMissingMatrix :4404, denominator logic :4769-4781).
+
+Both kernels stream a [num_blocks, vb, NB]-shaped packed 2-bit genotype
+tensor resident in HBM (2 bits/genotype read per tile), so HBM traffic per
+tile is vb*(s+t)/4 bytes against 9*s*t*vb int8 MACs — strongly MXU-bound
+for s,t >= 512.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .planes import unpack_codes
+
+# default tile/block geometry (multiples of 128 lanes / 8 sublanes; sample
+# tiles must be multiples of 4 so packed-byte column slicing stays aligned)
+DEFAULT_TILE = 2048
+DEFAULT_VB = 2048
+
+
+def _planes3(packed_slice: jax.Array, vmask: jax.Array) -> jax.Array:
+    """packed [vb, w/4] uint8, vmask int8 [vb, 1] -> [vb, 3w] int8 planes
+    (H | A | V), variant-masked."""
+    codes = unpack_codes(packed_slice, 0)
+    b0 = (codes & 1).astype(jnp.int8)
+    b1 = ((codes >> 1) & 1).astype(jnp.int8)
+    miss = b0 & b1
+    h = (b0 - miss) * vmask
+    a = (b1 - miss) * vmask
+    v = (1 - miss) * vmask
+    return jnp.concatenate([h, a, v], axis=1)
+
+
+@partial(jax.jit, static_argnames=("s", "t"))
+def king_gram_tile(
+    packed: jax.Array,  # [nb, vb, NB] uint8
+    vmask: jax.Array,  # [nb, vb] int8 (1 = variant included)
+    row0: jax.Array,  # scalar int32, multiple of 4
+    col0: jax.Array,
+    s: int,
+    t: int,
+) -> jax.Array:
+    """Accumulated 3x3 plane Gram [3s, 3t] int32 for one sample tile."""
+    vb = packed.shape[1]
+
+    def body(acc, xs):
+        pk, vm = xs
+        vmc = vm[:, None]
+        pr = lax.dynamic_slice(pk, (0, row0 // 4), (vb, s // 4))
+        pc = lax.dynamic_slice(pk, (0, col0 // 4), (vb, t // 4))
+        p = _planes3(pr, vmc)
+        q = _planes3(pc, vmc)
+        g = lax.dot_general(
+            p, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        return acc + g, None
+
+    acc0 = jnp.zeros((3 * s, 3 * t), jnp.int32)
+    acc, _ = lax.scan(body, acc0, (packed, vmask))
+    return acc
+
+
+def king_counts_from_gram(g: np.ndarray, s: int, t: int) -> dict[str, np.ndarray]:
+    """Split a [3s, 3t] Gram into the reference's five per-pair accumulators
+    plus nsnp (all [s, t] int64). Keys follow kKingOffset* naming with
+    het_r_hom_c = (row-sample het) x (col-sample hom)."""
+    g = np.asarray(g, dtype=np.int64)
+    H, A, V = 0, 1, 2
+    blk = lambda a, b: g[a * s : (a + 1) * s, b * t : (b + 1) * t]
+    hethet = blk(H, H)
+    ibs0 = blk(V, A) + blk(A, V) - blk(H, A) - blk(A, H) - 2 * blk(A, A)
+    het_r_hom_c = blk(H, V) - hethet
+    het_c_hom_r = blk(V, H) - hethet
+    nsnp = blk(V, V)
+    homhom = nsnp - ibs0 - hethet - het_r_hom_c - het_c_hom_r
+    return {
+        "ibs0": ibs0,
+        "hethet": hethet,
+        "het_r_hom_c": het_r_hom_c,
+        "het_c_hom_r": het_c_hom_r,
+        "homhom": homhom,
+        "nsnp": nsnp,
+    }
+
+
+def king_kinship(counts: dict[str, np.ndarray]) -> np.ndarray:
+    """KING-robust kinship (ref: ComputeKinship, plink2_matrix_calc.cc:1555):
+    0.5 - (4*ibs0 + het1hom2 + het2hom1) / (4*(hethet + min(het1hom2, het2hom1))).
+    -inf when the denominator is zero, matching the reference edge case."""
+    ibs0 = counts["ibs0"].astype(np.float64)
+    h12 = counts["het_r_hom_c"].astype(np.float64)
+    h21 = counts["het_c_hom_r"].astype(np.float64)
+    smaller = counts["hethet"].astype(np.float64) + np.minimum(h12, h21)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return 0.5 - (4.0 * ibs0 + h12 + h21) / (4.0 * smaller)
+
+
+@partial(jax.jit, static_argnames=("s", "t"))
+def grm_tile(
+    packed: jax.Array,  # [nb, vb, NB] uint8
+    coef: jax.Array,  # [nb, vb, 3] f32: normed value for codes 0/1/2 (0 if excluded)
+    vmask: jax.Array,  # [nb, vb] int8
+    row0: jax.Array,
+    col0: jax.Array,
+    s: int,
+    t: int,
+) -> tuple[jax.Array, jax.Array]:
+    """One GRM sample tile: (f32 [s, t] weighted sums, int32 [s, t] per-pair
+    observed counts)."""
+    vb = packed.shape[1]
+
+    def normed(pk_slice, cf):
+        codes = unpack_codes(pk_slice, 0)
+        b0 = (codes & 1).astype(jnp.float32)
+        b1 = ((codes >> 1) & 1).astype(jnp.float32)
+        miss = b0 * b1
+        r = 1.0 - b0 - b1 + miss
+        h = b0 - miss
+        a = b1 - miss
+        return r * cf[:, 0:1] + h * cf[:, 1:2] + a * cf[:, 2:3]
+
+    def valid(pk_slice, vm):
+        codes = unpack_codes(pk_slice, 0)
+        b0 = (codes & 1).astype(jnp.int8)
+        b1 = ((codes >> 1) & 1).astype(jnp.int8)
+        return (1 - (b0 & b1)) * vm
+
+    def body(carry, xs):
+        acc, nm = carry
+        pk, cf, vm = xs
+        vmc = vm[:, None]
+        pr = lax.dynamic_slice(pk, (0, row0 // 4), (vb, s // 4))
+        pc = lax.dynamic_slice(pk, (0, col0 // 4), (vb, t // 4))
+        zr = normed(pr, cf)
+        zc = normed(pc, cf)
+        # per-block product in f32 (6-pass MXU), carried in f64 so the
+        # accumulation error stays bounded by one block's rounding no matter
+        # how many variants stream through
+        acc = acc + lax.dot_general(
+            zr,
+            zc,
+            (((0,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.float64)
+        nm = nm + lax.dot_general(
+            valid(pr, vmc),
+            valid(pc, vmc),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (acc, nm), None
+
+    acc0 = jnp.zeros((s, t), jnp.float64)
+    nm0 = jnp.zeros((s, t), jnp.int32)
+    (acc, nm), _ = lax.scan(body, (acc0, nm0), (packed, coef, vmask))
+    return acc, nm
+
+
+def grm_coefs(
+    alt_freq: np.ndarray, is_haploid: np.ndarray, vmask: np.ndarray,
+    variance_standardize: bool = True,
+) -> np.ndarray:
+    """Per-variant normed-dosage values for codes {homref, het, homalt}.
+
+    ref: ExpandCenteredVarmaj (2.0/plink2_matrix_calc.cc:3839-3885):
+    value = (x - 2*alt_freq) / sqrt(2*ref*alt), haploid gets an extra 1/sqrt2;
+    near-zero-variance variants zero-fill (but stay in the denominator).
+    Excluded variants (vmask 0) zero-fill AND must be masked from the
+    denominator by the caller via the int8 vmask.
+    """
+    p = np.asarray(alt_freq, dtype=np.float64)
+    var = 2.0 * p * (1.0 - p)
+    eps = 2 ** -44  # kSmallEpsilon (2.0/include/plink2_base.h)
+    if variance_standardize:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv_sd = np.where(var > eps, 1.0 / np.sqrt(var), 0.0)
+    else:
+        inv_sd = np.where(np.isfinite(p), 1.0, 0.0)
+    inv_sd = np.where(is_haploid, inv_sd / np.sqrt(2.0), inv_sd)
+    inv_sd = np.where(vmask, inv_sd, 0.0)
+    x = np.stack([np.zeros_like(p), np.ones_like(p), np.full_like(p, 2.0)], axis=1)
+    coefs = (x - 2.0 * p[:, None]) * inv_sd[:, None]
+    return np.nan_to_num(coefs).astype(np.float32)
+
+
+class PackedDevice:
+    """Whole-cohort packed genotypes as an HBM-resident [nb, vb, NB] tensor.
+
+    Sample columns are compacted to the included set on the host (one cheap
+    numpy repack) so device kernels never gather; variant blocks are
+    zero-padded and masked via the int8 vmask channel.
+    """
+
+    def __init__(
+        self,
+        ds,
+        vmask: np.ndarray,
+        vb: int = DEFAULT_VB,
+        tile: int = DEFAULT_TILE,
+        sample_mask: np.ndarray | None = None,
+    ):
+        smask = ds.sample_mask if sample_mask is None else sample_mask
+        self.include_idx = np.flatnonzero(smask)
+        self.n = int(self.include_idx.size)
+        # pad the sample axis so every fixed-size tile slice is in-bounds:
+        # single tile -> round to 4; multi-tile -> round to a tile multiple
+        if self.n <= tile:
+            self.tile = self.npad = -(-self.n // 4) * 4
+        else:
+            self.tile = tile
+            self.npad = -(-self.n // tile) * tile
+        self.vb = vb
+        M = ds.raw_variant_ct
+        self.nblocks = max(1, -(-M // vb))
+        nb_bytes = self.npad // 4
+        compact = self.include_idx.size != ds.raw_sample_ct
+        blocks = np.zeros((self.nblocks, vb, nb_bytes), dtype=np.uint8)
+        vm = np.zeros((self.nblocks, vb), dtype=np.int8)
+        fullmask = np.asarray(vmask, dtype=bool)
+        for bi, (v0, packed) in enumerate(ds.iter_packed_blocks(block_size=vb)):
+            vct = packed.shape[0]
+            if compact:
+                codes = _unpack_np(packed)[:, self.include_idx]
+                packed = _pack_np(codes, self.npad)
+            blocks[bi, :vct, : packed.shape[1]] = packed[:, :nb_bytes]
+            vm[bi, :vct] = fullmask[v0 : v0 + vct]
+        self.packed = jnp.asarray(blocks)
+        self.vmask = jnp.asarray(vm)
+        self.variant_ct = int(fullmask.sum())
+
+    def tile_starts(self) -> list[int]:
+        return list(range(0, self.npad, self.tile))
+
+
+def _unpack_np(packed: np.ndarray) -> np.ndarray:
+    """uint8 [V, NB] -> code matrix [V, NB*4] on host."""
+    v, nb = packed.shape
+    out = np.empty((v, nb, 4), dtype=np.uint8)
+    for k in range(4):
+        out[:, :, k] = (packed >> (2 * k)) & 3
+    return out.reshape(v, nb * 4)
+
+
+def _pack_np(codes: np.ndarray, npad: int) -> np.ndarray:
+    """code matrix [V, n] -> packed uint8 [V, npad/4] on host."""
+    v, n = codes.shape
+    buf = np.zeros((v, npad), dtype=np.uint8)
+    buf[:, :n] = codes
+    buf = buf.reshape(v, npad // 4, 4)
+    return (
+        buf[:, :, 0] | (buf[:, :, 1] << 2) | (buf[:, :, 2] << 4) | (buf[:, :, 3] << 6)
+    ).astype(np.uint8)
+
+
+def iter_lower_tiles(n: int, tile: int):
+    """Yield (row0, col0) lower-triangle tile origins covering all pairs i>j."""
+    starts = list(range(0, n, tile))
+    for r0 in starts:
+        for c0 in starts:
+            if c0 <= r0:
+                yield r0, c0

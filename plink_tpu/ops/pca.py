@@ -1,0 +1,90 @@
+"""Streaming randomized-PCA operators (ref: CalcPca approx mode,
+2.0/plink2_matrix_calc.cc:5697-5930, itself a port of EIGENSOFT 6
+kjg_fpca.c / Halko-Martinsson-Shkolnisky-Tygert 2011).
+
+The standardized genotype matrix X [M, n] never materializes: each power
+iteration streams the HBM-resident packed blocks through the same
+normed-dosage decode as the GRM kernel, computing X^T (X Q) with two MXU
+matmuls per block.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .planes import unpack_codes
+
+
+def _normed_block(pk: jax.Array, cf: jax.Array) -> jax.Array:
+    """packed [vb, NB] uint8 + coefs [vb, 3] f32 -> standardized dosages
+    [vb, n] f32 (missing -> 0; excluded variants have zero coefs)."""
+    codes = unpack_codes(pk, 0)
+    b0 = (codes & 1).astype(jnp.float32)
+    b1 = ((codes >> 1) & 1).astype(jnp.float32)
+    miss = b0 * b1
+    r = 1.0 - b0 - b1 + miss
+    h = b0 - miss
+    a = b1 - miss
+    return r * cf[:, 0:1] + h * cf[:, 1:2] + a * cf[:, 2:3]
+
+
+@jax.jit
+def xtx_apply(packed: jax.Array, coef: jax.Array, q: jax.Array) -> jax.Array:
+    """(X^T X) @ q streamed over variant blocks.
+
+    packed [nb, vb, NB], coef [nb, vb, 3], q [npad, L] -> [npad, L] f32.
+    """
+
+    def body(acc, xs):
+        pk, cf = xs
+        z = _normed_block(pk, cf)
+        t = lax.dot_general(
+            z, q, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+        )
+        acc = acc + lax.dot_general(
+            z, t, (((0,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+        )
+        return acc, None
+
+    acc0 = jnp.zeros((packed.shape[2] * 4, q.shape[1]), jnp.float32)
+    acc, _ = lax.scan(body, acc0, (packed, coef))
+    return acc
+
+
+@jax.jit
+def x_apply(packed: jax.Array, coef: jax.Array, q: jax.Array) -> jax.Array:
+    """X @ q streamed: -> [nb, vb, L] f32 (caller trims the variant pad)."""
+
+    def body(_, xs):
+        pk, cf = xs
+        z = _normed_block(pk, cf)
+        return None, lax.dot_general(
+            z, q, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+        )
+
+    _, out = lax.scan(body, None, (packed, coef))
+    return out
+
+
+@jax.jit
+def xt_apply(packed: jax.Array, coef: jax.Array, b: jax.Array) -> jax.Array:
+    """X^T @ b streamed: b [nb, vb, L] -> [npad, L] f32."""
+
+    def body(acc, xs):
+        pk, cf, bb = xs
+        z = _normed_block(pk, cf)
+        return acc + lax.dot_general(
+            z, bb, (((0,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+        ), None
+
+    acc0 = jnp.zeros((packed.shape[2] * 4, b.shape[2]), jnp.float32)
+    acc, _ = lax.scan(body, acc0, (packed, coef, b))
+    return acc

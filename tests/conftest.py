@@ -3,10 +3,16 @@ sharding logic is exercised without TPU hardware (SURVEY.md section 4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may export a TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# Belt and suspenders: a pytest plugin may have imported jax before this
+# conftest ran, in which case the env var above was read too late.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
