@@ -22,7 +22,10 @@ from ..io.psam import PhenoCol, SampleInfo, write_psam
 from ..io.pvar import VariantInfo, write_pvar
 from ..utils.logging import RunLogger
 
-_GEN_BLOCK = 8192  # variants generated per chunk (bounds host memory)
+def _gen_block(sample_ct: int) -> int:
+    """Variants generated per chunk, bounded so each [block, N] f64 draw
+    stays ~1 GB at biobank sample counts."""
+    return max(64, min(8192, (1 << 27) // max(sample_ct, 1)))
 
 
 def _parse_dummy_args(args: tuple) -> dict:
@@ -116,9 +119,10 @@ def generate_dummy(cfg, log: RunLogger) -> Dataset:
     miss_freqs = np.asarray(spec["miss_geno_freqs"], dtype=np.float64)
     per_variant_miss = miss_freqs[rng.integers(0, len(miss_freqs), size=M)]
 
+    gen_block = _gen_block(N)
     with PgenWriter(cfg.out + ".pgen", N, M) as w:
-        for v0 in range(0, M, _GEN_BLOCK):
-            vct = min(_GEN_BLOCK, M - v0)
+        for v0 in range(0, M, gen_block):
+            vct = min(gen_block, M - v0)
             freq = rng.uniform(0.0, 1.0, size=(vct, 1))
             codes = (
                 (rng.random((vct, N)) < freq).astype(np.uint8)

@@ -198,6 +198,14 @@ def _row_meta(ds: Dataset, a1_is_alt):
 ERR_OK = "."
 
 
+def _auto_vb(npad: int) -> int:
+    """Variant-block size bounded so [vb, n] f32 temporaries stay ~0.5 GB
+    (several are live at once inside the IRLS loop)."""
+    target_elems = 1 << 27
+    vb = max(64, min(2048, target_elems // max(npad, 1)))
+    return (vb // 8) * 8
+
+
 def _glm_linear(
     ds, cfg, log, pheno_name, ydata, smask, cov_names, cov_data, a1_is_alt,
     hide_covar,
@@ -213,6 +221,7 @@ def _glm_linear(
     dc = k + 1
     d = dc + 1  # + genotype
     c = np.concatenate([np.ones((n, 1)), cov_data[inc]], axis=1)
+    vb = _auto_vb(-(-n // 4) * 4)
 
     # shared f64 blocks (role of RegressionNmPrecomp)
     ctc_full = c.T @ c
@@ -227,7 +236,7 @@ def _glm_linear(
     cy32 = jnp.asarray((c * y[:, None]).astype(np.float32))
     y232 = jnp.asarray((y * y).astype(np.float32))
 
-    pd = PackedDevice(ds, ds.variant_mask, tile=1 << 30, sample_mask=smask)
+    pd = PackedDevice(ds, ds.variant_mask, vb=vb, tile=1 << 30, sample_mask=smask)
     vmask = ds.variant_mask
     M = ds.raw_variant_ct
     chrom, provref, a1, omitted = _row_meta(ds, a1_is_alt)
@@ -373,8 +382,9 @@ def _glm_logistic(
     dc = k + 1
     d = dc + 1
     c = np.concatenate([np.ones((n, 1)), cov_data[inc]], axis=1)
+    vb = _auto_vb(-(-n // 4) * 4)
 
-    pd = PackedDevice(ds, ds.variant_mask, tile=1 << 30, sample_mask=smask)
+    pd = PackedDevice(ds, ds.variant_mask, vb=vb, tile=1 << 30, sample_mask=smask)
     npad = pd.npad
     mask = np.zeros(npad, np.float32)
     mask[:n] = 1.0

@@ -1,0 +1,161 @@
+"""Pairwise LD (r^2) sufficient statistics as banded plane Grams.
+
+TPU re-design of the reference's per-pair popcount path
+(ComputeIndepPairwiseR2Components, 2.0/plink2_ld.cc:194-414): genotypes are
+scored x in {+1 hom-ref, 0 het, -1 hom-alt} with pairwise-complete
+missing handling.  All six per-pair quantities (shared nonmissing count,
+both conditional sums/ssqs, dot product) are entries of the 3x3 Gram of the
+{hom-ref, hom-alt, valid} planes, contracted over SAMPLES on the MXU:
+    dot    = RR - RA - AR + AA
+    nm     = VV
+    sum_i  = RV - AV        ssq_i = RV + AV     (i = row variant)
+    sum_j  = VR - VA        ssq_j = VR + VA
+The greedy window walk itself (inherently serial) runs on the host against
+these precomputed bands.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .planes import unpack_codes
+
+
+def _planes_rav(packed: jax.Array, smask: jax.Array) -> jax.Array:
+    """packed [C, NB] -> [3C', no wait [C, 3*npad]] int8 planes (R | A | V),
+    sample-masked."""
+    codes = unpack_codes(packed, 0)
+    b0 = (codes & 1).astype(jnp.int8)
+    b1 = ((codes >> 1) & 1).astype(jnp.int8)
+    miss = b0 & b1
+    r = (1 - b0) & (1 - b1)
+    a = b1 - miss
+    v = 1 - miss
+    m = smask[None, :]
+    return jnp.concatenate([r * m, a * m, v * m], axis=1)
+
+
+@jax.jit
+def ld_gram_pair(pka: jax.Array, pkb: jax.Array, smask: jax.Array) -> jax.Array:
+    """[3Ca, 3Cb] int32 Gram of RAV planes between two variant chunks,
+    contracting the sample axis."""
+    p = _planes_rav(pka, smask)
+    q = _planes_rav(pkb, smask)
+    ca = pka.shape[0]
+    cb = pkb.shape[0]
+    npad = smask.shape[0]
+    # planes are concatenated along the sample axis -> reshape to [3, C, n]
+    p3 = p.reshape(ca, 3, npad).transpose(1, 0, 2).reshape(3 * ca, npad)
+    q3 = q.reshape(cb, 3, npad).transpose(1, 0, 2).reshape(3 * cb, npad)
+    return lax.dot_general(
+        p3, q3, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+
+def pair_stats_from_gram(g: np.ndarray, ca: int, cb: int) -> dict[str, np.ndarray]:
+    """Gram [3ca, 3cb] -> the six pair-stat matrices [ca, cb] (int64)."""
+    g = np.asarray(g, dtype=np.int64)
+    R, A, V = 0, 1, 2
+    blk = lambda x, y: g[x * ca : (x + 1) * ca, y * cb : (y + 1) * cb]
+    rr, ra, rv = blk(R, R), blk(R, A), blk(R, V)
+    ar, aa, av = blk(A, R), blk(A, A), blk(A, V)
+    vr, va, vv = blk(V, R), blk(V, A), blk(V, V)
+    return {
+        "dot": rr - ra - ar + aa,
+        "nm": vv,
+        "sum_i": rv - av,
+        "ssq_i": rv + av,
+        "sum_j": vr - va,
+        "ssq_j": vr + va,
+    }
+
+
+class LdBand:
+    """Banded pair statistics for one subcontig: entry [i, d] describes the
+    pair (i, i+d), 1 <= d <= width, i in subcontig-local included-variant
+    indices.  Also exposes per-variant (nm, homref, homalt) counts."""
+
+    KEYS = ("dot", "nm", "sum_i", "ssq_i", "sum_j", "ssq_j")
+
+    def __init__(self, packed_rows: np.ndarray, smask: np.ndarray, width: int,
+                 chunk: int | None = None):
+        """packed_rows: uint8 [n_sub, NB] packed genotypes (raw sample axis,
+        padded); smask: f32/bool [npad] sample-inclusion mask."""
+        n = packed_rows.shape[0]
+        self.n = n
+        self.width = min(width, max(n - 1, 0))
+        # cross-chunk pairs are only computed between ADJACENT chunks, so the
+        # chunk edge must be >= the band width
+        c = max(chunk or 64, self.width, 1)
+        c = min(c, max(n, 1))
+        self.bands = {
+            k: np.zeros((n, self.width + 1), dtype=np.int64) for k in self.KEYS
+        }
+        self.nm1 = np.zeros(n, np.int64)
+        self.homref1 = np.zeros(n, np.int64)
+        self.homalt1 = np.zeros(n, np.int64)
+        sm = jnp.asarray(np.asarray(smask, dtype=np.int8))
+        chunks = [(s, min(s + c, n)) for s in range(0, n, c)]
+        for ci, (s0, s1) in enumerate(chunks):
+            pa = jnp.asarray(packed_rows[s0:s1])
+            g_aa = np.asarray(ld_gram_pair(pa, pa, sm))
+            stats = pair_stats_from_gram(g_aa, s1 - s0, s1 - s0)
+            self._fill_self(stats, s0, s1 - s0)
+            if s1 < n:
+                s2 = min(s1 + c, n)
+                pb = jnp.asarray(packed_rows[s1:s2])
+                g_ab = np.asarray(ld_gram_pair(pa, pb, sm))
+                stats_ab = pair_stats_from_gram(g_ab, s1 - s0, s2 - s1)
+                self._fill_cross(stats_ab, s0, s1 - s0, s1, s2 - s1)
+
+    def _fill_self(self, stats, s0, clen):
+        vv = stats["nm"]
+        self.nm1[s0 : s0 + clen] = np.diagonal(vv)
+        # homref count among nonmissing = diag of RV; homalt = diag of AV
+        self.homref1[s0 : s0 + clen] = (
+            np.diagonal(stats["ssq_i"]) + np.diagonal(stats["sum_i"])
+        ) // 2
+        self.homalt1[s0 : s0 + clen] = (
+            np.diagonal(stats["ssq_i"]) - np.diagonal(stats["sum_i"])
+        ) // 2
+        for k in self.KEYS:
+            m = stats[k]
+            for d in range(1, min(self.width, clen - 1) + 1):
+                diag = np.diagonal(m, offset=d)
+                self.bands[k][s0 : s0 + clen - d, d] = diag
+
+    def _fill_cross(self, stats, s0, ca, t0, cb):
+        for k in self.KEYS:
+            m = stats[k]
+            for il in range(ca):
+                i = s0 + il
+                dmin = t0 - i
+                if dmin > self.width:
+                    continue
+                dmax = min(self.width, t0 + cb - 1 - i)
+                if dmax < dmin:
+                    continue
+                self.bands[k][i, dmin : dmax + 1] = m[il, 0 : dmax - dmin + 1]
+
+    def pair(self, key: str, i: int, j: int) -> int:
+        return int(self.bands[key][i, j - i])
+
+    def r2_exceeds_vec(self, firsts: np.ndarray, second: int, thresh: float):
+        """Vectorized 'cov^2 > thresh * var1 * var2' (strict >, matching the
+        reference's zero-common-observation guard) for pairs (f, second)."""
+        d = second - firsts
+        dot = self.bands["dot"][firsts, d].astype(np.float64)
+        nm = self.bands["nm"][firsts, d].astype(np.float64)
+        s_i = self.bands["sum_i"][firsts, d].astype(np.float64)
+        q_i = self.bands["ssq_i"][firsts, d].astype(np.float64)
+        s_j = self.bands["sum_j"][firsts, d].astype(np.float64)
+        q_j = self.bands["ssq_j"][firsts, d].astype(np.float64)
+        cov = dot * nm - s_i * s_j
+        var1 = q_i * nm - s_i * s_i
+        var2 = q_j * nm - s_j * s_j
+        return cov * cov > thresh * var1 * var2
