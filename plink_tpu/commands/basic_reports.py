@@ -23,19 +23,19 @@ from ..utils.logging import RunLogger
 
 
 def _group_counts(ds: Dataset, founders_only: bool) -> dict[str, np.ndarray]:
-    """Counts [M,4] for 'all', 'male', 'female' subsets of included samples."""
+    """Counts [M,4] for 'all', 'male', 'female' subsets of included samples
+    (single device pass over all three masks)."""
+    from ..ops.counts import geno_counts_multimask
+
     base = ds.sample_mask & (ds.founder_mask if founders_only else True)
-    male = base & ds.male_mask()
-    female = base & ds.female_mask()
-    counters = {
-        "all": GenoCounter(ds.raw_sample_ct, base.astype(np.float32)),
-        "male": GenoCounter(ds.raw_sample_ct, male.astype(np.float32)),
-        "female": GenoCounter(ds.raw_sample_ct, female.astype(np.float32)),
-    }
+    masks = [base, base & ds.male_mask(), base & ds.female_mask()]
+    parts: list[list[np.ndarray]] = [[], [], []]
     for _, packed in ds.iter_packed_blocks():
-        for gc in counters.values():
-            gc.add_block(packed)
-    return {k: gc.result() for k, gc in counters.items()}
+        out = geno_counts_multimask(packed, ds.raw_sample_ct, masks)
+        for g in range(3):
+            parts[g].append(out[g])
+    cat = [np.concatenate(p) if p else np.zeros((0, 4), np.int64) for p in parts]
+    return {"all": cat[0], "male": cat[1], "female": cat[2]}
 
 
 def allele_counts_and_obs(ds: Dataset, founders_only: bool = False):

@@ -28,7 +28,9 @@ def decode_varints(buf: np.ndarray, count: int, offset: int = 0) -> tuple[np.nda
     """
     if count == 0:
         return np.empty(0, dtype=_U32), offset
-    data = buf[offset:]
+    # A uint32 varint spans at most 5 bytes, so never scan further than that
+    # (buf may be a whole multi-variant record block)
+    data = buf[offset : offset + 5 * count]
     # Find terminator bytes (high bit clear). Each varint ends at one.
     is_term = (data & 0x80) == 0
     term_idx = np.flatnonzero(is_term)

@@ -68,6 +68,84 @@ def _sample_het_hom_counts(packed: jax.Array, vmask: jax.Array, npad: int) -> ja
     return jnp.stack([s0 - sm, s1 - sm, sm]).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("npad",))
+def _geno_counts_multimask(packed: jax.Array, masks: jax.Array, npad: int) -> jax.Array:
+    """packed uint8 [V, NB], masks f32 [npad, G] -> int32 counts [G, V, 4].
+
+    One device upload + one set of plane matmuls for G sample subsets
+    (all/male/female in the freq/hardy path), instead of G separate passes.
+    """
+    codes = unpack_codes(packed, npad)[:, :npad]
+    b0 = (codes & 1).astype(jnp.bfloat16)
+    b1 = (codes >> 1).astype(jnp.bfloat16)
+    m = masks.astype(jnp.bfloat16)
+    s0 = jnp.dot(b0, m, preferred_element_type=jnp.float32)  # [V, G]
+    s1 = jnp.dot(b1, m, preferred_element_type=jnp.float32)
+    s01 = jnp.dot(b0 * b1, m, preferred_element_type=jnp.float32)
+    n_mask = jnp.sum(masks, axis=0, dtype=jnp.float32)[None, :]
+    n_miss = s01
+    n_het = s0 - s01
+    n_alt2 = s1 - s01
+    n_ref = n_mask - n_het - n_alt2 - n_miss
+    return jnp.stack([n_ref, n_het, n_alt2, n_miss], axis=2).transpose(1, 0, 2).astype(
+        jnp.int32
+    )
+
+
+def geno_counts_multimask(
+    packed: np.ndarray, sample_ct: int, masks: list[np.ndarray]
+) -> list[np.ndarray]:
+    """Per-variant counts [V, 4] for several sample masks in one device pass."""
+    npad = ((sample_ct + 3) // 4) * 4
+    mm = np.zeros((npad, len(masks)), dtype=np.float32)
+    for g, m in enumerate(masks):
+        mm[: m.shape[0], g] = m.astype(np.float32)
+    out = np.asarray(_geno_counts_multimask(jnp.asarray(packed), jnp.asarray(mm), npad))
+    return [out[g].astype(np.int64) for g in range(len(masks))]
+
+
+@partial(jax.jit, static_argnames=("npad", "f64"))
+def _sample_plane_weighted(
+    packed: jax.Array, wts: jax.Array, npad: int, f64: bool
+) -> jax.Array:
+    """packed [V, NB], wts [V, 4] (weights for homref/het/homalt/missing
+    planes) -> per-sample weighted sums [npad].
+
+    One pass serves --het (expected-het corrections), --score (per-variant
+    coefficient x genotype-class), and --sample-counts (class indicators).
+    f64=True runs the dots in float64 (small V*n cost, needed where 6-sig-fig
+    output sits on a rounding boundary).
+    """
+    dt = jnp.float64 if f64 else jnp.float32
+    codes = unpack_codes(packed, npad)[:, :npad]
+    b0 = (codes & 1).astype(dt)
+    b1 = ((codes >> 1) & 1).astype(dt)
+    miss = b0 * b1
+    het = b0 - miss
+    homalt = b1 - miss
+    homref = 1.0 - b0 - b1 + miss
+    hi = jax.lax.Precision.HIGHEST
+    w = wts.astype(dt)
+    dotv = lambda wv, p: jnp.dot(wv, p, preferred_element_type=dt, precision=hi)
+    return (
+        dotv(w[:, 0], homref)
+        + dotv(w[:, 1], het)
+        + dotv(w[:, 2], homalt)
+        + dotv(w[:, 3], miss)
+    )
+
+
+def sample_plane_weighted(
+    packed: np.ndarray, sample_ct: int, wts: np.ndarray, f64: bool = True
+) -> np.ndarray:
+    """Host wrapper: per-sample weighted plane sums (float64 [sample_ct])."""
+    npad = ((sample_ct + 3) // 4) * 4
+    out = _sample_plane_weighted(
+        jnp.asarray(packed), jnp.asarray(wts), npad, f64
+    )
+    return np.asarray(out, dtype=np.float64)[:sample_ct]
+
+
 def _pad_mask(mask: np.ndarray, npad: int) -> np.ndarray:
     out = np.zeros(npad, dtype=np.float32)
     out[: mask.shape[0]] = mask.astype(np.float32)
