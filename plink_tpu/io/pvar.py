@@ -129,9 +129,15 @@ def read_bim(path: str, chr_info: ChrInfo | None = None) -> VariantInfo:
 def write_pvar(path: str, vi: VariantInfo, variant_mask: np.ndarray | None = None) -> None:
     idx = np.flatnonzero(variant_mask) if variant_mask is not None else np.arange(vi.variant_ct)
     ci = vi.chr_info
-    has_info = vi.info is not None
-    has_filter = vi.filt is not None
-    has_qual = vi.qual is not None
+
+    def _col_present(col):
+        # a column of all-None (every value '.') is dropped entirely,
+        # matching the reference's .pvar writer behavior
+        return col is not None and any(v is not None for v in col)
+
+    has_info = _col_present(vi.info)
+    has_filter = _col_present(vi.filt)
+    has_qual = _col_present(vi.qual)
     has_cm = vi.cm is not None and np.any(vi.cm != 0)
     with open(path, "w") as f:
         for ln in vi.header_lines:
@@ -149,11 +155,11 @@ def write_pvar(path: str, vi: VariantInfo, variant_mask: np.ndarray | None = Non
         for i in idx:
             row = [ci.name(int(vi.chrom[i])), str(int(vi.pos[i])), str(vi.vid[i]), str(vi.ref[i]), str(vi.alt[i])]
             if has_qual:
-                row.append(str(vi.qual[i]))
+                row.append("." if vi.qual[i] is None else str(vi.qual[i]))
             if has_filter:
-                row.append(str(vi.filt[i]))
+                row.append("." if vi.filt[i] is None else str(vi.filt[i]))
             if has_info:
-                row.append(str(vi.info[i]))
+                row.append("." if vi.info[i] is None else str(vi.info[i]))
             if has_cm:
                 row.append(f"{vi.cm[i]:g}")
             f.write("\t".join(row) + "\n")

@@ -25,9 +25,36 @@ def _load(cfg: Config, log: RunLogger) -> Dataset:
         return load_dataset(cfg.bfile)
     if cfg.pedmap:
         return _import_pedmap(cfg.pedmap, cfg.out, log)
+    if cfg.vcf:
+        return _import_vcf(cfg.vcf, cfg.out, log)
     if cfg.dummy:
         return _generate_dummy(cfg, log)
-    raise ValueError("no input fileset specified (--pfile/--bfile/--file/--dummy)")
+    raise ValueError(
+        "no input fileset specified (--pfile/--bfile/--file/--vcf/--dummy)"
+    )
+
+
+def _import_vcf(path: str, out_prefix: str, log: RunLogger) -> Dataset:
+    """--vcf: convert to a temporary .pgen trio, then proceed (ref workflow:
+    VcfToPgen writes <out>-temporary.* and Plink2Core consumes them,
+    2.0/plink2.cc import path)."""
+    from .io.pgen_write import PgenWriter
+    from .io.psam import write_psam
+    from .io.pvar import write_pvar
+    from .io.vcf import read_vcf
+
+    vi, si, codes = read_vcf(path)
+    tmp = out_prefix + "-temporary"
+    # VCF REF is trusted (not provisional), matching VcfToPgen
+    with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct, trusted_ref=True) as w:
+        w.append_codes(codes)
+    write_pvar(tmp + ".pvar", vi)
+    write_psam(tmp + ".psam", si)
+    log.log(
+        f"--vcf: {vi.variant_ct} variants, {si.sample_ct} samples imported from "
+        f"{path}."
+    )
+    return load_dataset(tmp)
 
 
 def _import_pedmap(prefix: str, out_prefix: str, log: RunLogger) -> Dataset:
