@@ -79,6 +79,7 @@ class Config:
     covar_name: list[str] = field(default_factory=list)
     covar_variance_standardize: bool = False
     quantile_normalize: bool = False
+    adjust: bool = False
     # scoring
     score: tuple | None = None  # (path, modifiers...)
     score_col_nums: str | None = None
@@ -205,6 +206,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.covar_variance_standardize = True
         elif name == "quantile_normalize":
             cfg.quantile_normalize = True
+        elif name == "adjust":
+            cfg.adjust = True
         elif name == "score":
             cfg.score = tuple(args)
         elif name == "score_col_nums":

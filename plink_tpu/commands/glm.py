@@ -75,12 +75,14 @@ def _load_covars(ds: Dataset, cfg, log: RunLogger):
         names = colnames
     n = ds.raw_sample_ct
     data = np.full((n, len(sel)), np.nan)
-    for r, idx in enumerate(rows):
-        if idx < 0:
-            continue
-        for c, s in enumerate(sel):
-            v = vals[r][s]
-            data[idx, c] = np.nan if v in ("NA", "nan", "-9") else float(v)
+    # vectorized parse: one [rows, cols] object pass instead of per-cell loops
+    arr = np.array([[row[s] for s in sel] for row in vals], dtype=object)
+    ok = rows >= 0
+    with np.errstate(invalid="ignore"):
+        numeric = np.where(
+            np.isin(arr, ("NA", "nan", "-9")), "nan", arr
+        ).astype(np.float64)
+    data[rows[ok]] = numeric[ok]
     nonmiss = ~np.isnan(data).any(axis=1)
     log.log(
         f"{len(names)} covariate{'s' if len(names) != 1 else ''} loaded from "
@@ -228,15 +230,20 @@ def _glm_linear(
     cty_full = c.T @ y
     yy_full = float(y @ y)
 
-    c32 = jnp.asarray(c.astype(np.float32))
-    ccfl = jnp.asarray(
-        (c[:, :, None] * c[:, None, :]).reshape(n, dc * dc).astype(np.float32)
-    )
-    y32 = jnp.asarray(y.astype(np.float32))
-    cy32 = jnp.asarray((c * y[:, None]).astype(np.float32))
-    y232 = jnp.asarray((y * y).astype(np.float32))
-
     pd = PackedDevice(ds, ds.variant_mask, vb=vb, tile=1 << 30, sample_mask=smask)
+    npad = pd.npad
+    # pad the sample axis to the packed pad; zero rows contribute nothing
+    cp = np.zeros((npad, dc))
+    cp[:n] = c
+    yp = np.zeros(npad)
+    yp[:n] = y
+    c32 = jnp.asarray(cp.astype(np.float32))
+    ccfl = jnp.asarray(
+        (cp[:, :, None] * cp[:, None, :]).reshape(npad, dc * dc).astype(np.float32)
+    )
+    y32 = jnp.asarray(yp.astype(np.float32))
+    cy32 = jnp.asarray((cp * yp[:, None]).astype(np.float32))
+    y232 = jnp.asarray((yp * yp).astype(np.float32))
     vmask = ds.variant_mask
     M = ds.raw_variant_ct
     chrom, provref, a1, omitted = _row_meta(ds, a1_is_alt)
@@ -249,6 +256,7 @@ def _glm_linear(
         "TEST\tOBS_CT\tBETA\tSE\tT_STAT\tP\tERRCODE\n"
     )
     tests = ["ADD"] + ([] if hide_covar else list(cov_names))
+    add_results: list[tuple[int, float]] = []
 
     for bi in range(pd.nblocks):
         v0 = bi * pd.vb
@@ -294,15 +302,19 @@ def _glm_linear(
 
         _emit_linear_rows(
             f, ds, v0, ia, nm, g1, gg1, xtx, xty, yy_v, d, tests, hide_covar,
-            chrom, provref, a1, omitted, vi, cov_names,
+            chrom, provref, a1, omitted, vi, cov_names, add_results,
         )
     f.close()
     log.log(f"Results written to {path} .")
+    if getattr(cfg, "adjust", False):
+        from .adjust import write_adjusted
+
+        write_adjusted(ds, cfg, log, pheno_name, "glm.linear", add_results, a1)
 
 
 def _emit_linear_rows(
     f, ds, v0, ia, nm, g1, gg1, xtx, xty, yy_v, d, tests, hide_covar,
-    chrom, provref, a1, omitted, vi, cov_names,
+    chrom, provref, a1, omitted, vi, cov_names, add_results=None,
 ):
     b = len(ia)
     beta = np.full((b, d), np.nan)
@@ -341,6 +353,10 @@ def _emit_linear_rows(
         logp[ok] = lt
 
     a1f = np.where(nm > 0, g1 / (2 * np.maximum(nm, 1)), np.nan)
+    if add_results is not None:
+        for i in range(b):
+            if err[i] == ERR_OK and np.isfinite(logp[i, 1]):
+                add_results.append((int(v0 + ia[i]), float(logp[i, 1])))
     test_pred = {"ADD": 1}
     for j, cn in enumerate(cov_names):
         test_pred[cn] = 2 + j
@@ -413,6 +429,7 @@ def _glm_logistic(
         + "TEST\tOBS_CT\tOR\tLOG(OR)_SE\tZ_STAT\tP\tERRCODE\n"
     )
     tests = ["ADD"] + ([] if hide_covar else list(cov_names))
+    add_results: list[tuple[int, float]] = []
     test_pred = {"ADD": dc}  # kernel order: const, covars..., geno
     for j, cn in enumerate(cov_names):
         test_pred[cn] = 1 + j
@@ -467,10 +484,14 @@ def _glm_logistic(
         _emit_logistic_rows(
             f, v0, ia, beta, se, conv, fail, unf, obs, a1f, const, used_firth,
             firth_col, tests, test_pred, chrom, provref, a1, omitted, vi, d,
-            no_firth,
+            no_firth, add_results,
         )
     f.close()
     log.log(f"Results written to {path} .")
+    if getattr(cfg, "adjust", False):
+        from .adjust import write_adjusted
+
+        write_adjusted(ds, cfg, log, pheno_name, suffix, add_results, a1)
 
 
 def _a1_case_total(pk, flip, y32, mask_dev):
@@ -493,6 +514,7 @@ def _a1_case_total(pk, flip, y32, mask_dev):
 def _emit_logistic_rows(
     f, v0, ia, beta, se, conv, fail, unf, obs, a1f, const, used_firth,
     firth_col, tests, test_pred, chrom, provref, a1, omitted, vi, d, no_firth,
+    add_results=None,
 ):
     with np.errstate(divide="ignore", invalid="ignore"):
         zstat = np.where(se > 0, beta / se, np.nan)

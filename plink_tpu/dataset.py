@@ -49,6 +49,21 @@ class Dataset:
     def raw_variant_ct(self) -> int:
         return self.reader.variant_ct
 
+    # decoded packed matrix cached when small enough to hold (several
+    # commands in one invocation would otherwise each re-decode the .pgen)
+    _packed_cache: np.ndarray | None = None
+    PACKED_CACHE_MAX_BYTES = 4 << 30
+
+    def all_packed(self) -> np.ndarray | None:
+        """Whole-file packed matrix [M, NB], cached; None if too large."""
+        if self._packed_cache is None:
+            M = self.raw_variant_ct
+            nb = (self.raw_sample_ct + 3) // 4
+            if M * nb > self.PACKED_CACHE_MAX_BYTES:
+                return None
+            self._packed_cache = self.reader.read_packed(0, M)
+        return self._packed_cache
+
     def iter_packed_blocks(self, block_size: int | None = None, pad: bool = False):
         """Yield (vstart, packed[uint8, B x NB]) over ALL raw variants in order.
 
@@ -58,9 +73,13 @@ class Dataset:
         """
         bs = block_size or self.block_size
         M = self.raw_variant_ct
+        cache = self.all_packed()
         for vstart in range(0, M, bs):
             vct = min(bs, M - vstart)
-            packed = self.reader.read_packed(vstart, vct)
+            if cache is not None:
+                packed = cache[vstart : vstart + vct]
+            else:
+                packed = self.reader.read_packed(vstart, vct)
             if pad and vct < bs:
                 packed = np.concatenate(
                     [packed, np.zeros((bs - vct, packed.shape[1]), dtype=np.uint8)]

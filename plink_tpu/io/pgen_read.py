@@ -225,6 +225,42 @@ class PgenReader:
         vrtypes = hdr.vrtypes[vstart : vstart + vct]
         main = vrtypes & VRTYPE_MAIN_MASK
 
+        # native fast path (C++; see plink_tpu/native/pgen_decode.cc)
+        from ..native import get_lib
+
+        lib = get_lib()
+        if lib is not None:
+            import ctypes
+
+            ld_base = (
+                self._ld_base.copy()
+                if self._ld_base is not None
+                else np.zeros(nb, dtype=np.uint8)
+            )
+            ld_valid = np.array(
+                [1 if self._ld_base is not None else 0], dtype=np.int64
+            )
+            buf_c = np.ascontiguousarray(buf)
+            rel_c = np.ascontiguousarray(rel)
+            vr_c = np.ascontiguousarray(vrtypes)
+            rc = lib.pgen_decode_block(
+                buf_c.ctypes.data_as(ctypes.c_void_p),
+                rel_c.ctypes.data_as(ctypes.c_void_p),
+                vr_c.ctypes.data_as(ctypes.c_void_p),
+                vct, N,
+                ld_base.ctypes.data_as(ctypes.c_void_p),
+                ld_valid.ctypes.data_as(ctypes.c_void_p),
+                out.ctypes.data_as(ctypes.c_void_p),
+            )
+            if rc == 0:
+                # track LD cache across calls: last non-LD row of this batch
+                nonld = np.flatnonzero(~np.isin(main, (2, 3)))
+                if nonld.size:
+                    self._ld_base = out[nonld[-1]].copy()
+                    self._ld_base_vidx = vstart + int(nonld[-1])
+                return out
+            # fall through to the numpy reference implementation on error
+
         # Fast path: bulk-copy all dense (type 0) records.
         dense_idx = np.flatnonzero(main == 0)
         for i in dense_idx:

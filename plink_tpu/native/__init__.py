@@ -1,0 +1,69 @@
+"""Native (C++) host-codec acceleration.
+
+The compute path is JAX/XLA on TPU; these are the host-side pieces the
+reference implements in C++ (pgenlib record decode).  The library is built
+lazily with g++ on first use and cached next to the source; every native
+entry point has a vectorized-numpy fallback so the package works without a
+toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libpgen_decode.so")
+_SRC = os.path.join(_DIR, "pgen_decode.cc")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO + ".tmp", _SRC],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Return the loaded ctypes library, or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.pgen_decode_block.restype = ctypes.c_int
+        lib.pgen_decode_block.argtypes = [
+            ctypes.c_void_p,  # buf
+            ctypes.c_void_p,  # rel
+            ctypes.c_void_p,  # vrtypes
+            ctypes.c_int64,  # vct
+            ctypes.c_int64,  # sample_ct
+            ctypes.c_void_p,  # ld_base
+            ctypes.c_void_p,  # ld_valid
+            ctypes.c_void_p,  # out
+        ]
+        lib.bed_to_pgen_bytes.restype = None
+        lib.bed_to_pgen_bytes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        _lib = lib
+        return _lib
