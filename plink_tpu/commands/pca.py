@@ -58,6 +58,9 @@ def _pca_approx(ds: Dataset, cfg, pc_ct: int, log: RunLogger):
     coef_dev = jnp.asarray(cpad.reshape(pd.nblocks, pd.vb, 3))
 
     n, npad = pd.n, pd.npad
+    smask = np.zeros(npad, np.float32)
+    smask[:n] = 1.0
+    smask_dev = jnp.asarray(smask)
     variant_ct = int(vmask.sum())
     L = 2 * pc_ct
     rng = np.random.default_rng(cfg.seed if cfg.seed is not None else 0)
@@ -67,13 +70,13 @@ def _pca_approx(ds: Dataset, cfg, pc_ct: int, log: RunLogger):
     cur = jnp.asarray(g0)
     inv_m = 1.0 / variant_ct
     for _ in range(pc_ct):
-        cur = xtx_apply(pd.packed, coef_dev, cur) * inv_m
+        cur = xtx_apply(pd.packed, coef_dev, smask_dev, cur) * inv_m
         blocks.append(np.asarray(cur))
     qq = np.concatenate(blocks, axis=1).astype(np.float64)  # [npad, (pc_ct+1)*L]
     qq[n:] = 0.0
     qq, _ = np.linalg.qr(qq)
     b = np.asarray(
-        x_apply(pd.packed, coef_dev, jnp.asarray(qq.astype(np.float32)))
+        x_apply(pd.packed, coef_dev, smask_dev, jnp.asarray(qq.astype(np.float32)))
     ).reshape(npadv, qq.shape[1])[: len(freqs)]
     # SVD of the projected matrix ("Recovering top PCs from range
     # approximation", ref :5867)

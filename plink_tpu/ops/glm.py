@@ -64,7 +64,9 @@ def linear_block_sums(
         a, b, (((1,), (0,)), ((), ())), precision=hi,
         preferred_element_type=jnp.float32,
     )
-    gg = jnp.sum(g * g, axis=1)
+    # weight by the intercept column (zero on padded samples) so pgen pad
+    # genotypes beyond the true sample count never leak into the sums
+    gg = dot(g * g, c[:, 0:1])[:, 0]
     gy = dot(g, y[:, None])[:, 0]
     gc = dot(g, c)
     a_miss = dot(miss, ccfl)

@@ -19,9 +19,10 @@ from jax import lax
 from .planes import unpack_codes
 
 
-def _normed_block(pk: jax.Array, cf: jax.Array) -> jax.Array:
-    """packed [vb, NB] uint8 + coefs [vb, 3] f32 -> standardized dosages
-    [vb, n] f32 (missing -> 0; excluded variants have zero coefs)."""
+def _normed_block(pk: jax.Array, cf: jax.Array, smask: jax.Array) -> jax.Array:
+    """packed [vb, NB] uint8 + coefs [vb, 3] f32 + sample mask [npad] ->
+    standardized dosages [vb, n] f32 (missing -> 0; excluded variants have
+    zero coefs; pgen pad samples beyond the true count zeroed)."""
     codes = unpack_codes(pk, 0)
     b0 = (codes & 1).astype(jnp.float32)
     b1 = ((codes >> 1) & 1).astype(jnp.float32)
@@ -29,11 +30,13 @@ def _normed_block(pk: jax.Array, cf: jax.Array) -> jax.Array:
     r = 1.0 - b0 - b1 + miss
     h = b0 - miss
     a = b1 - miss
-    return r * cf[:, 0:1] + h * cf[:, 1:2] + a * cf[:, 2:3]
+    return (r * cf[:, 0:1] + h * cf[:, 1:2] + a * cf[:, 2:3]) * smask[None, :]
 
 
 @jax.jit
-def xtx_apply(packed: jax.Array, coef: jax.Array, q: jax.Array) -> jax.Array:
+def xtx_apply(
+    packed: jax.Array, coef: jax.Array, smask: jax.Array, q: jax.Array
+) -> jax.Array:
     """(X^T X) @ q streamed over variant blocks.
 
     packed [nb, vb, NB], coef [nb, vb, 3], q [npad, L] -> [npad, L] f32.
@@ -41,7 +44,7 @@ def xtx_apply(packed: jax.Array, coef: jax.Array, q: jax.Array) -> jax.Array:
 
     def body(acc, xs):
         pk, cf = xs
-        z = _normed_block(pk, cf)
+        z = _normed_block(pk, cf, smask)
         t = lax.dot_general(
             z, q, (((1,), (0,)), ((), ())),
             precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
@@ -58,12 +61,14 @@ def xtx_apply(packed: jax.Array, coef: jax.Array, q: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def x_apply(packed: jax.Array, coef: jax.Array, q: jax.Array) -> jax.Array:
+def x_apply(
+    packed: jax.Array, coef: jax.Array, smask: jax.Array, q: jax.Array
+) -> jax.Array:
     """X @ q streamed: -> [nb, vb, L] f32 (caller trims the variant pad)."""
 
     def body(_, xs):
         pk, cf = xs
-        z = _normed_block(pk, cf)
+        z = _normed_block(pk, cf, smask)
         return None, lax.dot_general(
             z, q, (((1,), (0,)), ((), ())),
             precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
@@ -74,12 +79,14 @@ def x_apply(packed: jax.Array, coef: jax.Array, q: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def xt_apply(packed: jax.Array, coef: jax.Array, b: jax.Array) -> jax.Array:
+def xt_apply(
+    packed: jax.Array, coef: jax.Array, smask: jax.Array, b: jax.Array
+) -> jax.Array:
     """X^T @ b streamed: b [nb, vb, L] -> [npad, L] f32."""
 
     def body(acc, xs):
         pk, cf, bb = xs
-        z = _normed_block(pk, cf)
+        z = _normed_block(pk, cf, smask)
         return acc + lax.dot_general(
             z, bb, (((0,), (0,)), ((), ())),
             precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
