@@ -68,8 +68,9 @@ class Config:
     pca_approx: bool = False
     # LD
     indep_pairwise: tuple | None = None  # (window, step, r2) window may be "Nkb"
-    ld_window_kb: bool = False
-    r2_phased: bool = False
+    vcor: tuple | None = None  # (phased: bool, squared: bool)
+    ld_window_kb: float | None = None
+    ld_window_r2: float | None = None
     # GLM
     glm: bool = False
     glm_modifiers: list[str] = field(default_factory=list)
@@ -199,6 +200,12 @@ def parse_args(argv: list[str]) -> Config:
                     cfg.pca = int(a)
         elif name == "indep_pairwise":
             cfg.indep_pairwise = tuple(args)
+        elif name in ("r2_unphased", "r_unphased", "r2_phased", "r_phased"):
+            cfg.vcor = ("unphased" not in name, name.startswith("r2"))
+        elif name == "ld_window_kb":
+            cfg.ld_window_kb = float(args[0])
+        elif name == "ld_window_r2":
+            cfg.ld_window_r2 = float(args[0])
         elif name == "glm":
             cfg.glm = True
             cfg.glm_modifiers = args

@@ -75,6 +75,85 @@ def pair_stats_from_gram(g: np.ndarray, ca: int, cb: int) -> dict[str, np.ndarra
     }
 
 
+class LdJointBand:
+    """Banded 3x3 joint genotype-count tables for variant pairs.
+
+    Entry [i, d] holds, for the pair (i, i+d), the counts of samples with
+    each (genotype_i, genotype_j) combination over both-nonmissing samples,
+    derived from the RAV plane Gram (R=homref, A=homalt, V=valid; H=V-R-A).
+    Used by --r2-phased/--r-phased haplotype-EM r (ref: Vcor,
+    2.0/plink2_ld.cc:12054, algorithm inherited from plink 1.9 --r2).
+    """
+
+    RAW = ("RR", "RA", "RV", "AR", "AA", "AV", "VR", "VA", "VV")
+
+    def __init__(self, packed_rows: np.ndarray, smask: np.ndarray, width: int,
+                 chunk: int | None = None):
+        n = packed_rows.shape[0]
+        self.n = n
+        self.width = min(width, max(n - 1, 0))
+        c = max(chunk or 256, self.width, 1)
+        c = min(c, max(n, 1))
+        self.bands = {
+            k: np.zeros((n, self.width + 1), dtype=np.int64) for k in self.RAW
+        }
+        sm = jnp.asarray(np.asarray(smask, dtype=np.int8))
+        chunks = [(s, min(s + c, n)) for s in range(0, n, c)]
+        for s0, s1 in chunks:
+            pa = jnp.asarray(packed_rows[s0:s1])
+            g_aa = np.asarray(ld_gram_pair(pa, pa, sm))
+            self._fill(g_aa, s0, s1 - s0, s0, s1 - s0)
+            if s1 < n:
+                s2 = min(s1 + c, n)
+                pb = jnp.asarray(packed_rows[s1:s2])
+                g_ab = np.asarray(ld_gram_pair(pa, pb, sm))
+                self._fill(g_ab, s0, s1 - s0, s1, s2 - s1)
+
+    def _fill(self, g, s0, ca, t0, cb):
+        g = g.astype(np.int64)
+        names = {"R": 0, "A": 1, "V": 2}
+        for ka, ia in names.items():
+            for kb, ib in names.items():
+                m = g[ia * ca : (ia + 1) * ca, ib * cb : (ib + 1) * cb]
+                key = ka + kb
+                if s0 == t0:
+                    for d in range(1, min(self.width, ca - 1) + 1):
+                        self.bands[key][s0 : s0 + ca - d, d] = np.diagonal(m, d)
+                else:
+                    for il in range(ca):
+                        i = s0 + il
+                        dmin = t0 - i
+                        if dmin > self.width:
+                            continue
+                        dmax = min(self.width, t0 + cb - 1 - i)
+                        if dmax < dmin:
+                            continue
+                        self.bands[key][i, dmin : dmax + 1] = m[
+                            il, 0 : dmax - dmin + 1
+                        ]
+
+    def joint_counts(self, firsts: np.ndarray, d: np.ndarray) -> dict:
+        """For pairs (firsts, firsts+d): 3x3 counts keyed 'ab' with a,b in
+        {0,1,2} = ALT copies of the first/second variant, plus 'nm'."""
+        b = {k: self.bands[k][firsts, d] for k in self.RAW}
+        out = {}
+        # R = 0 copies, H = 1, A = 2 ; H* = V* - R* - A*
+        out["00"] = b["RR"]
+        out["02"] = b["RA"]
+        out["20"] = b["AR"]
+        out["22"] = b["AA"]
+        out["01"] = b["RV"] - b["RR"] - b["RA"]
+        out["21"] = b["AV"] - b["AR"] - b["AA"]
+        out["10"] = b["VR"] - b["RR"] - b["AR"]
+        out["12"] = b["VA"] - b["RA"] - b["AA"]
+        out["nm"] = b["VV"]
+        out["11"] = (
+            b["VV"] - out["00"] - out["01"] - out["02"] - out["10"]
+            - out["12"] - out["20"] - out["21"] - out["22"]
+        )
+        return out
+
+
 class LdBand:
     """Banded pair statistics for one subcontig: entry [i, d] describes the
     pair (i, i+d), 1 <= d <= width, i in subcontig-local included-variant

@@ -196,6 +196,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.ld import indep_pairwise
 
             indep_pairwise(ds, cfg, log)
+        if cfg.vcor:
+            from .commands.vcor import run_vcor
+
+            run_vcor(ds, cfg, log)
         if cfg.score:
             from .commands.score import score_report
 
