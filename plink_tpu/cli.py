@@ -84,6 +84,7 @@ class Config:
     # scoring
     score: tuple | None = None  # (path, modifiers...)
     score_col_nums: str | None = None
+    fst: tuple | None = None
     # misc
     threads: int | None = None
     memory: int | None = None
@@ -215,6 +216,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.quantile_normalize = True
         elif name == "adjust":
             cfg.adjust = True
+        elif name == "fst":
+            cfg.fst = tuple(args)
         elif name == "score":
             cfg.score = tuple(args)
         elif name == "score_col_nums":

@@ -1,0 +1,159 @@
+"""--fst <categorical pheno> [method=hudson|wc]: population differentiation.
+
+Behavior reference: FstReport / FstThread (2.0/plink2_misc.cc:11233, :11190;
+the code cites scikit-allel's allel/stats/fst.py as the readable form):
+- Hudson (default): per variant and pop pair,
+    dxy   = 1 - sum_a ct1_a*ct2_a / (n1*n2)          (allele counts)
+    within_k = (n_k*(n_k-1)/2 - same_k) / (n_k*(n_k-1))
+    numer = dxy - within_1 - within_2,  denom = dxy
+  skipped when n_diff == 0 or any term is nan; summary FST is the ratio of
+  sums over autosomal variants.
+- Weir-Cockerham (method=wc): the a/b/c variance components (:12010-12045).
+Per-pop genotype counts come from one multi-mask device counting pass.
+
+Output: <out>.fst.summary (#POP1 POP2 <METHOD>_FST).  Per-variant report
+files and chrX handling are not yet implemented (autosomal only, matching
+the reference's "Autosomal --fst" pass).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+
+from ..dataset import Dataset
+from ..ops.counts import geno_counts_multimask
+from ..utils.fmt import g6
+from ..utils.logging import RunLogger
+
+
+def run_fst(ds: Dataset, cfg, log: RunLogger) -> None:
+    args = list(cfg.fst)
+    if not args:
+        raise ValueError("--fst requires a categorical phenotype name")
+    pheno_name = args[0]
+    method = "hudson"
+    for a in args[1:]:
+        if a.startswith("method="):
+            method = a.split("=", 1)[1].lower()
+            if method not in ("hudson", "wc"):
+                raise ValueError(f"--fst: unknown method '{method}'")
+        else:
+            raise NotImplementedError(f"--fst modifier '{a}' not supported yet")
+
+    pc = ds.si.phenos.get(pheno_name)
+    if pc is None:
+        raise ValueError(f"--fst: phenotype '{pheno_name}' not found")
+    if pc.kind == "cat":
+        # category code 0 is the missing placeholder ('NONE')
+        cats = [c for c in pc.categories[1:] if c]
+        pop_names = sorted(cats)
+        member = {
+            name: (pc.data == (pc.categories.index(name))) & pc.nonmiss
+            for name in pop_names
+        }
+    elif pc.kind == "cc":
+        pop_names = ["CONTROL", "CASE"]
+        member = {
+            "CONTROL": (pc.data == 0) & pc.nonmiss,
+            "CASE": (pc.data == 1) & pc.nonmiss,
+        }
+    else:
+        raise ValueError("--fst: phenotype must be categorical or case/control")
+
+    masks = [member[p] & ds.sample_mask for p in pop_names]
+    auto = ds.vi.chr_info.is_autosomal(ds.vi.chrom)
+    vmask = ds.variant_mask & auto
+
+    # per-pop genotype counts [P][M, 4]
+    parts = [[] for _ in pop_names]
+    for _, packed in ds.iter_packed_blocks():
+        out = geno_counts_multimask(packed, ds.raw_sample_ct, masks)
+        for g in range(len(masks)):
+            parts[g].append(out[g])
+    cts = [np.concatenate(p).astype(np.float64) for p in parts]
+
+    sel = np.flatnonzero(vmask)
+    rows = []
+    for i1, i2 in itertools.combinations(range(len(pop_names)), 2):
+        c1, c2 = cts[i1][sel], cts[i2][sel]
+        # allele counts: REF = 2*homref + het, ALT = 2*homalt + het
+        ref1 = 2 * c1[:, 0] + c1[:, 1]
+        alt1 = 2 * c1[:, 2] + c1[:, 1]
+        ref2 = 2 * c2[:, 0] + c2[:, 1]
+        alt2 = 2 * c2[:, 2] + c2[:, 1]
+        n1 = ref1 + alt1
+        n2 = ref2 + alt2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if method == "hudson":
+                n_same = ref1 * ref2 + alt1 * alt2
+                n_pairs = n1 * n2
+                n_diff = n_pairs - n_same
+                within1 = _half_within(ref1, alt1, n1)
+                within2 = _half_within(ref2, alt2, n2)
+                denom = n_diff / n_pairs
+                numer = denom - within1 - within2
+                valid = (n_diff > 0) & np.isfinite(numer) & (denom != 0)
+            else:
+                numer, denom, valid = _wc_components(c1, c2)
+            fst = np.nansum(numer[valid]) / np.nansum(denom[valid])
+        rows.append((pop_names[i1], pop_names[i2], fst))
+
+    path = cfg.out + ".fst.summary"
+    tag = "HUDSON_FST" if method == "hudson" else "WC_FST"
+    with open(path, "w") as f:
+        f.write(f"#POP1\tPOP2\t{tag}\n")
+        for a, b, v in rows:
+            f.write(f"{a}\t{b}\t{g6(v)}\n")
+    log.log(f"Autosomal --fst: Summary written to {path} .")
+
+
+def _half_within(ref, alt, n):
+    ssq = ref * ref + alt * alt
+    n_pairs_x2 = n * (n - 1.0)
+    n_same = (ssq - n) / 2.0
+    n_diff = n_pairs_x2 / 2.0 - n_same
+    return n_diff / n_pairs_x2
+
+
+def _wc_components(c1, c2):
+    """Weir-Cockerham a / (a+b+c) per variant (biallelic, REF allele term,
+    ref :12010-12045)."""
+    n1 = c1[:, 0] + c1[:, 1] + c1[:, 2]
+    n2 = c2[:, 0] + c2[:, 1] + c2[:, 2]
+    n_total = n1 + n2
+    ref1 = 2 * c1[:, 0] + c1[:, 1]
+    ref2 = 2 * c2[:, 0] + c2[:, 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        n_total_recip = 1.0 / n_total
+        n_bar = n_total / 2.0
+        n_bar_m1_recip = 1.0 / (n_bar - 1.0)
+        n_bar_div_n_c = n_bar / (
+            n_total - (n1 * n1 + n2 * n2) * n_total_recip
+        )
+        p1 = ref1 / (2 * n1)
+        p2 = ref2 / (2 * n2)
+        p_bar = (ref1 + ref2) * 0.5 * n_total_recip
+        s1 = p1 - p_bar
+        s2 = p2 - p_bar
+        s_squared = (n1 * s1 * s1 + n2 * s2 * s2) * n_total_recip * 2.0
+        h_bar = (c1[:, 1] + c2[:, 1]) * n_total_recip
+        pq = p_bar * (1.0 - p_bar)
+        a = n_bar_div_n_c * (
+            s_squared - (pq - 0.5 * s_squared - 0.25 * h_bar) * n_bar_m1_recip
+        )
+        b = n_bar * n_bar_m1_recip * (
+            pq - 0.5 * s_squared - (0.5 - 0.5 * n_total_recip) * h_bar
+        )
+        c = h_bar * 0.5
+        total_ref = ref1 + ref2
+        # monomorphic-for-REF across both pops contributes nothing
+        mono = (total_ref == 0) | (total_ref == 2 * n_total)
+        a = np.where(mono, 0.0, a)
+        b = np.where(mono, 0.0, b)
+        c = np.where(mono, 0.0, c)
+        numer = a
+        denom = a + b + c
+        valid = (denom != 0) & np.isfinite(numer)
+    return numer, denom, valid

@@ -154,6 +154,9 @@ def load_dataset(prefix: str, block_size: int = DEFAULT_BLOCK) -> Dataset:
             f"variant count mismatch: genotype file has {reader.variant_ct}, metadata {vi.variant_ct}"
         )
     N, M = si.sample_ct, vi.variant_ct
+    # adaptive streaming block: keep [block, N] device intermediates ~128M
+    # elements so biobank-scale sample counts don't spill HBM
+    adaptive = max(64, min(block_size, (1 << 27) // max(N, 1)))
     return Dataset(
         reader=reader,
         vi=vi,
@@ -161,5 +164,5 @@ def load_dataset(prefix: str, block_size: int = DEFAULT_BLOCK) -> Dataset:
         sample_mask=np.ones(N, dtype=bool),
         variant_mask=np.ones(M, dtype=bool),
         founder_mask=_founders_from_pedigree(si),
-        block_size=block_size,
+        block_size=adaptive,
     )

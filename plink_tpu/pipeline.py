@@ -171,6 +171,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.sample_counts import write_sample_counts
 
             write_sample_counts(ds, cfg.out, log)
+        if cfg.fst:
+            from .commands.fst import run_fst
+
+            run_fst(ds, cfg, log)
 
         # ---- dataset writers ----
         if cfg.write_snplist:
