@@ -85,6 +85,15 @@ class Config:
     score: tuple | None = None  # (path, modifiers...)
     score_col_nums: str | None = None
     fst: tuple | None = None
+    set_all_var_ids: str | None = None
+    rm_dup: str | None = None
+    thin: float | None = None
+    thin_count: int | None = None
+    keep_founders: bool = False
+    keep_nonfounders: bool = False
+    update_sex: str | None = None
+    write_samples: bool = False
+    snps_only_acgt: bool = False
     # misc
     threads: int | None = None
     memory: int | None = None
@@ -144,6 +153,23 @@ def parse_args(argv: list[str]) -> Config:
             cfg.autosome = True
         elif name == "snps_only":
             cfg.snps_only = True
+            cfg.snps_only_acgt = "just-acgt" in args
+        elif name == "set_all_var_ids":
+            cfg.set_all_var_ids = args[0]
+        elif name == "rm_dup":
+            cfg.rm_dup = args[0] if args else "error"
+        elif name == "thin":
+            cfg.thin = float(args[0])
+        elif name == "thin_count":
+            cfg.thin_count = int(args[0])
+        elif name == "keep_founders":
+            cfg.keep_founders = True
+        elif name == "keep_nonfounders":
+            cfg.keep_nonfounders = True
+        elif name == "update_sex":
+            cfg.update_sex = args[0]
+        elif name == "write_samples":
+            cfg.write_samples = True
         elif name == "from_bp":
             cfg.from_bp = int(args[0])
         elif name == "to_bp":

@@ -162,3 +162,148 @@ def hwe_filter(ds: Dataset, thresh: float, midp: bool, log: RunLogger) -> None:
     removed = before - ds.variant_ct
     log.log(f"--hwe: {removed} variant{'s' if removed != 1 else ''} removed due to "
             f"Hardy-Weinberg exact test (founders only).")
+
+
+def snps_only_filter(ds: Dataset, just_acgt: bool, log: RunLogger) -> None:
+    """--snps-only [just-acgt]: keep variants whose alleles are all single
+    characters (ref: plink2 variant filter chain)."""
+    import numpy as np
+
+    alt1 = ds.vi.alt1()
+    ok = np.array(
+        [len(str(r)) == 1 and all(len(a) == 1 for a in str(al).split(","))
+         for r, al in zip(ds.vi.ref, ds.vi.alt)]
+    )
+    if just_acgt:
+        acgt = set("ACGTacgt")
+        ok &= np.array(
+            [str(r) in acgt and all(a in acgt for a in str(al).split(","))
+             for r, al in zip(ds.vi.ref, ds.vi.alt)]
+        )
+    before = ds.variant_ct
+    ds.variant_mask &= ok
+    ds.invalidate_counts()
+    log.log(
+        f"--snps-only: {before - ds.variant_ct} variants removed "
+        f"({ds.variant_ct} remaining)."
+    )
+
+
+def set_all_var_ids(ds: Dataset, template: str, log: RunLogger) -> None:
+    """--set-all-var-ids: rewrite every variant ID from a template with
+    @ = chromosome, # = bp position, $r = REF, $a = ALT1 (ref: plink2
+    variant-ID templating in plink2_pvar.cc)."""
+    import numpy as np
+
+    ci = ds.vi.chr_info
+    alt1 = ds.vi.alt1()
+    new_ids = np.empty(ds.raw_variant_ct, dtype=object)
+    for i in range(ds.raw_variant_ct):
+        s = template
+        s = s.replace("@", ci.name(int(ds.vi.chrom[i])))
+        s = s.replace("#", str(int(ds.vi.pos[i])))
+        s = s.replace("$r", str(ds.vi.ref[i]))
+        s = s.replace("$a", str(alt1[i]))
+        new_ids[i] = s
+    ds.vi.vid = new_ids
+    log.log("--set-all-var-ids: Variant IDs rewritten.")
+
+
+def rm_dup(ds: Dataset, mode: str, log: RunLogger) -> None:
+    """--rm-dup [mode]: handle duplicate variant IDs (ref: plink2 --rm-dup;
+    modes: error (default), exclude-all, exclude-mismatch ~ force-first,
+    force-first, retain-mismatch, list)."""
+    import numpy as np
+
+    inc = np.flatnonzero(ds.variant_mask)
+    seen: dict[str, int] = {}
+    dup_first = set()
+    dup_later = []
+    for i in inc:
+        vid = str(ds.vi.vid[i])
+        if vid in seen:
+            dup_first.add(seen[vid])
+            dup_later.append(i)
+        else:
+            seen[vid] = int(i)
+    if not dup_later:
+        log.log("Note: Skipping --rm-dup since no duplicate IDs are present.")
+        return
+    if mode == "error":
+        raise ValueError(
+            f"--rm-dup: {len(dup_later)} duplicate ID(s) present "
+            "(use a mode like 'force-first' or 'exclude-all')"
+        )
+    if mode in ("force-first", "exclude-mismatch", "retain-mismatch"):
+        ds.variant_mask[np.array(dup_later)] = False
+    elif mode == "exclude-all":
+        ds.variant_mask[np.array(dup_later)] = False
+        ds.variant_mask[np.array(sorted(dup_first))] = False
+    ds.invalidate_counts()
+    log.log(
+        f"--rm-dup: {len(dup_later) + (len(dup_first) if mode == 'exclude-all' else 0)}"
+        f" variant(s) removed."
+    )
+
+
+def thin_variants(ds: Dataset, p: float | None, count: int | None,
+                  rng, log: RunLogger) -> None:
+    """--thin / --thin-count: random variant subsampling.  Uses numpy's RNG,
+    so the retained SET differs from plink2's SFMT stream (same sizes)."""
+    import numpy as np
+
+    inc = np.flatnonzero(ds.variant_mask)
+    if count is not None:
+        keep_ct = min(count, inc.size)
+        keep = rng.choice(inc, size=keep_ct, replace=False)
+        tag = "--thin-count"
+    else:
+        keep = inc[rng.random(inc.size) < p]
+        tag = "--thin"
+    removed = inc.size - keep.size
+    mask = np.zeros(ds.raw_variant_ct, dtype=bool)
+    mask[keep] = True
+    ds.variant_mask &= mask
+    ds.invalidate_counts()
+    log.log(f"{tag}: {removed} variants removed ({keep.size} remaining).")
+
+
+def keep_founders_filter(ds: Dataset, founders: bool, log: RunLogger) -> None:
+    """--keep-founders / --keep-nonfounders."""
+    before = ds.sample_ct
+    if founders:
+        ds.sample_mask &= ds.founder_mask
+    else:
+        ds.sample_mask &= ~ds.founder_mask
+    ds.invalidate_counts()
+    flag = "--keep-founders" if founders else "--keep-nonfounders"
+    log.log(f"{flag}: {ds.sample_ct} samples remaining ({before - ds.sample_ct} removed).")
+
+
+def update_sex(ds: Dataset, path: str, log: RunLogger) -> None:
+    """--update-sex: set sample sex from a file (#FID IID SEX / #IID SEX)."""
+    import numpy as np
+
+    from .glm import _match_rows, _read_table
+
+    id_mode, ids, colnames, vals = _read_table(path)
+    col = 0
+    for k, cn in enumerate(colnames):
+        if cn.upper() == "SEX":
+            col = k
+            break
+    rows = _match_rows(ds, id_mode, ids)
+    updated = 0
+    for r, idx in enumerate(rows):
+        if idx < 0:
+            continue
+        v = vals[r][col].upper()
+        if v in ("1", "M", "MALE"):
+            ds.si.sex[idx] = 1
+        elif v in ("2", "F", "FEMALE"):
+            ds.si.sex[idx] = 2
+        else:
+            ds.si.sex[idx] = 0
+        updated += 1
+    ds.invalidate_counts()
+    log.log(f"--update-sex: {updated} sample(s) updated.")

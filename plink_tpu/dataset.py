@@ -64,6 +64,20 @@ class Dataset:
             self._packed_cache = self.reader.read_packed(0, M)
         return self._packed_cache
 
+    _device_packed = None
+
+    def device_all_packed(self):
+        """Whole-file packed matrix as a device (HBM) array, cached; None when
+        too large for the host cache."""
+        if self._device_packed is None:
+            host = self.all_packed()
+            if host is None:
+                return None
+            import jax.numpy as jnp
+
+            self._device_packed = jnp.asarray(host)
+        return self._device_packed
+
     def iter_packed_blocks(self, block_size: int | None = None, pad: bool = False):
         """Yield (vstart, packed[uint8, B x NB]) over ALL raw variants in order.
 

@@ -240,17 +240,31 @@ class PackedDevice:
         self.nblocks = max(1, -(-M // vb))
         nb_bytes = self.npad // 4
         compact = self.include_idx.size != ds.raw_sample_ct
-        blocks = np.zeros((self.nblocks, vb, nb_bytes), dtype=np.uint8)
-        vm = np.zeros((self.nblocks, vb), dtype=np.int8)
         fullmask = np.asarray(vmask, dtype=bool)
-        for bi, (v0, packed) in enumerate(ds.iter_packed_blocks(block_size=vb)):
-            vct = packed.shape[0]
-            if compact:
-                codes = _unpack_np(packed)[:, self.include_idx]
-                packed = _pack_np(codes, self.npad)
-            blocks[bi, :vct, : packed.shape[1]] = packed[:, :nb_bytes]
-            vm[bi, :vct] = fullmask[v0 : v0 + vct]
-        self.packed = jnp.asarray(blocks)
+        vm = np.zeros((self.nblocks, vb), dtype=np.int8)
+        for bi in range(self.nblocks):
+            v0 = bi * vb
+            vct = min(vb, M - v0)
+            if vct > 0:
+                vm[bi, :vct] = fullmask[v0 : v0 + vct]
+        dp = None if compact else getattr(ds, "device_all_packed", lambda: None)()
+        if dp is not None and dp.shape[1] <= nb_bytes:
+            # device-side reshape of the dataset's resident copy: pad the
+            # variant axis to nblocks*vb and the byte axis to npad/4, no
+            # extra host->device transfer
+            pad_v = self.nblocks * vb - M
+            pad_b = nb_bytes - dp.shape[1]
+            dpad = jnp.pad(dp, ((0, pad_v), (0, pad_b)))
+            self.packed = dpad.reshape(self.nblocks, vb, nb_bytes)
+        else:
+            blocks = np.zeros((self.nblocks, vb, nb_bytes), dtype=np.uint8)
+            for bi, (v0, packed) in enumerate(ds.iter_packed_blocks(block_size=vb)):
+                vct = packed.shape[0]
+                if compact:
+                    codes = _unpack_np(packed)[:, self.include_idx]
+                    packed = _pack_np(codes, self.npad)
+                blocks[bi, :vct, : packed.shape[1]] = packed[:, :nb_bytes]
+            self.packed = jnp.asarray(blocks)
         self.vmask = jnp.asarray(vm)
         self.variant_ct = int(fullmask.sum())
 

@@ -111,6 +111,12 @@ def run_pipeline(cfg: Config) -> int:
             ds.sample_mask &= ds.male_mask()
             ds.invalidate_counts()
             log.log(f"--keep-males: {ds.sample_ct} samples remaining.")
+        if cfg.update_sex:
+            F.update_sex(ds, cfg.update_sex, log)
+        if cfg.keep_founders:
+            F.keep_founders_filter(ds, True, log)
+        if cfg.keep_nonfounders:
+            F.keep_founders_filter(ds, False, log)
         if cfg.mind is not None:
             F.mind_filter(ds, cfg.mind, log)
 
@@ -129,6 +135,15 @@ def run_pipeline(cfg: Config) -> int:
             ds.variant_mask &= ds.vi.pos >= cfg.from_bp
         if cfg.to_bp is not None:
             ds.variant_mask &= ds.vi.pos <= cfg.to_bp
+        if cfg.snps_only:
+            F.snps_only_filter(ds, cfg.snps_only_acgt, log)
+        if cfg.set_all_var_ids:
+            F.set_all_var_ids(ds, cfg.set_all_var_ids, log)
+        if cfg.rm_dup is not None:
+            F.rm_dup(ds, cfg.rm_dup, log)
+        if cfg.thin is not None or cfg.thin_count is not None:
+            F.thin_variants(ds, cfg.thin, cfg.thin_count,
+                            np.random.default_rng(cfg.seed), log)
 
         # ---- counts-based reports and enforcement, in the reference's exact
         # order (plink2.cc:2310-2479): freq -> geno-counts -> missing ->
@@ -177,6 +192,16 @@ def run_pipeline(cfg: Config) -> int:
             run_fst(ds, cfg, log)
 
         # ---- dataset writers ----
+        if cfg.write_samples:
+            path = cfg.out + ".id"
+            si = ds.si
+            inc = np.flatnonzero(ds.sample_mask)
+            use_fid = si.has_fid and any(str(si.fid[i]) != "0" for i in inc)
+            with open(path, "w") as f:
+                f.write(("#FID\tIID" if use_fid else "#IID") + "\n")
+                for i in inc:
+                    f.write((f"{si.fid[i]}\t{si.iid[i]}" if use_fid else str(si.iid[i])) + "\n")
+            log.log(f"--write-samples: Sample IDs written to {path} .")
         if cfg.write_snplist:
             path = cfg.out + ".snplist"
             with open(path, "w") as f:
