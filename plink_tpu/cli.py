@@ -85,6 +85,7 @@ class Config:
     score: tuple | None = None  # (path, modifiers...)
     score_col_nums: str | None = None
     fst: tuple | None = None
+    mendel: bool = False
     set_all_var_ids: str | None = None
     rm_dup: str | None = None
     thin: float | None = None
@@ -244,6 +245,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.adjust = True
         elif name == "fst":
             cfg.fst = tuple(args)
+        elif name in ("mendel", "me_report"):
+            cfg.mendel = True
         elif name == "score":
             cfg.score = tuple(args)
         elif name == "score_col_nums":

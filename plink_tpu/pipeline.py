@@ -190,6 +190,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.fst import run_fst
 
             run_fst(ds, cfg, log)
+        if cfg.mendel:
+            from .commands.mendel import run_mendel
+
+            run_mendel(ds, cfg, log)
 
         # ---- dataset writers ----
         if cfg.write_samples:
