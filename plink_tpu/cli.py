@@ -86,6 +86,8 @@ class Config:
     score_col_nums: str | None = None
     fst: tuple | None = None
     mendel: bool = False
+    sdiff: tuple | None = None
+    pgen_diff: tuple | None = None
     set_all_var_ids: str | None = None
     rm_dup: str | None = None
     thin: float | None = None
@@ -247,6 +249,10 @@ def parse_args(argv: list[str]) -> Config:
             cfg.fst = tuple(args)
         elif name in ("mendel", "me_report"):
             cfg.mendel = True
+        elif name in ("sample_diff", "sdiff"):
+            cfg.sdiff = tuple(args)
+        elif name == "pgen_diff":
+            cfg.pgen_diff = tuple(args)
         elif name == "score":
             cfg.score = tuple(args)
         elif name == "score_col_nums":

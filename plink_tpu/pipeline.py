@@ -194,6 +194,14 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.mendel import run_mendel
 
             run_mendel(ds, cfg, log)
+        if cfg.sdiff:
+            from .commands.sdiff import run_sdiff
+
+            run_sdiff(ds, cfg, log)
+        if cfg.pgen_diff:
+            from .commands.pgen_diff import run_pgen_diff
+
+            run_pgen_diff(ds, cfg, log)
 
         # ---- dataset writers ----
         if cfg.write_samples:
