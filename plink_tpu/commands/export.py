@@ -25,12 +25,159 @@ _GT_LUT = np.frombuffer(b"\t0/0\t0/1\t1/1\t./.", dtype=np.uint8).reshape(4, 4)
 
 
 def run_export(ds: Dataset, cfg, log: RunLogger) -> None:
-    fmts = [f.lower() for f in cfg.export_fmts]
+    fmts = [f for f in cfg.export_fmts]
     for fmt in fmts:
-        if fmt in ("vcf", "vcf-4.3"):
+        fl = fmt.lower()
+        if fl in ("vcf", "vcf-4.3"):
             _export_vcf(ds, cfg, log)
+        elif fmt == "A":
+            _export_raw(ds, cfg, log, with_het=False)
+        elif fmt == "AD":
+            _export_raw(ds, cfg, log, with_het=True)
+        elif fl == "ped":
+            _export_ped(ds, cfg, log)
+        elif fl == "tped":
+            _export_tped(ds, cfg, log)
         else:
             raise NotImplementedError(f"--export {fmt} not supported yet")
+
+
+def _pheno_strs(ds: Dataset, inc_s) -> list[str]:
+    """First phenotype column rendered plink1-style (cc -> 1/2, missing -9)."""
+    si = ds.si
+    if si.phenos:
+        pc = next(iter(si.phenos.values()))
+        out = []
+        for i in inc_s:
+            if not pc.nonmiss[i]:
+                out.append("-9")
+            elif pc.kind == "cc":
+                out.append(str(int(pc.data[i]) + 1))
+            else:
+                from ..utils.fmt import g6
+
+                out.append(g6(pc.data[i]))
+        return out
+    return ["-9"] * len(inc_s)
+
+
+def _export_raw(ds: Dataset, cfg, log: RunLogger, with_het: bool) -> None:
+    """--export A / AD -> .raw: REF-allele dosage (and _HET indicator)
+    per variant (ref: plink2 'A'/'AD' export; REF is the counted allele)."""
+    si = ds.si
+    inc_s = np.flatnonzero(ds.sample_mask)
+    inc_v = np.flatnonzero(ds.variant_mask)
+    phenos = _pheno_strs(ds, inc_s)
+    path = cfg.out + ".raw"
+    # REF dosage per code: homref=2, het=1, homalt=0, missing=NA
+    cnt = {0: "2", 1: "1", 2: "0", 3: "NA"}
+    het = {0: "0", 1: "1", 2: "0", 3: "NA"}
+    with open(path, "w") as f:
+        hdr = ["FID", "IID", "PAT", "MAT", "SEX", "PHENOTYPE"]
+        for v in inc_v:
+            tag = f"{ds.vi.vid[v]}_{ds.vi.ref[v]}"
+            hdr.append(tag)
+            if with_het:
+                hdr.append(f"{ds.vi.vid[v]}_HET")
+        f.write("\t".join(hdr) + "\n")
+        from ..ops.pairwise import _unpack_np
+
+        codes_all = []
+        for v0, packed in ds.iter_packed_blocks():
+            sel = [i for i in range(packed.shape[0]) if ds.variant_mask[v0 + i]]
+            if sel:
+                codes_all.append(
+                    _unpack_np(packed[sel])[:, : ds.raw_sample_ct][:, inc_s]
+                )
+        codes = np.vstack(codes_all) if codes_all else np.zeros((0, len(inc_s)), np.uint8)
+        for k, i in enumerate(inc_s):
+            pat = si.pat[i] if si.pat is not None else "0"
+            mat = si.mat[i] if si.mat is not None else "0"
+            row = [str(si.fid[i]), str(si.iid[i]), str(pat), str(mat),
+                   str(int(si.sex[i])), phenos[k]]
+            for g in codes[:, k]:
+                row.append(cnt[int(g)])
+                if with_het:
+                    row.append(het[int(g)])
+            f.write("\t".join(row) + "\n")
+    log.log(f"--export {'AD' if with_het else 'A'}: {path} written.")
+
+
+def _ped_lut(ref: str, alt: str) -> dict[int, str]:
+    # .bed allele convention: A1 = ALT, A2 = REF; het written "ALT REF"
+    return {0: f"{ref}\t{ref}", 1: f"{alt}\t{ref}", 2: f"{alt}\t{alt}",
+            3: "0\t0"}
+
+
+def _export_ped(ds: Dataset, cfg, log: RunLogger) -> None:
+    si = ds.si
+    inc_s = np.flatnonzero(ds.sample_mask)
+    inc_v = np.flatnonzero(ds.variant_mask)
+    phenos = _pheno_strs(ds, inc_s)
+    alt1 = ds.vi.alt1()
+    luts = [_ped_lut(str(ds.vi.ref[v]), str(alt1[v])) for v in inc_v]
+    from ..ops.pairwise import _unpack_np
+
+    codes_all = []
+    for v0, packed in ds.iter_packed_blocks():
+        sel = [i for i in range(packed.shape[0]) if ds.variant_mask[v0 + i]]
+        if sel:
+            codes_all.append(_unpack_np(packed[sel])[:, : ds.raw_sample_ct][:, inc_s])
+    codes = np.vstack(codes_all) if codes_all else np.zeros((0, len(inc_s)), np.uint8)
+    with open(cfg.out + ".ped", "w") as f:
+        for k, i in enumerate(inc_s):
+            pat = si.pat[i] if si.pat is not None else "0"
+            mat = si.mat[i] if si.mat is not None else "0"
+            row = [str(si.fid[i]), str(si.iid[i]), str(pat), str(mat),
+                   str(int(si.sex[i])), phenos[k]]
+            for vv, g in enumerate(codes[:, k]):
+                row.append(luts[vv][int(g)])
+            f.write("\t".join(row) + "\n")
+    ci = ds.vi.chr_info
+    cm = ds.vi.cm
+    with open(cfg.out + ".map", "w") as f:
+        for v in inc_v:
+            cmv = f"{cm[v]:g}" if cm is not None else "0"
+            f.write(
+                f"{ci.name(int(ds.vi.chrom[v]))}\t{ds.vi.vid[v]}\t{cmv}\t"
+                f"{ds.vi.pos[v]}\n"
+            )
+    log.log(f"--export ped: {cfg.out}.ped + {cfg.out}.map written.")
+
+
+def _export_tped(ds: Dataset, cfg, log: RunLogger) -> None:
+    si = ds.si
+    inc_s = np.flatnonzero(ds.sample_mask)
+    inc_v = np.flatnonzero(ds.variant_mask)
+    phenos = _pheno_strs(ds, inc_s)
+    alt1 = ds.vi.alt1()
+    ci = ds.vi.chr_info
+    cm = ds.vi.cm
+    from ..ops.pairwise import _unpack_np
+
+    with open(cfg.out + ".tped", "w") as f:
+        for v0, packed in ds.iter_packed_blocks():
+            sel = [i for i in range(packed.shape[0]) if ds.variant_mask[v0 + i]]
+            if not sel:
+                continue
+            codes = _unpack_np(packed[sel])[:, : ds.raw_sample_ct][:, inc_s]
+            for r, i_local in enumerate(sel):
+                v = v0 + i_local
+                lut = _ped_lut(str(ds.vi.ref[v]), str(alt1[v]))
+                cmv = f"{cm[v]:g}" if cm is not None else "0"
+                row = [ci.name(int(ds.vi.chrom[v])), str(ds.vi.vid[v]), cmv,
+                       str(ds.vi.pos[v])]
+                row.extend(lut[int(g)] for g in codes[r])
+                f.write("\t".join(row) + "\n")
+    with open(cfg.out + ".tfam", "w") as f:
+        for k, i in enumerate(inc_s):
+            pat = si.pat[i] if si.pat is not None else "0"
+            mat = si.mat[i] if si.mat is not None else "0"
+            f.write(
+                f"{si.fid[i]}\t{si.iid[i]}\t{pat}\t{mat}\t{int(si.sex[i])}\t"
+                f"{phenos[k]}\n"
+            )
+    log.log(f"--export tped: {cfg.out}.tped + {cfg.out}.tfam written.")
 
 
 def _export_vcf(ds: Dataset, cfg, log: RunLogger) -> None:

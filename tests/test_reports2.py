@@ -72,3 +72,16 @@ def test_export_vcf_with_filters(panel):
     flags = ["--pfile", "pp", "--maf", "0.1", "--export", "vcf"]
     _run_both(panel, flags, "ovf", "tvf")
     assert (panel / "ovf.vcf").read_bytes() == (panel / "tvf.vcf").read_bytes()
+
+
+@pytest.mark.parametrize("fmt,exts", [
+    ("A", ["raw"]), ("AD", ["raw"]), ("ped", ["ped", "map"]),
+    ("tped", ["tped", "tfam"]),
+])
+def test_export_formats(panel, fmt, exts):
+    flags = ["--pfile", "pp", "--export", fmt]
+    _run_both(panel, flags, f"oe{fmt}", f"te{fmt}")
+    for ext in exts:
+        assert (panel / f"oe{fmt}.{ext}").read_bytes() == (
+            panel / f"te{fmt}.{ext}"
+        ).read_bytes(), ext
