@@ -54,30 +54,38 @@ def _group_counts(ds: Dataset, founders_only: bool) -> dict[str, np.ndarray]:
 def allele_counts_and_obs(ds: Dataset, founders_only: bool = False):
     """Per-variant (alt_allele_ct, obs_allele_ct) honoring X/Y/MT ploidy.
 
-    Returns (alt_ct, obs_ct) float64 [M].
+    Rules verified against LoadAlleleAndGenoCountsThread
+    (2.0/plink2_data.cc:2540-2660):
+    - chrX: nonmales (incl. unknown sex) diploid; males haploid with EVERY
+      nonmissing male counted and a het male contributing half an ALT;
+    - chrY: nonfemales only, haploid, het = half an ALT;
+    - chrMT: all samples haploid, het = half an ALT.
+    Returns (alt_ct, obs_ct) float64 [M] (half-allele granularity).
     """
     cts = _group_counts(ds, founders_only)
     chrom = ds.vi.chrom
     is_x = chrom == X_CODE
     is_y = chrom == Y_CODE
     is_mt = chrom == MT_CODE
-    a = cts["all"]
-    m = cts["male"]
-    f = cts["female"]
+    a = cts["all"].astype(np.float64)
+    m = cts["male"].astype(np.float64)
+    f = cts["female"].astype(np.float64)
+    nm = a - m  # nonmales (females + unknown sex)
+    nf = a - f  # nonfemales (males + unknown sex)
     # Diploid default.
-    alt = (a[:, 1] + 2 * a[:, 2]).astype(np.float64)
-    obs = (2 * (a[:, 0] + a[:, 1] + a[:, 2])).astype(np.float64)
-    # chrX: females diploid + males haploid (male het excluded).
-    x_alt = (f[:, 1] + 2 * f[:, 2] + m[:, 2]).astype(np.float64)
-    x_obs = (2 * (f[:, 0] + f[:, 1] + f[:, 2]) + m[:, 0] + m[:, 2]).astype(np.float64)
+    alt = a[:, 1] + 2 * a[:, 2]
+    obs = 2 * (a[:, 0] + a[:, 1] + a[:, 2])
+    # chrX: nonmales diploid + males haploid with het = 0.5.
+    x_alt = (nm[:, 1] + 2 * nm[:, 2]) + (m[:, 2] + 0.5 * m[:, 1])
+    x_obs = 2 * (nm[:, 0] + nm[:, 1] + nm[:, 2]) + (m[:, 0] + m[:, 1] + m[:, 2])
     alt = np.where(is_x, x_alt, alt)
     obs = np.where(is_x, x_obs, obs)
-    # chrY: males haploid only.
-    alt = np.where(is_y, m[:, 2], alt)
-    obs = np.where(is_y, (m[:, 0] + m[:, 2]).astype(np.float64), obs)
-    # MT: all samples haploid.
-    alt = np.where(is_mt, a[:, 2], alt)
-    obs = np.where(is_mt, (a[:, 0] + a[:, 2]).astype(np.float64), obs)
+    # chrY: nonfemales haploid, het = 0.5.
+    alt = np.where(is_y, nf[:, 2] + 0.5 * nf[:, 1], alt)
+    obs = np.where(is_y, nf[:, 0] + nf[:, 1] + nf[:, 2], obs)
+    # MT: all samples haploid, het = 0.5.
+    alt = np.where(is_mt, a[:, 2] + 0.5 * a[:, 1], alt)
+    obs = np.where(is_mt, a[:, 0] + a[:, 1] + a[:, 2], obs)
     return alt, obs
 
 
@@ -192,19 +200,24 @@ def write_missing(
 def write_hardy(
     ds: Dataset, out_prefix: str, log: RunLogger, midp: bool = False, founders_only: bool = True
 ) -> str:
-    """--hardy -> <out>.hardy (autosomal; chrX uses female-only genotype test
-    here — the reference's ComputeHweXLnPvals refinement is a TODO)."""
+    """--hardy -> <out>.hardy (autosomal) and, when chrX variants are
+    present, <out>.hardy.x with the Graffelman-Weir female+male exact test
+    (ref: HardyReport chrX path + ComputeHweXLnPvals, 2.0/plink2_misc.cc)."""
     base = ds.sample_mask & (ds.founder_mask if founders_only else True)
     female = base & ds.female_mask()
+    male = base & ds.male_mask()
     gc_all = GenoCounter(ds.raw_sample_ct, base.astype(np.float32))
     need_female = bool((ds.vi.chrom == X_CODE).any())
     gc_f = GenoCounter(ds.raw_sample_ct, female.astype(np.float32)) if need_female else None
+    gc_m = GenoCounter(ds.raw_sample_ct, male.astype(np.float32)) if need_female else None
     for _, packed in ds.iter_packed_blocks():
         gc_all.add_block(packed)
         if gc_f:
             gc_f.add_block(packed)
+            gc_m.add_block(packed)
     cts = gc_all.result()
     cts_f = gc_f.result() if gc_f else None
+    cts_m = gc_m.result() if gc_m else None
     is_x = ds.vi.chrom == X_CODE
     use = np.where(is_x[:, None], cts_f if cts_f is not None else cts, cts)
     hom_ref, het, hom_alt = use[:, 0], use[:, 1], use[:, 2]
@@ -240,20 +253,63 @@ def write_hardy(
         f"--hardy{' midp' if midp else ''}: Autosomal Hardy-Weinberg report "
         f"({'all samples' if not founders_only else 'founders only'}) written to {path} ."
     )
+    x_idx = np.flatnonzero(ds.variant_mask & is_x)
+    if x_idx.size and cts_f is not None:
+        from ..stats.hwe_x import hwe_x_exact_pvals
+
+        fa = cts_f[x_idx, 0]
+        fh = cts_f[x_idx, 1]
+        fb = cts_f[x_idx, 2]
+        ma = cts_m[x_idx, 0]
+        mb = cts_m[x_idx, 2]
+        px = hwe_x_exact_pvals(fa, fh, fb, ma, mb, midp=midp)
+        xpath = out_prefix + ".hardy.x"
+        with open(xpath, "w") as fhx:
+            fhx.write(
+                "#CHROM\tID\tA1\tAX\tFEMALE_HOM_A1_CT\tFEMALE_HET_A1_CT\t"
+                "FEMALE_TWO_AX_CT\tMALE_A1_CT\tMALE_AX_CT\tO(FEMALE_HET_A1)\t"
+                "E(FEMALE_HET_A1)\tFEMALE_A1_FREQ\tMALE_A1_FREQ\tP\n"
+            )
+            for k, i in enumerate(x_idx):
+                n_f = int(fa[k] + fh[k] + fb[k])
+                n_m = int(ma[k] + mb[k])
+                recip = 1.0 / n_f if n_f else np.nan
+                ohet = float(fh[k]) * recip if n_f else np.nan
+                if n_f and fa[k] == n_f:
+                    ehet_str = "0"
+                elif n_f:
+                    a1x2 = float(fa[k] * 2 + fh[k]) * recip
+                    ehet_str = g6(a1x2 * (1.0 - a1x2 * 0.5))
+                else:
+                    ehet_str = "NA"
+                ffreq = (
+                    float(2 * fa[k] + fh[k]) / (2 * n_f) if n_f else np.nan
+                )
+                mfreq = float(ma[k]) / n_m if n_m else np.nan
+                fhx.write(
+                    f"{ci.name(int(ds.vi.chrom[i]))}\t{ds.vi.vid[i]}\t"
+                    f"{ds.vi.ref[i]}\t{ds.vi.alt[i]}\t{int(fa[k])}\t{int(fh[k])}\t"
+                    f"{int(fb[k])}\t{int(ma[k])}\t{int(mb[k])}\t{g6(ohet)}\t"
+                    f"{ehet_str}\t{g6(ffreq)}\t{g6(mfreq)}\t{g6(px[k])}\n"
+                )
+        log.log(
+            f"--hardy{' midp' if midp else ''}: chrX Hardy-Weinberg report "
+            f"({'all samples' if not founders_only else 'founders only'}) "
+            f"written to {xpath} ."
+        )
     return path
 
 
 def write_geno_counts(ds: Dataset, out_prefix: str, log: RunLogger) -> str:
-    """--geno-counts -> <out>.gcount."""
-    cts = ds.geno_counts(founders_only=False)
-    male = ds.sample_mask & ds.male_mask()
-    need_sexed = bool(((ds.vi.chrom == X_CODE) | (ds.vi.chrom == Y_CODE) | (ds.vi.chrom == MT_CODE)).any())
-    cts_m = None
-    if need_sexed:
-        gc = GenoCounter(ds.raw_sample_ct, male.astype(np.float32))
-        for _, packed in ds.iter_packed_blocks():
-            gc.add_block(packed)
-        cts_m = gc.result()
+    """--geno-counts -> <out>.gcount.
+
+    Hethap handling verified against the reference (mixed-chromosome panel):
+    chrX male hets and chrY/MT hets count as MISSING; chrY rows cover
+    nonfemales only.
+    """
+    cts = _group_counts(ds, founders_only=False)
+    a, m, f = cts["all"], cts["male"], cts["female"]
+    nf = a - f
     path = out_prefix + ".gcount"
     ci = ds.vi.chr_info
     prov_hdr, prov_fn = _provref_strs(ds)
@@ -263,22 +319,23 @@ def write_geno_counts(ds: Dataset, out_prefix: str, log: RunLogger) -> str:
             "\tHAP_REF_CT\tHAP_ALT_CTS\tMISSING_CT\n"
         )
         for i in np.flatnonzero(ds.variant_mask):
-            c = cts[i]
             chrom = int(ds.vi.chrom[i])
-            hom_ref, het, hom_alt, miss = int(c[0]), int(c[1]), int(c[2]), int(c[3])
+            hom_ref, het, hom_alt, miss = (int(x) for x in a[i])
             hap_ref = hap_alt = 0
             if chrom == MT_CODE:
                 hap_ref, hap_alt = hom_ref, hom_alt
-                hom_ref = hom_alt = 0
-            elif chrom == Y_CODE and cts_m is not None:
-                cm = cts_m[i]
-                hap_ref, hap_alt, miss = int(cm[0]), int(cm[2]), int(cm[3])
+                miss += het
                 hom_ref = hom_alt = het = 0
-            elif chrom == X_CODE and cts_m is not None:
-                cm = cts_m[i]
-                hap_ref, hap_alt = int(cm[0]), int(cm[2])
+            elif chrom == Y_CODE:
+                hap_ref, hap_alt = int(nf[i, 0]), int(nf[i, 2])
+                miss = int(nf[i, 3]) + int(nf[i, 1])  # hets -> missing
+                hom_ref = hom_alt = het = 0
+            elif chrom == X_CODE:
+                hap_ref, hap_alt = int(m[i, 0]), int(m[i, 2])
                 hom_ref -= hap_ref
                 hom_alt -= hap_alt
+                het -= int(m[i, 1])  # male hets -> missing
+                miss += int(m[i, 1])
             fh.write(
                 f"{ci.name(chrom)}\t{ds.vi.vid[i]}\t{ds.vi.ref[i]}\t{ds.vi.alt[i]}{prov_fn(i)}"
                 f"\t{hom_ref}\t{het}\t{hom_alt}\t{hap_ref}\t{hap_alt}\t{miss}\n"
