@@ -88,6 +88,8 @@ class Config:
     mendel: bool = False
     sdiff: tuple | None = None
     pgen_diff: tuple | None = None
+    check_sex: tuple | None = None
+    impute_sex: tuple | None = None
     set_all_var_ids: str | None = None
     rm_dup: str | None = None
     thin: float | None = None
@@ -253,6 +255,10 @@ def parse_args(argv: list[str]) -> Config:
             cfg.sdiff = tuple(args)
         elif name == "pgen_diff":
             cfg.pgen_diff = tuple(args)
+        elif name == "check_sex":
+            cfg.check_sex = tuple(args)
+        elif name == "impute_sex":
+            cfg.impute_sex = tuple(args)
         elif name == "score":
             cfg.score = tuple(args)
         elif name == "score_col_nums":

@@ -203,6 +203,11 @@ def run_pipeline(cfg: Config) -> int:
 
             run_pgen_diff(ds, cfg, log)
 
+        if cfg.check_sex is not None or cfg.impute_sex is not None:
+            from .commands.check_sex import run_check_sex
+
+            run_check_sex(ds, cfg, log, impute=cfg.impute_sex is not None)
+
         # ---- dataset writers ----
         if cfg.write_samples:
             path = cfg.out + ".id"

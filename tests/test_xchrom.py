@@ -55,3 +55,37 @@ def test_mixed_chrom_reports(panel):
         assert (panel / f"o.{ext}").read_bytes() == (
             panel / f"t.{ext}"
         ).read_bytes(), ext
+
+
+def test_check_sex(panel):
+    from plink_tpu.cli import main
+
+    flags = ["--pfile", "xp", "--check-sex", "max-female-xf=0.2",
+             "min-male-xf=0.5", "min-male-yrate=0.5", "max-female-yrate=0.4"]
+    subprocess.run([ORACLE] + flags + ["--out", "ocs"], cwd=panel, check=True,
+                   capture_output=True)
+    old = os.getcwd()
+    os.chdir(panel)
+    try:
+        assert main(flags + ["--out", "tcs"]) == 0
+    finally:
+        os.chdir(old)
+    assert (panel / "ocs.sexcheck").read_bytes() == (
+        panel / "tcs.sexcheck"
+    ).read_bytes()
+
+
+def test_impute_sex(panel):
+    from plink_tpu.cli import main
+
+    flags = ["--pfile", "xp", "--impute-sex", "max-female-xf=0.2",
+             "min-male-xf=0.5", "--make-pgen"]
+    subprocess.run([ORACLE] + flags + ["--out", "ois"], cwd=panel, check=True,
+                   capture_output=True)
+    old = os.getcwd()
+    os.chdir(panel)
+    try:
+        assert main(flags + ["--out", "tis"]) == 0
+    finally:
+        os.chdir(old)
+    assert (panel / "ois.psam").read_bytes() == (panel / "tis.psam").read_bytes()
