@@ -90,6 +90,11 @@ class Config:
     pgen_diff: tuple | None = None
     check_sex: tuple | None = None
     impute_sex: tuple | None = None
+    clump: list[str] = field(default_factory=list)
+    clump_p1: float | None = None
+    clump_p2: float | None = None
+    clump_r2: float | None = None
+    clump_kb: float | None = None
     set_all_var_ids: str | None = None
     rm_dup: str | None = None
     thin: float | None = None
@@ -259,6 +264,10 @@ def parse_args(argv: list[str]) -> Config:
             cfg.check_sex = tuple(args)
         elif name == "impute_sex":
             cfg.impute_sex = tuple(args)
+        elif name == "clump":
+            cfg.clump = [t for a in args for t in a.split(",")]
+        elif name in ("clump_p1", "clump_p2", "clump_r2", "clump_kb"):
+            setattr(cfg, name, float(args[0]))
         elif name == "score":
             cfg.score = tuple(args)
         elif name == "score_col_nums":

@@ -254,6 +254,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.glm import run_glm
 
             run_glm(ds, cfg, log)
+        if cfg.clump:
+            from .commands.clump import run_clump
+
+            run_clump(ds, cfg, log)
 
         log.log(f"End of run; total wall-clock {log.elapsed():.2f}s.")
         return 0
