@@ -24,37 +24,35 @@ from ..utils.fmt import g6
 from ..utils.logging import RunLogger
 
 
-def _em_phased_r(jc: dict, iters: int = 100, tol: float = 1e-12) -> np.ndarray:
-    """Vectorized haplotype-frequency EM -> r (signed, ALT-ALT haplotype)."""
-    n = jc["nm"].astype(np.float64)
-    c = {k: jc[k].astype(np.float64) for k in jc}
-    # known haplotype counts; u = double-het count with unknown phase
-    nAB = 2 * c["22"] + c["21"] + c["12"]
-    nAb = 2 * c["20"] + c["21"] + c["10"]
-    naB = 2 * c["02"] + c["12"] + c["01"]
-    nab = 2 * c["00"] + c["10"] + c["01"]
-    u = c["11"]
-    tot = 2.0 * n
-    with np.errstate(divide="ignore", invalid="ignore"):
-        q = np.full_like(n, 0.5)
-        for _ in range(iters):
-            pAB = (nAB + u * q) / tot
-            pab = (nab + u * q) / tot
-            pAb = (nAb + u * (1 - q)) / tot
-            paB = (naB + u * (1 - q)) / tot
-            num = pAB * pab
-            den = num + pAb * paB
-            q_new = np.where(den > 0, num / den, 0.5)
-            if np.all(np.abs(q_new - q) < tol):
-                q = q_new
-                break
-            q = q_new
-        pAB = (nAB + u * q) / tot
-        pA = (nAB + nAb + u) / tot
-        pB = (nAB + naB + u) / tot
-        d = pAB - pA * pB
-        denom = np.sqrt(pA * (1 - pA) * pB * (1 - pB))
-        return np.where(denom > 0, d / denom, np.nan)
+def _phased_r_from_joint(
+    jc: dict, maj_alt_i: np.ndarray, maj_alt_j: np.ndarray
+) -> np.ndarray:
+    """Exact ML phased r (major-major orientation) from 3x3 joint counts.
+
+    Uses the haplotype-cubic solver (stats/phased_ld.py, the PhasedLD port)
+    instead of iterative EM, whose fixed-point can converge to a non-ML root
+    on ambiguous pairs."""
+    from ..stats.phased_ld import phased_r2
+
+    P = len(maj_alt_i)
+    nm = jc["nm"].astype(np.float64)
+    nmin1 = np.zeros(P)
+    nmin2 = np.zeros(P)
+    known = np.zeros(P)
+    for a in range(3):
+        for b in range(3):
+            c = jc[f"{a}{b}"].astype(np.float64)
+            amin = np.where(maj_alt_i, 2 - a, a)
+            bmin = np.where(maj_alt_j, 2 - b, b)
+            nmin1 += amin * c
+            nmin2 += bmin * c
+            if not (a == 1 and b == 1):
+                known += np.minimum(amin, bmin) * c
+    u = jc["11"].astype(np.float64)
+    out = np.empty(P)
+    for p in range(P):
+        out[p] = phased_r2(nmin1[p], nmin2[p], known[p], u[p], nm[p])
+    return out
 
 
 def _unphased_r(band: LdBand, firsts: np.ndarray, d: np.ndarray) -> np.ndarray:
@@ -132,9 +130,17 @@ def run_vcor(ds: Dataset, cfg, log: RunLogger) -> None:
             firsts = np.full(ds_arr.size, i)
             if phased:
                 jc = joint.joint_counts(firsts, ds_arr)
-                r = _em_phased_r(jc)
+                # phased r comes back already major-major oriented
+                r = _phased_r_from_joint(
+                    jc, np.full(ds_arr.size, maj_is_alt[cidx[i]]),
+                    maj_is_alt[cidx[i + ds_arr]],
+                )
             else:
+                # unphased r is REF-oriented; flip to major orientation
                 r = _unphased_r(band, firsts, ds_arr)
+                sgn_i = -1.0 if maj_is_alt[cidx[i]] else 1.0
+                sgn_j = np.where(maj_is_alt[cidx[i + ds_arr]], -1.0, 1.0)
+                r = r * sgn_i * sgn_j
             r2 = r * r
             keep = np.flatnonzero(r2 >= r2_thresh)
             for k in keep:
@@ -147,17 +153,11 @@ def run_vcor(ds: Dataset, cfg, log: RunLogger) -> None:
                         f"{g6(r2[k])}\n"
                     )
                 else:
-                    # orient r to the major alleles (our planes are
-                    # REF-oriented: +1 hom-ref); flip sign per variant whose
-                    # major allele is ALT
-                    sgn = (-1.0 if maj_is_alt[vi_a] else 1.0) * (
-                        -1.0 if maj_is_alt[vi_b] else 1.0
-                    )
                     rows_out.append(
                         f"{ci.name(int(chrom))}\t{ds.vi.pos[vi_a]}\t{ds.vi.vid[vi_a]}\t"
                         f"{maj_allele[vi_a]}\t"
                         f"{ci.name(int(chrom))}\t{ds.vi.pos[vi_b]}\t{ds.vi.vid[vi_b]}\t"
-                        f"{maj_allele[vi_b]}\t{g6(sgn * r[k])}\n"
+                        f"{maj_allele[vi_b]}\t{g6(r[k])}\n"
                     )
     with open(path, "w") as f:
         if squared:
