@@ -91,6 +91,7 @@ class Config:
     check_sex: tuple | None = None
     impute_sex: tuple | None = None
     clump: list[str] = field(default_factory=list)
+    ld: tuple | None = None
     clump_p1: float | None = None
     clump_p2: float | None = None
     clump_r2: float | None = None
@@ -266,6 +267,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.impute_sex = tuple(args)
         elif name == "clump":
             cfg.clump = [t for a in args for t in a.split(",")]
+        elif name == "ld":
+            cfg.ld = (args[0], args[1])
         elif name in ("clump_p1", "clump_p2", "clump_r2", "clump_kb"):
             setattr(cfg, name, float(args[0]))
         elif name == "score":

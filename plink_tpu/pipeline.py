@@ -246,6 +246,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.vcor import run_vcor
 
             run_vcor(ds, cfg, log)
+        if cfg.ld:
+            from .commands.ld_console import run_ld_console
+
+            run_ld_console(ds, cfg, log)
         if cfg.score:
             from .commands.score import score_report
 

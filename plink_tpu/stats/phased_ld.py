@@ -139,3 +139,89 @@ def phased_r2(
         dd = 0.0
     denom = fmajx * fxmaj * fminx * fxmin
     return dd / np.sqrt(denom) if denom > 0 else np.nan
+
+
+def phased_ld_detail(
+    nmaj1: float, nmaj2: float, known_dotprod: float, unknown_hethet: float,
+    valid_obs: float,
+):
+    """All in-range haplotype solutions for the --ld console.
+
+    Inputs like phased_r2 (minor 'nmaj' convention).  Returns
+    (solutions, best_idx, freqs) where each solution is a dict with
+    x, r2, dprime, d and the four ML haplotype freqs (major-major first),
+    and freqs holds (fmajx, fxmaj) plus the LE expectations.
+    """
+    twice_tot = 2.0 * valid_obs
+    if twice_tot == 0:
+        return [], -1, None
+    r = 1.0 / twice_tot
+    fmm = max(1.0 - (nmaj1 + nmaj2 - known_dotprod) * r, 0.0)
+    fmn = (nmaj2 - known_dotprod - unknown_hethet) * r
+    fnm = (nmaj1 - known_dotprod - unknown_hethet) * r
+    fnn = known_dotprod * r
+    k = unknown_hethet * r
+    fmajx = fmm + fmn + k
+    fminx = 1.0 - fmajx
+    fxmaj = fmm + fnm + k
+    fxmin = 1.0 - fxmaj
+    if min(fmajx, fminx, fxmaj, fxmin) < _EPS * 0.125:
+        return [], -1, None
+    if k != 0.0:
+        if (fmm * fnn != 0.0) or (fmn * fnm != 0.0):
+            sols = _cubic_real_roots(
+                0.5 * (fmm + fnn - fmn - fnm - 3 * k),
+                0.5 * (fmm * fnn + fmn * fnm + k * (fmn + fnm - fmm - fnn + k)),
+                -0.5 * k * fmm * fnn,
+            )
+            while len(sols) > 1 and sols[-1] > k + _K2M32:
+                sols.pop()
+            if sols and sols[-1] > k - _K2M32:
+                sols[-1] = k
+            while len(sols) > 1 and sols[0] < -_K2M32:
+                sols.pop(0)
+            if sols[0] < _K2M32:
+                sols[0] = 0.0
+        else:
+            sols = [0.0]
+            nz_xx = fmm + fnn
+            nz_xy = fmn + fnm
+            if (nz_xx + 2.0 ** -35 < k + nz_xy) and (nz_xy + 2.0 ** -35 < k + nz_xx):
+                sols += [(k + nz_xy - nz_xx) * 0.5, k]
+            else:
+                sols.append(k)
+    else:
+        sols = [0.0]
+    best_idx = 0
+    if len(sols) > 1:
+        best_ll = -np.inf
+        for si, x in enumerate(sols):
+            ll = _lnlike(fmm, fmn, fnm, fnn, k, x)
+            if ll > best_ll:
+                best_ll = ll
+                best_idx = si
+    out = []
+    denom = fmajx * fxmaj * fminx * fxmin
+    for x in sols:
+        dd = fmm + x - fmajx * fxmaj
+        if abs(dd) < _EPS:
+            dd = 0.0
+        if dd >= 0:
+            dprime = dd / min(fxmaj * fminx, fxmin * fmajx)
+        else:
+            dprime = dd / min(fxmaj * fmajx, fxmin * fminx)
+        out.append({
+            "x": x,
+            "d": dd,
+            "r2": dd * dd / denom if denom > 0 else np.nan,
+            "dprime": dprime,
+            "freq_mm": fmm + x,
+            "freq_mn": fmn + k - x,
+            "freq_nm": fnm + k - x,
+            "freq_nn": fnn + x,
+        })
+    exp = {
+        "mm": fmajx * fxmaj, "mn": fmajx * fxmin,
+        "nm": fminx * fxmaj, "nn": fminx * fxmin,
+    }
+    return out, best_idx, exp
