@@ -208,6 +208,34 @@ def _auto_vb(npad: int) -> int:
     return (vb // 8) * 8
 
 
+def _geno_predictors(mods: set, cov_names: list[str]):
+    """Genotype predictor descriptors for the requested model.
+
+    Each predictor is (test_name, weights_when_A1_is_ALT,
+    weights_when_A1_is_REF) with weights over the (H, A, V) planes; the
+    A1=REF flip follows g' = 2*valid - g algebra (ADD' = -H - 2A + 2V, etc).
+    Returns (preds, joint_name) where joint_name is e.g. GENO_2DF.
+    """
+    if "dominant" in mods:
+        return [("DOM", (1, 1, 0), (0, -1, 1))], None
+    if "recessive" in mods:
+        return [("REC", (0, 1, 0), (-1, -1, 1))], None
+    if "hetonly" in mods:
+        return [("HET", (1, 0, 0), (1, 0, 0))], None
+    if "genotypic" in mods:
+        return (
+            [("ADD", (1, 2, 0), (-1, -2, 2)), ("DOMDEV", (1, 0, 0), (1, 0, 0))],
+            "GENO_2DF",
+        )
+    if "hethom" in mods:
+        # HOM = hom-A1 indicator, HET = het indicator
+        return (
+            [("HOM", (0, 1, 0), (-1, -1, 1)), ("HET", (1, 0, 0), (1, 0, 0))],
+            "GENO_2DF",
+        )
+    return [("ADD", (1, 2, 0), (-1, -2, 2))], None
+
+
 def _glm_linear(
     ds, cfg, log, pheno_name, ydata, smask, cov_names, cov_data, a1_is_alt,
     hide_covar,
@@ -215,15 +243,41 @@ def _glm_linear(
     import jax.numpy as jnp
 
     from ..ops.glm import linear_block_sums
+    from ..stats.distributions import f_logsf
+
+    mods = set(cfg.glm_modifiers)
+    interaction = "interaction" in mods
+    geno_preds, joint_name = _geno_predictors(mods, cov_names)
 
     inc = np.flatnonzero(smask)
     n = inc.size
     y = ydata[inc].astype(np.float64)
     k = len(cov_names)
     dc = k + 1
-    d = dc + 1  # + genotype
-    c = np.concatenate([np.ones((n, 1)), cov_data[inc]], axis=1)
     vb = _auto_vb(-(-n // 4) * 4)
+    c = np.concatenate([np.ones((n, 1)), cov_data[inc]], axis=1)
+
+    # predictor list: const, geno preds, covars, interactions
+    # each predictor = (plane weights (wH, wA, wV) per flip-state, cov idx)
+    P = len(geno_preds)
+    pred_specs = []  # (name, w_alt, w_ref, covj)
+    pred_specs.append(("CONST", (0, 0, 1), (0, 0, 1), 0))
+    for name, w_alt, w_ref in geno_preds:
+        pred_specs.append((name, w_alt, w_ref, 0))
+    for j, cn in enumerate(cov_names):
+        pred_specs.append((cn, (0, 0, 1), (0, 0, 1), j + 1))
+    if interaction:
+        for gname, w_alt, w_ref in geno_preds:
+            for j, cn in enumerate(cov_names):
+                pred_specs.append((f"{gname}x{cn}", w_alt, w_ref, j + 1))
+    d = len(pred_specs)
+    geno_idx = list(range(1, 1 + P))
+
+    tests = [s[0] for s in pred_specs[1:]]
+    if hide_covar:
+        tests = [t for t in tests if t not in cov_names]
+    if joint_name:
+        tests = tests + [joint_name]
 
     # shared f64 blocks (role of RegressionNmPrecomp)
     ctc_full = c.T @ c
@@ -232,7 +286,6 @@ def _glm_linear(
 
     pd = PackedDevice(ds, ds.variant_mask, vb=vb, tile=1 << 30, sample_mask=smask)
     npad = pd.npad
-    # pad the sample axis to the packed pad; zero rows contribute nothing
     cp = np.zeros((npad, dc))
     cp[:n] = c
     yp = np.zeros(npad)
@@ -244,6 +297,7 @@ def _glm_linear(
     y32 = jnp.asarray(yp.astype(np.float32))
     cy32 = jnp.asarray((cp * yp[:, None]).astype(np.float32))
     y232 = jnp.asarray((yp * yp).astype(np.float32))
+
     vmask = ds.variant_mask
     M = ds.raw_variant_ct
     chrom, provref, a1, omitted = _row_meta(ds, a1_is_alt)
@@ -251,58 +305,80 @@ def _glm_linear(
 
     path = f"{cfg.out}.{pheno_name}.glm.linear"
     f = open(path, "w")
+    stat_col = "T_OR_F_STAT" if joint_name else "T_STAT"
     f.write(
         "#CHROM\tPOS\tID\tREF\tALT\tPROVISIONAL_REF?\tA1\tOMITTED\tA1_FREQ\t"
-        "TEST\tOBS_CT\tBETA\tSE\tT_STAT\tP\tERRCODE\n"
+        f"TEST\tOBS_CT\tBETA\tSE\t{stat_col}\tP\tERRCODE\n"
     )
-    tests = ["ADD"] + ([] if hide_covar else list(cov_names))
     add_results: list[tuple[int, float]] = []
 
     for bi in range(pd.nblocks):
         v0 = bi * pd.vb
-        gg, gy, gc, am, by, y2m = (
-            np.asarray(x, dtype=np.float64)
-            for x in linear_block_sums(pd.packed[bi], c32, ccfl, y32, cy32, y232)
-        )
+        sums = {
+            kk: np.asarray(vv, dtype=np.float64)
+            for kk, vv in linear_block_sums(
+                pd.packed[bi], c32, ccfl, y32, cy32, y232
+            ).items()
+        }
         vct = min(pd.vb, M - v0)
-        idx = [i for i in range(vct) if vmask[v0 + i]]
-        if not idx:
+        ia = np.array([i for i in range(vct) if vmask[v0 + i]])
+        if ia.size == 0:
             continue
-        ia = np.array(idx)
-        am_b = am[ia].reshape(-1, dc, dc)
-        nm = ctc_full[0, 0] - am_b[:, 0, 0]  # valid count per variant
-        # flip to A1 coding where A1 == REF: g' = 2*valid - g
-        flip = ~a1_is_alt[v0 + ia]
-        sum_c_valid = ctc_full[0] - am_b[:, 0, :]  # [b, dc]
-        y_valid = cty_full[0] - by[ia][:, 0]
-        g_sum = gc[ia][:, 0]
-        g1 = np.where(flip, 2 * nm - g_sum, g_sum)
-        gg1 = np.where(flip, 4 * nm - 4 * g_sum + gg[ia], gg[ia])
-        gy1 = np.where(flip, 2 * y_valid - gy[ia], gy[ia])
-        gc1 = np.where(flip[:, None], 2 * sum_c_valid - gc[ia], gc[ia])
-        ctc_v = ctc_full[None] - am_b
-        cty_v = cty_full[None] - by[ia]
-        yy_v = yy_full - y2m[ia]
-
         b = len(ia)
+        hcc = sums["hcc"][ia].reshape(b, dc, dc)
+        acc = sums["acc"][ia].reshape(b, dc, dc)
+        mcc = sums["mcc"][ia].reshape(b, dc, dc)
+        vcc = ctc_full[None] - mcc  # valid-plane c_j c_k sums
+        hcy = sums["hcy"][ia]
+        acy = sums["acy"][ia]
+        vcy = cty_full[None] - sums["mcy"][ia]
+        yy_v = yy_full - sums["myy"][ia]
+        nm = vcc[:, 0, 0]
+        flip = ~a1_is_alt[v0 + ia]
+
+        def cross(w1, w2, j1, j2):
+            h1, a1_, v1 = w1
+            h2, a2_, v2 = w2
+            coef_h = h1 * h2 + h1 * v2 + v1 * h2
+            coef_a = a1_ * a2_ + a1_ * v2 + v1 * a2_
+            coef_v = v1 * v2
+            return (
+                coef_h * hcc[:, j1, j2]
+                + coef_a * acc[:, j1, j2]
+                + coef_v * vcc[:, j1, j2]
+            )
+
+        def xy(w, j):
+            h, a_, v = w
+            return h * hcy[:, j] + a_ * acy[:, j] + v * vcy[:, j]
+
         xtx = np.zeros((b, d, d))
         xty = np.zeros((b, d))
-        xtx[:, 0, 0] = ctc_v[:, 0, 0]
-        xtx[:, 0, 2:] = ctc_v[:, 0, 1:]
-        xtx[:, 2:, 0] = ctc_v[:, 1:, 0]
-        xtx[:, 2:, 2:] = ctc_v[:, 1:, 1:]
-        xtx[:, 1, 1] = gg1
-        xtx[:, 1, 0] = g1
-        xtx[:, 0, 1] = g1
-        xtx[:, 1, 2:] = gc1[:, 1:]
-        xtx[:, 2:, 1] = gc1[:, 1:]
-        xty[:, 0] = cty_v[:, 0]
-        xty[:, 1] = gy1
-        xty[:, 2:] = cty_v[:, 1:]
+        for p in range(d):
+            _, wa1, wr1, j1 = pred_specs[p]
+            for q in range(p, d):
+                _, wa2, wr2, j2 = pred_specs[q]
+                val = np.where(
+                    flip, cross(wr1, wr2, j1, j2), cross(wa1, wa2, j1, j2)
+                )
+                xtx[:, p, q] = val
+                xtx[:, q, p] = val
+            xty[:, p] = np.where(flip, xy(wr1, j1), xy(wa1, j1))
+
+        # A1 dosage sums for A1_FREQ / const-allele detection
+        g1 = np.where(
+            flip, cross((-1, -2, 2), (0, 0, 1), 0, 0),
+            cross((1, 2, 0), (0, 0, 1), 0, 0),
+        )
+        gg1 = np.where(
+            flip, cross((-1, -2, 2), (-1, -2, 2), 0, 0),
+            cross((1, 2, 0), (1, 2, 0), 0, 0),
+        )
 
         _emit_linear_rows(
             f, ds, v0, ia, nm, g1, gg1, xtx, xty, yy_v, d, tests, hide_covar,
             chrom, provref, a1, omitted, vi, cov_names, add_results,
+            pred_specs, geno_idx, joint_name,
         )
     f.close()
     log.log(f"Results written to {path} .")
@@ -315,15 +391,21 @@ def _glm_linear(
 def _emit_linear_rows(
     f, ds, v0, ia, nm, g1, gg1, xtx, xty, yy_v, d, tests, hide_covar,
     chrom, provref, a1, omitted, vi, cov_names, add_results=None,
+    pred_specs=None, geno_idx=None, joint_name=None,
 ):
+    from ..stats.distributions import f_logsf
+
     b = len(ia)
     beta = np.full((b, d), np.nan)
     se = np.full((b, d), np.nan)
     tstat = np.full((b, d), np.nan)
     logp = np.full((b, d), np.nan)
+    fstat = np.full(b, np.nan)
+    logp_joint = np.full(b, np.nan)
     err = [ERR_OK] * b
     dof = nm - d
     gvar = gg1 - np.where(nm > 0, g1 * g1 / np.maximum(nm, 1), 0.0)
+    q_joint = len(geno_idx) if geno_idx else 1
     for i in range(b):
         if nm[i] <= d:
             err[i] = "SAMPLE_CT<=PREDICTOR_CT"
@@ -333,13 +415,40 @@ def _emit_linear_rows(
             # omitted (major) allele first (plink2_glm_logistic.cc:1966-1969)
             err[i] = "CONST_OMITTED_ALLELE"
             continue
+        # collinearity pre-checks (ref: CheckMaxCorrAndVifNm,
+        # plink2_glm_shared.cc:96-143; defaults max_corr=0.999, vif=50)
+        s = xtx[i]
+        covm = s[1:, 1:] - np.outer(s[1:, 0], s[0, 1:]) / nm[i]
+        var = np.diag(covm).copy()
+        pos = var > 1e-12
+        if pos.sum() >= 2:
+            sub = covm[np.ix_(pos, pos)]
+            dsub = np.sqrt(np.diag(sub))
+            corr = sub / np.outer(dsub, dsub)
+            od = corr[~np.eye(len(dsub), dtype=bool)]
+            if np.any(np.abs(od) > 0.999):
+                err[i] = "CORR_TOO_HIGH"
+                continue
+        if not pos.all():
+            err[i] = "VIF_INFINITE"
+            continue
+        if len(var) >= 2:
+            try:
+                icorr = np.linalg.inv(corr)
+                if np.any(np.diag(icorr) > 50.0):
+                    err[i] = "VIF_TOO_HIGH"
+                    continue
+            except np.linalg.LinAlgError:
+                err[i] = "VIF_INFINITE"
+                continue
         try:
             inv = np.linalg.inv(xtx[i])
         except np.linalg.LinAlgError:
             err[i] = "RANK_DEFICIENT"
             continue
         bvec = inv @ xty[i]
-        sigma2 = (yy_v[i] - bvec @ xty[i]) / dof[i]
+        rss = yy_v[i] - bvec @ xty[i]
+        sigma2 = rss / dof[i]
         diag = np.diag(inv)
         if sigma2 < 0 or (diag <= 0).any():
             err[i] = "INVALID_RESULT"
@@ -347,19 +456,42 @@ def _emit_linear_rows(
         beta[i] = bvec
         se[i] = np.sqrt(sigma2 * diag)
         tstat[i] = bvec / se[i]
+        if joint_name:
+            # reduced model: drop the genotype predictors
+            keep = [p for p in range(d) if p not in geno_idx]
+            try:
+                inv0 = np.linalg.inv(xtx[i][np.ix_(keep, keep)])
+                b0 = inv0 @ xty[i][keep]
+                rss0 = yy_v[i] - b0 @ xty[i][keep]
+                fstat[i] = ((rss0 - rss) / q_joint) / sigma2
+            except np.linalg.LinAlgError:
+                pass
     ok = np.array([e == ERR_OK for e in err])
     if ok.any():
         lt = np.asarray(t_logp_2sided(tstat[ok], dof[ok, None]))
         logp[ok] = lt
+        if joint_name:
+            okj = ok & np.isfinite(fstat)
+            if okj.any():
+                logp_joint[okj] = np.asarray(
+                    f_logsf(fstat[okj], float(q_joint), dof[okj])
+                )
 
-    a1f = np.where(nm > 0, g1 / (2 * np.maximum(nm, 1)), np.nan)
+    with np.errstate(invalid="ignore"):
+        a1f = np.where(nm > 0, g1 / (2 * np.maximum(nm, 1)), np.nan)
     if add_results is not None:
-        for i in range(b):
-            if err[i] == ERR_OK and np.isfinite(logp[i, 1]):
-                add_results.append((int(v0 + ia[i]), float(logp[i, 1])))
-    test_pred = {"ADD": 1}
-    for j, cn in enumerate(cov_names):
-        test_pred[cn] = 2 + j
+        add_pred = None
+        for p, spec in enumerate(pred_specs):
+            if spec[0] in ("ADD", "DOM", "REC", "HETONLY", "HOM"):
+                add_pred = p
+                break
+        if add_pred is not None:
+            for i in range(b):
+                if err[i] == ERR_OK and np.isfinite(logp[i, add_pred]):
+                    add_results.append(
+                        (int(v0 + ia[i]), float(logp[i, add_pred]))
+                    )
+    test_pred = {spec[0]: p for p, spec in enumerate(pred_specs)}
     lines = []
     for i in range(b):
         vidx = v0 + ia[i]
@@ -369,12 +501,17 @@ def _emit_linear_rows(
             f"{g6(a1f[i])}"
         )
         for tname in tests:
-            pi = test_pred[tname]
             if err[i] != ERR_OK:
                 lines.append(
                     f"{meta}\t{tname}\t{int(nm[i])}\tNA\tNA\tNA\tNA\t{err[i]}\n"
                 )
+            elif tname == joint_name:
+                lines.append(
+                    f"{meta}\t{tname}\t{int(nm[i])}\tNA\tNA\t{g6(fstat[i])}\t"
+                    f"{logp_to_str(logp_joint[i])}\t.\n"
+                )
             else:
+                pi = test_pred[tname]
                 lines.append(
                     f"{meta}\t{tname}\t{int(nm[i])}\t{g6(beta[i, pi])}\t"
                     f"{g6(se[i, pi])}\t{g6(tstat[i, pi])}\t"

@@ -52,27 +52,38 @@ def linear_block_sums(
     cy: jax.Array,  # [n, dc] f32 = c * y[:, None]
     y2: jax.Array,  # [n] f32 = y*y
 ):
-    """Per-variant sufficient statistics for OLS with per-variant missing.
+    """Per-variant PLANE-weighted sufficient statistics for OLS.
 
-    Returns (gg, gy, gc [vb, dc], a_miss [vb, dc*dc], by_miss [vb, dc],
-    y2_miss [vb]); all sums over the compacted sample subset.
+    Every genotype predictor the reference's GLM supports (ADD, DOMDEV, DOM,
+    REC, hetonly, their A1-flips, and genotype-by-covariate interactions) is
+    a linear combination of the het (H), hom-alt (A), and valid (V) planes;
+    since plane products collapse (H*A=0, H*V=H, ...), the plane-weighted
+    c_j*c_k and c_j*y sums below assemble ANY such model's X^T X / X^T y on
+    the host.
+
+    Returns dict with hcc/acc/mcc [vb, dc*dc], hcy/acy/mcy [vb, dc],
+    myy [vb]  (m = missing plane; V sums = subset totals - m sums).
     """
-    g, valid = _geno_block(packed)
-    miss = 1.0 - valid
+    codes = unpack_codes(packed, 0)
+    b0 = (codes & 1).astype(jnp.float32)
+    b1 = ((codes >> 1) & 1).astype(jnp.float32)
+    miss = b0 * b1
+    het = b0 - miss
+    homalt = b1 - miss
     hi = lax.Precision.HIGHEST
     dot = lambda a, b: lax.dot_general(
         a, b, (((1,), (0,)), ((), ())), precision=hi,
         preferred_element_type=jnp.float32,
     )
-    # weight by the intercept column (zero on padded samples) so pgen pad
-    # genotypes beyond the true sample count never leak into the sums
-    gg = dot(g * g, c[:, 0:1])[:, 0]
-    gy = dot(g, y[:, None])[:, 0]
-    gc = dot(g, c)
-    a_miss = dot(miss, ccfl)
-    by_miss = dot(miss, cy)
-    y2_miss = dot(miss, y2[:, None])[:, 0]
-    return gg, gy, gc, a_miss, by_miss, y2_miss
+    return {
+        "hcc": dot(het, ccfl),
+        "acc": dot(homalt, ccfl),
+        "mcc": dot(miss, ccfl),
+        "hcy": dot(het, cy),
+        "acy": dot(homalt, cy),
+        "mcy": dot(miss, cy),
+        "myy": dot(miss, y2[:, None])[:, 0],
+    }
 
 
 # ---------------------------------------------------------------------------

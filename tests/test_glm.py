@@ -137,3 +137,34 @@ def test_logistic_irls_matches_numpy(geno_factory):
         np.testing.assert_allclose(beta[v, 2], b[2], rtol=2e-4, atol=1e-5)
         np.testing.assert_allclose(se[v, 2], se_ref[2], rtol=2e-4)
         assert obs[v] == val.sum()
+
+
+@pytest.mark.skipif(not os.path.exists(ORACLE), reason="plink2 oracle not built")
+@pytest.mark.parametrize(
+    "model",
+    ["genotypic", "dominant", "recessive", "hetonly", "hethom", "interaction"],
+)
+def test_linear_models(tmp_path, model):
+    from plink_tpu.cli import main
+
+    subprocess.run(
+        [ORACLE, "--dummy", "260", "200", "0.04", "scalar-pheno", "--seed",
+         "47", "--out", "mp"],
+        cwd=tmp_path, check=True, capture_output=True,
+    )
+    rng = np.random.default_rng(3)
+    ids = [l.split("\t")[0] for l in (tmp_path / "mp.psam").read_text().splitlines()[1:]]
+    with open(tmp_path / "mp.cov", "w") as f:
+        f.write("#IID\tC1\n")
+        for iid in ids:
+            f.write(f"{iid}\t{rng.normal():.6f}\n")
+    flags = ["--pfile", "mp", "--glm", model, "--covar", "mp.cov"]
+    subprocess.run([ORACLE] + flags + ["--out", "o"], cwd=tmp_path, check=True,
+                   capture_output=True)
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert main(flags + ["--out", "t"]) == 0
+    finally:
+        os.chdir(old)
+    _compare_glm(tmp_path / "o.PHENO1.glm.linear", tmp_path / "t.PHENO1.glm.linear")
