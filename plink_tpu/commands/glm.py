@@ -116,8 +116,31 @@ def _load_phenos(ds: Dataset, cfg, log: RunLogger):
     return out
 
 
+_GLM_MODEL_MODS = {"genotypic", "hethom", "dominant", "recessive", "hetonly"}
+_GLM_SUPPORTED_MODS = _GLM_MODEL_MODS | {
+    "interaction", "hide-covar", "omit-ref", "sex", "firth", "no-firth",
+    "firth-fallback", "allow-no-covars",
+}
+_GLM_KNOWN_UNSUPPORTED_MODS = {
+    "intercept", "log10", "no-x-sex", "skip-invalid-pheno", "pheno-ids",
+    "perm", "perm-count", "cc-residualize", "single-prec-cc",
+    "qt-residualize", "zs", "local-omit-last", "local-haps", "local-cats",
+}
+
+
 def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
     mods = set(cfg.glm_modifiers)
+    # modifier validation mirrors the reference's parse errors
+    # (2.0/plink2.cc --glm parsing: "Invalid --glm argument" /
+    # "Conflicting --glm arguments")
+    for m_ in sorted(mods):
+        if m_ in _GLM_SUPPORTED_MODS or m_.startswith("cols="):
+            continue
+        if m_ in _GLM_KNOWN_UNSUPPORTED_MODS or m_.startswith("local-"):
+            raise ValueError(f"--glm modifier '{m_}' is not supported yet.")
+        raise ValueError(f"Invalid --glm argument '{m_}'.")
+    if len(mods & _GLM_MODEL_MODS) > 1 or ("firth" in mods and "no-firth" in mods):
+        raise ValueError("Conflicting --glm arguments.")
     hide_covar = "hide-covar" in mods
     omit_ref = "omit-ref" in mods
     add_sex = "sex" in mods
@@ -279,6 +302,12 @@ def _glm_linear(
     if joint_name:
         tests = tests + [joint_name]
 
+    geno_desc = [
+        (nm_, wa, wr, cj) for nm_, wa, wr, cj in pred_specs
+        if wa != (0, 0, 1) or wr != (0, 0, 1)
+    ]
+    exact_s_fn = _exact_s_builder(ds, inc, c, geno_desc, a1_is_alt)
+
     # shared f64 blocks (role of RegressionNmPrecomp)
     ctc_full = c.T @ c
     cty_full = c.T @ y
@@ -378,7 +407,7 @@ def _glm_linear(
         _emit_linear_rows(
             f, ds, v0, ia, nm, g1, gg1, xtx, xty, yy_v, d, tests, hide_covar,
             chrom, provref, a1, omitted, vi, cov_names, add_results,
-            pred_specs, geno_idx, joint_name,
+            pred_specs, geno_idx, joint_name, exact_s_fn,
         )
     f.close()
     log.log(f"Results written to {path} .")
@@ -388,10 +417,135 @@ def _glm_linear(
         write_adjusted(ds, cfg, log, pheno_name, "glm.linear", add_results, a1)
 
 
+def _collinearity_err(s, nm_i):
+    """Port of CheckMaxCorrAndVif (2.0/plink2_glm_shared.cc:60-134, defaults
+    max_corr=0.999 / vif=50) as built WITHOUT LAPACK: every inversion is the
+    SVD-based InvertMatrix (2.0/plink2_matrix.cc:355) which zeroes singular
+    values below wmax*1e-24 and never "fails" on merely-singular input --
+    near-singular correlation matrices produce huge NEGATIVE diagonals that
+    pass the "> vif_thresh" test, so such variants proceed to regression.
+
+    s = X^T X over the variant's valid samples, intercept in column 0.
+    Returns (errcode | None, decisive); decisive=False means the verdict is
+    within f32 noise of a threshold and should be recomputed from an exact
+    f64 s.
+    """
+    k = s.shape[0] - 1
+    if k < 2:
+        # reference: 1x1 correlation "matrix" trivially passes
+        return None, True
+    sums = s[0, 1:]
+    covm = (s[1:, 1:] - np.outer(sums, sums) / nm_i) / (nm_i - 1.0)
+    var = np.diag(covm)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        istd = 1.0 / np.sqrt(var)
+        corr = covm * np.outer(istd, istd)
+    od = np.abs(corr[~np.eye(k, dtype=bool)])
+    odf = od[np.isfinite(od)]
+    max_od = float(odf.max()) if odf.size else 0.0
+    decisive = max_od < 0.99
+    if max_od > 0.999:
+        return "CORR_TOO_HIGH", decisive
+    cm = corr.copy()
+    np.fill_diagonal(cm, 1.0)
+    try:
+        u, w, vt = np.linalg.svd(cm)
+    except np.linalg.LinAlgError:
+        # NaN rows (zero-variance predictor): SvdcmpC fails to converge
+        return "VIF_INFINITE", False
+    if not np.isfinite(w).all():
+        return "VIF_INFINITE", False
+    winv = np.where(w < w.max() * 1e-24, 0.0, 1.0 / w)
+    diag = np.einsum("ij,j,ji->i", u, winv, vt)
+    max_diag = float(diag.max())
+    if w.min() < 1e-9 * w.max() or max_diag > 40.0 or diag.min() < 0.0:
+        decisive = False
+    if max_diag > 50.0:
+        return "VIF_TOO_HIGH", decisive
+    return None, decisive
+
+
+def _exact_s_builder(ds, inc, c, geno_desc, a1_is_alt):
+    """Returns a per-variant callback computing exact f64 X^T X for the
+    borderline-collinearity recheck."""
+    def exact_s(vidx):
+        X, _ = _variant_design_f64(
+            ds, inc, c, geno_desc, bool(a1_is_alt[vidx]), vidx
+        )
+        return X.T @ X
+    return exact_s
+
+
+def _collinearity_err_checked(s, nm_i, exact_s_fn):
+    """Run the collinearity check on fast (f32-derived) moments; if the
+    verdict is within noise of a threshold, recompute from exact f64
+    moments."""
+    err, decisive = _collinearity_err(s, nm_i)
+    if decisive:
+        return err
+    es = exact_s_fn()
+    return _collinearity_err(es, float(es[0, 0]))[0]
+
+
+def _collinearity_errs_batch(xtx, rows, exact_s_fn):
+    """Vectorized collinearity pre-check over a block of variants.
+
+    xtx: [vb, d, d] f64 moments; rows: indices to check.  Clearly-clean
+    variants (the overwhelming majority) are screened with one batched SVD;
+    only threshold-adjacent rows fall back to the per-variant checked path.
+    Returns a list indexed like xtx with errcode or None."""
+    out = [None] * xtx.shape[0]
+    if len(rows) == 0:
+        return out
+    k = xtx.shape[1] - 1
+    if k < 2:
+        return out
+    s = xtx[rows]
+    nm = s[:, 0, 0]
+    sums = s[:, 0, 1:]
+    covm = (
+        s[:, 1:, 1:] - sums[:, :, None] * sums[:, None, :] / nm[:, None, None]
+    ) / (nm - 1.0)[:, None, None]
+    var = np.einsum("vii->vi", covm)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        istd = 1.0 / np.sqrt(var)
+        corr = covm * istd[:, :, None] * istd[:, None, :]
+    eye = np.eye(k, dtype=bool)
+    od = np.abs(np.where(eye[None], 0.0, corr))
+    max_od = np.nanmax(od, axis=(1, 2))
+    cm = np.where(eye[None], 1.0, corr)
+    finite = np.isfinite(cm).all(axis=(1, 2))
+    clean = finite & (max_od < 0.99)
+    if clean.any():
+        try:
+            u, wf, vt = np.linalg.svd(cm[clean])
+            winv = np.where(
+                wf < wf.max(axis=1, keepdims=True) * 1e-24, 0.0, 1.0 / wf
+            )
+            diag = np.einsum("vij,vj,vji->vi", u, winv, vt)
+            ok = (
+                (wf.min(axis=1) >= 1e-9 * wf.max(axis=1))
+                & (diag.max(axis=1) <= 40.0)
+                & (diag.min(axis=1) >= 0.0)
+            )
+        except np.linalg.LinAlgError:
+            ok = np.zeros(int(clean.sum()), bool)
+        decided = np.zeros(len(rows), bool)
+        decided[clean] = ok
+    else:
+        decided = np.zeros(len(rows), bool)
+    for j, i in enumerate(rows):
+        if not decided[j]:
+            out[i] = _collinearity_err_checked(
+                xtx[i], nm[j], lambda i=i: exact_s_fn(int(i))
+            )
+    return out
+
+
 def _emit_linear_rows(
     f, ds, v0, ia, nm, g1, gg1, xtx, xty, yy_v, d, tests, hide_covar,
     chrom, provref, a1, omitted, vi, cov_names, add_results=None,
-    pred_specs=None, geno_idx=None, joint_name=None,
+    pred_specs=None, geno_idx=None, joint_name=None, exact_s_fn=None,
 ):
     from ..stats.distributions import f_logsf
 
@@ -415,32 +569,12 @@ def _emit_linear_rows(
             # omitted (major) allele first (plink2_glm_logistic.cc:1966-1969)
             err[i] = "CONST_OMITTED_ALLELE"
             continue
-        # collinearity pre-checks (ref: CheckMaxCorrAndVifNm,
-        # plink2_glm_shared.cc:96-143; defaults max_corr=0.999, vif=50)
-        s = xtx[i]
-        covm = s[1:, 1:] - np.outer(s[1:, 0], s[0, 1:]) / nm[i]
-        var = np.diag(covm).copy()
-        pos = var > 1e-12
-        if pos.sum() >= 2:
-            sub = covm[np.ix_(pos, pos)]
-            dsub = np.sqrt(np.diag(sub))
-            corr = sub / np.outer(dsub, dsub)
-            od = corr[~np.eye(len(dsub), dtype=bool)]
-            if np.any(np.abs(od) > 0.999):
-                err[i] = "CORR_TOO_HIGH"
-                continue
-        if not pos.all():
-            err[i] = "VIF_INFINITE"
+        ce = _collinearity_err_checked(
+            xtx[i], nm[i], lambda i=i: exact_s_fn(int(v0 + ia[i]))
+        )
+        if ce is not None:
+            err[i] = ce
             continue
-        if len(var) >= 2:
-            try:
-                icorr = np.linalg.inv(corr)
-                if np.any(np.diag(icorr) > 50.0):
-                    err[i] = "VIF_TOO_HIGH"
-                    continue
-            except np.linalg.LinAlgError:
-                err[i] = "VIF_INFINITE"
-                continue
         try:
             inv = np.linalg.inv(xtx[i])
         except np.linalg.LinAlgError:
@@ -520,28 +654,225 @@ def _emit_linear_rows(
     f.writelines(lines)
 
 
+def _pinv_nolapack(m):
+    """plink2 built without LAPACK inverts every matrix via SVD with
+    singular values below wmax*1e-24 zeroed (InvertMatrix,
+    2.0/plink2_matrix.cc:355) -- merely-singular input does NOT fail, it
+    produces a huge-magnitude garbage inverse that downstream validity
+    checks may or may not catch.  Returns None only when SVD itself fails."""
+    try:
+        u, w, vt = np.linalg.svd(m)
+    except np.linalg.LinAlgError:
+        return None
+    if not np.isfinite(w).all():
+        return None
+    winv = np.where(w < w.max() * 1e-24, 0.0, 1.0 / w)
+    return (u * winv) @ vt
+
+
+def _variant_design_f64(ds, inc, c, kern_preds, alt_is_a1, vidx):
+    """Host f64 design matrix [nm, d] for one variant: [c | G_1..G_P] with
+    plane-combination genotype predictors (flip-resolved)."""
+    from ..ops.pairwise import _unpack_np
+
+    codes = _unpack_np(ds.reader.read_packed(vidx, 1))[0][: ds.raw_sample_ct][inc]
+    val = codes != 3
+    hp = (codes == 1).astype(np.float64)
+    ap = (codes == 2).astype(np.float64)
+    vp = val.astype(np.float64)
+    cols = [c]
+    for _nm, wa, wr, cj in kern_preds:
+        w = wa if alt_is_a1 else wr
+        g = w[0] * hp + w[1] * ap + w[2] * vp
+        if cj:
+            g = g * c[:, cj]
+        cols.append(g[:, None])
+    return np.concatenate(cols, axis=1)[val], val
+
+
+def _logistic_f64(X, yv):
+    """glm.fit-imitating IRLS in f64, matching LogisticRegressionD
+    (2.0/plink2_glm_logistic.cc:2768): init OLS on z = 4.8638...*(y-0.5),
+    converge on |dll| < 1e-8*(0.05+|ll|), maxit 25.  Returns
+    (beta, se, hinv, converged, unfinished) or None on failure."""
+    z = 4.863891244002886 * (yv - 0.5)
+    try:
+        b = np.linalg.solve(X.T @ X, X.T @ z)
+    except np.linalg.LinAlgError:
+        return None
+
+    def ll_of(eta):
+        with np.errstate(divide="ignore", over="ignore"):
+            return float(
+                np.where(yv != 0.0, -np.logaddexp(0.0, -eta),
+                         -np.logaddexp(0.0, eta)).sum()
+            )
+
+    eta = X @ b
+    ll_old = ll_of(eta)
+    if np.isnan(ll_old):
+        return None
+    conv = unf = False
+    h_last = None
+    with np.errstate(over="ignore"):
+        p = 1.0 / (1.0 + np.exp(-eta))
+        for _ in range(1, 25):
+            v = p * (1.0 - p)
+            h = (X.T * v) @ X
+            h_last = h  # reference SE comes from the LAST solve's Cholesky
+            # factor (hessian at the pre-update iterate), not a fresh
+            # hessian at the final beta (plink2_glm_logistic.cc:4813-4845)
+            grad = X.T @ (p - yv)
+            try:
+                dco = np.linalg.solve(h, grad)
+            except np.linalg.LinAlgError:
+                return None
+            b = b - dco
+            eta = X @ b
+            p = 1.0 / (1.0 + np.exp(-eta))
+            ll = ll_of(eta)
+            if np.isnan(ll):
+                return None
+            if abs(ll - ll_old) < 1e-8 * (0.05 + abs(ll)):
+                conv = True
+                break
+            ll_old = ll
+        else:
+            unf = True
+    try:
+        hinv = np.linalg.inv(h_last)
+    except np.linalg.LinAlgError:
+        return None
+    se = np.sqrt(np.maximum(np.diag(hinv), 0.0))
+    return b, se, hinv, conv, unf
+
+
+def _firth_f64(X, yv):
+    """f64 Firth regression matching FirthRegressionD
+    (2.0/plink2_glm_logistic.cc:3049, logistf algorithm); see
+    firth_irls_block for the update equations.  Returns
+    (beta, se, hinv2, converged, unfinished) or None on failure."""
+    d = X.shape[1]
+    b = np.zeros(d)
+    pll_old = 0.0
+    delta_max = 0.0
+    conv = fail = False
+
+    def parts(b):
+        eta = X @ b
+        with np.errstate(over="ignore"):
+            p = 1.0 / (1.0 + np.exp(-eta))
+        v = p * (1.0 - p)
+        h0 = (X.T * v) @ X
+        try:
+            u, w, vt = np.linalg.svd(h0)
+        except np.linalg.LinAlgError:
+            return None
+        if not np.isfinite(w).all():
+            return None
+        winv = np.where(w < w.max() * 1e-24, 0.0, 1.0 / w)
+        h0inv = (u * winv) @ vt
+        hd = v * np.einsum("sd,de,se->s", X, h0inv, X)
+        ustar = X.T @ (yv - p + hd * (0.5 - p))
+        # dethh = |prod(singular values)| (HalfSymmInvertedDet)
+        with np.errstate(divide="ignore"):
+            logdet = float(np.log(w).sum())
+        ll = np.where(yv != 0.0, -np.logaddexp(0.0, -eta),
+                      -np.logaddexp(0.0, eta)).sum()
+        return ll + 0.5 * logdet, ustar, hd, v
+
+    unf = False
+    hinv2 = None
+    it = 0
+    while True:
+        pr = parts(b)
+        if pr is None:
+            fail = True
+            break
+        pll, ustar, hd, v = pr
+        if np.isnan(pll):
+            fail = True
+            break
+        if it > 0:
+            if (
+                delta_max <= 1e-5 and np.max(np.abs(ustar)) < 1e-5
+                and (pll - pll_old) < 1e-5
+            ):
+                conv = True
+                break
+            if it > 25:  # max_iter
+                unf = True
+                break
+        pll_old = pll
+        # reference keeps the INVERTED second-weight hessian from the last
+        # executed step as the reported covariance (hh output of
+        # FirthRegressionD) — not recomputed at the final beta
+        h2 = (X.T * ((1.0 + hd) * v)) @ X
+        hinv2 = _pinv_nolapack(h2)
+        if hinv2 is None:
+            fail = True
+            break
+        dbeta = hinv2 @ ustar
+        if np.isnan(dbeta).any():
+            fail = True
+            break
+        dmax = float(np.max(np.abs(dbeta)))
+        if dmax > 5.0:  # maxstep
+            dbeta *= 5.0 / dmax
+            dmax = 5.0
+        b = b + dbeta
+        delta_max = dmax
+        it += 1
+    if fail or hinv2 is None:
+        return None
+    se = np.sqrt(np.maximum(np.diag(hinv2), 0.0))
+    return b, se, hinv2, conv, unf
+
+
 def _glm_logistic(
     ds, cfg, log, pheno_name, ydata, smask, cov_names, cov_data, a1_is_alt,
     hide_covar, always_firth, no_firth,
 ):
     import jax.numpy as jnp
 
-    from ..ops.glm import firth_irls_block, logistic_irls_block
+    from ..ops.glm import (
+        design_moments_block, firth_irls_block, logistic_irls_block,
+    )
+    from ..stats.distributions import f_logsf
+
+    mods = set(cfg.glm_modifiers)
+    interaction = "interaction" in mods
+    geno_preds, joint_name = _geno_predictors(mods, cov_names)
+    n_main = len(geno_preds)
 
     inc = np.flatnonzero(smask)
     n = inc.size
     y = ydata[inc].astype(np.float64)  # 0 = control, 1 = case
     k = len(cov_names)
     dc = k + 1
-    d = dc + 1
     c = np.concatenate([np.ones((n, 1)), cov_data[inc]], axis=1)
     vb = _auto_vb(-(-n // 4) * 4)
+
+    # kernel geno predictor list: main effects then GxC interactions; each is
+    # (name, plane weights for A1=ALT, weights for A1=REF, covar col to
+    # multiply in).  Kernel design order: [const, covars..., G_1..G_P].
+    kern_preds = [(nm_, wa, wr, 0) for nm_, wa, wr in geno_preds]
+    if interaction:
+        for nm_, wa, wr in geno_preds:
+            for j, cn in enumerate(cov_names):
+                kern_preds.append((f"{nm_}x{cn}", wa, wr, j + 1))
+    P = len(kern_preds)
+    covj = tuple(s[3] for s in kern_preds)
+    d = dc + P
+    w_alt_arr = np.array([s[1] for s in kern_preds], np.float32)  # [P, 3]
+    w_ref_arr = np.array([s[2] for s in kern_preds], np.float32)
+
+    exact_s_fn = _exact_s_builder(ds, inc, c, kern_preds, a1_is_alt)
 
     pd = PackedDevice(ds, ds.variant_mask, vb=vb, tile=1 << 30, sample_mask=smask)
     npad = pd.npad
     mask = np.zeros(npad, np.float32)
     mask[:n] = 1.0
-    # pad covariates/pheno to the packed sample pad
     cpad = np.zeros((npad, dc), np.float32)
     cpad[:n] = c
     ypad = np.zeros(npad, np.float32)
@@ -560,14 +891,22 @@ def _glm_logistic(
     path = f"{cfg.out}.{pheno_name}.{suffix}"
     f = open(path, "w")
     firth_col = not always_firth and not no_firth
+    stat_col = "Z_OR_F_STAT" if joint_name else "Z_STAT"
     f.write(
         "#CHROM\tPOS\tID\tREF\tALT\tPROVISIONAL_REF?\tA1\tOMITTED\tA1_FREQ\t"
         + ("FIRTH?\t" if firth_col else "")
-        + "TEST\tOBS_CT\tOR\tLOG(OR)_SE\tZ_STAT\tP\tERRCODE\n"
+        + f"TEST\tOBS_CT\tOR\tLOG(OR)_SE\t{stat_col}\tP\tERRCODE\n"
     )
-    tests = ["ADD"] + ([] if hide_covar else list(cov_names))
+    tests = [s[0] for s in kern_preds[:n_main]]
+    if not hide_covar:
+        tests += list(cov_names)
+    tests += [s[0] for s in kern_preds[n_main:]]
+    if joint_name:
+        tests.append(joint_name)
     add_results: list[tuple[int, float]] = []
-    test_pred = {"ADD": dc}  # kernel order: const, covars..., geno
+    test_pred = {}
+    for p_, s in enumerate(kern_preds):
+        test_pred[s[0]] = dc + p_
     for j, cn in enumerate(cov_names):
         test_pred[cn] = 1 + j
 
@@ -577,51 +916,179 @@ def _glm_logistic(
         ia = np.array([i for i in range(vct) if vmask[v0 + i]])
         if ia.size == 0:
             continue
-        flip_np = a1_is_alt[v0 : v0 + pd.vb].astype(np.float32)
-        flip = jnp.asarray(np.pad(flip_np, (0, pd.vb - len(flip_np))))
+        alt_np = a1_is_alt[v0 : v0 + pd.vb]
+        alt_pad = np.zeros(pd.vb, bool)
+        alt_pad[: len(alt_np)] = alt_np
+        flip = jnp.asarray(alt_pad.astype(np.float32))
+        gw = jnp.asarray(
+            np.where(alt_pad[:, None, None], w_alt_arr[None], w_ref_arr[None])
+        )
         pk = pd.packed[bi]
         g_case, g_tot, g_ssq = _a1_case_total(pk, flip, y32, mask_dev)
+        xtx = np.asarray(
+            design_moments_block(pk, gw, c32, mask_dev, dc, P, covj),
+            dtype=np.float64,
+        )
+        nm_pre = xtx[:, 0, 0]
+        check_rows = np.array([i for i in ia if nm_pre[i] > d], dtype=int)
+        pre_err = _collinearity_errs_batch(
+            xtx, check_rows, lambda i: exact_s_fn(int(v0 + i))
+        )
+        in_block = np.zeros(pd.vb, bool)
+        in_block[ia] = True
+        pre_bad = np.array([e is not None for e in pre_err])
+
+        def _extreme(beta_a, se_a, conv_a, fail_a, unf_a, base):
+            # rows whose f32 trajectory may diverge from the reference's f64
+            # LogisticRegressionD/FirthRegressionD: quasi-separated fits
+            # (huge |beta| or SE on a geno predictor) or non-converged rows
+            with np.errstate(invalid="ignore"):
+                bm = np.abs(beta_a[:, dc:]).max(axis=1)
+                sm = se_a[:, dc:].max(axis=1)
+            # low minor-dosage-count rows are ill-conditioned enough that f32
+            # SE noise exceeds the 1e-3 parity budget; refine those too
+            mac = np.minimum(g_tot, 2.0 * obs_f - g_tot)
+            ext = (bm > 5.0) | (sm > 5.0) | (mac < 30.0) | fail_a | unf_a | ~conv_a
+            return ext & base & ~pre_bad
+
+        refined = np.zeros(pd.vb, bool)
+        obs_f = None  # set after the kernel supplies per-variant obs counts
+
+        def _refine(rows, firth_mode, beta_a, se_a, hfull_a, conv_a, fail_a,
+                    unf_a):
+            fit = _firth_f64 if firth_mode else _logistic_f64
+            for i in rows:
+                vidx = v0 + i
+                X, val = _variant_design_f64(
+                    ds, inc, c, kern_preds, bool(a1_is_alt[vidx]), vidx
+                )
+                res = fit(X, y[val])
+                refined[i] = True
+                if res is None:
+                    conv_a[i], fail_a[i], unf_a[i] = False, True, False
+                    continue
+                b_, se_, hinv_, cv_, un_ = res
+                beta_a[i] = b_
+                se_a[i] = se_
+                hfull_a[i] = hinv_
+                conv_a[i], fail_a[i], unf_a[i] = cv_, False, un_
+
         if always_firth:
-            fb, fse, _, fconv, ffail, funf, fobs = (
-                np.asarray(x) for x in firth_irls_block(pk, flip, c32, y32, mask_dev, dc)
+            beta, se, _, conv, fail, unf, obs, hfull = (
+                np.asarray(x) for x in firth_irls_block(
+                    pk, gw, c32, y32, mask_dev, dc, P, covj
+                )
             )
-            beta, se, conv, fail, unf, obs = fb, fse, fconv, ffail, funf, fobs
+            beta = beta.astype(np.float64)
+            se = se.astype(np.float64)
+            hfull = hfull.astype(np.float64)
+            conv, fail, unf = conv.copy(), fail.copy(), unf.copy()
             used_firth = np.ones(pd.vb, bool)
+            obs_f = obs.astype(np.float64)
             with np.errstate(divide="ignore", invalid="ignore"):
-                const = (g_ssq - g_tot * g_tot / np.maximum(fobs, 1)) <= 1e-12
+                const = (g_ssq - g_tot * g_tot / np.maximum(obs, 1)) <= 1e-12
+            rows = np.flatnonzero(_extreme(beta, se, conv, fail, unf,
+                                           in_block & ~const))
+            _refine(rows, True, beta, se, hfull, conv, fail, unf)
+            if joint_name and n <= 65536:
+                # small panels: refine every joint row so the f64 joint Wald
+                # statistic matches the reference's double-precision path
+                extra = in_block & ~const & ~pre_bad & ~refined & ~fail
+                _refine(np.flatnonzero(extra), True, beta, se, hfull, conv,
+                        fail, unf)
         else:
-            lb, lse, _, lconv, lfail, lunf, lobs = (
+            lb, lse, _, lconv, lfail, lunf, lobs, lhfull = (
                 np.asarray(x)
-                for x in logistic_irls_block(pk, flip, c32, y32, mask_dev, dc)
+                for x in logistic_irls_block(pk, gw, c32, y32, mask_dev, dc, P, covj)
             )
             with np.errstate(divide="ignore", invalid="ignore"):
                 const = (g_ssq - g_tot * g_tot / np.maximum(lobs, 1)) <= 1e-12
             # separation pre-check: case dosage of A1 == 0 or == total dosage
             # (ref: plink2_glm_logistic.cc:2224-2236)
             sep = ((g_case <= 0.0) | (g_case >= g_tot)) & ~const
-            beta, se = lb.copy(), lse.copy()
+            beta = lb.astype(np.float64)
+            se = lse.astype(np.float64)
+            hfull = lhfull.astype(np.float64)
             conv, fail, unf, obs = lconv.copy(), lfail.copy(), lunf.copy(), lobs
+            obs_f = obs.astype(np.float64)
             used_firth = np.zeros(pd.vb, bool)
+            rows = np.flatnonzero(
+                _extreme(beta, se, conv, fail, unf, in_block & ~const & ~sep)
+            )
+            _refine(rows, False, beta, se, hfull, conv, fail, unf)
+            if joint_name and n <= 65536:
+                extra = in_block & ~const & ~pre_bad & ~refined & ~fail & ~sep
+                _refine(np.flatnonzero(extra), False, beta, se, hfull, conv,
+                        fail, unf)
             if no_firth:
-                fail = lfail | sep  # SEPARATION errcode path
+                fail = fail | sep  # SEPARATION errcode path
             else:
-                need_firth = (sep | lfail) & ~const
+                need_firth = (sep | fail) & ~const
                 if need_firth.any():
-                    fb, fse, _, fconv, ffail, funf, fobs = (
+                    fb, fse, _, fconv, ffail, funf, fobs, fhfull = (
                         np.asarray(x)
-                        for x in firth_irls_block(pk, flip, c32, y32, mask_dev, dc)
+                        for x in firth_irls_block(
+                            pk, gw, c32, y32, mask_dev, dc, P, covj
+                        )
                     )
+                    fb = fb.astype(np.float64)
+                    fse = fse.astype(np.float64)
+                    fhfull = fhfull.astype(np.float64)
+                    fconv, ffail, funf = fconv.copy(), ffail.copy(), funf.copy()
+                    fext = _extreme(fb, fse, fconv, ffail, funf,
+                                    need_firth & in_block)
+                    if joint_name and n <= 65536:
+                        fext |= need_firth & in_block & ~const & ~pre_bad
+                    _refine(np.flatnonzero(fext), True, fb, fse, fhfull,
+                            fconv, ffail, funf)
                     m = need_firth
-                    beta[m], se[m] = fb[m], fse[m]
+                    beta[m], se[m], hfull[m] = fb[m], fse[m], fhfull[m]
                     conv[m], fail[m], unf[m] = fconv[m], ffail[m], funf[m]
                     used_firth = need_firth
+
+        # validParameters() check (ref: plink2_glm_logistic.cc:4871-4893):
+        # any non-intercept covariance diagonal < 1e-20 or non-finite, or any
+        # estimate pair with correlation > 0.99999, invalidates the whole row
+        invalid = np.zeros(pd.vb, bool)
+        with np.errstate(invalid="ignore"):
+            dg = np.einsum("vii->vi", hfull)
+            invalid |= (
+                (dg[:, 1:] < 1e-20) | ~np.isfinite(dg[:, 1:])
+            ).any(axis=1)
+            sd = np.sqrt(dg)
+            for i_ in range(1, d):
+                for j_ in range(i_):
+                    invalid |= hfull[:, i_, j_] > 0.99999 * sd[:, i_] * sd[:, j_]
+
+        # joint Wald test over the main genotype params (ref: constraint set
+        # plink2_glm.cc:2867 "raw_joint_test_params[0] = 6";
+        # LinearHypothesisChisq + FstatToLnP(chisq/ct, ct, sample_obs_ct))
+        fstat = np.full(pd.vb, np.nan)
+        logp_joint = np.full(pd.vb, np.nan)
+        if joint_name:
+            bm = beta[:, dc : dc + n_main]
+            cov_m = hfull[:, dc : dc + n_main, dc : dc + n_main]
+            okj = conv & ~fail & ~const & ~invalid
+            for i in np.flatnonzero(okj):
+                ci = _pinv_nolapack(cov_m[i])
+                if ci is None:
+                    continue
+                w_ = float(bm[i] @ ci @ bm[i])
+                if w_ >= 0:
+                    fstat[i] = w_ / n_main
+            okf = np.isfinite(fstat)
+            if okf.any():
+                logp_joint[okf] = np.asarray(
+                    f_logsf(fstat[okf], float(n_main), obs[okf].astype(np.float64))
+                )
 
         with np.errstate(divide="ignore", invalid="ignore"):
             a1f = np.where(obs > 0, g_tot / (2 * np.maximum(obs, 1)), np.nan)
         _emit_logistic_rows(
             f, v0, ia, beta, se, conv, fail, unf, obs, a1f, const, used_firth,
             firth_col, tests, test_pred, chrom, provref, a1, omitted, vi, d,
-            no_firth, add_results,
+            no_firth, add_results, joint_name, fstat, logp_joint, pre_err,
+            invalid,
         )
     f.close()
     log.log(f"Results written to {path} .")
@@ -651,11 +1118,15 @@ def _a1_case_total(pk, flip, y32, mask_dev):
 def _emit_logistic_rows(
     f, v0, ia, beta, se, conv, fail, unf, obs, a1f, const, used_firth,
     firth_col, tests, test_pred, chrom, provref, a1, omitted, vi, d, no_firth,
-    add_results=None,
+    add_results=None, joint_name=None, fstat=None, logp_joint=None,
+    pre_err=None, invalid=None,
 ):
     with np.errstate(divide="ignore", invalid="ignore"):
         zstat = np.where(se > 0, beta / se, np.nan)
     logp = np.asarray(zstat_logp_2sided(np.nan_to_num(zstat)))
+    add_test = next(
+        (t for t in tests if t in ("ADD", "DOM", "REC", "HET", "HOM")), None
+    )
     lines = []
     for i in ia:
         vidx = v0 + i
@@ -673,6 +1144,9 @@ def _emit_logistic_rows(
             firth_str = "N" if firth_col else None
         elif nm_i <= d:
             errcode, bad = "SAMPLE_CT<=PREDICTOR_CT", True
+        elif pre_err is not None and pre_err[i] is not None:
+            errcode, bad = pre_err[i], True
+            firth_str = "N" if firth_col else None
         elif fail[i]:
             bad = True
             if no_firth:
@@ -681,10 +1155,29 @@ def _emit_logistic_rows(
                 errcode = "FIRTH_CONVERGE_FAIL"
             else:
                 errcode = "LOGISTIC_CONVERGE_FAIL"
+        elif invalid is not None and invalid[i]:
+            errcode, bad = "INVALID_RESULT", True
         ok_err = "UNFINISHED" if unf[i] else ERR_OK
+        if (
+            add_results is not None and not bad and add_test is not None
+            and np.isfinite(logp[i, test_pred[add_test]])
+        ):
+            add_results.append((vidx, float(logp[i, test_pred[add_test]])))
         for tname in tests:
-            pi = test_pred[tname]
             fcol = f"{firth_str}\t" if firth_col else ""
+            if tname == joint_name:
+                if bad or not np.isfinite(fstat[i]):
+                    ec = errcode if bad else "INVALID_RESULT"
+                    lines.append(
+                        f"{meta}\t{fcol}{tname}\t{nm_i}\tNA\tNA\tNA\tNA\t{ec}\n"
+                    )
+                else:
+                    lines.append(
+                        f"{meta}\t{fcol}{tname}\t{nm_i}\tNA\tNA\t{g6(fstat[i])}\t"
+                        f"{logp_to_str(logp_joint[i])}\t{ok_err}\n"
+                    )
+                continue
+            pi = test_pred[tname]
             if bad or not np.isfinite(beta[i, pi]) or not np.isfinite(se[i, pi]):
                 ec = errcode if bad else "INVALID_RESULT"
                 lines.append(
@@ -693,7 +1186,7 @@ def _emit_logistic_rows(
             else:
                 lines.append(
                     f"{meta}\t{fcol}{tname}\t{nm_i}\t"
-                    f"{g6(np.exp(beta[i, pi]))}\t{g6(se[i, pi])}\t"
+                    f"{g6(np.exp(np.float64(beta[i, pi])))}\t{g6(se[i, pi])}\t"
                     f"{g6(zstat[i, pi])}\t{logp_to_str(logp[i, pi])}\t{ok_err}\n"
                 )
     f.writelines(lines)

@@ -102,67 +102,134 @@ def _solve_psd(h: jax.Array, grad: jax.Array) -> jax.Array:
     )
 
 
-@partial(jax.jit, static_argnames=("dc",))
+@partial(jax.jit, static_argnames=("dc", "np_", "covj"))
+def design_moments_block(
+    packed: jax.Array,
+    gw: jax.Array,  # [vb, P, 3] plane weights
+    c: jax.Array,   # [n, dc]
+    mask: jax.Array,
+    dc: int,
+    np_: int = 1,
+    covj: tuple = (),
+):
+    """Per-variant X^T X over valid samples for the design
+    [c | G_1..G_P] -> [vb, d, d].  Feeds the collinearity pre-checks
+    (ref: CheckMaxCorrAndVifNm, 2.0/plink2_glm_shared.cc:96) that the
+    reference runs before every logistic/Firth regression."""
+    codes = unpack_codes(packed, 0)
+    b0f = (codes & 1).astype(jnp.float32)
+    b1f = ((codes >> 1) & 1).astype(jnp.float32)
+    missp = b0f * b1f
+    valid = (1.0 - missp) * mask[None, :]
+    hpl = (b0f - missp) * valid
+    apl = (b1f - missp) * valid
+    vb, n = valid.shape
+    P = np_
+    d = dc + P
+    hi = lax.Precision.HIGHEST
+    gcols = [
+        (gw[:, p, 0:1] * hpl + gw[:, p, 1:2] * apl + gw[:, p, 2:3] * valid)
+        * (c[None, :, covj[p]] if covj and covj[p] else 1.0)
+        for p in range(P)
+    ]
+    ccfl = (c[:, :, None] * c[:, None, :]).reshape(n, dc * dc)
+    a = lax.dot_general(valid, ccfl, (((1,), (0,)), ((), ())), precision=hi,
+                        preferred_element_type=jnp.float32).reshape(vb, dc, dc)
+    h = jnp.zeros((vb, d, d), jnp.float32)
+    h = h.at[:, :dc, :dc].set(a)
+    for p in range(P):
+        gp = gcols[p]
+        cg = lax.dot_general(gp, c, (((1,), (0,)), ((), ())), precision=hi,
+                             preferred_element_type=jnp.float32)
+        h = h.at[:, :dc, dc + p].set(cg)
+        h = h.at[:, dc + p, :dc].set(cg)
+        for q in range(p, P):
+            gg = jnp.sum(gp * gcols[q], axis=1)
+            h = h.at[:, dc + p, dc + q].set(gg)
+            h = h.at[:, dc + q, dc + p].set(gg)
+    return h
+
+
+@partial(jax.jit, static_argnames=("dc", "np_", "covj"))
 def logistic_irls_block(
     packed: jax.Array,  # [vb, NB] uint8
-    flip: jax.Array,  # [vb] f32: 1 -> A1 = ALT, 0 -> A1 = REF (g' = 2v - g)
+    gw: jax.Array,  # [vb, P, 3] f32 plane weights (H, A, V) per geno predictor
     c: jax.Array,  # [n, dc] f32 covariates incl. intercept
     y: jax.Array,  # [n] f32 in {0, 1}
     mask: jax.Array,  # [n] f32: 1 = sample in this pheno's set
     dc: int,
+    np_: int = 1,  # geno predictor count P
+    covj: tuple = (),  # per-predictor covariate column to multiply in
+    # (0 = intercept column = no-op); expresses GxC interaction predictors
 ):
-    """Batched logistic IRLS, one variant per row.
+    """Batched logistic IRLS, one variant per row, arbitrary genotype model.
 
-    Design per variant: [c (dc cols) | g] -> d = dc + 1 predictors,
-    predictor order (const, covars..., geno) is internal; callers reorder.
-    Samples with missing genotype are dropped per-variant by zeroing their
-    design row AND their y (sums then simply skip them).
+    Genotype predictors are plane linear combinations G_p = wH*H + wA*A +
+    wV*V (flip-resolved per variant on the host), so ADD/DOMDEV/DOM/REC/
+    hetonly/genotypic all run through the same kernel.  Design per variant:
+    [c (dc cols) | G_1..G_P] -> d = dc + P; samples with missing genotype
+    are dropped per-variant by zeroing their weights.
 
-    Returns (beta [vb, d], se [vb, d], loglik [vb], converged [vb] bool,
-    failed [vb] bool, obs_ct [vb]).
+    Returns (beta [vb, d], se [vb, d], loglik [vb], converged, failed,
+    unfinished, obs_ct).
     """
-    g_raw, valid = _geno_block(packed)
-    valid = valid * mask[None, :]
-    g = jnp.where(flip[:, None] > 0, g_raw, 2.0 - g_raw) * valid
-    vb, n = g.shape
-    d = dc + 1
+    codes = unpack_codes(packed, 0)
+    b0f = (codes & 1).astype(jnp.float32)
+    b1f = ((codes >> 1) & 1).astype(jnp.float32)
+    missp = b0f * b1f
+    valid = (1.0 - missp) * mask[None, :]
+    hpl = (b0f - missp) * valid
+    apl = (b1f - missp) * valid
+    vb, n = valid.shape
+    P = np_
+    d = dc + P
     hi = lax.Precision.HIGHEST
 
+    def gcol(p):
+        base = gw[:, p, 0:1] * hpl + gw[:, p, 1:2] * apl + gw[:, p, 2:3] * valid
+        if covj and covj[p]:
+            base = base * c[None, :, covj[p]]
+        return base
+
+    gcols = [gcol(p) for p in range(P)]
     yv = y[None, :] * valid  # [vb, n]
     obs = jnp.sum(valid, axis=1)
+
+    ccfl = (c[:, :, None] * c[:, None, :]).reshape(n, dc * dc)
 
     def xtv(w):  # X^T w for every variant: [vb, n] -> [vb, d]
         cw = lax.dot_general(w, c, (((1,), (0,)), ((), ())), precision=hi,
                              preferred_element_type=jnp.float32)
-        gw = jnp.sum(w * g, axis=1)
-        return jnp.concatenate([cw, gw[:, None]], axis=1)
-
-    ccfl = (c[:, :, None] * c[:, None, :]).reshape(n, dc * dc)
+        parts = [cw] + [jnp.sum(w * g, axis=1)[:, None] for g in gcols]
+        return jnp.concatenate(parts, axis=1)
 
     def hessian(w):  # [vb, n] weights -> [vb, d, d]
         a = lax.dot_general(w, ccfl, (((1,), (0,)), ((), ())), precision=hi,
                             preferred_element_type=jnp.float32).reshape(vb, dc, dc)
-        wg = w * g
-        cg = lax.dot_general(wg, c, (((1,), (0,)), ((), ())), precision=hi,
-                             preferred_element_type=jnp.float32)  # [vb, dc]
-        gg = jnp.sum(wg * g, axis=1)  # [vb]
         h = jnp.zeros((vb, d, d), jnp.float32)
         h = h.at[:, :dc, :dc].set(a)
-        h = h.at[:, :dc, dc].set(cg)
-        h = h.at[:, dc, :dc].set(cg)
-        h = h.at[:, dc, dc].set(gg)
+        for p in range(P):
+            wg_p = w * gcols[p]
+            cg = lax.dot_general(wg_p, c, (((1,), (0,)), ((), ())), precision=hi,
+                                 preferred_element_type=jnp.float32)
+            h = h.at[:, :dc, dc + p].set(cg)
+            h = h.at[:, dc + p, :dc].set(cg)
+            for q in range(p, P):
+                gg = jnp.sum(wg_p * gcols[q], axis=1)
+                h = h.at[:, dc + p, dc + q].set(gg)
+                h = h.at[:, dc + q, dc + p].set(gg)
         return h
 
     def eta_of(beta):  # [vb, d] -> [vb, n]
         e = lax.dot_general(beta[:, :dc], c, (((1,), (1,)), ((), ())),
                             precision=hi, preferred_element_type=jnp.float32)
-        return (e + beta[:, dc:] * g) * valid
+        for p in range(P):
+            e = e + beta[:, dc + p : dc + p + 1] * gcols[p]
+        return e * valid
 
     def loglik_of(p, eta):
-        # sum over valid samples of y*log(p) + (1-y)*log(1-p);
-        # log(p) = -softplus(-eta), log(1-p) = -softplus(eta).
         # f64 accumulation so the 1e-8-relative convergence test below can
-        # actually resolve (f32 summation noise exceeds the threshold).
+        # actually resolve (f32 summation noise exceeds the threshold)
         ll = yv * (-jax.nn.softplus(-eta)) + (valid - yv) * (-jax.nn.softplus(eta))
         return jnp.sum(ll.astype(jnp.float64), axis=1).astype(jnp.float32)
 
@@ -177,7 +244,7 @@ def logistic_irls_block(
     failed0 = jnp.isnan(ll_old)
 
     def body(state):
-        beta, p, eta, ll_old, it, done, conv, failed = state
+        beta, p, eta, ll_old, it, done, conv, failed, h_last = state
         w = p * (1.0 - p) * valid
         h = hessian(w)
         grad = xtv(p - yv)
@@ -201,53 +268,68 @@ def logistic_irls_block(
         conv = conv | (upd & new_conv & ~new_failed)
         failed = failed | (upd & new_failed)
         done = done | new_conv | new_failed
-        return beta, p, eta, ll_out, it + 1, done, conv, failed
+        # reference SE comes from the Cholesky factor of the LAST solve
+        # (hessian at the pre-update iterate, plink2_glm_logistic.cc:4813)
+        h_last = jnp.where(upd[:, None, None], h, h_last)
+        return beta, p, eta, ll_out, it + 1, done, conv, failed, h_last
 
     def cond(state):
-        *_, it, done, conv, failed = state
+        _b, _p, _e, _l, it, done, _c, _f, _h = state
         return (it < _GLM_MAXIT) & ~jnp.all(done)
 
+    eye = jnp.eye(d, dtype=jnp.float32)
     state = (
         beta, p, eta, ll_old,
         jnp.array(1), failed0, jnp.zeros(vb, bool), failed0,
+        jnp.broadcast_to(eye, (vb, d, d)),
     )
-    beta, p, eta, ll, it, done, conv, failed = lax.while_loop(cond, body, state)
-
-    # final observed-information SE
-    w = p * (1.0 - p) * valid
-    h = hessian(w)
-    eye = jnp.eye(d, dtype=jnp.float32)
+    beta, p, eta, ll, it, done, conv, failed, h_last = lax.while_loop(
+        cond, body, state
+    )
     hinv = jax.vmap(lambda m: jax.scipy.linalg.cho_solve(
-        (jnp.linalg.cholesky(m), True), eye))(h)
+        (jnp.linalg.cholesky(m), True), eye))(h_last)
     se = jnp.sqrt(jnp.maximum(jax.vmap(jnp.diag)(hinv), 0.0))
     unfinished = ~conv & ~failed
-    return beta, se, ll, conv, failed, unfinished, obs
+    return beta, se, ll, conv, failed, unfinished, obs, hinv
 
 
-@partial(jax.jit, static_argnames=("dc",))
+@partial(jax.jit, static_argnames=("dc", "np_", "covj"))
 def firth_irls_block(
     packed: jax.Array,
-    flip: jax.Array,
+    gw: jax.Array,  # [vb, P, 3] plane weights
     c: jax.Array,
     y: jax.Array,
     mask: jax.Array,
     dc: int,
+    np_: int = 1,
+    covj: tuple = (),
 ):
     """Batched Firth penalized-likelihood regression, a faithful port of the
     reference's logistf-derived algorithm (FirthRegressionD,
-    2.0/plink2_glm_logistic.cc:3049-3185):
+    2.0/plink2_glm_logistic.cc:3049-3185), generalized to arbitrary
+    plane-combination genotype predictors:
       hdiag_s = v_s * x_s^T (X^T V X)^-1 x_s           (hat diagonal)
       ustar   = X^T [(y - p) + hdiag*(0.5 - p)]        (penalized score)
       step    = (X^T (1+hdiag) V X)^-1 ustar           ("second weights")
       step components capped at maxstep=5, convergence when
       delta_max <= 1e-5 AND max|ustar| < 1e-5 AND dloglik < 1e-5 (iter >= 1),
       max 25 iterations; SE from the second-weight covariance inv."""
-    g_raw, valid = _geno_block(packed)
-    valid = valid * mask[None, :]
-    g = jnp.where(flip[:, None] > 0, g_raw, 2.0 - g_raw) * valid
-    vb, n = g.shape
-    d = dc + 1
+    codes = unpack_codes(packed, 0)
+    b0f = (codes & 1).astype(jnp.float32)
+    b1f = ((codes >> 1) & 1).astype(jnp.float32)
+    missp = b0f * b1f
+    valid = (1.0 - missp) * mask[None, :]
+    hpl = (b0f - missp) * valid
+    apl = (b1f - missp) * valid
+    vb, n = valid.shape
+    P = np_
+    d = dc + P
     hi = lax.Precision.HIGHEST
+    gcols = [
+        (gw[:, p, 0:1] * hpl + gw[:, p, 1:2] * apl + gw[:, p, 2:3] * valid)
+        * (c[None, :, covj[p]] if covj and covj[p] else 1.0)
+        for p in range(P)
+    ]
     yv = y[None, :] * valid
     obs = jnp.sum(valid, axis=1)
     ccfl = (c[:, :, None] * c[:, None, :]).reshape(n, dc * dc)
@@ -255,47 +337,53 @@ def firth_irls_block(
     def xtv(w):
         cw = lax.dot_general(w, c, (((1,), (0,)), ((), ())), precision=hi,
                              preferred_element_type=jnp.float32)
-        gw = jnp.sum(w * g, axis=1)
-        return jnp.concatenate([cw, gw[:, None]], axis=1)
+        parts = [cw] + [jnp.sum(w * g, axis=1)[:, None] for g in gcols]
+        return jnp.concatenate(parts, axis=1)
 
     def hessian(w):
         a = lax.dot_general(w, ccfl, (((1,), (0,)), ((), ())), precision=hi,
                             preferred_element_type=jnp.float32).reshape(vb, dc, dc)
-        wg = w * g
-        cg = lax.dot_general(wg, c, (((1,), (0,)), ((), ())), precision=hi,
-                             preferred_element_type=jnp.float32)
-        gg = jnp.sum(wg * g, axis=1)
         h = jnp.zeros((vb, d, d), jnp.float32)
         h = h.at[:, :dc, :dc].set(a)
-        h = h.at[:, :dc, dc].set(cg)
-        h = h.at[:, dc, :dc].set(cg)
-        h = h.at[:, dc, dc].set(gg)
+        for p in range(P):
+            wg_p = w * gcols[p]
+            cg = lax.dot_general(wg_p, c, (((1,), (0,)), ((), ())), precision=hi,
+                                 preferred_element_type=jnp.float32)
+            h = h.at[:, :dc, dc + p].set(cg)
+            h = h.at[:, dc + p, :dc].set(cg)
+            for q in range(p, P):
+                gg = jnp.sum(wg_p * gcols[q], axis=1)
+                h = h.at[:, dc + p, dc + q].set(gg)
+                h = h.at[:, dc + q, dc + p].set(gg)
         return h
 
     def eta_of(beta):
         e = lax.dot_general(beta[:, :dc], c, (((1,), (1,)), ((), ())),
                             precision=hi, preferred_element_type=jnp.float32)
-        return (e + beta[:, dc:] * g) * valid
+        for p in range(P):
+            e = e + beta[:, dc + p : dc + p + 1] * gcols[p]
+        return e * valid
 
     def hat_diag(w, hinv):
-        # h_s = w_s * x_s^T Hinv x_s, computed per sample without
-        # materializing [vb, n, d]: expand Hinv into its c/c, c/g, g/g blocks
-        hc = hinv[:, :dc, :dc].reshape(vb, dc * dc)  # [vb, dc^2]
-        hcg = hinv[:, :dc, dc]  # [vb, dc]
-        hgg = hinv[:, dc, dc]  # [vb]
-        # x^T Hinv x = c'Hc c + 2 g (Hcg . c) + g^2 Hgg
+        # h_s = w_s * x_s^T Hinv x_s without materializing [vb, n, d]
+        hc = hinv[:, :dc, :dc].reshape(vb, dc * dc)
         q1 = lax.dot_general(hc, ccfl, (((1,), (1,)), ((), ())), precision=hi,
                              preferred_element_type=jnp.float32)  # [vb, n]
-        q2 = lax.dot_general(hcg, c, (((1,), (1,)), ((), ())), precision=hi,
-                             preferred_element_type=jnp.float32)  # [vb, n]
-        return w * (q1 + 2.0 * g * q2 + g * g * hgg[:, None])
+        acc = q1
+        for p in range(P):
+            hcg = hinv[:, :dc, dc + p]
+            q2 = lax.dot_general(hcg, c, (((1,), (1,)), ((), ())), precision=hi,
+                                 preferred_element_type=jnp.float32)
+            acc = acc + 2.0 * gcols[p] * q2
+            for q in range(P):
+                acc = acc + gcols[p] * gcols[q] * hinv[:, dc + p : dc + p + 1, dc + q]
+        return w * acc
 
     eye = jnp.eye(d, dtype=jnp.float32)
     inv = jax.vmap(lambda m: jax.scipy.linalg.cho_solve(
         (jnp.linalg.cholesky(m), True), eye))
 
     def step_parts(beta):
-        """One evaluation at beta: (loglik_pen, ustar, hdiag, v, p)."""
         eta = eta_of(beta)
         p = jax.nn.sigmoid(eta) * valid
         v = p * (1.0 - p) * valid
@@ -305,14 +393,13 @@ def firth_irls_block(
         ustar = xtv((yv - p + hd * (0.5 - p)) * valid)
         ll = yv * (-jax.nn.softplus(-eta)) + (valid - yv) * (-jax.nn.softplus(eta))
         _, logdet = jnp.linalg.slogdet(h0)
-        pll = jnp.sum(ll, axis=1) + 0.5 * logdet
+        pll = jnp.sum(ll.astype(jnp.float64), axis=1).astype(jnp.float32) + 0.5 * logdet
         return pll, ustar, hd, v
 
     def body(state):
-        beta, pll_old, delta_max, it, done, conv, failed = state
+        beta, pll_old, delta_max, it, done, conv, failed, h2inv_last = state
         pll, ustar, hd, v = step_parts(beta)
         new_failed = jnp.isnan(pll)
-        # convergence check at loop top, after the first step (ref :3143-3155)
         ustar_max = jnp.max(jnp.abs(ustar), axis=1)
         new_conv = (
             (it > 0)
@@ -320,7 +407,6 @@ def firth_irls_block(
             & (ustar_max < 1e-5)
             & ((pll - pll_old) < 1e-5)
         )
-        # Newton step with logistf "second weights" (1 + hdiag) * v
         h2 = hessian((1.0 + hd) * v)
         h2inv = inv(h2)
         dbeta = jnp.einsum("vij,vj->vi", h2inv, ustar)
@@ -337,10 +423,14 @@ def firth_irls_block(
         conv = conv | (~done & new_conv)
         failed = failed | (~done & new_failed)
         done = done | new_conv | new_failed
-        return beta, pll_out, delta_max, it + 1, done, conv, failed
+        # reported covariance = inverted second-weight hessian of the last
+        # executed step (the reference's hh output is not recomputed at the
+        # final beta, plink2_glm_logistic.cc:3162-3186)
+        h2inv_last = jnp.where(upd[:, None, None], h2inv, h2inv_last)
+        return beta, pll_out, delta_max, it + 1, done, conv, failed, h2inv_last
 
     def cond(state):
-        *_, it, done, conv, failed = state
+        _b, _p, _d, it, done, _c, _f, _h = state
         return (it <= _FIRTH_MAXIT) & ~jnp.all(done)
 
     beta0 = jnp.zeros((vb, d), jnp.float32)
@@ -348,13 +438,11 @@ def firth_irls_block(
         beta0, jnp.zeros(vb, jnp.float32), jnp.zeros(vb, jnp.float32),
         jnp.array(0), jnp.zeros(vb, bool), jnp.zeros(vb, bool),
         jnp.zeros(vb, bool),
+        jnp.broadcast_to(jnp.eye(d, dtype=jnp.float32), (vb, d, d)),
     )
-    beta, pll, _, it, done, conv, failed = lax.while_loop(cond, body, state)
-
-    # SE from the second-weight covariance at the final beta (ref: returned
-    # hh is inv(X^T (1+hdiag) V X))
-    _, _, hd, v = step_parts(beta)
-    h2inv = inv(hessian((1.0 + hd) * v))
-    se = jnp.sqrt(jnp.maximum(jax.vmap(jnp.diag)(h2inv), 0.0))
+    beta, pll, _, it, done, conv, failed, h2inv_last = lax.while_loop(
+        cond, body, state
+    )
+    se = jnp.sqrt(jnp.maximum(jax.vmap(jnp.diag)(h2inv_last), 0.0))
     unfinished = ~conv & ~failed
-    return beta, se, pll, conv, failed, unfinished, obs
+    return beta, se, pll, conv, failed, unfinished, obs, h2inv_last

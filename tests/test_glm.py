@@ -105,10 +105,11 @@ def test_logistic_irls_matches_numpy(geno_factory):
     ypad[:N] = y
     mask = np.zeros(npad, np.float32)
     mask[:N] = 1
-    beta, se, ll, conv, fail, unf, obs = (
+    gw = jnp.tile(jnp.asarray([[[1.0, 2.0, 0.0]]], jnp.float32), (V, 1, 1))
+    beta, se, ll, conv, fail, unf, obs, _ = (
         np.asarray(x)
         for x in logistic_irls_block(
-            packed, jnp.ones(V, jnp.float32), jnp.asarray(cpad),
+            packed, gw, jnp.asarray(cpad),
             jnp.asarray(ypad), jnp.asarray(mask), 2,
         )
     )
@@ -137,6 +138,43 @@ def test_logistic_irls_matches_numpy(geno_factory):
         np.testing.assert_allclose(beta[v, 2], b[2], rtol=2e-4, atol=1e-5)
         np.testing.assert_allclose(se[v, 2], se_ref[2], rtol=2e-4)
         assert obs[v] == val.sum()
+
+
+@pytest.mark.skipif(not os.path.exists(ORACLE), reason="plink2 oracle not built")
+@pytest.mark.parametrize(
+    "model",
+    ["genotypic", "dominant", "recessive", "hetonly", "hethom", "interaction"],
+)
+def test_logistic_models(tmp_path, model):
+    """All genotype models through the logistic-hybrid path, including the
+    GENO_2DF joint Wald test (FstatToLnP(chisq/ct, ct, obs)), the
+    validParameters() whole-row INVALID_RESULT check, and the NOLAPACK
+    SVD-pseudo-inverse collinearity semantics."""
+    from plink_tpu.cli import main
+
+    subprocess.run(
+        [ORACLE, "--dummy", "260", "200", "0.04", "--seed", "29", "--out", "bp"],
+        cwd=tmp_path, check=True, capture_output=True,
+    )
+    rng = np.random.default_rng(5)
+    ids = [l.split("\t")[0] for l in (tmp_path / "bp.psam").read_text().splitlines()[1:]]
+    with open(tmp_path / "bp.cov", "w") as f:
+        f.write("#IID\tC1\n")
+        for iid in ids:
+            f.write(f"{iid}\t{rng.normal():.6f}\n")
+    flags = ["--pfile", "bp", "--glm", model, "--covar", "bp.cov"]
+    subprocess.run([ORACLE] + flags + ["--out", "o"], cwd=tmp_path, check=True,
+                   capture_output=True)
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert main(flags + ["--out", "t"]) == 0
+    finally:
+        os.chdir(old)
+    _compare_glm(
+        tmp_path / "o.PHENO1.glm.logistic.hybrid",
+        tmp_path / "t.PHENO1.glm.logistic.hybrid",
+    )
 
 
 @pytest.mark.skipif(not os.path.exists(ORACLE), reason="plink2 oracle not built")
