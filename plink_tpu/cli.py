@@ -22,6 +22,8 @@ class Config:
     # sample filters
     keep: str | None = None
     remove: str | None = None
+    keep_if: list[str] = field(default_factory=list)
+    remove_if: list[str] = field(default_factory=list)
     mind: float | None = None
     keep_females: bool = False
     keep_males: bool = False
@@ -287,6 +289,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.parallel = (int(args[0]), int(args[1]))
         elif name == "dummy":
             cfg.dummy = tuple(args)
+        elif name in ("keep_if", "remove_if"):
+            setattr(cfg, name, args)
         elif name in ("keep_females", "keep_males"):
             setattr(cfg, name, True)
         else:

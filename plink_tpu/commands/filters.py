@@ -307,3 +307,184 @@ def update_sex(ds: Dataset, path: str, log: RunLogger) -> None:
         updated += 1
     ds.invalidate_counts()
     log.log(f"--update-sex: {updated} sample(s) updated.")
+
+
+_CMP_OPS = ("<=", ">=", "==", "!=", "<", ">")
+
+
+def _keepif_columns(ds: Dataset, cfg):
+    """Phenotype/covariate columns visible to --keep-if/--remove-if:
+    psam (or --pheno) phenotypes first, then --covar columns (which the
+    reference types as quantitative or categorical, never case/control;
+    GetPhenoCovarCol, 2.0/plink2_filter.cc:1606)."""
+    cols = dict(ds.si.phenos)
+    if getattr(cfg, "pheno", None):
+        from ..io.psam import _build_pheno
+        from .glm import _match_rows, _read_table
+
+        id_mode, ids, colnames, vals = _read_table(cfg.pheno)
+        rows = _match_rows(ds, id_mode, ids)
+        n = ds.raw_sample_ct
+        for c_, name in enumerate(colnames):
+            col_strs = ["NA"] * n
+            for r_, idx in enumerate(rows):
+                if idx >= 0:
+                    col_strs[idx] = vals[r_][c_]
+            cols[name] = _build_pheno(name, col_strs)
+    if getattr(cfg, "covar", None):
+        from ..io.psam import PhenoCol, _build_pheno
+        from .glm import _match_rows, _read_table
+
+        id_mode, ids, colnames, vals = _read_table(cfg.covar)
+        rows = _match_rows(ds, id_mode, ids)
+        n = ds.raw_sample_ct
+        for c_, name in enumerate(colnames):
+            if name in cols:
+                continue
+            col_strs = ["NA"] * n
+            for r_, idx in enumerate(rows):
+                if idx >= 0:
+                    col_strs[idx] = vals[r_][c_]
+            pc = _build_pheno(name, col_strs)
+            if pc.kind == "cc":
+                # covariates are never case/control typed: rebuild as qt with
+                # the original 1/2 values
+                qt = np.where(pc.nonmiss, pc.data + 1.0, np.nan)
+                pc = PhenoCol(name, "qt", qt, pc.nonmiss)
+            cols[name] = pc
+    return cols
+
+
+def _eval_keepif_term(term: str, cols, include: np.ndarray, flagname: str):
+    """One <key> [<op> <value>] comparison -> updated include mask
+    (semantics of KeepIfInternal, 2.0/plink2_filter.cc:1631: ==/ordered ops
+    drop missing-phenotype samples, != keeps them)."""
+    key, op, value = term
+    if key not in cols:
+        raise ValueError(
+            f"--{flagname}: phenotype/covariate '{key}' not loaded."
+        )
+    pc = cols[key]
+    nonmiss = np.asarray(pc.nonmiss, bool)
+    if op is None:  # bare name: existence test
+        return include & nonmiss
+    is_neq = op == "!="
+    out = include.copy()
+    if not is_neq:
+        out &= nonmiss
+    active = include & nonmiss
+    if pc.kind == "qt":
+        try:
+            val = float(value)
+        except ValueError:
+            raise ValueError(
+                f"--{flagname}: quantitative phenotype/covariate '{key}' must "
+                f"be compared to a number, not '{value}'."
+            )
+        data = np.asarray(pc.data, float)
+        with np.errstate(invalid="ignore"):
+            hit = {
+                "<": data < val, "<=": data <= val, "==": data == val,
+                "!=": data == val,  # neq: clear matching
+                ">": data > val, ">=": data >= val,
+            }[op]
+        if is_neq:
+            out[active & hit] = False
+        else:
+            out[active & ~hit] = False
+    elif pc.kind == "cc":
+        sval = str(value).upper()
+        val_12 = 0
+        if sval in ("CASE", "2"):
+            val_12 = 2
+        elif sval in ("CTRL", "CONTROL", "1"):
+            val_12 = 1
+        if op not in ("==", "!=") or not val_12:
+            raise ValueError(
+                f"--{flagname}: binary phenotype/covariate must be compared "
+                f"with ==/!= to case/2 or control/ctrl/1."
+            )
+        if is_neq:
+            val_12 = 3 - val_12
+        cases = nonmiss & (np.asarray(pc.data, float) == 1.0)
+        if val_12 == 2:
+            out = include & cases
+        else:
+            out = include & ~cases
+    else:  # categorical
+        if op not in ("==", "!="):
+            raise ValueError(
+                f"--{flagname}: categorical phenotype/covariate '{key}' must "
+                f"be compared to a category name with ==/!=."
+            )
+        from ..utils.logging import get_logger
+
+        cats = list(pc.cats)
+        if value not in cats[1:]:
+            get_logger().log(
+                f"Warning: --{flagname} categorical phenotype/covariate "
+                f"'{key}' does not have a category named '{value}'."
+            )
+            if not is_neq:
+                out[:] = False
+            return out
+        cat_idx = cats.index(value)
+        hit = np.asarray(pc.data) == cat_idx
+        if is_neq:
+            out[active & hit] = False
+        else:
+            out[active & ~hit] = False
+    return out
+
+
+def _parse_keepif_expr(expr: str, flagname: str):
+    """Parse '<key> <op> <value>' terms joined by && / || (no parens;
+    AND binds tighter, as in CmpExprParse)."""
+    import re
+
+    def parse_term(t: str):
+        t = t.strip()
+        m = re.search(r"(<=|>=|==|!=|<|>)", t)
+        if not m:
+            if not t or " " in t:
+                raise ValueError(f"Invalid --{flagname} expression.")
+            return (t, None, None)
+        key = t[: m.start()].strip()
+        value = t[m.end():].strip()
+        if not key or not value:
+            raise ValueError(f"Invalid --{flagname} expression.")
+        return (key, m.group(1), value)
+
+    or_groups = []
+    for part in expr.split("||"):
+        or_groups.append([parse_term(t) for t in part.split("&&")])
+    return or_groups
+
+
+def keep_remove_if(ds: Dataset, cfg, expr_args, keep: bool,
+                   log: RunLogger) -> None:
+    """--keep-if / --remove-if (ref: KeepRemoveIf,
+    2.0/plink2_filter.cc: remove-if wraps the expression in NOT, so samples
+    the keep-expression would drop -- including missing-phenotype samples
+    under ==/ordered comparisons -- are the ones retained)."""
+    flagname = "keep-if" if keep else "remove-if"
+    expr = " ".join(expr_args)
+    groups = _parse_keepif_expr(expr, flagname)
+    cols = _keepif_columns(ds, cfg)
+    include = ds.sample_mask.copy()
+    result = np.zeros_like(include)
+    for terms in groups:  # OR over groups
+        g = include.copy()
+        for term in terms:  # AND within a group
+            g = _eval_keepif_term(term, cols, g, flagname)
+        result |= g
+    before = ds.sample_ct
+    if keep:
+        ds.sample_mask &= result
+    else:
+        ds.sample_mask &= ~result
+    ds.invalidate_counts()
+    removed = before - ds.sample_ct
+    log.log(
+        f"--{flagname}: {removed} sample{'s' if removed != 1 else ''} removed."
+    )

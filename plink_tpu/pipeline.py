@@ -113,12 +113,18 @@ def run_pipeline(cfg: Config) -> int:
             log.log(f"--keep-males: {ds.sample_ct} samples remaining.")
         if cfg.update_sex:
             F.update_sex(ds, cfg.update_sex, log)
+        if cfg.keep_if:
+            F.keep_remove_if(ds, cfg, cfg.keep_if, keep=True, log=log)
+        if cfg.remove_if:
+            F.keep_remove_if(ds, cfg, cfg.remove_if, keep=False, log=log)
         if cfg.keep_founders:
             F.keep_founders_filter(ds, True, log)
         if cfg.keep_nonfounders:
             F.keep_founders_filter(ds, False, log)
         if cfg.mind is not None:
             F.mind_filter(ds, cfg.mind, log)
+        if ds.sample_ct == 0:
+            raise ValueError("No samples remaining after main filters.")
 
         # ---- variant filters ----
         if cfg.extract:
