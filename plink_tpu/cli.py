@@ -81,6 +81,8 @@ class Config:
     covar: str | None = None
     covar_name: list[str] = field(default_factory=list)
     covar_variance_standardize: bool = False
+    condition: tuple | None = None
+    condition_list: tuple | None = None
     quantile_normalize: bool = False
     adjust: bool = False
     # scoring
@@ -249,6 +251,8 @@ def parse_args(argv: list[str]) -> Config:
         elif name == "glm":
             cfg.glm = True
             cfg.glm_modifiers = args
+        elif name in ("condition", "condition_list"):
+            setattr(cfg, name, tuple(args))
         elif name == "covar_variance_standardize":
             cfg.covar_variance_standardize = True
         elif name == "quantile_normalize":

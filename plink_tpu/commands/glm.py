@@ -116,6 +116,90 @@ def _load_phenos(ds: Dataset, cfg, log: RunLogger):
     return out
 
 
+def _load_condition(ds: Dataset, cfg, a1_is_alt, log: RunLogger):
+    """--condition / --condition-list: A1-allele dosage of the named
+    variant(s) as leading quantitative covariates (GlmCondition,
+    2.0/plink2_glm.cc:1260: 'dominant' caps dosage at 1, 'recessive' maps to
+    max(dosage-1, 0), non-X haploid chromosomes are halved, covariate name =
+    variant ID, condition covariates precede --covar columns)."""
+    from ..ops.pairwise import _unpack_np
+
+    if cfg.condition:
+        want = [cfg.condition[0]]
+        mods = set(cfg.condition[1:])
+        flagname = "--condition"
+    else:
+        with open(cfg.condition_list[0]) as f:
+            want = f.read().split()
+        mods = set(cfg.condition_list[1:])
+        flagname = "--condition-list"
+    dominant = "dominant" in mods
+    recessive = "recessive" in mods
+    vid_to_idx: dict = {}
+    dups = set()
+    for i in np.flatnonzero(ds.variant_mask):
+        v = str(ds.vi.vid[i])
+        if v in vid_to_idx:
+            dups.add(v)
+        vid_to_idx[v] = i
+    names, colvals, nonmiss_all = [], [], np.ones(ds.raw_sample_ct, bool)
+    skip_ct = 0
+    haploid = ds.is_haploid_all()
+    is_x = ds.is_chrx()
+    seen = set()
+    for v in want:
+        if v in seen:
+            continue
+        seen.add(v)
+        if v in dups:
+            raise ValueError(
+                f"{flagname} variant ID '{v}' appears multiple times in dataset."
+            )
+        if v not in vid_to_idx:
+            skip_ct += 1
+            continue
+        i = vid_to_idx[v]
+        codes = _unpack_np(ds.reader.read_packed(i, 1))[0][: ds.raw_sample_ct]
+        nm = codes != 3
+        d = codes.astype(np.float64)
+        if not a1_is_alt[i]:
+            d = 2.0 - d
+        d[~nm] = 0.0
+        if dominant:
+            if haploid[i]:
+                raise ValueError(
+                    f"{flagname} 'dominant'/'recessive' cannot be used with "
+                    "haploid variants."
+                )
+            d = np.minimum(d, 1.0)
+        elif recessive:
+            if haploid[i]:
+                raise ValueError(
+                    f"{flagname} 'dominant'/'recessive' cannot be used with "
+                    "haploid variants."
+                )
+            d = np.maximum(d - 1.0, 0.0)
+        if haploid[i] and not is_x[i]:
+            d = d * 0.5
+        names.append(v)
+        colvals.append(d)
+        nonmiss_all &= nm
+    if skip_ct:
+        log.log(
+            f"Warning: {skip_ct} {flagname} variant ID"
+            f"{'s' if skip_ct != 1 else ''} not found."
+        )
+    ct = len(names)
+    log.log(
+        f"--condition[-list]: {ct} covariate{'s' if ct != 1 else ''} added."
+    )
+    data = (
+        np.column_stack(colvals) if colvals
+        else np.zeros((ds.raw_sample_ct, 0))
+    )
+    return names, data, nonmiss_all
+
+
 _GLM_MODEL_MODS = {"genotypic", "hethom", "dominant", "recessive", "hetonly"}
 _GLM_SUPPORTED_MODS = _GLM_MODEL_MODS | {
     "interaction", "hide-covar", "omit-ref", "sex", "firth", "no-firth",
@@ -147,7 +231,16 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
     always_firth = "firth" in mods
     no_firth = "no-firth" in mods
 
+    # A1 selection (minor allele unless omit-ref); needed before --condition
+    freqs = alt_allele_freqs(ds, founders_only=not cfg.nonfounders)
+    a1_is_alt = np.ones(ds.raw_variant_ct, bool) if omit_ref else ~(freqs > 0.5)
+
     cov_names, cov_data, cov_nonmiss = _load_covars(ds, cfg, log)
+    if cfg.condition or cfg.condition_list:
+        cnames, cdata, cnonmiss = _load_condition(ds, cfg, a1_is_alt, log)
+        cov_names = cnames + cov_names
+        cov_data = np.concatenate([cdata, cov_data], axis=1)
+        cov_nonmiss = cov_nonmiss & cnonmiss
     if add_sex:
         sex = ds.si.sex.astype(np.float64)
         cov_names = cov_names + ["SEX"]
@@ -166,10 +259,6 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
     phenos = _load_phenos(ds, cfg, log)
     if not phenos:
         raise ValueError("--glm: no phenotypes loaded")
-
-    # A1 selection (minor allele unless omit-ref)
-    freqs = alt_allele_freqs(ds, founders_only=not cfg.nonfounders)
-    a1_is_alt = np.ones(ds.raw_variant_ct, bool) if omit_ref else ~(freqs > 0.5)
 
     for name, kind, ydata, ynonmiss in phenos:
         if kind == "cat":
