@@ -87,7 +87,9 @@ class Config:
     adjust: bool = False
     # scoring
     score: tuple | None = None  # (path, modifiers...)
+    score_list: tuple | None = None
     score_col_nums: str | None = None
+    q_score_range: tuple | None = None
     fst: tuple | None = None
     mendel: bool = False
     sdiff: tuple | None = None
@@ -279,6 +281,10 @@ def parse_args(argv: list[str]) -> Config:
             setattr(cfg, name, float(args[0]))
         elif name == "score":
             cfg.score = tuple(args)
+        elif name == "score_list":
+            cfg.score_list = tuple(args)
+        elif name == "q_score_range":
+            cfg.q_score_range = tuple(args)
         elif name == "score_col_nums":
             cfg.score_col_nums = args[0]
         elif name == "threads":

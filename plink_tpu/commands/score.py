@@ -1,16 +1,22 @@
-"""--score: polygenic scoring.
+"""--score / --score-list / --q-score-range: polygenic scoring.
 
 Behavior reference: ScoreReport / CalcScoreThread
-(2.0/plink2_matrix_calc.cc:6892, :6467) and the .sscore writer (:8500-8620):
+(2.0/plink2_matrix_calc.cc:6892, :6467) and the .sscore writer (:8440-8620):
 - flag grammar: --score <file> [varid-col] [allele-col] [score-col]
   ['header' | 'header-read'] ['no-mean-imputation'] (1-based columns,
-  defaults 1 2 3);
+  defaults 1 2 3); --score-col-nums <range list> selects multiple
+  coefficient columns (SCORE1.. names unless header-read);
 - per-sample: ALLELE_CT = denom_base - missing alleles; with
   mean-imputation (default) missing genotypes contribute
   weight * 2 * named_allele_freq and SCORE_AVG divides by the full
   denom_base, with 'no-mean-imputation' by ALLELE_CT;
-- default columns: #[FID\t]IID, phenotype values, ALLELE_CT,
-  NAMED_ALLELE_DOSAGE_SUM, SCORE1_AVG.
+- --q-score-range <range file> <data file> [cols] ['header'] ['min']:
+  range lines "NAME LO HI" (non-numeric bound lines silently skipped,
+  :6977), data lines map variant IDs to values, one
+  <out>.<range>.sscore per range restricted to variants with
+  LO <= value <= HI;
+- --score-list <file>: one score file per line, single .sscore with one
+  score-column set per file and no ALLELE_CT/DOSAGE columns (:11511).
 
 Sex-chromosome allele accounting (:8389) not yet implemented (autosomal
 diploid assumed); multiallelic variants unsupported.
@@ -52,25 +58,39 @@ def _parse_score_args(args: tuple):
     return path, nums[0], nums[1], nums[2], header, header_read, no_meanimpute
 
 
-def score_report(ds: Dataset, cfg, log: RunLogger) -> None:
-    path, vcol, acol, scol, header, header_read, no_meanimpute = _parse_score_args(
-        cfg.score
-    )
-    score_name = "SCORE1"
-    rows = []
+def _parse_col_nums(spec: str) -> list[int]:
+    """--score-col-nums range list, e.g. '3-5,7' -> [3,4,5,7] (1-based)."""
+    out: list[int] = []
+    for part in spec.replace(" ", ",").split(","):
+        if not part:
+            continue
+        if "-" in part:
+            a, b = part.split("-", 1)
+            out.extend(range(int(a), int(b) + 1))
+        else:
+            out.append(int(part))
+    return out
+
+
+def _read_score_file(ds: Dataset, path, vcol, acol, scols, header, header_read):
+    """Parse one score file -> (names, w [V,K], named_is_alt, in_score,
+    missed_ct)."""
     with open(path) as f:
         lines = [l.split() for l in f.read().splitlines() if l.strip()]
+    K = len(scols)
+    names = [f"SCORE{k + 1}" for k in range(K)]
     if header_read and lines:
-        score_name = lines[0][scol - 1]
+        names = [lines[0][c - 1] for c in scols]
     if header:
         lines = lines[1:]
     vid_to_idx = {str(v): i for i, v in enumerate(ds.vi.vid)}
-    w = np.zeros(ds.raw_variant_ct)
-    named_is_alt = np.zeros(ds.raw_variant_ct, bool)
-    in_score = np.zeros(ds.raw_variant_ct, bool)
+    V = ds.raw_variant_ct
+    w = np.zeros((V, K))
+    named_is_alt = np.zeros(V, bool)
+    in_score = np.zeros(V, bool)
     missed = 0
     for t in lines:
-        vid, allele, wt = t[vcol - 1], t[acol - 1], float(t[scol - 1])
+        vid, allele = t[vcol - 1], t[acol - 1]
         i = vid_to_idx.get(vid)
         if i is None or not ds.variant_mask[i]:
             missed += 1
@@ -81,34 +101,38 @@ def score_report(ds: Dataset, cfg, log: RunLogger) -> None:
         elif allele != str(ds.vi.ref[i]):
             missed += 1
             continue
-        w[i] = wt
+        w[i] = [float(t[c - 1]) for c in scols]
         in_score[i] = True
+    return names, w, named_is_alt, in_score, missed
 
-    freqs = np.nan_to_num(alt_allele_freqs(ds, founders_only=True))
-    named_freq = np.where(named_is_alt, freqs, 1.0 - freqs)
+
+def _compute_scores(ds: Dataset, w, named_is_alt, in_score, named_freq,
+                    no_meanimpute):
+    """Returns (nallele [n], dosage_sum [n], avg [n, K])."""
+    n = ds.raw_sample_ct
+    K = w.shape[1]
     scored_ct = int(in_score.sum())
     denom_base = 2 * scored_ct
-
-    n = ds.raw_sample_ct
-    score_sum = np.zeros(n)
+    score_sum = np.zeros((n, K))
     dosage_sum = np.zeros(n)
     miss_ct2 = np.zeros(n)
     for v0, packed in ds.iter_packed_blocks():
         vct = packed.shape[0]
         sl = slice(v0, v0 + vct)
         sel = in_score[sl].astype(np.float64)
-        wv = w[sl] * sel
+        if not sel.any():
+            continue
         ia = named_is_alt[sl]
         z = np.zeros(vct)
-        # score coefs per genotype class; missing -> mean-imputed term
-        c_ref = np.where(ia, 0.0, 2.0) * wv
-        c_het = wv
-        c_alt = np.where(ia, 2.0, 0.0) * wv
-        c_mis = (0.0 if no_meanimpute else 1.0) * wv * 2.0 * named_freq[sl]
-        score_sum += sample_plane_weighted(
-            packed, n, np.stack([c_ref, c_het, c_alt, c_mis], axis=1)
-        )
-        # named-allele dosage over nonmissing
+        for k in range(K):
+            wv = w[sl, k] * sel
+            c_ref = np.where(ia, 0.0, 2.0) * wv
+            c_het = wv
+            c_alt = np.where(ia, 2.0, 0.0) * wv
+            c_mis = (0.0 if no_meanimpute else 1.0) * wv * 2.0 * named_freq[sl]
+            score_sum[:, k] += sample_plane_weighted(
+                packed, n, np.stack([c_ref, c_het, c_alt, c_mis], axis=1)
+            )
         d_ref = np.where(ia, 0.0, 2.0) * sel
         d_alt = np.where(ia, 2.0, 0.0) * sel
         dosage_sum += sample_plane_weighted(
@@ -117,22 +141,108 @@ def score_report(ds: Dataset, cfg, log: RunLogger) -> None:
         miss_ct2 += sample_plane_weighted(
             packed, n, np.stack([z, z, z, 2.0 * sel], axis=1)
         )
-
     nallele = denom_base - miss_ct2
     denom = nallele if no_meanimpute else np.full(n, float(denom_base))
     with np.errstate(divide="ignore", invalid="ignore"):
-        avg = np.where(denom > 0, score_sum / denom, np.nan)
+        avg = np.where(denom[:, None] > 0, score_sum / denom[:, None], np.nan)
+    return nallele, dosage_sum, avg
 
+
+def _parse_qsr(ds: Dataset, cfg, log: RunLogger):
+    """--q-score-range -> list of (range_name, member_mask [V])."""
+    args = cfg.q_score_range
+    range_path, data_path = args[0], args[1]
+    nums = []
+    header = False
+    use_min = False
+    for a in args[2:]:
+        if a == "header":
+            header = True
+        elif a == "min":
+            use_min = True
+        elif a.isdigit():
+            nums.append(int(a))
+        else:
+            raise ValueError(f"--q-score-range: invalid argument '{a}'")
+    vcol = nums[0] if nums else 1
+    dcol = nums[1] if len(nums) > 1 else vcol + 1
+
+    ranges = []
+    with open(range_path) as f:
+        for ln in f:
+            t = ln.split()
+            if len(t) < 3:
+                continue
+            try:
+                lo, hi = float(t[1]), float(t[2])
+            except ValueError:
+                continue  # documented: nonnumeric bound lines are ignored
+            if lo > hi:
+                raise ValueError(
+                    "Upper bound < lower bound in --q-score-range range file."
+                )
+            ranges.append((t[0], lo, hi))
+    if not ranges:
+        raise ValueError("Empty --q-score-range range file.")
+
+    vid_to_idx = {
+        str(ds.vi.vid[i]): i for i in np.flatnonzero(ds.variant_mask)
+    }
+    vals: dict[int, float] = {}
+    with open(data_path) as f:
+        lines = f.read().splitlines()
+    if header:
+        lines = lines[1:]
+    for ln in lines:
+        t = ln.split()
+        if not t:
+            continue
+        if len(t) < max(vcol, dcol):
+            raise ValueError("Missing tokens in --q-score-range data file.")
+        i = vid_to_idx.get(t[vcol - 1])
+        if i is None:
+            continue
+        try:
+            v = float(t[dcol - 1])
+        except ValueError:
+            continue  # NA tolerated
+        if i in vals:
+            if not use_min:
+                raise ValueError(
+                    f"Duplicate variant ID '{t[vcol - 1]}' in --q-score-range "
+                    "data file."
+                )
+            if vals[i] <= v:
+                continue
+        vals[i] = v
+    if not vals:
+        raise ValueError("No valid entries in --q-score-range data file.")
+    V = ds.raw_variant_ct
+    jobs = []
+    idxs = np.fromiter(vals.keys(), dtype=np.int64)
+    vv = np.fromiter(vals.values(), dtype=np.float64)
+    for name, lo, hi in ranges:
+        mask = np.zeros(V, bool)
+        mask[idxs[(vv >= lo) & (vv <= hi)]] = True
+        jobs.append((name, mask))
+    return jobs
+
+
+def _write_sscore(ds: Dataset, path, score_names, avg, nallele, dosage_sum,
+                  with_counts, log: RunLogger):
     inc = np.flatnonzero(ds.sample_mask)
     si = ds.si
     use_fid = si.has_fid and any(str(si.fid[i]) != "0" for i in inc)
-    out = cfg.out + ".sscore"
     pheno_items = list(si.phenos.items())
-    with open(out, "w") as f:
+    with open(path, "w") as f:
         hdr = "#FID\tIID" if use_fid else "#IID"
         for pname, _ in pheno_items:
             hdr += f"\t{pname}"
-        f.write(hdr + f"\tALLELE_CT\tNAMED_ALLELE_DOSAGE_SUM\t{score_name}_AVG\n")
+        if with_counts:
+            hdr += "\tALLELE_CT\tNAMED_ALLELE_DOSAGE_SUM"
+        for nm in score_names:
+            hdr += f"\t{nm}_AVG"
+        f.write(hdr + "\n")
         for i in inc:
             idp = f"{si.fid[i]}\t{si.iid[i]}" if use_fid else str(si.iid[i])
             pvals = ""
@@ -143,10 +253,79 @@ def score_report(ds: Dataset, cfg, log: RunLogger) -> None:
                     pvals += f"\t{int(pc.data[i]) + 1}"
                 else:
                     pvals += f"\t{g6(pc.data[i])}"
-            f.write(
-                f"{idp}{pvals}\t{int(round(nallele[i]))}\t"
-                f"{int(round(dosage_sum[i]))}\t{g6(avg[i])}\n"
+            row = idp + pvals
+            if with_counts:
+                row += f"\t{int(round(nallele[i]))}\t{int(round(dosage_sum[i]))}"
+            for k in range(avg.shape[1]):
+                row += f"\t{g6(avg[i, k])}"
+            f.write(row + "\n")
+
+
+def score_report(ds: Dataset, cfg, log: RunLogger) -> None:
+    freqs = np.nan_to_num(alt_allele_freqs(ds, founders_only=True))
+
+    if getattr(cfg, "score_list", None):
+        path0, vcol, acol, scol, header, header_read, no_mi = _parse_score_args(
+            cfg.score_list
+        )
+        scols = (
+            _parse_col_nums(cfg.score_col_nums) if cfg.score_col_nums else [scol]
+        )
+        with open(path0) as f:
+            files = [l.strip() for l in f if l.strip()]
+        all_names: list[str] = []
+        all_avg = []
+        for k0, path in enumerate(files):
+            names, w, nia, ins, missed = _read_score_file(
+                ds, path, vcol, acol, scols, header, header_read
             )
+            if not header_read:
+                names = [f"SCORE{len(all_names) + j + 1}" for j in range(len(names))]
+            nf = np.where(nia, freqs, 1.0 - freqs)
+            _, _, avg = _compute_scores(ds, w, nia, ins, nf, no_mi)
+            all_names.extend(names)
+            all_avg.append(avg)
+            log.log(
+                f"--score-list file {k0 + 1}/{len(files)}: "
+                f"{int(ins.sum())} variants processed."
+            )
+        out = cfg.out + ".sscore"
+        _write_sscore(
+            ds, out, all_names, np.concatenate(all_avg, axis=1), None, None,
+            with_counts=False, log=log,
+        )
+        log.log(f"--score-list: Results written to {out} .")
+        return
+
+    path, vcol, acol, scol, header, header_read, no_mi = _parse_score_args(
+        cfg.score
+    )
+    scols = _parse_col_nums(cfg.score_col_nums) if cfg.score_col_nums else [scol]
+    names, w, named_is_alt, in_score, missed = _read_score_file(
+        ds, path, vcol, acol, scols, header, header_read
+    )
+    named_freq = np.where(named_is_alt, freqs, 1.0 - freqs)
+
+    jobs = [(None, None)]
+    if getattr(cfg, "q_score_range", None):
+        jobs = _parse_qsr(ds, cfg, log)
+    for rname, rmask in jobs:
+        ins = in_score if rmask is None else (in_score & rmask)
+        nallele, dosage_sum, avg = _compute_scores(
+            ds, w, named_is_alt, ins, named_freq, no_mi
+        )
+        out = (
+            cfg.out + ".sscore" if rname is None
+            else f"{cfg.out}.{rname}.sscore"
+        )
+        _write_sscore(ds, out, names, avg, nallele, dosage_sum,
+                      with_counts=True, log=log)
     if missed:
         log.log(f"Warning: --score: {missed} line(s) skipped (unmatched ID/allele).")
-    log.log(f"--score: Results written to {out} .")
+    if jobs[0][0] is None:
+        log.log(f"--score: Results written to {cfg.out}.sscore .")
+    else:
+        log.log(
+            f"--score + --q-score-range: Results written to "
+            f"{cfg.out}.<range name>.sscore ."
+        )

@@ -256,7 +256,7 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.ld_console import run_ld_console
 
             run_ld_console(ds, cfg, log)
-        if cfg.score:
+        if cfg.score or cfg.score_list:
             from .commands.score import score_report
 
             score_report(ds, cfg, log)
