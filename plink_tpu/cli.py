@@ -88,6 +88,8 @@ class Config:
     # scoring
     score: tuple | None = None  # (path, modifiers...)
     score_list: tuple | None = None
+    variant_score: tuple | None = None
+    vscore_col_nums: str | None = None
     score_col_nums: str | None = None
     q_score_range: tuple | None = None
     fst: tuple | None = None
@@ -283,6 +285,10 @@ def parse_args(argv: list[str]) -> Config:
             cfg.score = tuple(args)
         elif name == "score_list":
             cfg.score_list = tuple(args)
+        elif name == "variant_score":
+            cfg.variant_score = tuple(args)
+        elif name == "vscore_col_nums":
+            cfg.vscore_col_nums = args[0]
         elif name == "q_score_range":
             cfg.q_score_range = tuple(args)
         elif name == "score_col_nums":

@@ -146,6 +146,42 @@ def sample_plane_weighted(
     return np.asarray(out, dtype=np.float64)[:sample_ct]
 
 
+@partial(jax.jit, static_argnames=("npad", "f64"))
+def _variant_plane_weighted(
+    packed: jax.Array, w: jax.Array, npad: int, f64: bool
+) -> jax.Array:
+    """packed [V, NB], w [npad, K] sample weights -> [V, K, 3] weighted sums
+    over the (het, hom-alt, valid) planes.  One MXU matmul per plane serves
+    --variant-score: score_vk = het_vk + 2*homalt_vk +
+    (wtot_k - valid_vk) * 2*altfreq_v (forced mean imputation,
+    2.0/plink2_matrix_calc.cc:9296)."""
+    dt = jnp.float64 if f64 else jnp.float32
+    codes = unpack_codes(packed, npad)[:, :npad]
+    b0 = (codes & 1).astype(dt)
+    b1 = ((codes >> 1) & 1).astype(dt)
+    miss = b0 * b1
+    het = b0 - miss
+    homalt = b1 - miss
+    valid = 1.0 - miss
+    hi = jax.lax.Precision.HIGHEST
+    wd = w.astype(dt)
+    m = lambda p: jnp.dot(p, wd, preferred_element_type=dt, precision=hi)
+    return jnp.stack([m(het), m(homalt), m(valid)], axis=2)
+
+
+def variant_plane_weighted(
+    packed: np.ndarray, sample_ct: int, w: np.ndarray, f64: bool = True
+) -> np.ndarray:
+    """Host wrapper: [V, K, 3] (het, homalt, valid) weighted sums."""
+    npad = ((sample_ct + 3) // 4) * 4
+    wpad = np.zeros((npad, w.shape[1]), dtype=np.float64 if f64 else np.float32)
+    wpad[:sample_ct] = w
+    return np.asarray(
+        _variant_plane_weighted(jnp.asarray(packed), jnp.asarray(wpad), npad, f64),
+        dtype=np.float64,
+    )
+
+
 def _pad_mask(mask: np.ndarray, npad: int) -> np.ndarray:
     out = np.zeros(npad, dtype=np.float32)
     out[: mask.shape[0]] = mask.astype(np.float32)

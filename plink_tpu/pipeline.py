@@ -256,6 +256,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.ld_console import run_ld_console
 
             run_ld_console(ds, cfg, log)
+        if cfg.variant_score:
+            from .commands.vscore import run_vscore
+
+            run_vscore(ds, cfg, log)
         if cfg.score or cfg.score_list:
             from .commands.score import score_report
 
