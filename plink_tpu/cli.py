@@ -111,6 +111,13 @@ class Config:
     keep_founders: bool = False
     keep_nonfounders: bool = False
     update_sex: str | None = None
+    update_name: tuple | None = None
+    update_map: tuple | None = None
+    update_alleles: str | None = None
+    update_ids: str | None = None
+    update_parents: str | None = None
+    make_just_psam: bool = False
+    make_just_pvar: bool = False
     write_samples: bool = False
     snps_only_acgt: bool = False
     # misc
@@ -187,6 +194,12 @@ def parse_args(argv: list[str]) -> Config:
             cfg.keep_nonfounders = True
         elif name == "update_sex":
             cfg.update_sex = args[0]
+        elif name in ("update_name", "update_map"):
+            setattr(cfg, name, tuple(args))
+        elif name in ("update_alleles", "update_ids", "update_parents"):
+            setattr(cfg, name, args[0])
+        elif name in ("make_just_psam", "make_just_pvar"):
+            setattr(cfg, name, True)
         elif name == "write_samples":
             cfg.write_samples = True
         elif name == "from_bp":

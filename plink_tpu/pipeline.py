@@ -99,6 +99,14 @@ def run_pipeline(cfg: Config) -> int:
         # ---- sample filters (plink2.cc:1325-1899 order) ----
         from .commands import filters as F
 
+        if cfg.update_ids or cfg.update_parents:
+            from .commands import update_meta as U
+
+            if cfg.update_ids:
+                U.update_ids(ds, cfg.update_ids, log)
+            if cfg.update_parents:
+                U.update_parents(ds, cfg.update_parents, log)
+
         if cfg.keep:
             F.keep_remove_samples(ds, cfg.keep, keep=True, log=log)
         if cfg.remove:
@@ -126,7 +134,16 @@ def run_pipeline(cfg: Config) -> int:
         if ds.sample_ct == 0:
             raise ValueError("No samples remaining after main filters.")
 
-        # ---- variant filters ----
+        # ---- variant metadata edits, then variant filters ----
+        if cfg.update_name or cfg.update_map or cfg.update_alleles:
+            from .commands import update_meta as U
+
+            if cfg.update_name:
+                U.update_name(ds, cfg.update_name, log)
+            if cfg.update_map:
+                U.update_map(ds, cfg.update_map, log)
+            if cfg.update_alleles:
+                U.update_alleles(ds, cfg.update_alleles, log)
         if cfg.extract:
             F.extract_exclude_variants(ds, cfg.extract, extract=True, log=log)
         if cfg.exclude:
@@ -231,6 +248,16 @@ def run_pipeline(cfg: Config) -> int:
                 for i in np.flatnonzero(ds.variant_mask):
                     f.write(str(ds.vi.vid[i]) + "\n")
             log.log(f"--write-snplist: IDs written to {path} .")
+        if cfg.make_just_psam or cfg.make_just_pvar:
+            from .io.psam import write_psam
+            from .io.pvar import write_pvar
+
+            if cfg.make_just_psam:
+                write_psam(cfg.out + ".psam", ds.si, ds.sample_mask)
+                log.log(f"--make-just-psam: {cfg.out}.psam written.")
+            if cfg.make_just_pvar:
+                write_pvar(cfg.out + ".pvar", ds.vi, ds.variant_mask)
+                log.log(f"--make-just-pvar: {cfg.out}.pvar written.")
         if cfg.make_pgen or cfg.make_bed:
             from .commands.make_pgen import make_pgen
 
