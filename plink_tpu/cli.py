@@ -18,6 +18,9 @@ class Config:
     bfile: str | None = None
     pedmap: str | None = None  # --file / --pedmap prefix
     vcf: str | None = None
+    gen: tuple | None = None  # (path, modifiers...)
+    sample: str | None = None
+    data: tuple | None = None
     out: str = "plink2"
     # sample filters
     keep: str | None = None
@@ -160,6 +163,12 @@ def parse_args(argv: list[str]) -> Config:
             setattr(cfg, key, args[0])
         elif name == "vcf":
             cfg.vcf = args[0]
+        elif name == "gen":
+            cfg.gen = tuple(args)
+        elif name == "sample":
+            cfg.sample = args[0]
+        elif name == "data":
+            cfg.data = tuple(args)
         elif name == "out":
             cfg.out = args[0]
         elif name in ("keep", "remove", "extract", "exclude", "pheno", "covar"):

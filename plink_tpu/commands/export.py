@@ -38,6 +38,14 @@ def run_export(ds: Dataset, cfg, log: RunLogger) -> None:
             _export_ped(ds, cfg, log)
         elif fl == "tped":
             _export_tped(ds, cfg, log)
+        elif fl == "oxford":
+            _export_oxford(ds, cfg, log)
+        elif fl in ("a-transpose", "av"):
+            _export_traw(ds, cfg, log)
+        elif fl in ("haps", "hapslegend"):
+            raise ValueError(
+                f"'--export {fmt}' must be used with a fully phased dataset."
+            )
         else:
             raise NotImplementedError(f"--export {fmt} not supported yet")
 
@@ -234,3 +242,92 @@ def _export_vcf(ds: Dataset, cfg, log: RunLogger) -> None:
         f"--export vcf: {len(inc_v)} variants, {len(inc_s)} samples written to "
         f"{path} ."
     )
+
+
+def _export_oxford(ds: Dataset, cfg, log: RunLogger) -> None:
+    """--export oxford: .gen + .sample (ExportOxGen, 2.0/plink2_export.cc;
+    allele order ALT REF, triplets P(homALT) P(het) P(homREF), missing
+    genotype = "0 0 0"; .sample with the two-line Oxford header, per-sample
+    missing rate, sex 1/2 or NA, qt phenos type P, cc type B coded 0/1)."""
+    from ..ops.pairwise import _unpack_np
+    from ..utils.fmt import g6
+
+    inc_s = np.flatnonzero(ds.sample_mask)
+    inc_v = np.flatnonzero(ds.variant_mask)
+    vi = ds.vi
+    alt1 = vi.alt1()
+    gen_path = cfg.out + ".gen"
+    miss_ct = np.zeros(ds.raw_sample_ct, np.int64)
+    _TRIP = {0: "0 0 1", 1: "0 1 0", 2: "1 0 0", 3: "0 0 0"}
+    with open(gen_path, "w") as f:
+        for v in inc_v:
+            codes = _unpack_np(ds.reader.read_packed(int(v), 1))[0][
+                : ds.raw_sample_ct
+            ][inc_s]
+            miss_ct[inc_s] += codes == 3
+            f.write(
+                f"{vi.chr_info.name(vi.chrom[v])} {vi.vid[v]} {vi.pos[v]} "
+                f"{alt1[v]} {vi.ref[v]} "
+                + " ".join(_TRIP[c] for c in codes)
+                + "\n"
+            )
+    log.log(f"--export oxford: {gen_path} written.")
+    sample_path = cfg.out + ".sample"
+    si = ds.si
+    pheno_items = list(si.phenos.items())
+    vct = len(inc_v)
+    with open(sample_path, "w") as f:
+        f.write("ID_1 ID_2 missing sex"
+                + "".join(f" {n}" for n, _ in pheno_items) + "\n")
+        f.write("0 0 0 D" + "".join(
+            " B" if pc.kind == "cc" else (" D" if pc.kind == "cat" else " P")
+            for _, pc in pheno_items) + "\n")
+        for i in inc_s:
+            sex = str(si.sex[i]) if si.sex[i] else "NA"
+            mr = g6(miss_ct[i] / vct) if vct else "0"
+            row = f"{si.fid[i]} {si.iid[i]} {mr} {sex}"
+            for _, pc in pheno_items:
+                if not pc.nonmiss[i]:
+                    row += " NA"
+                elif pc.kind == "cc":
+                    row += f" {int(pc.data[i])}"
+                elif pc.kind == "cat":
+                    row += f" {int(pc.data[i])}"
+                else:
+                    row += f" {g6(pc.data[i])}"
+            f.write(row + "\n")
+    log.log(f"--export oxford: {sample_path} written.")
+
+
+def _export_traw(ds: Dataset, cfg, log: RunLogger) -> None:
+    """--export A-transpose: .traw variant-major counted-allele matrix
+    (DosageTransposeThread, 2.0/plink2_export.cc:9238): header CHR SNP (C)M
+    POS COUNTED ALT + FID_IID sample columns; COUNTED = REF allele, values
+    are per-sample REF counts with NA for missing."""
+    from ..ops.pairwise import _unpack_np
+
+    inc_s = np.flatnonzero(ds.sample_mask)
+    inc_v = np.flatnonzero(ds.variant_mask)
+    vi = ds.vi
+    si = ds.si
+    alt1 = vi.alt1()
+    path = cfg.out + ".traw"
+    _CNT = {0: "2", 1: "1", 2: "0", 3: "NA"}
+    with open(path, "w") as f:
+        f.write("CHR\tSNP\t(C)M\tPOS\tCOUNTED\tALT")
+        for i in inc_s:
+            f.write(f"\t{si.fid[i]}_{si.iid[i]}")
+        f.write("\n")
+        for v in inc_v:
+            codes = _unpack_np(ds.reader.read_packed(int(v), 1))[0][
+                : ds.raw_sample_ct
+            ][inc_s]
+            cm = vi.cm[v] if vi.cm is not None else 0
+            cm_s = f"{cm:g}" if cm else "0"
+            f.write(
+                f"{vi.chr_info.name(vi.chrom[v])}\t{vi.vid[v]}\t{cm_s}\t"
+                f"{vi.pos[v]}\t{vi.ref[v]}\t{alt1[v]}\t"
+                + "\t".join(_CNT[c] for c in codes)
+                + "\n"
+            )
+    log.log(f"--export A-transpose: {path} written.")

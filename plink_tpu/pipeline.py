@@ -27,6 +27,8 @@ def _load(cfg: Config, log: RunLogger) -> Dataset:
         return _import_pedmap(cfg.pedmap, cfg.out, log)
     if cfg.vcf:
         return _import_vcf(cfg.vcf, cfg.out, log)
+    if cfg.gen or cfg.data:
+        return _import_oxford(cfg, log)
     if cfg.dummy:
         return _generate_dummy(cfg, log)
     raise ValueError(
@@ -53,6 +55,43 @@ def _import_vcf(path: str, out_prefix: str, log: RunLogger) -> Dataset:
     log.log(
         f"--vcf: {vi.variant_ct} variants, {si.sample_ct} samples imported from "
         f"{path}."
+    )
+    return load_dataset(tmp)
+
+
+def _import_oxford(cfg: Config, log: RunLogger) -> Dataset:
+    """--gen + --sample (or --data prefix): Oxford import via a temporary
+    .pgen trio (OxGenToPgen, 2.0/plink2_import.cc)."""
+    from .io.oxford import read_gen
+    from .io.pgen_write import PgenWriter
+    from .io.psam import write_psam
+    from .io.pvar import write_pvar
+
+    if cfg.data:
+        gen_path = cfg.data[0] + ".gen"
+        sample_path = cfg.sample or (cfg.data[0] + ".sample")
+        mods = set(cfg.data[1:])
+    else:
+        gen_path = cfg.gen[0]
+        mods = set(cfg.gen[1:])
+        if not cfg.sample:
+            raise ValueError("--gen requires --sample.")
+        sample_path = cfg.sample
+    ref_mode = "ref-last"
+    for m in ("ref-first", "ref-last", "ref-unknown"):
+        if m in mods:
+            ref_mode = m
+    vi, si, codes = read_gen(gen_path, sample_path, ref_mode)
+    tmp = cfg.out + "-temporary"
+    trusted = ref_mode != "ref-unknown"
+    with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
+                    trusted_ref=trusted) as w:
+        w.append_codes(codes)
+    write_pvar(tmp + ".pvar", vi)
+    write_psam(tmp + ".psam", si)
+    log.log(
+        f"--gen: {vi.variant_ct} variants, {si.sample_ct} samples imported "
+        f"from {gen_path}."
     )
     return load_dataset(tmp)
 
