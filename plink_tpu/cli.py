@@ -130,6 +130,8 @@ class Config:
     silent: bool = False
     parallel: tuple[int, int] | None = None
     dummy: tuple | None = None  # --dummy sample_ct variant_ct [opts]
+    pmerge: tuple | None = None
+    pmerge_list: tuple | None = None
     # raw argv for the log
     argv: list[str] = field(default_factory=list)
 
@@ -327,6 +329,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.parallel = (int(args[0]), int(args[1]))
         elif name == "dummy":
             cfg.dummy = tuple(args)
+        elif name in ("pmerge", "pmerge_list"):
+            setattr(cfg, name, tuple(args))
         elif name in ("keep_if", "remove_if"):
             setattr(cfg, name, args)
         elif name in ("keep_females", "keep_males"):

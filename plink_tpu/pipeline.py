@@ -130,7 +130,13 @@ def run_pipeline(cfg: Config) -> int:
     if cfg.seed is not None:
         np.random.seed(cfg.seed)
     try:
-        ds = _load(cfg, log)
+        if cfg.pmerge or cfg.pmerge_list:
+            from .commands.pmerge import run_pmerge
+
+            merged_prefix = run_pmerge(cfg, log)
+            ds = load_dataset(merged_prefix)
+        else:
+            ds = _load(cfg, log)
         log.log(
             f"{ds.raw_variant_ct} variants and {ds.raw_sample_ct} samples loaded."
         )
