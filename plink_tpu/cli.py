@@ -66,6 +66,7 @@ class Config:
     make_king: bool = False
     make_king_table: bool = False
     king_cutoff: float | None = None
+    king_table_subset: tuple | None = None
     make_grm_bin: bool = False
     make_grm_list: bool = False
     make_rel: str | None = None
@@ -249,6 +250,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.make_king = True
         elif name == "make_king_table":
             cfg.make_king_table = True
+        elif name == "king_table_subset":
+            cfg.king_table_subset = tuple(args)
         elif name == "king_cutoff":
             cfg.king_cutoff = float(args[0]) if args else 0.177
         elif name == "make_grm_bin":

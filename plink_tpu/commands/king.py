@@ -45,10 +45,11 @@ def _king_variant_mask(ds: Dataset, log: RunLogger) -> np.ndarray:
     return vmask
 
 
-def _pair_tables(ds: Dataset, vmask: np.ndarray, tile: int = 2048):
+def _pair_tables(ds: Dataset, vmask: np.ndarray, tile: int = 2048,
+                 sample_mask=None):
     """Yield (rows, cols, counts) per lower tile; rows/cols are raw indices
     into the included-sample list."""
-    pd = PackedDevice(ds, vmask, tile=tile)
+    pd = PackedDevice(ds, vmask, tile=tile, sample_mask=sample_mask)
     s = pd.tile
     for r0, c0 in iter_lower_tiles(pd.npad, s):
         g = np.asarray(king_gram_tile(pd.packed, pd.vmask, r0, c0, s, s))
@@ -58,6 +59,9 @@ def _pair_tables(ds: Dataset, vmask: np.ndarray, tile: int = 2048):
 
 def run_king(ds: Dataset, cfg, log: RunLogger) -> None:
     vmask = _king_variant_mask(ds, log)
+    if getattr(cfg, "king_table_subset", None):
+        _run_king_subset(ds, cfg, log, vmask)
+        return
     inc = np.flatnonzero(ds.sample_mask)
     n = inc.size
     si = ds.si
@@ -210,3 +214,81 @@ def _king_cutoff_prune(ds: Dataset, cfg, log: RunLogger, kin, n, inc) -> None:
         f"with IDs written to {cfg.out}.king.cutoff.out.id, and {keep_local.size} "
         f"remaining sample IDs written to {cfg.out}.king.cutoff.in.id ."
     )
+
+
+def _run_king_subset(ds: Dataset, cfg, log: RunLogger, vmask) -> None:
+    """--king-table-subset: recompute KING only for the pairs listed in a
+    prior .kin0-style file (CalcKingTableSubset,
+    2.0/plink2_matrix_calc.cc:2754): rows keep the input file's pair
+    orientation and order; an optional second argument drops input rows
+    whose KINSHIP column is below the threshold."""
+    args = cfg.king_table_subset
+    path = args[0]
+    thresh = float(args[1]) if len(args) > 1 else None
+    si = ds.si
+    inc = np.flatnonzero(ds.sample_mask)
+    by_iid = {str(si.iid[i]): p for p, i in enumerate(inc)}
+    by_fid_iid = {f"{si.fid[i]}\t{si.iid[i]}": p for p, i in enumerate(inc)}
+    with open(path) as f:
+        lines = [l.rstrip("\n") for l in f if l.strip()]
+    hdr = lines[0]
+    if not hdr.startswith("#"):
+        raise ValueError("--king-table-subset: header line required.")
+    cols = hdr.lstrip("#").split()
+    fid_mode = cols[0] == "FID1"
+    kin_col = cols.index("KINSHIP") if thresh is not None else None
+    pairs = []
+    skip_ct = 0
+    for ln in lines[1:]:
+        t = ln.split()
+        if fid_mode:
+            k1, k2 = f"{t[0]}\t{t[1]}", f"{t[2]}\t{t[3]}"
+            p1, p2 = by_fid_iid.get(k1), by_fid_iid.get(k2)
+        else:
+            p1, p2 = by_iid.get(t[0]), by_iid.get(t[1])
+        if thresh is not None and float(t[kin_col]) < thresh:
+            continue
+        if p1 is None or p2 is None or p1 == p2:
+            skip_ct += 1
+            continue
+        pairs.append((p1, p2))
+    sel = sorted({p for pr in pairs for p in pr})
+    rank = {p: r for r, p in enumerate(sel)}
+    smask2 = np.zeros(ds.raw_sample_ct, bool)
+    smask2[inc[sel]] = True
+    use_fid = _ids_header_and_rows(si, inc)
+    out = cfg.out + ".kin0"
+    # counts over the compacted subset (single tile: subsets are small)
+    tiles = {}
+    for r0, c0, s, counts, pd in _pair_tables(
+        ds, vmask, tile=1 << 30, sample_mask=smask2
+    ):
+        k = king_kinship(counts)
+        tiles[(r0, c0)] = (k, counts)
+    with open(out, "w") as f:
+        hdr_out = "#FID1\tIID1\tFID2\tIID2" if use_fid else "#IID1\tIID2"
+        f.write(hdr_out + "\tNSNP\tHETHET\tIBS0\tKINSHIP\n")
+        for p1, p2 in pairs:
+            a, b = rank[p1], rank[p2]
+            hi_, lo_ = (a, b) if a > b else (b, a)
+            k, counts = tiles[(0, 0)]
+            nsnp = counts["nsnp"][hi_, lo_]
+            hethet = counts["hethet"][hi_, lo_]
+            ibs0 = counts["ibs0"][hi_, lo_]
+            recip = 1.0 / nsnp if nsnp else 0.0
+            i1, i2 = inc[sel[a]], inc[sel[b]]
+            if use_fid:
+                idpart = (f"{si.fid[i1]}\t{si.iid[i1]}\t"
+                          f"{si.fid[i2]}\t{si.iid[i2]}")
+            else:
+                idpart = f"{si.iid[i1]}\t{si.iid[i2]}"
+            f.write(
+                f"{idpart}\t{nsnp}\t{g6(hethet * recip)}\t"
+                f"{g6(ibs0 * recip)}\t{g6(k[hi_, lo_])}\n"
+            )
+    if skip_ct:
+        log.log(
+            f"Warning: --king-table-subset: {skip_ct} pair(s) skipped "
+            "(sample ID not present)."
+        )
+    log.log(f"Results written to {out} .")
