@@ -89,6 +89,8 @@ class Config:
     condition_list: tuple | None = None
     quantile_normalize: bool = False
     adjust: bool = False
+    adjust_file: tuple | None = None
+    gwas_ssf: tuple | None = None
     # scoring
     score: tuple | None = None  # (path, modifiers...)
     score_list: tuple | None = None
@@ -290,6 +292,10 @@ def parse_args(argv: list[str]) -> Config:
             cfg.quantile_normalize = True
         elif name == "adjust":
             cfg.adjust = True
+        elif name == "adjust_file":
+            cfg.adjust_file = tuple(args)
+        elif name == "gwas_ssf":
+            cfg.gwas_ssf = tuple(args)
         elif name == "fst":
             cfg.fst = tuple(args)
         elif name in ("mendel", "me_report"):

@@ -3,7 +3,11 @@
 Behavior reference: Multcomp (2.0/plink2_adjust.cc:122):
 - rows = valid ADD tests sorted by p ascending;
 - GC: chisq = LnPToChisq(ln p) (1 df), lambda = median chisq / 0.456
-  clamped >= 1, GC p = chisq_sf(chisq/lambda) (:365-386);
+  clamped >= 1, GC p = chisq_sf(chisq/lambda) (:365-386).  Deliberate
+  difference: the reference's p->chisq inverse (gamma_p_inv_imp2,
+  include/plink2_stats.cc:831) Halley-iterates to only 24 bits
+  (factor = 2^-23), so its GC values carry ~1e-7 relative error; we use a
+  full-precision inverse, which can flip the 6th printed digit;
 - BONF/HOLM/SIDAK_SS/SIDAK_SD/FDR_BH/FDR_BY classical formulas computed in
   ln space so 1e-300-range p-values survive.
 Default columns: #CHROM ID A1 UNADJ GC BONF HOLM SIDAK_SS SIDAK_SD FDR_BH
@@ -33,6 +37,43 @@ def _chisq_logsf1(x: np.ndarray) -> np.ndarray:
     return np.asarray(chisq_logsf(x, 1.0))
 
 
+def _adjust_columns(lnp: np.ndarray, log: RunLogger):
+    """Shared adjustment math for --adjust and --adjust-file; lnp must be
+    sorted ascending.  Returns dict of ln-space adjusted columns."""
+    m = lnp.size
+    chisq = _lnp_to_chisq(lnp)
+    med = chisq[m // 2] if m % 2 else 0.5 * (chisq[m // 2] + chisq[m // 2 - 1])
+    lam = med / 0.456
+    log.log(
+        f"--adjust: Genomic inflation est. lambda (based on median chisq) = "
+        f"{lam:g}."
+    )
+    lam = max(lam, 1.0)
+    ln_gc = _chisq_logsf1(chisq / lam)
+    i = np.arange(m, dtype=np.float64)
+    ln_m = np.log(m)
+    ln_bonf = np.minimum(lnp + ln_m, 0.0)
+    ln_holm = np.minimum(np.maximum.accumulate(lnp + np.log(m - i)), 0.0)
+    p = np.exp(lnp)
+    with np.errstate(divide="ignore"):
+        ln_sidak_ss = np.log(-np.expm1(m * np.log1p(-np.minimum(p, 1 - 1e-16))))
+        ln_sidak_ss = np.where(p < 1e-280, lnp + ln_m, ln_sidak_ss)
+        k = m - i
+        ln_sd = np.log(-np.expm1(k * np.log1p(-np.minimum(p, 1 - 1e-16))))
+        ln_sd = np.where(p < 1e-280, lnp + np.log(k), ln_sd)
+    ln_sidak_sd = np.minimum(np.maximum.accumulate(ln_sd), 0.0)
+    ln_bh = np.minimum.accumulate((lnp + ln_m - np.log(i + 1.0))[::-1])[::-1]
+    ln_bh = np.minimum(ln_bh, 0.0)
+    cm = np.log(np.sum(1.0 / np.arange(1, m + 1)))
+    ln_by = np.minimum.accumulate((lnp + ln_m + cm - np.log(i + 1.0))[::-1])[::-1]
+    ln_by = np.minimum(ln_by, 0.0)
+    return {
+        "GC": ln_gc, "BONF": ln_bonf, "HOLM": ln_holm,
+        "SIDAK_SS": ln_sidak_ss, "SIDAK_SD": ln_sidak_sd,
+        "FDR_BH": ln_bh, "FDR_BY": ln_by,
+    }
+
+
 def write_adjusted(
     ds, cfg, log: RunLogger, pheno_name: str, suffix: str,
     results: list[tuple[int, float]], a1: np.ndarray,
@@ -48,35 +89,10 @@ def write_adjusted(
     order = np.lexsort((vidx, lnp))
     vidx, lnp = vidx[order], lnp[order]
     m = lnp.size
-    chisq = _lnp_to_chisq(lnp)
-
-    med = chisq[m // 2] if m % 2 else 0.5 * (chisq[m // 2] + chisq[m // 2 - 1])
-    lam = med / 0.456
-    log.log(
-        f"--adjust: Genomic inflation est. lambda (based on median chisq) = "
-        f"{lam:g}."
-    )
-    lam = max(lam, 1.0)
-    ln_gc = _chisq_logsf1(chisq / lam)
-
-    i = np.arange(m, dtype=np.float64)
-    ln_m = np.log(m)
-    ln_bonf = np.minimum(lnp + ln_m, 0.0)
-    ln_holm = np.minimum(np.maximum.accumulate(lnp + np.log(m - i)), 0.0)
-    # Sidak: 1 - (1-p)^k via expm1/log1p, stable across the p range
-    p = np.exp(lnp)
-    with np.errstate(divide="ignore"):
-        ln_sidak_ss = np.log(-np.expm1(m * np.log1p(-np.minimum(p, 1 - 1e-16))))
-        ln_sidak_ss = np.where(p < 1e-280, lnp + ln_m, ln_sidak_ss)
-        k = m - i
-        ln_sd = np.log(-np.expm1(k * np.log1p(-np.minimum(p, 1 - 1e-16))))
-        ln_sd = np.where(p < 1e-280, lnp + np.log(k), ln_sd)
-    ln_sidak_sd = np.minimum(np.maximum.accumulate(ln_sd), 0.0)
-    ln_bh = np.minimum.accumulate((lnp + ln_m - np.log(i + 1.0))[::-1])[::-1]
-    ln_bh = np.minimum(ln_bh, 0.0)
-    cm = np.log(np.sum(1.0 / np.arange(1, m + 1)))
-    ln_by = np.minimum.accumulate((lnp + ln_m + cm - np.log(i + 1.0))[::-1])[::-1]
-    ln_by = np.minimum(ln_by, 0.0)
+    cols = _adjust_columns(lnp, log)
+    ln_gc, ln_bonf, ln_holm = cols["GC"], cols["BONF"], cols["HOLM"]
+    ln_sidak_ss, ln_sidak_sd = cols["SIDAK_SS"], cols["SIDAK_SD"]
+    ln_bh, ln_by = cols["FDR_BH"], cols["FDR_BY"]
 
     vi = ds.vi
     path = f"{cfg.out}.{pheno_name}.{suffix}.adjusted"
@@ -95,3 +111,78 @@ def write_adjusted(
                 f"{logp_to_str(ln_bh[r])}\t{logp_to_str(ln_by[r])}\n"
             )
     log.log(f"--adjust: Results written to {path} .")
+
+
+def run_adjust_file(cfg, log: RunLogger) -> None:
+    """--adjust-file <assoc file> [test=<name>]: standalone multiple-testing
+    adjustment of an existing association file (AdjustFile,
+    2.0/plink2_adjust.h:82): rows with the selected TEST and a numeric P are
+    re-ranked and written to <out>.adjusted with the same column set as
+    inline --adjust."""
+    args = cfg.adjust_file
+    path = args[0]
+    test_name = None
+    for a in args[1:]:
+        if a.startswith("test="):
+            test_name = a[5:]
+        elif a in ("zs", "gc", "log10", "cols="):
+            raise NotImplementedError(f"--adjust-file modifier '{a}'")
+        else:
+            raise ValueError(f"Invalid --adjust-file argument '{a}'.")
+    with open(path) as f:
+        lines = f.read().splitlines()
+    hdr = lines[0].lstrip("#").split("\t")
+    col = {c: j for j, c in enumerate(hdr)}
+    for req in ("ID", "P"):
+        if req not in col:
+            raise ValueError(f"--adjust-file: {path} is missing a {req} column.")
+    tcol = col.get("TEST")
+    chroms, ids, a1s, ps = [], [], [], []
+    seen_tests = set()
+    for ln in lines[1:]:
+        t = ln.split("\t")
+        if tcol is not None:
+            seen_tests.add(t[tcol])
+            if test_name is not None and t[tcol] != test_name:
+                continue
+        try:
+            p = float(t[col["P"]])
+        except ValueError:
+            continue
+        if not np.isfinite(p):
+            continue
+        chroms.append(t[col["CHROM"]] if "CHROM" in col else "NA")
+        ids.append(t[col["ID"]])
+        a1s.append(t[col["A1"]] if "A1" in col else "NA")
+        ps.append(p)
+    if tcol is not None and test_name is None and len(seen_tests) > 1:
+        raise ValueError(
+            f"{len(seen_tests)} distinct TEST values appear in {path}, but no "
+            "test= argument was provided to --adjust-file."
+        )
+    if not ps:
+        raise ValueError(f"--adjust-file: no valid entries in {path}.")
+    with np.errstate(divide="ignore"):
+        lnp = np.log(np.array(ps, dtype=np.float64))
+    order = np.lexsort((np.arange(lnp.size), lnp))
+    lnp = lnp[order]
+    m = lnp.size
+    cols = _adjust_columns(lnp, log)
+    out = cfg.out + ".adjusted"
+    with open(out, "w") as f:
+        f.write(
+            "#CHROM\tID\tA1\tUNADJ\tGC\tBONF\tHOLM\tSIDAK_SS\tSIDAK_SD\t"
+            "FDR_BH\tFDR_BY\n"
+        )
+        for r in range(m):
+            j = order[r]
+            f.write(
+                f"{chroms[j]}\t{ids[j]}\t{a1s[j]}\t{logp_to_str(lnp[r])}\t"
+                + "\t".join(
+                    logp_to_str(cols[c][r])
+                    for c in ("GC", "BONF", "HOLM", "SIDAK_SS", "SIDAK_SD",
+                              "FDR_BH", "FDR_BY")
+                )
+                + "\n"
+            )
+    log.log(f"--adjust-file values ({m} tests) written to {out} .")

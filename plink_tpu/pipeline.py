@@ -130,6 +130,18 @@ def run_pipeline(cfg: Config) -> int:
     if cfg.seed is not None:
         np.random.seed(cfg.seed)
     try:
+        # file-only commands that need no genotype input
+        if cfg.adjust_file or cfg.gwas_ssf:
+            if cfg.adjust_file:
+                from .commands.adjust import run_adjust_file
+
+                run_adjust_file(cfg, log)
+            if cfg.gwas_ssf:
+                from .commands.gwas_ssf import run_gwas_ssf
+
+                run_gwas_ssf(cfg, log)
+            log.log(f"End of run; total wall-clock {log.elapsed():.2f}s.")
+            return 0
         if cfg.pmerge or cfg.pmerge_list:
             from .commands.pmerge import run_pmerge
 
