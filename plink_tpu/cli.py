@@ -31,8 +31,16 @@ class Config:
     keep_females: bool = False
     keep_males: bool = False
     # variant filters
-    extract: str | None = None
-    exclude: str | None = None
+    extract: tuple | None = None
+    exclude: tuple | None = None
+    extract_intersect: tuple | None = None
+    snp: str | None = None
+    snps: list[str] = field(default_factory=list)
+    exclude_snp: str | None = None
+    exclude_snps: list[str] = field(default_factory=list)
+    window: float | None = None
+    from_id: str | None = None
+    to_id: str | None = None
     chr: list[str] = field(default_factory=list)
     not_chr: list[str] = field(default_factory=list)
     autosome: bool = False
@@ -176,8 +184,24 @@ def parse_args(argv: list[str]) -> Config:
             cfg.data = tuple(args)
         elif name == "out":
             cfg.out = args[0]
-        elif name in ("keep", "remove", "extract", "exclude", "pheno", "covar"):
+        elif name in ("keep", "remove", "pheno", "covar"):
             setattr(cfg, name, args[0])
+        elif name in ("extract", "exclude", "extract_intersect"):
+            setattr(cfg, name, tuple(args))
+        elif name == "snp":
+            cfg.snp = args[0]
+        elif name == "snps":
+            cfg.snps = args
+        elif name == "exclude_snp":
+            cfg.exclude_snp = args[0]
+        elif name == "exclude_snps":
+            cfg.exclude_snps = args
+        elif name == "window":
+            cfg.window = float(args[0])
+        elif name == "from":
+            cfg.from_id = args[0]
+        elif name == "to":
+            cfg.to_id = args[0]
         elif name in ("pheno_name", "covar_name"):
             setattr(cfg, name, [t for a in args for t in a.split(",")])
         elif name in ("mind", "geno"):

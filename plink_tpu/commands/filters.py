@@ -40,19 +40,145 @@ def keep_remove_samples(ds: Dataset, path: str, keep: bool, log: RunLogger) -> N
     )
 
 
-def extract_exclude_variants(ds: Dataset, path: str, extract: bool, log: RunLogger) -> None:
-    """--extract / --exclude: variant-ID token files."""
+def _interval_hit(ds: Dataset, files, one_based: bool) -> np.ndarray:
+    """Variant membership in any interval of the given bed0/bed1 files
+    (bed1/range: pos in [start, end]; bed0: pos in [start+1, end],
+    matching the reference's interval handling in plink2_set.cc)."""
+    hit = np.zeros(ds.raw_variant_ct, bool)
+    ci = ds.vi.chr_info
+    for path in files:
+        with open(path) as f:
+            for ln in f:
+                t = ln.split()
+                if len(t) < 3 or t[0].lower() in ("chr", "#chrom"):
+                    continue
+                try:
+                    start, end = int(t[1]), int(t[2])
+                except ValueError:
+                    continue
+                code = ci.code(t[0])
+                lo = start if one_based else start + 1
+                hit |= (
+                    (ds.vi.chrom == code)
+                    & (ds.vi.pos >= lo)
+                    & (ds.vi.pos <= end)
+                )
+    return hit
+
+
+def _token_hit(ds: Dataset, files) -> np.ndarray:
     ids = set()
-    with open(path) as f:
-        for ln in f:
-            ids.update(ln.split())
-    hit = np.isin(ds.vi.vid.astype(str), list(ids))
-    before = ds.variant_ct
+    for path in files:
+        with open(path) as f:
+            for ln in f:
+                ids.update(ln.split())
+    return np.isin(ds.vi.vid.astype(str), list(ids))
+
+
+def extract_exclude_variants(ds: Dataset, args, extract: bool,
+                             log: RunLogger) -> None:
+    """--extract / --exclude: variant-ID token files, or interval files with
+    a leading bed0/bed1/range modifier (plink2_filter.cc token path,
+    plink2_set.cc interval path)."""
+    if isinstance(args, str):
+        args = (args,)
+    mode = None
+    if args and args[0] in ("bed0", "bed1", "range"):
+        mode, args = args[0], args[1:]
+    flag = "extract" if extract else "exclude"
+    if mode is None:
+        hit = _token_hit(ds, args)
+        tag = f"--{flag}"
+    else:
+        hit = _interval_hit(ds, args, one_based=mode != "bed0")
+        tag = f"--{flag} {mode}"
     ds.variant_mask &= hit if extract else ~hit
-    log.log(
-        f"--{'extract' if extract else 'exclude'}: {ds.variant_ct} variants remaining "
-        f"(was {before})."
-    )
+    log.log(f"{tag}: {ds.variant_ct} variants remaining.")
+
+
+def extract_intersect(ds: Dataset, args, log: RunLogger) -> None:
+    """--extract-intersect: intersection of every file's variant set."""
+    args = tuple(args)
+    mode = None
+    if args and args[0] in ("bed0", "bed1", "range"):
+        mode, args = args[0], args[1:]
+    for path in args:
+        if mode is None:
+            ds.variant_mask &= _token_hit(ds, (path,))
+        else:
+            ds.variant_mask &= _interval_hit(
+                ds, (path,), one_based=mode != "bed0"
+            )
+    log.log(f"--extract-intersect: {ds.variant_ct} variants remaining.")
+
+
+def snp_window_filter(ds: Dataset, cfg, log: RunLogger) -> None:
+    """--snp/--snps/--exclude-snp(s) [+ --window]: variant-ID point/range
+    selection; --window keeps variants within half the given kb distance of
+    the --snp variant."""
+    vid = ds.vi.vid.astype(str)
+
+    def ids_of(spec):
+        out = np.zeros(ds.raw_variant_ct, bool)
+        for token in spec:
+            for part in token.split(","):
+                if not part:
+                    continue
+                if "-" in part and part not in vid:
+                    a, b = part.split("-", 1)
+                    ia = np.flatnonzero(vid == a)
+                    ib = np.flatnonzero(vid == b)
+                    if ia.size == 0 or ib.size == 0:
+                        raise ValueError(
+                            f"--snps: variant ID '{part}' range endpoint not found."
+                        )
+                    lo, hi = min(ia[0], ib[0]), max(ia[0], ib[0])
+                    out[lo : hi + 1] = True
+                else:
+                    out |= vid == part
+        return out
+
+    if cfg.snp is not None:
+        i = np.flatnonzero(vid == cfg.snp)
+        if i.size == 0:
+            raise ValueError(f"--snp: variant ID '{cfg.snp}' not found.")
+        i = i[0]
+        if cfg.window is not None:
+            half = cfg.window * 500  # kb -> bp, half-window each side
+            hit = (
+                (ds.vi.chrom == ds.vi.chrom[i])
+                & (np.abs(ds.vi.pos.astype(np.int64) - int(ds.vi.pos[i])) <= half)
+            )
+            ds.variant_mask &= hit
+            log.log(f"--snp + --window: {ds.variant_ct} variants remaining.")
+        else:
+            ds.variant_mask &= vid == cfg.snp
+            log.log(f"--snp: {ds.variant_ct} variants remaining.")
+    if cfg.snps:
+        ds.variant_mask &= ids_of(cfg.snps)
+        log.log(f"--snps: {ds.variant_ct} variants remaining.")
+    if cfg.exclude_snp is not None:
+        ds.variant_mask &= vid != cfg.exclude_snp
+        log.log(f"--exclude-snp: {ds.variant_ct} variants remaining.")
+    if cfg.exclude_snps:
+        ds.variant_mask &= ~ids_of(cfg.exclude_snps)
+        log.log(f"--exclude-snps: {ds.variant_ct} variants remaining.")
+    if cfg.from_id is not None or cfg.to_id is not None:
+        ia = np.flatnonzero(vid == cfg.from_id) if cfg.from_id else None
+        ib = np.flatnonzero(vid == cfg.to_id) if cfg.to_id else None
+        if ia is not None and ia.size == 0:
+            raise ValueError(f"--from: variant ID '{cfg.from_id}' not found.")
+        if ib is not None and ib.size == 0:
+            raise ValueError(f"--to: variant ID '{cfg.to_id}' not found.")
+        lo = int(ia[0]) if ia is not None else 0
+        hi = int(ib[0]) if ib is not None else ds.raw_variant_ct - 1
+        if lo > hi:
+            lo, hi = hi, lo
+        mask = np.zeros(ds.raw_variant_ct, bool)
+        mask[lo : hi + 1] = True
+        mask &= ds.vi.chrom == ds.vi.chrom[lo]
+        ds.variant_mask &= mask
+        log.log(f"--from/--to: {ds.variant_ct} variants remaining.")
 
 
 def filter_chr(ds: Dataset, chr_names: list[str], log: RunLogger, keep: bool = True) -> None:

@@ -203,8 +203,13 @@ def run_pipeline(cfg: Config) -> int:
                 U.update_alleles(ds, cfg.update_alleles, log)
         if cfg.extract:
             F.extract_exclude_variants(ds, cfg.extract, extract=True, log=log)
+        if cfg.extract_intersect:
+            F.extract_intersect(ds, cfg.extract_intersect, log)
         if cfg.exclude:
             F.extract_exclude_variants(ds, cfg.exclude, extract=False, log=log)
+        if (cfg.snp or cfg.snps or cfg.exclude_snp or cfg.exclude_snps
+                or cfg.from_id or cfg.to_id):
+            F.snp_window_filter(ds, cfg, log)
         if cfg.chr:
             F.filter_chr(ds, cfg.chr, log, keep=True)
         if cfg.not_chr:
