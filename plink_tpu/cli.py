@@ -82,6 +82,7 @@ class Config:
     pca_approx: bool = False
     # LD
     indep_pairwise: tuple | None = None  # (window, step, r2) window may be "Nkb"
+    indep_pairphase: tuple | None = None
     vcor: tuple | None = None  # (phased: bool, squared: bool)
     ld_window_kb: float | None = None
     ld_window_r2: float | None = None
@@ -299,6 +300,8 @@ def parse_args(argv: list[str]) -> Config:
                     cfg.pca = int(a)
         elif name == "indep_pairwise":
             cfg.indep_pairwise = tuple(args)
+        elif name == "indep_pairphase":
+            cfg.indep_pairphase = tuple(args)
         elif name in ("r2_unphased", "r_unphased", "r2_phased", "r_phased"):
             cfg.vcor = ("unphased" not in name, name.startswith("r2"))
         elif name == "ld_window_kb":

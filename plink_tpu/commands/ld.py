@@ -1,4 +1,4 @@
-"""--indep-pairwise: windowed r^2 greedy LD pruning.
+"""--indep-pairwise / --indep-pairphase: windowed r^2 greedy LD pruning.
 
 Behavior reference: LdPrune / IndepPairwiseThread (2.0/plink2_ld.cc:2530,
 :801-1116) with the default (non plink1-order) scan: when a window fills,
@@ -82,14 +82,27 @@ def _subcontigs(sub_bps: np.ndarray, ws: int, is_kb: bool):
     return out
 
 
-def indep_pairwise(ds: Dataset, cfg, log: RunLogger) -> None:
-    ws, is_kb, step, r2t = _parse_spec(cfg.indep_pairwise)
+def indep_pairwise(ds: Dataset, cfg, log: RunLogger, phased: bool = False) -> None:
+    """phased=True is --indep-pairphase (IndepPairphaseThread,
+    2.0/plink2_ld.cc:1549): identical greedy walk, pair r^2 from the
+    ML-phased haplotype-cubic estimator over 3x3 joint counts."""
+    spec = cfg.indep_pairphase if phased else cfg.indep_pairwise
+    if phased and not getattr(ds, "has_phase", False):
+        # the reference requires true phase tracks for --indep-pairphase
+        # (it does NOT statistically phase like --r2-phased); our storage
+        # carries hardcalls only so far, so mirror its error.  The
+        # ML-statistical-phasing walk below stays ready for phased storage.
+        raise ValueError(
+            "--indep-pairphase: 0-based variant #0 is not fully phased."
+        )
+    ws, is_kb, step, r2t = _parse_spec(spec)
     vmask = ds.variant_mask.copy()
+    flagname = "indep-pairphase" if phased else "indep-pairwise"
     chr0 = vmask & (ds.vi.chrom == 0)
     if chr0.any():
         ct = int(chr0.sum())
         log.log(
-            f"--indep-pairwise: Ignoring {ct} chromosome 0 "
+            f"--{flagname}: Ignoring {ct} chromosome 0 "
             f"variant{'s' if ct != 1 else ''}."
         )
         vmask &= ~chr0
@@ -97,6 +110,7 @@ def indep_pairwise(ds: Dataset, cfg, log: RunLogger) -> None:
     freqs = alt_allele_freqs(ds, founders_only=True)
     with np.errstate(invalid="ignore"):
         majf = np.where(freqs > 0.5, freqs, 1.0 - freqs)
+        maj_alt = freqs > 0.5
 
     inc_f = np.flatnonzero(founders)
     npad = -(-len(inc_f) // 4) * 4
@@ -119,6 +133,7 @@ def indep_pairwise(ds: Dataset, cfg, log: RunLogger) -> None:
             _prune_subcontig(
                 ds, sub, ds.vi.pos[sub], majf[sub], inc_f, smask, npad,
                 ws, is_kb, step, r2t, removed_global,
+                maj_alt_sub=maj_alt[sub] if phased else None,
             )
 
     pruned = removed_global & considered
@@ -131,7 +146,7 @@ def indep_pairwise(ds: Dataset, cfg, log: RunLogger) -> None:
             f.write(str(ds.vi.vid[i]) + "\n")
     ct, tot = int(pruned.sum()), int(considered.sum())
     log.log(
-        f"--indep-pairwise ({'kb' if is_kb else 'ct'} window): {ct}/{tot} "
+        f"--{flagname} ({'kb' if is_kb else 'ct'} window): {ct}/{tot} "
         f"variants removed; IDs written to {cfg.out}.prune.in + "
         f"{cfg.out}.prune.out ."
     )
@@ -151,7 +166,7 @@ def _max_bp_window_span(bps: np.ndarray, ws: int) -> int:
 
 def _prune_subcontig(
     ds, sub, bps, majf_sub, inc_f, smask, npad, ws, is_kb, step, r2t,
-    removed_global,
+    removed_global, maj_alt_sub=None,
 ):
     n = len(sub)
     # gather packed rows for this subcontig, compacted to founder columns
@@ -162,6 +177,12 @@ def _prune_subcontig(
 
     width = (min(ws, n - 1)) if not is_kb else _max_bp_window_span(bps, ws)
     band = LdBand(packed_f, smask, width)
+    jband = None
+    if maj_alt_sub is not None:
+        from ..ops.ld import LdJointBand
+        from .vcor import _phased_r_from_joint
+
+        jband = LdJointBand(packed_f, smask, width)
 
     # per-variant monomorphic check (ref :906-910): no homs, or all nonmissing
     # hom-ref, or all hom-alt
@@ -213,7 +234,16 @@ def _prune_subcontig(
             if not live_firsts:
                 continue
             f_locs = np.array([window[fp] for fp in live_firsts])
-            exceeds = band.r2_exceeds_vec(f_locs, s_loc, r2t)
+            if jband is None:
+                exceeds = band.r2_exceeds_vec(f_locs, s_loc, r2t)
+            else:
+                jc = jband.joint_counts(f_locs, s_loc - f_locs)
+                r = _phased_r_from_joint(
+                    jc, maj_alt_sub[f_locs],
+                    np.full(len(f_locs), bool(maj_alt_sub[s_loc])),
+                )
+                with np.errstate(invalid="ignore"):
+                    exceeds = np.nan_to_num(r * r) > r2t
             for k, fp in enumerate(live_firsts):
                 if not exceeds[k] or cur_removed[fp]:
                     continue

@@ -337,6 +337,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.ld import indep_pairwise
 
             indep_pairwise(ds, cfg, log)
+        if cfg.indep_pairphase:
+            from .commands.ld import indep_pairwise
+
+            indep_pairwise(ds, cfg, log, phased=True)
         if cfg.vcor:
             from .commands.vcor import run_vcor
 
