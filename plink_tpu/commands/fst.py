@@ -11,9 +11,11 @@ the code cites scikit-allel's allel/stats/fst.py as the readable form):
 - Weir-Cockerham (method=wc): the a/b/c variance components (:12010-12045).
 Per-pop genotype counts come from one multi-mask device counting pass.
 
-Output: <out>.fst.summary (#POP1 POP2 <METHOD>_FST).  Per-variant report
-files and chrX handling are not yet implemented (autosomal only, matching
-the reference's "Autosomal --fst" pass).
+Output: <out>.fst.summary (#POP1 POP2 <METHOD>_FST); with
+'report-variants', one <out>.<POP1>.<POP2>.fst.var per pair (#CHROM POS ID
+OBS_CT <METHOD>_FST, computable rows only).  chrX handling not yet
+implemented (autosomal only, matching the reference's "Autosomal --fst"
+pass).
 """
 
 from __future__ import annotations
@@ -34,11 +36,14 @@ def run_fst(ds: Dataset, cfg, log: RunLogger) -> None:
         raise ValueError("--fst requires a categorical phenotype name")
     pheno_name = args[0]
     method = "hudson"
+    report_variants = False
     for a in args[1:]:
         if a.startswith("method="):
             method = a.split("=", 1)[1].lower()
             if method not in ("hudson", "wc"):
                 raise ValueError(f"--fst: unknown method '{method}'")
+        elif a == "report-variants":
+            report_variants = True
         else:
             raise NotImplementedError(f"--fst modifier '{a}' not supported yet")
 
@@ -99,7 +104,32 @@ def run_fst(ds: Dataset, cfg, log: RunLogger) -> None:
                 numer, denom, valid = _wc_components(c1, c2)
             fst = np.nansum(numer[valid]) / np.nansum(denom[valid])
         rows.append((pop_names[i1], pop_names[i2], fst))
+        if report_variants:
+            tag = "HUDSON_FST" if method == "hudson" else "WC_FST"
+            vp = f"{cfg.out}.{pop_names[i1]}.{pop_names[i2]}.fst.var"
+            with np.errstate(divide="ignore", invalid="ignore"):
+                per_var = numer / denom
+            obs = ((n1 + n2) / 2.0).astype(np.int64)
+            vi = ds.vi
+            with open(vp, "w") as f:
+                f.write(f"#CHROM\tPOS\tID\tOBS_CT\t{tag}\n")
+                # the reference prints every considered variant, rendering
+                # incomputable rows as nan (they are only excluded from the
+                # summary sums)
+                for k in range(len(sel)):
+                    v = sel[k]
+                    val = g6(per_var[k]) if valid[k] else "nan"
+                    f.write(
+                        f"{vi.chr_info.name(vi.chrom[v])}\t{vi.pos[v]}\t"
+                        f"{vi.vid[v]}\t{obs[k]}\t{val}\n"
+                    )
 
+    if report_variants:
+        npair = len(rows)
+        log.log(
+            f"Autosomal --fst: {npair} .fst.var file"
+            f"{'s' if npair != 1 else ''} written."
+        )
     path = cfg.out + ".fst.summary"
     tag = "HUDSON_FST" if method == "hudson" else "WC_FST"
     with open(path, "w") as f:

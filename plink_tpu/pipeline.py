@@ -152,6 +152,22 @@ def run_pipeline(cfg: Config) -> int:
         log.log(
             f"{ds.raw_variant_ct} variants and {ds.raw_sample_ct} samples loaded."
         )
+        if cfg.pheno:
+            # --pheno replaces the psam phenotype columns (LoadPsam override)
+            from .commands.glm import _match_rows, _read_table
+            from .io.psam import _build_pheno
+
+            id_mode, ids, colnames, vals = _read_table(cfg.pheno)
+            rows = _match_rows(ds, id_mode, ids)
+            n_raw = ds.raw_sample_ct
+            phenos = {}
+            for c_, nm_ in enumerate(colnames):
+                col = ["NA"] * n_raw
+                for r_, idx in enumerate(rows):
+                    if idx >= 0:
+                        col[idx] = vals[r_][c_]
+                phenos[nm_] = _build_pheno(nm_, col)
+            ds.si.phenos = phenos
 
         # ---- sample filters (plink2.cc:1325-1899 order) ----
         from .commands import filters as F
