@@ -19,6 +19,7 @@ class Config:
     pedmap: str | None = None  # --file / --pedmap prefix
     vcf: str | None = None
     gen: tuple | None = None  # (path, modifiers...)
+    bgen: tuple | None = None
     sample: str | None = None
     data: tuple | None = None
     out: str = "plink2"
@@ -179,6 +180,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.vcf = args[0]
         elif name == "gen":
             cfg.gen = tuple(args)
+        elif name == "bgen":
+            cfg.bgen = tuple(args)
         elif name == "sample":
             cfg.sample = args[0]
         elif name == "data":

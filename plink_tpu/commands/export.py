@@ -42,6 +42,13 @@ def run_export(ds: Dataset, cfg, log: RunLogger) -> None:
             _export_oxford(ds, cfg, log)
         elif fl in ("a-transpose", "av"):
             _export_traw(ds, cfg, log)
+        elif fl in ("bgen-1.2", "bgen-1.3"):
+            from ..io.bgen import write_bgen
+
+            path = cfg.out + ".bgen"
+            write_bgen(ds, path, fl[-3:])
+            log.log(f"--export {fmt}: {path} written.")
+            _export_oxford_sample(ds, cfg, log)
         elif fl in ("haps", "hapslegend"):
             raise ValueError(
                 f"'--export {fmt}' must be used with a fully phased dataset."
@@ -272,10 +279,27 @@ def _export_oxford(ds: Dataset, cfg, log: RunLogger) -> None:
                 + "\n"
             )
     log.log(f"--export oxford: {gen_path} written.")
+    _export_oxford_sample(ds, cfg, log, miss_ct, len(inc_v))
+
+
+def _export_oxford_sample(ds: Dataset, cfg, log: RunLogger,
+                          miss_ct=None, vct=None) -> None:
+    from ..ops.pairwise import _unpack_np
+    from ..utils.fmt import g6
+
+    inc_s = np.flatnonzero(ds.sample_mask)
+    if miss_ct is None:
+        inc_v = np.flatnonzero(ds.variant_mask)
+        vct = len(inc_v)
+        miss_ct = np.zeros(ds.raw_sample_ct, np.int64)
+        for v in inc_v:
+            codes = _unpack_np(ds.reader.read_packed(int(v), 1))[0][
+                : ds.raw_sample_ct
+            ]
+            miss_ct += codes == 3
     sample_path = cfg.out + ".sample"
     si = ds.si
     pheno_items = list(si.phenos.items())
-    vct = len(inc_v)
     with open(sample_path, "w") as f:
         f.write("ID_1 ID_2 missing sex"
                 + "".join(f" {n}" for n, _ in pheno_items) + "\n")
@@ -296,7 +320,7 @@ def _export_oxford(ds: Dataset, cfg, log: RunLogger) -> None:
                 else:
                     row += f" {g6(pc.data[i])}"
             f.write(row + "\n")
-    log.log(f"--export oxford: {sample_path} written.")
+    log.log(f"--export: {sample_path} written.")
 
 
 def _export_traw(ds: Dataset, cfg, log: RunLogger) -> None:

@@ -29,6 +29,8 @@ def _load(cfg: Config, log: RunLogger) -> Dataset:
         return _import_vcf(cfg.vcf, cfg.out, log)
     if cfg.gen or cfg.data:
         return _import_oxford(cfg, log)
+    if cfg.bgen:
+        return _import_bgen(cfg, log)
     if cfg.dummy:
         return _generate_dummy(cfg, log)
     raise ValueError(
@@ -92,6 +94,32 @@ def _import_oxford(cfg: Config, log: RunLogger) -> Dataset:
     log.log(
         f"--gen: {vi.variant_ct} variants, {si.sample_ct} samples imported "
         f"from {gen_path}."
+    )
+    return load_dataset(tmp)
+
+
+def _import_bgen(cfg: Config, log: RunLogger) -> Dataset:
+    """--bgen [+ --sample]: BGEN import via a temporary .pgen trio."""
+    from .io.bgen import read_bgen
+    from .io.pgen_write import PgenWriter
+    from .io.psam import write_psam
+    from .io.pvar import write_pvar
+
+    mods = set(cfg.bgen[1:])
+    ref_mode = "ref-last"
+    for m in ("ref-first", "ref-last", "ref-unknown"):
+        if m in mods:
+            ref_mode = m
+    vi, si, codes = read_bgen(cfg.bgen[0], cfg.sample, ref_mode)
+    tmp = cfg.out + "-temporary"
+    with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
+                    trusted_ref=ref_mode != "ref-unknown") as w:
+        w.append_codes(codes)
+    write_pvar(tmp + ".pvar", vi)
+    write_psam(tmp + ".psam", si)
+    log.log(
+        f"--bgen: {vi.variant_ct} variants, {si.sample_ct} samples imported "
+        f"from {cfg.bgen[0]}."
     )
     return load_dataset(tmp)
 
