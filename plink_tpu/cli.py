@@ -20,6 +20,8 @@ class Config:
     vcf: str | None = None
     gen: tuple | None = None  # (path, modifiers...)
     bgen: tuple | None = None
+    tped: str | None = None
+    tfam: str | None = None
     sample: str | None = None
     data: tuple | None = None
     out: str = "plink2"
@@ -182,6 +184,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.gen = tuple(args)
         elif name == "bgen":
             cfg.bgen = tuple(args)
+        elif name in ("tped", "tfam"):
+            setattr(cfg, name, args[0])
         elif name == "sample":
             cfg.sample = args[0]
         elif name == "data":

@@ -31,6 +31,8 @@ def _load(cfg: Config, log: RunLogger) -> Dataset:
         return _import_oxford(cfg, log)
     if cfg.bgen:
         return _import_bgen(cfg, log)
+    if cfg.tped:
+        return _import_tped(cfg, log)
     if cfg.dummy:
         return _generate_dummy(cfg, log)
     raise ValueError(
@@ -95,6 +97,27 @@ def _import_oxford(cfg: Config, log: RunLogger) -> Dataset:
         f"--gen: {vi.variant_ct} variants, {si.sample_ct} samples imported "
         f"from {gen_path}."
     )
+    return load_dataset(tmp)
+
+
+def _import_tped(cfg: Config, log: RunLogger) -> Dataset:
+    """--tped + --tfam (TpedToPgen, 2.0/plink2_import_legacy.cc)."""
+    from .io.ped import read_tfam, read_tped
+    from .io.pgen_write import PgenWriter
+    from .io.psam import write_psam
+    from .io.pvar import write_pvar
+
+    if not cfg.tfam:
+        raise ValueError("--tped requires --tfam.")
+    si = read_tfam(cfg.tfam)
+    vi, codes = read_tped(cfg.tped, si.sample_ct)
+    tmp = cfg.out + "-temporary"
+    with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct) as w:
+        w.append_codes(codes)
+    write_pvar(tmp + ".pvar", vi)
+    write_psam(tmp + ".psam", si)
+    log.log(f"--tped: {vi.variant_ct} variants, {si.sample_ct} samples "
+            f"imported from {cfg.tped}.")
     return load_dataset(tmp)
 
 

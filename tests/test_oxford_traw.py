@@ -63,3 +63,15 @@ def test_export_traw(panel):
     d = panel
     _run_both(d, ["--pfile", "gq", "--export", "A-transpose"], "o_tr", "t_tr")
     assert (d / "o_tr.traw").read_text() == (d / "t_tr.traw").read_text()
+
+
+def test_import_tped(panel):
+    d = panel
+    _run_both(d, ["--pfile", "gq", "--export", "tped"], "o_tp", "t_tp")
+    _run_both(
+        d,
+        ["--tped", "o_tp.tped", "--tfam", "o_tp.tfam", "--freq", "--missing"],
+        "o_ti", "t_ti",
+    )
+    assert (d / "o_ti.afreq").read_text() == (d / "t_ti.afreq").read_text()
+    assert (d / "o_ti.vmiss").read_text() == (d / "t_ti.vmiss").read_text()
