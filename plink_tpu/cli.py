@@ -20,6 +20,9 @@ class Config:
     vcf: str | None = None
     gen: tuple | None = None  # (path, modifiers...)
     bgen: tuple | None = None
+    fa: tuple | None = None
+    ref_from_fa: tuple | None = None
+    normalize: bool = False
     tped: str | None = None
     tfam: str | None = None
     sample: str | None = None
@@ -184,6 +187,12 @@ def parse_args(argv: list[str]) -> Config:
             cfg.gen = tuple(args)
         elif name == "bgen":
             cfg.bgen = tuple(args)
+        elif name == "fa":
+            cfg.fa = tuple(args)
+        elif name == "ref_from_fa":
+            cfg.ref_from_fa = tuple(args)
+        elif name == "normalize":
+            cfg.normalize = True
         elif name in ("tped", "tfam"):
             setattr(cfg, name, args[0])
         elif name == "sample":

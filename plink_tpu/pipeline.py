@@ -258,6 +258,11 @@ def run_pipeline(cfg: Config) -> int:
         if ds.sample_ct == 0:
             raise ValueError("No samples remaining after main filters.")
 
+        if cfg.fa and (cfg.ref_from_fa is not None or cfg.normalize):
+            from .commands.fasta import process_fa
+
+            process_fa(ds, cfg, log)
+
         # ---- variant metadata edits, then variant filters ----
         if cfg.update_name or cfg.update_map or cfg.update_alleles:
             from .commands import update_meta as U
