@@ -90,6 +90,7 @@ class Config:
     indep_pairwise: tuple | None = None  # (window, step, r2) window may be "Nkb"
     indep_pairphase: tuple | None = None
     vcor: tuple | None = None  # (phased: bool, squared: bool)
+    vcor_args: tuple = ()
     ld_window_kb: float | None = None
     ld_window_r2: float | None = None
     # GLM
@@ -320,6 +321,7 @@ def parse_args(argv: list[str]) -> Config:
             cfg.indep_pairphase = tuple(args)
         elif name in ("r2_unphased", "r_unphased", "r2_phased", "r_phased"):
             cfg.vcor = ("unphased" not in name, name.startswith("r2"))
+            cfg.vcor_args = tuple(args)
         elif name == "ld_window_kb":
             cfg.ld_window_kb = float(args[0])
         elif name == "ld_window_r2":

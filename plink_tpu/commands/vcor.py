@@ -72,6 +72,15 @@ def _unphased_r(band: LdBand, firsts: np.ndarray, d: np.ndarray) -> np.ndarray:
 
 def run_vcor(ds: Dataset, cfg, log: RunLogger) -> None:
     phased, squared = cfg.vcor
+    args = set(getattr(cfg, "vcor_args", ()))
+    shape = None
+    for m in ("square", "square0", "triangle"):
+        if m in args:
+            shape = m
+    if shape is not None or args & {"bin", "bin4"}:
+        _vcor_matrix(ds, cfg, log, phased, squared, shape or "square",
+                     "bin" in args, "bin4" in args)
+        return
     window_bp = int(cfg.ld_window_kb * 1000) if cfg.ld_window_kb else 1_000_000
     r2_thresh = cfg.ld_window_r2 if cfg.ld_window_r2 is not None else 0.2
     metric = ("PHASED" if phased else "UNPHASED") + ("_R2" if squared else "_R")
@@ -170,3 +179,104 @@ def run_vcor(ds: Dataset, cfg, log: RunLogger) -> None:
         f.writelines(rows_out)
     flag = ("--r2-" if squared else "--r-") + ("phased" if phased else "unphased")
     log.log(f"{flag}: Results written to {path} .")
+
+
+def _vcor_matrix(ds: Dataset, cfg, log: RunLogger, phased, squared, shape,
+                 bin8, bin4) -> None:
+    """Matrix output modes (VcorMatrixThread, 2.0/plink2_ld.cc:9522):
+    all-pairs r/r^2 over the included variants, text square/square0/triangle
+    or bin/bin4, with a companion .vars ID list.  Unphased r derives from
+    the RAV plane Gram on the MXU; phased r uses the per-pair ML
+    haplotype-cubic estimator."""
+    import jax.numpy as jnp
+
+    from ..ops.ld import ld_gram_pair
+    from ..ops.pairwise import _pack_np, _unpack_np
+    from .basic_reports import alt_allele_freqs
+
+    inc_s = np.flatnonzero(ds.sample_mask)
+    npad = -(-len(inc_s) // 4) * 4
+    smask = jnp.asarray(np.r_[np.ones(len(inc_s), np.int8),
+                              np.zeros(npad - len(inc_s), np.int8)])
+    sel = np.flatnonzero(ds.variant_mask)
+    n = len(sel)
+    freqs = np.nan_to_num(alt_allele_freqs(ds, founders_only=True))
+    maj_is_alt = freqs > 0.5
+    sgn = np.where(maj_is_alt[sel], -1.0, 1.0)
+
+    codes_all = []
+    for v in sel:
+        codes_all.append(
+            _unpack_np(ds.reader.read_packed(int(v), 1))[0][: ds.raw_sample_ct][inc_s]
+        )
+    packed = _pack_np(np.stack(codes_all), npad)
+
+    r = np.empty((n, n))
+    chunk = 512
+    packs = {}
+    for a0 in range(0, n, chunk):
+        pa = jnp.asarray(packed[a0 : a0 + chunk])
+        for b0 in range(0, a0 + chunk, chunk):
+            pb = jnp.asarray(packed[b0 : b0 + chunk])
+            g = np.asarray(ld_gram_pair(pa, pb, smask)).astype(np.float64)
+            ca = min(chunk, n - a0)
+            cb = min(chunk, n - b0)
+            blk = {}
+            for ia, ka in enumerate("RAV"):
+                for ib, kb in enumerate("RAV"):
+                    blk[ka + kb] = g[ia * ca : (ia + 1) * ca,
+                                     ib * cb : (ib + 1) * cb]
+            nm = blk["VV"]
+            dot = (nm - blk["VR"] + blk["VA"] - blk["RV"] + blk["RR"]
+                   - blk["RA"] + blk["AV"] - blk["AR"] + blk["AA"])
+            s1 = nm - blk["RV"] + blk["AV"]
+            s2 = nm - blk["VR"] + blk["VA"]
+            q1 = nm - blk["RV"] + 3.0 * blk["AV"]
+            q2 = nm - blk["VR"] + 3.0 * blk["VA"]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                num = nm * dot - s1 * s2
+                den = np.sqrt((nm * q1 - s1 * s1) * (nm * q2 - s2 * s2))
+                rv = num / den
+            rv = rv * sgn[a0 : a0 + ca, None] * sgn[None, b0 : b0 + cb]
+            r[a0 : a0 + ca, b0 : b0 + cb] = rv
+            r[b0 : b0 + cb, a0 : a0 + ca] = rv.T
+
+    if phased:
+        from ..ops.ld import LdJointBand
+
+        jb = LdJointBand(packed, np.asarray(smask), n - 1)
+        for i in range(n):
+            d = np.arange(1, n - i)
+            if d.size == 0:
+                continue
+            jc = jb.joint_counts(np.full(d.size, i), d)
+            rr = _phased_r_from_joint(
+                jc, np.full(d.size, maj_is_alt[sel[i]]),
+                maj_is_alt[sel[i + d]],
+            )
+            r[i, i + d] = rr
+            r[i + d, i] = rr
+    np.fill_diagonal(r, 1.0)
+    vals = r * r if squared else r
+
+    base = cfg.out + ("." + ("phased" if phased else "unphased")
+                      + (".vcor2" if squared else ".vcor1"))
+    if bin8 or bin4:
+        path = base + ".bin"
+        (vals.astype(np.float32) if bin4 else vals.astype(np.float64)).tofile(path)
+    else:
+        path = base
+        with open(path, "w") as f:
+            for i in range(n):
+                if shape == "triangle":
+                    row = vals[i, : i + 1]
+                elif shape == "square0":
+                    row = np.r_[vals[i, : i + 1], np.zeros(n - i - 1)]
+                else:
+                    row = vals[i]
+                f.write("\t".join(g6(x) for x in row) + "\n")
+    with open(base + ".vars", "w") as f:
+        for v in sel:
+            f.write(str(ds.vi.vid[v]) + "\n")
+    flag = ("--r2-" if squared else "--r-") + ("phased" if phased else "unphased")
+    log.log(f"{flag}: Matrix written to {path} .")
