@@ -32,6 +32,12 @@ class Config:
     keep: str | None = None
     remove: str | None = None
     keep_if: list[str] = field(default_factory=list)
+    keep_cats: str | None = None
+    keep_cat_names: list[str] = field(default_factory=list)
+    keep_cat_pheno: str | None = None
+    remove_cats: str | None = None
+    remove_cat_names: list[str] = field(default_factory=list)
+    remove_cat_pheno: str | None = None
     remove_if: list[str] = field(default_factory=list)
     mind: float | None = None
     keep_females: bool = False
@@ -386,6 +392,11 @@ def parse_args(argv: list[str]) -> Config:
         elif name in ("pmerge", "pmerge_list"):
             setattr(cfg, name, tuple(args))
         elif name in ("keep_if", "remove_if"):
+            setattr(cfg, name, args)
+        elif name in ("keep_cats", "keep_cat_pheno", "remove_cats",
+                      "remove_cat_pheno"):
+            setattr(cfg, name, args[0])
+        elif name in ("keep_cat_names", "remove_cat_names"):
             setattr(cfg, name, args)
         elif name in ("keep_females", "keep_males"):
             setattr(cfg, name, True)

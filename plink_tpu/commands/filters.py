@@ -545,7 +545,7 @@ def _eval_keepif_term(term: str, cols, include: np.ndarray, flagname: str):
             )
         from ..utils.logging import get_logger
 
-        cats = list(pc.cats)
+        cats = list(pc.categories)
         if value not in cats[1:]:
             get_logger().log(
                 f"Warning: --{flagname} categorical phenotype/covariate "
@@ -614,3 +614,61 @@ def keep_remove_if(ds: Dataset, cfg, expr_args, keep: bool,
     log.log(
         f"--{flagname}: {removed} sample{'s' if removed != 1 else ''} removed."
     )
+
+
+def keep_remove_cats(ds: Dataset, cfg, log: RunLogger) -> None:
+    """--keep-cats/--keep-cat-names/--keep-cat-pheno and the --remove-*
+    analogues (KeepRemoveCats, plink2_filter.cc): select samples by
+    categorical-phenotype membership.  Without --*-cat-pheno, the single
+    categorical phenotype/covariate is used."""
+    for remove in (False, True):
+        pfx = "remove" if remove else "keep"
+        cats_file = getattr(cfg, f"{pfx}_cats", None)
+        cat_names = getattr(cfg, f"{pfx}_cat_names", None)
+        pheno_name = getattr(cfg, f"{pfx}_cat_pheno", None)
+        if not cats_file and not cat_names:
+            continue
+        cols = _keepif_columns(ds, cfg)
+        if pheno_name is not None:
+            pc = cols.get(pheno_name)
+            if pc is None or pc.kind != "cat":
+                raise ValueError(
+                    f"--{pfx}-cat-pheno: categorical phenotype/covariate "
+                    f"'{pheno_name}' not loaded."
+                )
+        else:
+            cat_cols = [p for p in cols.values() if p.kind == "cat"]
+            if len(cat_cols) != 1:
+                raise ValueError(
+                    f"--{pfx}-cats requires exactly one categorical "
+                    f"phenotype/covariate, or --{pfx}-cat-pheno."
+                )
+            pc = cat_cols[0]
+        want = set()
+        if cat_names:
+            want.update(cat_names)
+        if cats_file:
+            with open(cats_file) as f:
+                want.update(f.read().split())
+        cats = list(pc.categories)
+        sel_idx = {cats.index(c) for c in want if c in cats}
+        absent = len(want) - len(sel_idx)
+        if absent:
+            log.log(
+                f"Warning: {absent} --{pfx}-cat-names categor"
+                f"{'ies' if absent != 1 else 'y'} not present."
+            )
+        member = np.isin(np.asarray(pc.data), list(sel_idx)) & pc.nonmiss
+        before = ds.sample_ct
+        if remove:
+            ds.sample_mask &= ~member
+        else:
+            ds.sample_mask &= member
+        ds.invalidate_counts()
+        rem = before - ds.sample_ct
+        nsel = len(sel_idx)
+        log.log(
+            f"--{pfx}-cats/--{pfx}-cat-names: {nsel} categor"
+            f"{'ies' if nsel != 1 else 'y'} selected, {rem} sample"
+            f"{'s' if rem != 1 else ''} removed."
+        )

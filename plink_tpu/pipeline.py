@@ -245,6 +245,9 @@ def run_pipeline(cfg: Config) -> int:
             log.log(f"--keep-males: {ds.sample_ct} samples remaining.")
         if cfg.update_sex:
             F.update_sex(ds, cfg.update_sex, log)
+        if (cfg.keep_cats or cfg.keep_cat_names or cfg.remove_cats
+                or cfg.remove_cat_names):
+            F.keep_remove_cats(ds, cfg, log)
         if cfg.keep_if:
             F.keep_remove_if(ds, cfg, cfg.keep_if, keep=True, log=log)
         if cfg.remove_if:

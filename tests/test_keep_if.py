@@ -78,3 +78,44 @@ def test_no_samples_remaining(panel):
                   "--write-samples", "--out", "t_ns", "--silent"])
     finally:
         os.chdir(old)
+
+
+@pytest.fixture(scope="module")
+def cat_panel(tmp_path_factory):
+    d = tmp_path_factory.mktemp("keepcats")
+    subprocess.run(
+        [ORACLE, "--dummy", "90", "30", "0.02", "scalar-pheno", "--seed",
+         "7", "--out", "kq"],
+        cwd=d, check=True, capture_output=True,
+    )
+    ids = [l.split("\t")[0] for l in (d / "kq.psam").read_text().splitlines()[1:]]
+    with open(d / "pop.txt", "w") as f:
+        f.write("#IID\tPOP\n")
+        for k, iid in enumerate(ids):
+            f.write(f"{iid}\tP{k % 3 + 1}\n")
+    (d / "cats.txt").write_text("P2\n")
+    return d
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        ["--keep-cat-pheno", "POP", "--keep-cat-names", "P1", "P3"],
+        ["--keep-cat-pheno", "POP", "--keep-cats", "cats.txt"],
+        ["--remove-cat-pheno", "POP", "--remove-cats", "cats.txt"],
+    ],
+)
+def test_keep_remove_cats(cat_panel, flags):
+    from plink_tpu.cli import main
+
+    d = cat_panel
+    full = ["--pfile", "kq", "--pheno", "pop.txt"] + flags + ["--write-samples"]
+    subprocess.run([ORACLE] + full + ["--out", "o_c"], cwd=d, check=True,
+                   capture_output=True)
+    old = os.getcwd()
+    os.chdir(d)
+    try:
+        assert main(full + ["--out", "t_c", "--silent"]) == 0
+    finally:
+        os.chdir(old)
+    assert (d / "o_c.id").read_text() == (d / "t_c.id").read_text()
