@@ -92,6 +92,8 @@ class Config:
     make_rel: str | None = None
     pca: int | None = None
     pca_approx: bool = False
+    pca_allele_wts: bool = False
+    pheno_svd: tuple | None = None
     # LD
     indep_pairwise: tuple | None = None  # (window, step, r2) window may be "Nkb"
     indep_pairphase: tuple | None = None
@@ -314,11 +316,15 @@ def parse_args(argv: list[str]) -> Config:
                 if a in ("square", "square0", "triangle"):
                     shape = a
             cfg.make_rel = shape
+        elif name == "pheno_svd":
+            cfg.pheno_svd = tuple(args)
         elif name == "pca":
             cfg.pca = 10
             for a in args:
                 if a == "approx":
                     cfg.pca_approx = True
+                elif a == "allele-wts":
+                    cfg.pca_allele_wts = True
                 elif a.isdigit():
                     cfg.pca = int(a)
         elif name == "indep_pairwise":

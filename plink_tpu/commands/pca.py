@@ -41,6 +41,8 @@ def run_pca(ds: Dataset, cfg, log: RunLogger, grm: np.ndarray | None = None) -> 
         eigvals = w[::-1][:pc_ct]
         eigvecs = v[:, ::-1][:, :pc_ct]
     _write_eig(ds, cfg, log, inc, eigvals, eigvecs, pc_ct)
+    if getattr(cfg, "pca_allele_wts", False):
+        _write_allele_wts(ds, cfg, log, inc, eigvals, eigvecs, pc_ct)
 
 
 def _pca_approx(ds: Dataset, cfg, pc_ct: int, log: RunLogger):
@@ -108,3 +110,54 @@ def _write_eig(ds, cfg, log, inc, eigvals, eigvecs, pc_ct) -> None:
         f"{cfg.out}.eigenvec, and eigenvalue{'s' if pc_ct != 1 else ''} to "
         f"{cfg.out}.eigenval ."
     )
+
+
+def _write_allele_wts(ds, cfg, log, inc, eigvals, eigvecs, pc_ct) -> None:
+    """--pca allele-wts: per-allele PC loadings (FlushAlleleWts,
+    2.0/plink2_matrix_calc.cc:5452): weight for PC k = (Z_v . u_k) /
+    sqrt(eigval_k) with Z the (2p,sqrt(2pq))-normalized dosage used for the
+    GRM; the ALT-allele row carries +w and the REF row -w.  (The reference
+    build used as oracle lacks LAPACK and cannot run --pca, so this output
+    is verified by reconstruction tests instead of byte-diffing.)"""
+    import jax.numpy as jnp
+
+    from ..ops.pca import x_apply
+
+    freqs = alt_allele_freqs(ds, founders_only=not cfg.nonfounders)
+    vmask = ds.variant_mask
+    pd = PackedDevice(ds, vmask, tile=1 << 30)
+    coefs = grm_coefs(freqs, np.zeros(len(freqs), dtype=bool), vmask)
+    npadv = pd.nblocks * pd.vb
+    cpad = np.zeros((npadv, 3), dtype=np.float32)
+    cpad[: coefs.shape[0]] = coefs
+    coef_dev = jnp.asarray(cpad.reshape(pd.nblocks, pd.vb, 3))
+    n, npad = pd.n, pd.npad
+    smask = np.zeros(npad, np.float32)
+    smask[:n] = 1.0
+    upad = np.zeros((npad, pc_ct), np.float32)
+    upad[:n] = eigvecs
+    w = np.asarray(
+        x_apply(pd.packed, coef_dev, jnp.asarray(smask), jnp.asarray(upad))
+    ).reshape(npadv, pc_ct)
+    sel = np.flatnonzero(vmask)
+    w = w[: len(np.flatnonzero(vmask))] if False else w
+    inv_sqrt = 1.0 / np.sqrt(np.maximum(eigvals, 1e-300))
+    vi = ds.vi
+    from .basic_reports import _provref_strs
+
+    _, prov_fn = _provref_strs(ds)
+    alt1 = vi.alt1()
+    path = cfg.out + ".eigenvec.allele"
+    with open(path, "w") as f:
+        f.write("#CHROM\tID\tREF\tALT\tPROVISIONAL_REF?\tA1"
+                + "".join(f"\tPC{k + 1}" for k in range(pc_ct)) + "\n")
+        for r, v in enumerate(sel):
+            provs = prov_fn(int(v)).lstrip("\t") or "N"
+            meta = (f"{vi.chr_info.name(vi.chrom[v])}\t{vi.vid[v]}\t"
+                    f"{vi.ref[v]}\t{vi.alt[v]}\t{provs}")
+            wrow = w[r] * inv_sqrt
+            f.write(meta + f"\t{vi.ref[v]}"
+                    + "".join("\t" + g6(-x) for x in wrow) + "\n")
+            f.write(meta + f"\t{alt1[v]}"
+                    + "".join("\t" + g6(x) for x in wrow) + "\n")
+    log.log(f"--pca allele-wts: Weights written to {path} .")

@@ -337,6 +337,11 @@ def run_pipeline(cfg: Config) -> int:
 
             run_grm_pca(ds, cfg, log)
 
+        if cfg.pheno_svd:
+            from .commands.pheno_svd import run_pheno_svd
+
+            run_pheno_svd(ds, cfg, log)
+
         # ---- sample reports ----
         if cfg.het:
             from .commands.het import write_het
