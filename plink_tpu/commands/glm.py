@@ -203,11 +203,12 @@ def _load_condition(ds: Dataset, cfg, a1_is_alt, log: RunLogger):
 _GLM_MODEL_MODS = {"genotypic", "hethom", "dominant", "recessive", "hetonly"}
 _GLM_SUPPORTED_MODS = _GLM_MODEL_MODS | {
     "interaction", "hide-covar", "omit-ref", "sex", "firth", "no-firth",
-    "firth-fallback", "allow-no-covars",
+    "firth-fallback", "allow-no-covars", "intercept", "log10",
+    # accepted no-ops, matching the reference's parser
+    "perm-count", "no-x-sex", "skip-invalid-pheno",
 }
 _GLM_KNOWN_UNSUPPORTED_MODS = {
-    "intercept", "log10", "no-x-sex", "skip-invalid-pheno", "pheno-ids",
-    "perm", "perm-count", "cc-residualize", "single-prec-cc",
+    "pheno-ids", "cc-residualize", "single-prec-cc",
     "qt-residualize", "zs", "local-omit-last", "local-haps", "local-cats",
 }
 
@@ -310,6 +311,14 @@ def _row_meta(ds: Dataset, a1_is_alt):
 
 
 ERR_OK = "."
+_LN10 = np.log(10.0)
+
+
+def _p_str(lnp: float, log10: bool) -> str:
+    """P column renderer: ln-space string, or -log10(p) under 'log10'."""
+    if log10:
+        return "NA" if not np.isfinite(lnp) else g6(-lnp / _LN10)
+    return logp_to_str(lnp)
 
 
 def _auto_vb(npad: int) -> int:
@@ -390,6 +399,10 @@ def _glm_linear(
         tests = [t for t in tests if t not in cov_names]
     if joint_name:
         tests = tests + [joint_name]
+    intercept = "intercept" in mods
+    log10 = "log10" in mods
+    if intercept:
+        tests = ["INTERCEPT"] + tests
 
     geno_desc = [
         (nm_, wa, wr, cj) for nm_, wa, wr, cj in pred_specs
@@ -424,9 +437,10 @@ def _glm_linear(
     path = f"{cfg.out}.{pheno_name}.glm.linear"
     f = open(path, "w")
     stat_col = "T_OR_F_STAT" if joint_name else "T_STAT"
+    p_col = "NEG_LOG10_P" if log10 else "P"
     f.write(
         "#CHROM\tPOS\tID\tREF\tALT\tPROVISIONAL_REF?\tA1\tOMITTED\tA1_FREQ\t"
-        f"TEST\tOBS_CT\tBETA\tSE\t{stat_col}\tP\tERRCODE\n"
+        f"TEST\tOBS_CT\tBETA\tSE\t{stat_col}\t{p_col}\tERRCODE\n"
     )
     add_results: list[tuple[int, float]] = []
 
@@ -496,7 +510,7 @@ def _glm_linear(
         _emit_linear_rows(
             f, ds, v0, ia, nm, g1, gg1, xtx, xty, yy_v, d, tests, hide_covar,
             chrom, provref, a1, omitted, vi, cov_names, add_results,
-            pred_specs, geno_idx, joint_name, exact_s_fn,
+            pred_specs, geno_idx, joint_name, exact_s_fn, intercept, log10,
         )
     f.close()
     log.log(f"Results written to {path} .")
@@ -635,6 +649,7 @@ def _emit_linear_rows(
     f, ds, v0, ia, nm, g1, gg1, xtx, xty, yy_v, d, tests, hide_covar,
     chrom, provref, a1, omitted, vi, cov_names, add_results=None,
     pred_specs=None, geno_idx=None, joint_name=None, exact_s_fn=None,
+    intercept=False, log10=False,
 ):
     from ..stats.distributions import f_logsf
 
@@ -715,6 +730,7 @@ def _emit_linear_rows(
                         (int(v0 + ia[i]), float(logp[i, add_pred]))
                     )
     test_pred = {spec[0]: p for p, spec in enumerate(pred_specs)}
+    test_pred["INTERCEPT"] = 0
     lines = []
     for i in range(b):
         vidx = v0 + ia[i]
@@ -731,14 +747,14 @@ def _emit_linear_rows(
             elif tname == joint_name:
                 lines.append(
                     f"{meta}\t{tname}\t{int(nm[i])}\tNA\tNA\t{g6(fstat[i])}\t"
-                    f"{logp_to_str(logp_joint[i])}\t.\n"
+                    f"{_p_str(logp_joint[i], log10)}\t.\n"
                 )
             else:
                 pi = test_pred[tname]
                 lines.append(
                     f"{meta}\t{tname}\t{int(nm[i])}\t{g6(beta[i, pi])}\t"
                     f"{g6(se[i, pi])}\t{g6(tstat[i, pi])}\t"
-                    f"{logp_to_str(logp[i, pi])}\t.\n"
+                    f"{_p_str(logp[i, pi], log10)}\t.\n"
                 )
     f.writelines(lines)
 
@@ -981,19 +997,23 @@ def _glm_logistic(
     f = open(path, "w")
     firth_col = not always_firth and not no_firth
     stat_col = "Z_OR_F_STAT" if joint_name else "Z_STAT"
+    intercept = "intercept" in mods
+    log10 = "log10" in mods
+    p_col = "NEG_LOG10_P" if log10 else "P"
     f.write(
         "#CHROM\tPOS\tID\tREF\tALT\tPROVISIONAL_REF?\tA1\tOMITTED\tA1_FREQ\t"
         + ("FIRTH?\t" if firth_col else "")
-        + f"TEST\tOBS_CT\tOR\tLOG(OR)_SE\t{stat_col}\tP\tERRCODE\n"
+        + f"TEST\tOBS_CT\tOR\tLOG(OR)_SE\t{stat_col}\t{p_col}\tERRCODE\n"
     )
-    tests = [s[0] for s in kern_preds[:n_main]]
+    tests = ["INTERCEPT"] if intercept else []
+    tests += [s[0] for s in kern_preds[:n_main]]
     if not hide_covar:
         tests += list(cov_names)
     tests += [s[0] for s in kern_preds[n_main:]]
     if joint_name:
         tests.append(joint_name)
     add_results: list[tuple[int, float]] = []
-    test_pred = {}
+    test_pred = {"INTERCEPT": 0}
     for p_, s in enumerate(kern_preds):
         test_pred[s[0]] = dc + p_
     for j, cn in enumerate(cov_names):
@@ -1177,7 +1197,7 @@ def _glm_logistic(
             f, v0, ia, beta, se, conv, fail, unf, obs, a1f, const, used_firth,
             firth_col, tests, test_pred, chrom, provref, a1, omitted, vi, d,
             no_firth, add_results, joint_name, fstat, logp_joint, pre_err,
-            invalid,
+            invalid, log10,
         )
     f.close()
     log.log(f"Results written to {path} .")
@@ -1208,7 +1228,7 @@ def _emit_logistic_rows(
     f, v0, ia, beta, se, conv, fail, unf, obs, a1f, const, used_firth,
     firth_col, tests, test_pred, chrom, provref, a1, omitted, vi, d, no_firth,
     add_results=None, joint_name=None, fstat=None, logp_joint=None,
-    pre_err=None, invalid=None,
+    pre_err=None, invalid=None, log10=False,
 ):
     with np.errstate(divide="ignore", invalid="ignore"):
         zstat = np.where(se > 0, beta / se, np.nan)
@@ -1263,7 +1283,7 @@ def _emit_logistic_rows(
                 else:
                     lines.append(
                         f"{meta}\t{fcol}{tname}\t{nm_i}\tNA\tNA\t{g6(fstat[i])}\t"
-                        f"{logp_to_str(logp_joint[i])}\t{ok_err}\n"
+                        f"{_p_str(logp_joint[i], log10)}\t{ok_err}\n"
                     )
                 continue
             pi = test_pred[tname]
@@ -1276,6 +1296,6 @@ def _emit_logistic_rows(
                 lines.append(
                     f"{meta}\t{fcol}{tname}\t{nm_i}\t"
                     f"{g6(np.exp(np.float64(beta[i, pi])))}\t{g6(se[i, pi])}\t"
-                    f"{g6(zstat[i, pi])}\t{logp_to_str(logp[i, pi])}\t{ok_err}\n"
+                    f"{g6(zstat[i, pi])}\t{_p_str(logp[i, pi], log10)}\t{ok_err}\n"
                 )
     f.writelines(lines)

@@ -206,3 +206,50 @@ def test_linear_models(tmp_path, model):
     finally:
         os.chdir(old)
     _compare_glm(tmp_path / "o.PHENO1.glm.linear", tmp_path / "t.PHENO1.glm.linear")
+
+
+@pytest.mark.skipif(not os.path.exists(ORACLE), reason="plink2 oracle not built")
+@pytest.mark.parametrize(
+    "flags,suffix",
+    [
+        (["--pfile", "gq", "--glm", "log10", "allow-no-covars"],
+         "PHENO1.glm.linear"),
+        (["--pfile", "gq", "--glm", "intercept", "allow-no-covars"],
+         "PHENO1.glm.linear"),
+        (["--pfile", "gp", "--glm", "intercept", "log10", "--covar",
+          "gp.cov"], "PHENO1.glm.logistic.hybrid"),
+    ],
+)
+def test_glm_intercept_log10(tmp_path, flags, suffix):
+    """'intercept' adds TEST=INTERCEPT rows; 'log10' renames P to
+    NEG_LOG10_P with -log10 values."""
+    import numpy as np
+
+    from plink_tpu.cli import main
+
+    subprocess.run(
+        [ORACLE, "--dummy", "300", "100", "0.04", "scalar-pheno", "--seed",
+         "13", "--out", "gq"],
+        cwd=tmp_path, check=True, capture_output=True,
+    )
+    subprocess.run(
+        [ORACLE, "--dummy", "300", "100", "0.04", "--seed", "13", "--out",
+         "gp"],
+        cwd=tmp_path, check=True, capture_output=True,
+    )
+    rng = np.random.default_rng(4)
+    ids = [l.split("\t")[0]
+           for l in (tmp_path / "gp.psam").read_text().splitlines()[1:]]
+    with open(tmp_path / "gp.cov", "w") as f:
+        f.write("#IID\tC1\n")
+        for iid in ids:
+            f.write(f"{iid}\t{rng.normal():.6f}\n")
+    subprocess.run([ORACLE] + flags + ["--out", "o"], cwd=tmp_path,
+                   check=True, capture_output=True)
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert main(flags + ["--out", "t", "--silent"]) == 0
+    finally:
+        os.chdir(old)
+    _compare_glm(tmp_path / f"o.{suffix}", tmp_path / f"t.{suffix}")
