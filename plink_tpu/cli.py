@@ -24,6 +24,7 @@ class Config:
     ref_from_fa: tuple | None = None
     normalize: bool = False
     tped: str | None = None
+    eigfile: str | None = None
     tfam: str | None = None
     sample: str | None = None
     data: tuple | None = None
@@ -204,6 +205,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.normalize = True
         elif name in ("tped", "tfam"):
             setattr(cfg, name, args[0])
+        elif name == "eigfile":
+            cfg.eigfile = args[0]
         elif name == "sample":
             cfg.sample = args[0]
         elif name == "data":

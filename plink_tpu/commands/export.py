@@ -49,6 +49,19 @@ def run_export(ds: Dataset, cfg, log: RunLogger) -> None:
             write_bgen(ds, path, fl[-3:])
             log.log(f"--export {fmt}: {path} written.")
             _export_oxford_sample(ds, cfg, log)
+        elif fl == "compound-genotypes":
+            _export_compound(ds, cfg, log)
+        elif fl in ("phylip", "phylip-phased"):
+            if fl == "phylip-phased":
+                raise ValueError(
+                    "--export phylip-phased can only be used with all-diploid "
+                    "fully-phased data."
+                )
+            _export_phylip(ds, cfg, log)
+        elif fl == "ind-major-bed":
+            _export_ind_major_bed(ds, cfg, log)
+        elif fl in ("eig", "eigt"):
+            _export_eig(ds, cfg, log, transposed=fl == "eigt")
         elif fl in ("haps", "hapslegend"):
             raise ValueError(
                 f"'--export {fmt}' must be used with a fully phased dataset."
@@ -355,3 +368,201 @@ def _export_traw(ds: Dataset, cfg, log: RunLogger) -> None:
                 + "\n"
             )
     log.log(f"--export A-transpose: {path} written.")
+
+
+_IUPAC = {
+    frozenset("AC"): "M", frozenset("AG"): "R", frozenset("AT"): "W",
+    frozenset("CG"): "S", frozenset("CT"): "Y", frozenset("GT"): "K",
+}
+
+
+def _export_phylip(ds: Dataset, cfg, log: RunLogger) -> None:
+    """--export phylip (ExportPhylip, 2.0/plink2_export.cc:10439): header
+    "N M", sample rows with the ID padded to max-ID-length+3 and one IUPAC
+    character per variant (het = ambiguity code, missing = N); non-ACGT
+    allele codes are an error."""
+    from ..ops.pairwise import _unpack_np
+
+    inc_s = np.flatnonzero(ds.sample_mask)
+    inc_v = np.flatnonzero(ds.variant_mask)
+    vi = ds.vi
+    si = ds.si
+    alt1 = vi.alt1()
+    ids = [str(si.iid[i]) for i in inc_s]
+    width = max(len(x) for x in ids) + 3
+    mat = np.empty((len(inc_s), len(inc_v)), dtype="U1")
+    for col, v in enumerate(inc_v):
+        ref, alt = str(vi.ref[v]), str(alt1[v])
+        if ref not in "ACGT" or alt not in "ACGT" or not ref or not alt:
+            raise ValueError(
+                f"--export phylip: 0-based variant #{v} has allele code(s) "
+                "outside {A,C,G,T,missing}. (Did you forget --snps-only?)"
+            )
+        het = _IUPAC.get(frozenset((ref, alt)), "N") if ref != alt else ref
+        lut = np.array([ref, het, alt, "N"], dtype="U1")
+        codes = _unpack_np(ds.reader.read_packed(int(v), 1))[0][
+            : ds.raw_sample_ct
+        ][inc_s]
+        mat[:, col] = lut[codes]
+    path = cfg.out + ".phy"
+    with open(path, "w") as f:
+        f.write(f"{len(inc_s)} {len(inc_v)}\n")
+        for r, name in enumerate(ids):
+            f.write(name.ljust(width) + "".join(mat[r]) + "\n")
+    log.log(f"--export phylip: {path} written.")
+
+
+def _export_compound(ds: Dataset, cfg, log: RunLogger) -> None:
+    """--export compound-genotypes: .ped with two-character genotype columns
+    ("ALT-first" pair order like the ped exporter, missing = 00) + .map."""
+    from ..ops.pairwise import _unpack_np
+
+    inc_s = np.flatnonzero(ds.sample_mask)
+    inc_v = np.flatnonzero(ds.variant_mask)
+    vi = ds.vi
+    si = ds.si
+    alt1 = vi.alt1()
+    map_path = cfg.out + ".map"
+    with open(map_path, "w") as f:
+        for v in inc_v:
+            cm = vi.cm[v] if vi.cm is not None else 0
+            f.write(
+                f"{vi.chr_info.name(vi.chrom[v])}\t{vi.vid[v]}\t{cm:g}\t"
+                f"{vi.pos[v]}\n"
+            )
+    log.log(f"Writing {map_path} ... done.")
+    codes_all = np.stack([
+        _unpack_np(ds.reader.read_packed(int(v), 1))[0][: ds.raw_sample_ct][inc_s]
+        for v in inc_v
+    ])
+    pheno = _pheno_strs(ds, inc_s)
+    path = cfg.out + ".ped"
+    with open(path, "w") as f:
+        for r, i in enumerate(inc_s):
+            pat = str(si.pat[i]) if si.pat is not None else "0"
+            mat = str(si.mat[i]) if si.mat is not None else "0"
+            row = [str(si.fid[i]), str(si.iid[i]), pat, mat,
+                   str(si.sex[i]), pheno[r]]
+            for col, v in enumerate(inc_v):
+                ref, alt = str(vi.ref[v]), str(alt1[v])
+                pair = {0: ref + ref, 1: alt + ref, 2: alt + alt, 3: "00"}[
+                    int(codes_all[col, r])
+                ]
+                row.append(pair)
+            f.write("\t".join(row) + "\n")
+    log.log(f"--export compound-genotypes: {path} written.")
+
+
+def _export_ind_major_bed(ds: Dataset, cfg, log: RunLogger) -> None:
+    """--export ind-major-bed: sample-major plink1 .bed (magic 6c 1b 00)
+    with companion .bim/.fam (TransposeToPlink1SmajWriteThread,
+    2.0/plink2_export_legacy.cc:104)."""
+    from ..io import write_bim
+    from ..ops.pairwise import _unpack_np
+    from .make_pgen import _write_fam
+
+    inc_s = np.flatnonzero(ds.sample_mask)
+    inc_v = np.flatnonzero(ds.variant_mask)
+    codes_all = np.stack([
+        _unpack_np(ds.reader.read_packed(int(v), 1))[0][: ds.raw_sample_ct][inc_s]
+        for v in inc_v
+    ])  # [V, N]
+    # plink1 2-bit coding: 00 hom-alt(A1), 10 het, 11 hom-ref, 01 missing
+    plink1 = np.array([3, 2, 0, 1], np.uint8)[codes_all].T  # [N, V]
+    N, V = plink1.shape
+    vpad = -(-V // 4) * 4
+    padded = np.full((N, vpad), 3, np.uint8)  # pad hom-ref? plink zero-pads
+    padded[:, :V] = plink1
+    padded[:, V:] = 0
+    b = (padded[:, 0::4] | (padded[:, 1::4] << 2) | (padded[:, 2::4] << 4)
+         | (padded[:, 3::4] << 6)).astype(np.uint8)
+    path = cfg.out + ".bed"
+    with open(path, "wb") as f:
+        f.write(bytes([0x6C, 0x1B, 0x00]))
+        f.write(b.tobytes())
+    write_bim(cfg.out + ".bim", ds.vi, ds.variant_mask)
+    _write_fam(cfg.out + ".fam", ds)
+    log.log(f"--export ind-major-bed: {path} written.")
+
+
+def _eighash(names) -> int:
+    h = 0
+    for nm in names:
+        sh = 0
+        for ch in str(nm):
+            sh = (sh * 23 + ord(ch)) & 0xFFFFFFFF
+        h = ((h * 17) ^ sh) & 0xFFFFFFFF
+    return h
+
+
+def _export_eig(ds: Dataset, cfg, log: RunLogger, transposed: bool) -> None:
+    """--export eig/eigt: Eigensoft packedancestrymap trio (ExportEigSnp/
+    Ind/Geno, 2.0/plink2_export.cc:10797-11475): .snp (ID CHR CM POS REF
+    ALT), .ind (ID sex-char pheno), binary .geno with "GENO"/"TGENO" header
+    record carrying sample/variant counts and the 23/17 rolling name hashes,
+    then 2-bit REF-allele counts (missing=3) packed sample0-in-top-bits."""
+    from ..ops.pairwise import _unpack_np
+
+    inc_s = np.flatnonzero(ds.sample_mask)
+    inc_v = np.flatnonzero(ds.variant_mask)
+    vi = ds.vi
+    si = ds.si
+    alt1 = vi.alt1()
+    snp_path = cfg.out + ".snp"
+    with open(snp_path, "w") as f:
+        for v in inc_v:
+            cm = vi.cm[v] if vi.cm is not None else 0
+            f.write(
+                f"{vi.vid[v]}\t{vi.chr_info.name(vi.chrom[v])}\t{cm:g}\t"
+                f"{vi.pos[v]}\t{vi.ref[v]}\t{alt1[v]}\n"
+            )
+    v_hash = _eighash(vi.vid[inc_v])
+    ind_path = cfg.out + ".ind"
+    pheno_items = list(si.phenos.items())
+    with open(ind_path, "w") as f:
+        for i in inc_s:
+            sx = {1: "M", 2: "F"}.get(int(si.sex[i]), "U")
+            if pheno_items:
+                _, pc = pheno_items[0]
+                if not pc.nonmiss[i]:
+                    ph = "???"
+                elif pc.kind == "cc":
+                    ph = "Case" if pc.data[i] else "Control"
+                elif pc.kind == "cat":
+                    ph = str(pc.categories[int(pc.data[i])])
+                else:
+                    from ..utils.fmt import g6
+
+                    ph = g6(pc.data[i])
+            else:
+                ph = "???"
+            f.write(f"{si.iid[i]}\t{sx}\t{ph}\n")
+    s_hash = _eighash([str(si.iid[i]) for i in inc_s])
+    codes_all = np.stack([
+        _unpack_np(ds.reader.read_packed(int(v), 1))[0][: ds.raw_sample_ct][inc_s]
+        for v in inc_v
+    ])  # [V, N] alt counts
+    refcount = np.array([2, 1, 0, 3], np.uint8)[codes_all]
+    if transposed:
+        mat = refcount.T  # [N, V] per-sample records
+        rec = max(48, -(-len(inc_v) // 4))
+        hdr_tag = "TGENO"
+    else:
+        mat = refcount  # [V, N]
+        rec = max(48, -(-len(inc_s) // 4))
+        hdr_tag = "GENO"
+    path = cfg.out + ".geno"
+    with open(path, "wb") as f:
+        hdr = (f"{hdr_tag} {len(inc_s):7d} {len(inc_v):7d} "
+               f"{s_hash:x} {v_hash:x}").encode()
+        f.write(hdr + b"\0" * (rec - len(hdr)))
+        R, C = mat.shape
+        cpad = -(-C // 4) * 4
+        pm = np.zeros((R, cpad), np.uint8)
+        pm[:, :C] = mat
+        packed = ((pm[:, 0::4] << 6) | (pm[:, 1::4] << 4)
+                  | (pm[:, 2::4] << 2) | pm[:, 3::4]).astype(np.uint8)
+        for r in range(R):
+            row = packed[r].tobytes()
+            f.write(row + b"\0" * (rec - len(row)))
+    log.log(f"--export {'eigt' if transposed else 'eig'}: {path} written.")

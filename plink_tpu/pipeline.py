@@ -33,6 +33,8 @@ def _load(cfg: Config, log: RunLogger) -> Dataset:
         return _import_bgen(cfg, log)
     if cfg.tped:
         return _import_tped(cfg, log)
+    if cfg.eigfile:
+        return _import_eig(cfg, log)
     if cfg.dummy:
         return _generate_dummy(cfg, log)
     raise ValueError(
@@ -97,6 +99,25 @@ def _import_oxford(cfg: Config, log: RunLogger) -> Dataset:
         f"--gen: {vi.variant_ct} variants, {si.sample_ct} samples imported "
         f"from {gen_path}."
     )
+    return load_dataset(tmp)
+
+
+def _import_eig(cfg: Config, log: RunLogger) -> Dataset:
+    """--eigfile: Eigensoft packedancestrymap import via temporary pgen."""
+    from .io.eig import read_eig
+    from .io.pgen_write import PgenWriter
+    from .io.psam import write_psam
+    from .io.pvar import write_pvar
+
+    vi, si, codes = read_eig(cfg.eigfile)
+    tmp = cfg.out + "-temporary"
+    with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
+                    trusted_ref=True) as w:
+        w.append_codes(codes)
+    write_pvar(tmp + ".pvar", vi)
+    write_psam(tmp + ".psam", si)
+    log.log(f"--eigfile: {vi.variant_ct} variants, {si.sample_ct} samples "
+            f"imported from {cfg.eigfile}.geno .")
     return load_dataset(tmp)
 
 
