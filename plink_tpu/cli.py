@@ -25,6 +25,7 @@ class Config:
     normalize: bool = False
     tped: str | None = None
     eigfile: str | None = None
+    bcf: tuple | None = None
     tfam: str | None = None
     sample: str | None = None
     data: tuple | None = None
@@ -207,6 +208,8 @@ def parse_args(argv: list[str]) -> Config:
             setattr(cfg, name, args[0])
         elif name == "eigfile":
             cfg.eigfile = args[0]
+        elif name == "bcf":
+            cfg.bcf = tuple(args)
         elif name == "sample":
             cfg.sample = args[0]
         elif name == "data":

@@ -49,6 +49,12 @@ def run_export(ds: Dataset, cfg, log: RunLogger) -> None:
             write_bgen(ds, path, fl[-3:])
             log.log(f"--export {fmt}: {path} written.")
             _export_oxford_sample(ds, cfg, log)
+        elif fl == "bcf":
+            from ..io.bcf import write_bcf
+
+            path = cfg.out + ".bcf"
+            write_bcf(ds, path)
+            log.log(f"--export bcf: {path} written.")
         elif fl == "compound-genotypes":
             _export_compound(ds, cfg, log)
         elif fl in ("phylip", "phylip-phased"):

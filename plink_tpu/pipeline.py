@@ -35,6 +35,8 @@ def _load(cfg: Config, log: RunLogger) -> Dataset:
         return _import_tped(cfg, log)
     if cfg.eigfile:
         return _import_eig(cfg, log)
+    if cfg.bcf:
+        return _import_bcf(cfg, log)
     if cfg.dummy:
         return _generate_dummy(cfg, log)
     raise ValueError(
@@ -99,6 +101,25 @@ def _import_oxford(cfg: Config, log: RunLogger) -> Dataset:
         f"--gen: {vi.variant_ct} variants, {si.sample_ct} samples imported "
         f"from {gen_path}."
     )
+    return load_dataset(tmp)
+
+
+def _import_bcf(cfg: Config, log: RunLogger) -> Dataset:
+    """--bcf: BCF2.2 import via temporary pgen trio."""
+    from .io.bcf import read_bcf
+    from .io.pgen_write import PgenWriter
+    from .io.psam import write_psam
+    from .io.pvar import write_pvar
+
+    vi, si, codes = read_bcf(cfg.bcf[0])
+    tmp = cfg.out + "-temporary"
+    with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
+                    trusted_ref=True) as w:
+        w.append_codes(codes)
+    write_pvar(tmp + ".pvar", vi)
+    write_psam(tmp + ".psam", si)
+    log.log(f"--bcf: {vi.variant_ct} variants, {si.sample_ct} samples "
+            f"imported from {cfg.bcf[0]}.")
     return load_dataset(tmp)
 
 
