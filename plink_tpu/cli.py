@@ -26,6 +26,7 @@ class Config:
     tped: str | None = None
     eigfile: str | None = None
     bcf: tuple | None = None
+    read_freq: str | None = None
     tfam: str | None = None
     sample: str | None = None
     data: tuple | None = None
@@ -210,6 +211,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.eigfile = args[0]
         elif name == "bcf":
             cfg.bcf = tuple(args)
+        elif name == "read_freq":
+            cfg.read_freq = args[0]
         elif name == "sample":
             cfg.sample = args[0]
         elif name == "data":

@@ -94,7 +94,26 @@ def alt_allele_freqs(ds: Dataset, founders_only: bool = True) -> np.ndarray:
     matching the reference's MAF-filter convention)."""
     alt, obs = allele_counts_and_obs(ds, founders_only)
     with np.errstate(invalid="ignore", divide="ignore"):
-        return np.where(obs > 0, alt / obs, np.nan)
+        out = np.where(obs > 0, alt / obs, np.nan)
+    fo = getattr(ds, "freq_override", None)
+    if fo is not None:
+        out = np.where(np.isfinite(fo), fo, out)
+    return out
+
+
+def dosage_counts_and_obs(ds: Dataset, founders_only: bool):
+    """Dosage-aware (alt_dosage_sum, obs_allele_ct) for variants carrying a
+    dosage track (LoadAlleleAndGenoCounts dosage branch: a sample counts as
+    observed when it has a dosage entry or a nonmissing hardcall).
+    Autosomal accounting only; returns overrides dict {v: (alt, obs)}."""
+    smask = ds.sample_mask & (ds.founder_mask if founders_only else True)
+    vr = ds.reader.header.vrtypes
+    out = {}
+    for v in np.flatnonzero(ds.variant_mask & ((vr & 0x60) != 0)):
+        d = ds.dosage_row(int(v))[: ds.raw_sample_ct][smask]
+        fin = np.isfinite(d)
+        out[int(v)] = (float(d[fin].sum()), 2.0 * int(fin.sum()))
+    return out
 
 
 def _provref_strs(ds: Dataset):
@@ -112,6 +131,9 @@ def _provref_strs(ds: Dataset):
 def write_freq(ds: Dataset, out_prefix: str, log: RunLogger, founders_only: bool = True) -> str:
     """--freq -> <out>.afreq."""
     alt, obs = allele_counts_and_obs(ds, founders_only)
+    if ds.has_dosage:
+        for v, (a_, o_) in dosage_counts_and_obs(ds, founders_only).items():
+            alt[v], obs[v] = a_, o_
     path = out_prefix + ".afreq"
     ci = ds.vi.chr_info
     prov_hdr, prov_fn = _provref_strs(ds)

@@ -29,7 +29,12 @@ def run_export(ds: Dataset, cfg, log: RunLogger) -> None:
     for fmt in fmts:
         fl = fmt.lower()
         if fl in ("vcf", "vcf-4.3"):
-            _export_vcf(ds, cfg, log)
+            ds_mode = any(
+                a.startswith("vcf-dosage=") for a in fmts
+            )
+            _export_vcf(ds, cfg, log, with_ds=ds_mode)
+        elif fmt.startswith("vcf-dosage="):
+            continue
         elif fmt == "A":
             _export_raw(ds, cfg, log, with_het=False)
         elif fmt == "AD":
@@ -214,7 +219,29 @@ def _export_tped(ds: Dataset, cfg, log: RunLogger) -> None:
     log.log(f"--export tped: {cfg.out}.tped + {cfg.out}.tfam written.")
 
 
-def _export_vcf(ds: Dataset, cfg, log: RunLogger) -> None:
+def _dosage_decimal(rem: int) -> str:
+    """Fractional-part printer for 16384ths (PrintDosageDecimal,
+    2.0/plink2_common.cc:160): shortest round-tripping decimal, else
+    banker's-rounded 5 digits."""
+    rt = (rem * 2 + 1) * 625
+    if rt % 2048 < 1250:
+        return "." + f"{rt // 2048:04d}".rstrip("0")
+    five = (3125 * rem + 256) // 512 - (1 if rem % 1024 == 256 else 0)
+    first = five // 10000
+    last4 = five - first * 10000
+    s = "." + str(first)
+    if last4:
+        s += f"{last4:04d}".rstrip("0")
+    return s
+
+
+def _print_small_dosage(val: int) -> str:
+    """DS value in 16384ths (PrintSmallDosage, 2.0/plink2_common.h:444)."""
+    whole, rem = divmod(int(val), 16384)
+    return str(whole) + (_dosage_decimal(rem) if rem else "")
+
+
+def _export_vcf(ds: Dataset, cfg, log: RunLogger, with_ds: bool = False) -> None:
     vi = ds.vi
     si = ds.si
     inc_s = np.flatnonzero(ds.sample_mask)
@@ -235,6 +262,9 @@ def _export_vcf(ds: Dataset, cfg, log: RunLogger) -> None:
         for c in chroms_present:
             hdr += f"##contig=<ID={ci.name(int(c))}>\n"
         hdr += '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        if with_ds:
+            hdr += ('##FORMAT=<ID=DS,Number=A,Type=Float,Description='
+                    '"Estimated Alternate Allele Dosage : [P(0/1)+2*P(1/1)]">\n')
         cols = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
         ids = [
             (f"{si.fid[i]}_{si.iid[i]}" if use_fid else str(si.iid[i]))
@@ -257,13 +287,30 @@ def _export_vcf(ds: Dataset, cfg, log: RunLogger) -> None:
                 q = "." if qual is None or qual[i] is None else str(qual[i])
                 fl = "." if filt is None or filt[i] is None else str(filt[i])
                 inf = "." if info is None or info[i] is None else str(info[i])
+                fmt_col = "GT:DS" if with_ds else "GT"
                 meta = (
                     f"{ci.name(int(vi.chrom[i]))}\t{vi.pos[i]}\t{vi.vid[i]}\t"
-                    f"{vi.ref[i]}\t{vi.alt[i]}\t{q}\t{fl}\t{inf}\tGT"
+                    f"{vi.ref[i]}\t{vi.alt[i]}\t{q}\t{fl}\t{inf}\t{fmt_col}"
                 )
                 f.write(meta.encode())
-                f.write(gt_bytes[r].tobytes())
-                f.write(b"\n")
+                if not with_ds:
+                    f.write(gt_bytes[r].tobytes())
+                    f.write(b"\n")
+                    continue
+                aux = ds.reader.read_dosage(i)
+                ds_of = {}
+                if aux.dosage_ids is not None:
+                    for sid, val in zip(aux.dosage_ids, aux.dosage_vals):
+                        ds_of[int(sid)] = int(val)
+                gts = gt_bytes[r].tobytes().decode().split("\t")[1:]
+                row = []
+                for col, s_raw in enumerate(inc_s):
+                    cell = gts[col]
+                    dv = ds_of.get(int(s_raw))
+                    if dv is not None:
+                        cell += ":" + _print_small_dosage(dv)
+                    row.append(cell)
+                f.write(("\t" + "\t".join(row) + "\n").encode())
     log.log(
         f"--export vcf: {len(inc_v)} variants, {len(inc_s)} samples written to "
         f"{path} ."

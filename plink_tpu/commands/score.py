@@ -33,6 +33,24 @@ from ..utils.logging import RunLogger
 from .basic_reports import alt_allele_freqs
 
 
+def _ddosagetoa(val: float) -> str:
+    """Dosage-sum renderer (ddosagetoa, 2.0/plink2_common.cc): 3-decimal
+    precision with the reference's +16 rounding and trailing-zero drop."""
+    v = int(round(val * 32768.0)) + 16
+    whole = v // 32768
+    rem = v % 32768
+    if rem < 33:
+        return str(whole)
+    three = (125 * rem + 48) // 4096 - (1 if rem % 8192 == 4048 else 0)
+    first, pair = divmod(three, 100)
+    s = f"{whole}.{first}"
+    if pair:
+        s += f"{pair:02d}"
+        if s[-1] == "0":
+            s = s[:-1]
+    return s
+
+
 def _parse_score_args(args: tuple):
     path = args[0]
     nums = []
@@ -116,6 +134,20 @@ def _compute_scores(ds: Dataset, w, named_is_alt, in_score, named_freq,
     score_sum = np.zeros((n, K))
     dosage_sum = np.zeros(n)
     miss_ct2 = np.zeros(n)
+    in_score = in_score.copy()
+    if ds.has_dosage:
+        # dosage-track variants take the dense fused-dosage path
+        vr = ds.reader.header.vrtypes
+        for v in np.flatnonzero(in_score & ((vr & 0x60) != 0)):
+            d = ds.dosage_row(int(v))
+            nd = d if named_is_alt[v] else 2.0 - d
+            fin = np.isfinite(nd)
+            fill = 0.0 if no_meanimpute else 2.0 * named_freq[v]
+            contrib = np.where(fin, nd, fill)
+            score_sum += np.outer(contrib, w[v])
+            dosage_sum += np.where(fin, nd, 0.0)
+            miss_ct2 += 2.0 * (~fin)
+            in_score[v] = False
     for v0, packed in ds.iter_packed_blocks():
         vct = packed.shape[0]
         sl = slice(v0, v0 + vct)
@@ -255,7 +287,7 @@ def _write_sscore(ds: Dataset, path, score_names, avg, nallele, dosage_sum,
                     pvals += f"\t{g6(pc.data[i])}"
             row = idp + pvals
             if with_counts:
-                row += f"\t{int(round(nallele[i]))}\t{int(round(dosage_sum[i]))}"
+                row += f"\t{_ddosagetoa(nallele[i])}\t{_ddosagetoa(dosage_sum[i])}"
             for k in range(avg.shape[1]):
                 row += f"\t{g6(avg[i, k])}"
             f.write(row + "\n")

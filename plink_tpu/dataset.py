@@ -125,6 +125,29 @@ class Dataset:
     def invalidate_counts(self) -> None:
         self._counts_cache.clear()
 
+    @property
+    def has_dosage(self) -> bool:
+        """Any variant carries a dosage track (vrtype bits 5-6)."""
+        h = self.reader.header
+        return h.mode == 0x10 and bool((h.vrtypes & 0x60).any())
+
+    def dosage_row(self, v: int) -> np.ndarray:
+        """Fused ALT dosage for one variant: dosage-track values where
+        present, hardcall values elsewhere, NaN when both missing
+        (the reference's GetD semantics)."""
+        from .ops.pairwise import _unpack_np
+
+        codes = _unpack_np(self.reader.read_packed(int(v), 1))[0][
+            : self.raw_sample_ct
+        ]
+        d = np.where(codes == 3, np.nan, codes.astype(np.float64))
+        aux = self.reader.read_dosage(int(v))
+        if aux.dosage_ids is not None and aux.dosage_ids.size:
+            vals = aux.dosage_vals.astype(np.float64) / 16384.0
+            vals = np.where(aux.dosage_vals == 65535, np.nan, vals)
+            d[aux.dosage_ids] = vals
+        return d
+
     def is_chrx(self) -> np.ndarray:
         return self.vi.chrom == X_CODE
 

@@ -245,6 +245,26 @@ def run_pipeline(cfg: Config) -> int:
         log.log(
             f"{ds.raw_variant_ct} variants and {ds.raw_sample_ct} samples loaded."
         )
+        if cfg.read_freq:
+            # --read-freq: externally supplied allele frequencies override
+            # computed ones wherever freqs are consumed
+            ov = {}
+            with open(cfg.read_freq) as f:
+                hdr = f.readline().lstrip("#").split()
+                idc = hdr.index("ID")
+                fc = hdr.index("ALT_FREQS")
+                for ln in f:
+                    t = ln.split()
+                    try:
+                        ov[t[idc]] = float(t[fc])
+                    except ValueError:
+                        pass
+            fo = np.full(ds.raw_variant_ct, np.nan)
+            for i, vid_ in enumerate(ds.vi.vid):
+                if str(vid_) in ov:
+                    fo[i] = ov[str(vid_)]
+            ds.freq_override = fo
+            log.log(f"--read-freq: {int(np.isfinite(fo).sum())} frequencies loaded.")
         if cfg.pheno:
             # --pheno replaces the psam phenotype columns (LoadPsam override)
             from .commands.glm import _match_rows, _read_table
