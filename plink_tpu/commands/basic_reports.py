@@ -93,6 +93,9 @@ def alt_allele_freqs(ds: Dataset, founders_only: bool = True) -> np.ndarray:
     """ALT allele frequencies used by filters (--maf etc.; founders default,
     matching the reference's MAF-filter convention)."""
     alt, obs = allele_counts_and_obs(ds, founders_only)
+    if ds.has_dosage:
+        for v, (a_, o_) in dosage_counts_and_obs(ds, founders_only).items():
+            alt[v], obs[v] = a_, o_
     with np.errstate(invalid="ignore", divide="ignore"):
         out = np.where(obs > 0, alt / obs, np.nan)
     fo = getattr(ds, "freq_override", None)

