@@ -17,7 +17,7 @@ class Config:
     pfile: str | None = None
     bfile: str | None = None
     pedmap: str | None = None  # --file / --pedmap prefix
-    vcf: str | None = None
+    vcf: tuple | None = None
     gen: tuple | None = None  # (path, modifiers...)
     bgen: tuple | None = None
     fa: tuple | None = None
@@ -194,7 +194,7 @@ def parse_args(argv: list[str]) -> Config:
             key = {"file": "pedmap", "pedmap": "pedmap"}.get(name, name)
             setattr(cfg, key, args[0])
         elif name == "vcf":
-            cfg.vcf = args[0]
+            cfg.vcf = tuple(args)
         elif name == "gen":
             cfg.gen = tuple(args)
         elif name == "bgen":

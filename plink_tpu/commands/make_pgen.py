@@ -48,6 +48,34 @@ def make_pgen(ds: Dataset, out_prefix: str, log: RunLogger, fmt: str = "pgen") -
 
     hdr = ds.reader.header
     trusted = (not hdr.all_provisional) and hdr.provisional_ref is None and hdr.mode != 0x01
+    if ds.has_dosage:
+        # preserve dosage tracks (bitarray representation per variant)
+        with PgenWriter(out_prefix + ".pgen", N, V, trusted_ref=trusted,
+                        with_dosage=True) as w:
+            from ..ops.pairwise import _unpack_np
+
+            old_to_new = np.full(ds.raw_sample_ct, -1, np.int64)
+            old_to_new[sample_idx] = np.arange(N)
+            for v in variant_idx:
+                row = _unpack_np(ds.reader.read_packed(int(v), 1))[0][
+                    : ds.raw_sample_ct
+                ][sample_idx]
+                aux = ds.reader.read_dosage(int(v))
+                if aux.dosage_ids is None or aux.dosage_ids.size == 0:
+                    w.append_codes_with_dosage(
+                        row, np.zeros(0, np.uint32), np.zeros(0, "<u2")
+                    )
+                    continue
+                keep = old_to_new[aux.dosage_ids] >= 0
+                w.append_codes_with_dosage(
+                    row,
+                    old_to_new[aux.dosage_ids[keep]].astype(np.uint32),
+                    aux.dosage_vals[keep],
+                )
+        write_pvar(out_prefix + ".pvar", ds.vi, ds.variant_mask)
+        write_psam(out_prefix + ".psam", ds.si, ds.sample_mask)
+        log.log(f"--make-pgen: {out_prefix}.pgen + .pvar + .psam written ({V} variants, {N} samples).")
+        return
     with PgenWriter(out_prefix + ".pgen", N, V, trusted_ref=trusted) as w:
         for vstart, packed in ds.iter_packed_blocks():
             vsel = variant_idx[(variant_idx >= vstart) & (variant_idx < vstart + packed.shape[0])]

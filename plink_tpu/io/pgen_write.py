@@ -50,12 +50,14 @@ class PgenWriter:
         variant_ct: int,
         use_ld: bool = True,
         trusted_ref: bool = False,
+        with_dosage: bool = False,
     ):
         self.path = path
         self.sample_ct = sample_ct
         self.variant_ct = variant_ct
         self.use_ld = use_ld
         self._trusted_ref = trusted_ref
+        self._with_dosage = with_dosage
         self._nb = pack.bytes_per_variant(sample_ct)
         self._f = open(path, "wb")
         self._vrtypes: list[int] = []
@@ -66,10 +68,16 @@ class PgenWriter:
         # Reserve header space: worst-case length width = 4 bytes, 4-bit vrtypes.
         n_blocks = (variant_ct + _VBLOCK - 1) >> 16
         self._len_bytes = 4 if self._nb >= (1 << 24) else 3 if self._nb >= (1 << 16) else 2 if self._nb >= (1 << 8) else 1
+        # dosage records are larger: widen the length field
+        if with_dosage:
+            self._len_bytes = max(self._len_bytes,
+                                  3 if sample_ct >= (1 << 15) else 2)
         header_size = 12 + 8 * n_blocks
+        vr_bytes = 1 if with_dosage else 0  # 8-bit vrtypes when dosage used
         for b in range(n_blocks):
             vct = min(_VBLOCK, variant_ct - (b << 16))
-            header_size += (vct + 1) // 2 + self._len_bytes * vct
+            header_size += (vct if with_dosage else (vct + 1) // 2) \
+                + self._len_bytes * vct
         self._data_start = header_size
         self._f.write(b"\x00" * header_size)
 
@@ -79,6 +87,31 @@ class PgenWriter:
         codes = np.atleast_2d(np.asarray(codes, dtype=np.uint8))
         for row in codes:
             self._append_one(row)
+
+    def append_codes_with_dosage(
+        self, row: np.ndarray, dosage_ids: np.ndarray, dosage_vals: np.ndarray
+    ) -> None:
+        """Append one variant with a dosage-bitarray track (vrtype 0x60:
+        dense hardcalls + sample-presence bitarray + 16384-scale uint16
+        values; pgenlib_misc.h:1043)."""
+        if not self._with_dosage:
+            raise ValueError("writer not opened with with_dosage=True")
+        row = np.asarray(row, dtype=np.uint8)
+        N = self.sample_ct
+        at_block_start = (self._written & (_VBLOCK - 1)) == 0
+        if at_block_start:
+            self._block_offsets.append(self._f.tell())
+        body = pack.pack2(row).tobytes()
+        present = np.zeros(N, np.uint8)
+        present[np.asarray(dosage_ids, dtype=np.int64)] = 1
+        body += np.packbits(present, bitorder="little").tobytes()
+        order = np.argsort(np.asarray(dosage_ids, dtype=np.int64))
+        body += np.asarray(dosage_vals, dtype="<u2")[order].tobytes()
+        self._f.write(body)
+        self._vrtypes.append(0x60)
+        self._rec_lens.append(len(body))
+        self._ld_base = row.copy()
+        self._written += 1
 
     def append_packed(self, packed: np.ndarray) -> None:
         packed = np.atleast_2d(np.asarray(packed, dtype=np.uint8))
@@ -148,6 +181,8 @@ class PgenWriter:
         # (matching plink2's default when converting PLINK1 data; callers with
         # trusted REF should flip to 0x40 via trusted_ref=True in the future).
         fmt = (self._len_bytes - 1) | (0x40 if self._trusted_ref else 0x80)
+        if self._with_dosage:
+            fmt |= 4  # 8-bit vrtype storage
         f.write(bytes([fmt]))
         f.write(np.asarray(self._block_offsets, dtype="<u8").tobytes())
         vrtypes = np.asarray(self._vrtypes, dtype=np.uint8)
@@ -156,10 +191,13 @@ class PgenWriter:
             vstart = b << 16
             vct = min(_VBLOCK, self.variant_ct - vstart)
             vt = vrtypes[vstart : vstart + vct]
-            if vct & 1:
-                vt = np.concatenate([vt, np.zeros(1, dtype=np.uint8)])
-            packed_vt = (vt[0::2] | (vt[1::2] << 4)).astype(np.uint8)
-            f.write(packed_vt.tobytes())
+            if self._with_dosage:
+                f.write(vt.tobytes())
+            else:
+                if vct & 1:
+                    vt = np.concatenate([vt, np.zeros(1, dtype=np.uint8)])
+                packed_vt = (vt[0::2] | (vt[1::2] << 4)).astype(np.uint8)
+                f.write(packed_vt.tobytes())
             lens = rec_lens[vstart : vstart + vct]
             lraw = np.empty((vct, self._len_bytes), dtype=np.uint8)
             for k in range(self._len_bytes):

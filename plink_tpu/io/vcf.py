@@ -8,8 +8,8 @@ as we go, so memory stays bounded by one block).
 Supported: plain and gzip/BGZF-compressed VCF, GT hard-calls (phased '|' or
 unphased '/' separators), biallelic and multiallelic sites (ALT codes > 1
 currently collapse to missing, matching a hard-call-only biallelic engine),
-missing calls './.' and half-calls.  Dosage (DS/GP/HDS) import is not yet
-implemented.
+missing calls './.' and half-calls.  'dosage=DS' imports the DS FORMAT
+field into 16384-scale dosage tracks alongside the GT hardcalls.
 """
 
 from __future__ import annotations
@@ -58,13 +58,18 @@ def _parse_gt(tok: str) -> int:
     return code
 
 
-def read_vcf(path: str, chr_info: ChrInfo | None = None):
-    """Parse a VCF into (VariantInfo, SampleInfo, codes uint8 [M, N])."""
+def read_vcf(path: str, chr_info: ChrInfo | None = None,
+             dosage_field: str | None = None):
+    """Parse a VCF into (VariantInfo, SampleInfo, codes uint8 [M, N][,
+    dosage rows]).  With dosage_field (e.g. "DS"), also returns a list of
+    (dosage_ids, dosage_vals) per variant (None when the variant has no
+    dosage entries)."""
     ci = chr_info or ChrInfo()
     chroms, poss, vids, refs, alts, quals, filts, infos = (
         [], [], [], [], [], [], [], []
     )
     rows = []
+    dosage_rows: list = []
     sample_ids: list[str] = []
     header_lines: list[str] = []
     with _open_text(path) as f:
@@ -88,6 +93,9 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None):
             fmt = t[8].split(":")
             if fmt[0] != "GT":
                 raise ValueError("VCF FORMAT must lead with GT")
+            ds_idx = fmt.index(dosage_field) if (
+                dosage_field and dosage_field in fmt
+            ) else None
             chroms.append(ci.code(t[0]))
             poss.append(int(t[1]))
             vids.append(t[2])
@@ -97,6 +105,20 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None):
             filts.append(None if t[6] == "." else t[6])
             infos.append(None if t[7] == "." else t[7])
             rows.append(np.array([_parse_gt(g) for g in t[9:]], dtype=np.uint8))
+            if dosage_field is not None:
+                ids, vals = [], []
+                if ds_idx is not None:
+                    for s_i, g in enumerate(t[9:]):
+                        parts = g.split(":")
+                        if len(parts) > ds_idx and parts[ds_idx] not in (".", ""):
+                            ids.append(s_i)
+                            vals.append(
+                                int(round(float(parts[ds_idx]) * 16384.0))
+                            )
+                dosage_rows.append(
+                    (np.array(ids, np.uint32), np.array(vals, "<u2"))
+                    if ids else None
+                )
     M, N = len(rows), len(sample_ids)
     codes = (
         np.vstack(rows) if rows else np.zeros((0, N), dtype=np.uint8)
@@ -126,4 +148,6 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None):
         phenos={},
         has_fid=False,
     )
+    if dosage_field is not None:
+        return vi, si, codes, dosage_rows
     return vi, si, codes

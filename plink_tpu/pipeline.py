@@ -26,7 +26,7 @@ def _load(cfg: Config, log: RunLogger) -> Dataset:
     if cfg.pedmap:
         return _import_pedmap(cfg.pedmap, cfg.out, log)
     if cfg.vcf:
-        return _import_vcf(cfg.vcf, cfg.out, log)
+        return _import_vcf(cfg.vcf[0], cfg.out, log, cfg.vcf[1:])
     if cfg.gen or cfg.data:
         return _import_oxford(cfg, log)
     if cfg.bgen:
@@ -44,7 +44,8 @@ def _load(cfg: Config, log: RunLogger) -> Dataset:
     )
 
 
-def _import_vcf(path: str, out_prefix: str, log: RunLogger) -> Dataset:
+def _import_vcf(path: str, out_prefix: str, log: RunLogger,
+                mods: tuple = ()) -> Dataset:
     """--vcf: convert to a temporary .pgen trio, then proceed (ref workflow:
     VcfToPgen writes <out>-temporary.* and Plink2Core consumes them,
     2.0/plink2.cc import path)."""
@@ -53,11 +54,28 @@ def _import_vcf(path: str, out_prefix: str, log: RunLogger) -> Dataset:
     from .io.pvar import write_pvar
     from .io.vcf import read_vcf
 
-    vi, si, codes = read_vcf(path)
+    dosage_field = None
+    for m in mods:
+        if m.startswith("dosage="):
+            dosage_field = m.split("=", 1)[1]
     tmp = out_prefix + "-temporary"
     # VCF REF is trusted (not provisional), matching VcfToPgen
-    with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct, trusted_ref=True) as w:
-        w.append_codes(codes)
+    if dosage_field:
+        vi, si, codes, dosage_rows = read_vcf(path, dosage_field=dosage_field)
+        with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
+                        trusted_ref=True, with_dosage=True) as w:
+            for r, dr in zip(codes, dosage_rows):
+                if dr is None:
+                    w.append_codes_with_dosage(
+                        r, np.zeros(0, np.uint32), np.zeros(0, "<u2")
+                    )
+                else:
+                    w.append_codes_with_dosage(r, dr[0], dr[1])
+    else:
+        vi, si, codes = read_vcf(path)
+        with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
+                        trusted_ref=True) as w:
+            w.append_codes(codes)
     write_pvar(tmp + ".pvar", vi)
     write_psam(tmp + ".psam", si)
     log.log(

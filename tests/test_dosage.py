@@ -149,3 +149,32 @@ def test_dosage_glm(glm_panel, flags, suffix):
             fx, fy = float(x), float(y)
             sape = abs(fx - fy) / max((abs(fx) + abs(fy)) / 2, 1e-300)
             assert min(sape, abs(fx - fy)) < tol, (a, b)
+
+
+def test_vcf_ds_import_and_pgen_write(panel):
+    """--vcf dosage=DS import, and make-pgen writing vrtype-0x60 dosage
+    records the oracle can read back."""
+    from plink_tpu.cli import main
+
+    d = panel
+    subprocess.run([ORACLE, "--pfile", "gd", "--export", "vcf",
+                    "vcf-dosage=DS", "--out", "src"], cwd=d, check=True,
+                   capture_output=True)
+    subprocess.run([ORACLE, "--vcf", "src.vcf", "dosage=DS", "--freq",
+                    "--missing", "--out", "o_i"], cwd=d, check=True,
+                   capture_output=True)
+    old = os.getcwd()
+    os.chdir(d)
+    try:
+        assert main(["--vcf", "src.vcf", "dosage=DS", "--freq", "--missing",
+                     "--out", "t_i", "--silent"]) == 0
+        assert main(["--vcf", "src.vcf", "dosage=DS", "--make-pgen",
+                     "--out", "t_p", "--silent"]) == 0
+    finally:
+        os.chdir(old)
+    assert (d / "o_i.afreq").read_text() == (d / "t_i.afreq").read_text()
+    assert (d / "o_i.vmiss").read_text() == (d / "t_i.vmiss").read_text()
+    subprocess.run([ORACLE, "--pfile", "t_p", "--freq", "--missing",
+                    "--out", "o_r"], cwd=d, check=True, capture_output=True)
+    assert (d / "o_i.afreq").read_text() == (d / "o_r.afreq").read_text()
+    assert (d / "o_i.vmiss").read_text() == (d / "o_r.vmiss").read_text()
