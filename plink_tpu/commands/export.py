@@ -74,9 +74,7 @@ def run_export(ds: Dataset, cfg, log: RunLogger) -> None:
         elif fl in ("eig", "eigt"):
             _export_eig(ds, cfg, log, transposed=fl == "eigt")
         elif fl in ("haps", "hapslegend"):
-            raise ValueError(
-                f"'--export {fmt}' must be used with a fully phased dataset."
-            )
+            _export_haps(ds, cfg, log, legend=fl == "hapslegend")
         else:
             raise NotImplementedError(f"--export {fmt} not supported yet")
 
@@ -275,13 +273,42 @@ def _export_vcf(ds: Dataset, cfg, log: RunLogger, with_ds: bool = False) -> None
         qual = vi.qual
         filt = vi.filt
         info = vi.info
+        phased_ds = ds.has_phase
+        _vcf_prev_phased = np.ones(len(inc_s), bool)
         for v0, packed in ds.iter_packed_blocks():
             vct = packed.shape[0]
             sel = [i for i in range(vct) if ds.variant_mask[v0 + i]]
             if not sel:
                 continue
             codes = _unpack_np(packed[sel])[:, : ds.raw_sample_ct][:, inc_s]
-            gt_bytes = _GT_LUT[codes].reshape(codes.shape[0], -1)
+            if phased_ds:
+                # per-sample running prev_phased state (initially phased):
+                # hets print '|' iff phased and update the state; hom/missing
+                # separators follow the current state (plink2's VCF exporter
+                # prev_phased tracking)
+                gt_rows = []
+                for r, i_local in enumerate(sel):
+                    pp, pi = ds.phase_row(v0 + i_local)
+                    pps, pis = pp[inc_s], pi[inc_s]
+                    c = codes[r]
+                    het = c == 1
+                    cells = np.empty(len(inc_s), dtype="U3")
+                    prev = _vcf_prev_phased
+                    state = np.where(het, pps, prev)
+                    sep = np.where(state, "|", "/")
+                    half = {0: ("0", "0"), 2: ("1", "1"), 3: (".", ".")}
+                    for code_val, (la, ra) in half.items():
+                        m = c == code_val
+                        cells[m] = np.char.add(
+                            np.char.add(la, sep[m]), ra
+                        )
+                    cells[het & pps & ~pis] = "0|1"
+                    cells[het & pps & pis] = "1|0"
+                    cells[het & ~pps] = "0/1"
+                    _vcf_prev_phased[het] = pps[het]
+                    gt_rows.append("\t" + "\t".join(cells))
+            else:
+                gt_bytes = _GT_LUT[codes].reshape(codes.shape[0], -1)
             for r, i_local in enumerate(sel):
                 i = v0 + i_local
                 q = "." if qual is None or qual[i] is None else str(qual[i])
@@ -294,7 +321,10 @@ def _export_vcf(ds: Dataset, cfg, log: RunLogger, with_ds: bool = False) -> None
                 )
                 f.write(meta.encode())
                 if not with_ds:
-                    f.write(gt_bytes[r].tobytes())
+                    if phased_ds:
+                        f.write(gt_rows[r].encode())
+                    else:
+                        f.write(gt_bytes[r].tobytes())
                     f.write(b"\n")
                     continue
                 aux = ds.reader.read_dosage(i)
@@ -619,3 +649,63 @@ def _export_eig(ds: Dataset, cfg, log: RunLogger, transposed: bool) -> None:
             row = packed[r].tobytes()
             f.write(row + b"\0" * (rec - len(row)))
     log.log(f"--export {'eigt' if transposed else 'eig'}: {path} written.")
+
+
+def _export_haps(ds: Dataset, cfg, log: RunLogger, legend: bool) -> None:
+    """--export haps / hapslegend (ExportOxHaps, 2.0/plink2_export.cc):
+    requires a fully phased dataset; .haps rows are
+    "CHR ID POS ALT REF h1 h2 ..." with 0 = first listed allele (ALT, like
+    the .gen exporter); hapslegend moves the variant columns into
+    .legend ("id position a0 a1") with a chromosome-uniform .haps."""
+    from ..ops.pairwise import _unpack_np
+
+    inc_s = np.flatnonzero(ds.sample_mask)
+    inc_v = np.flatnonzero(ds.variant_mask)
+    vi = ds.vi
+    alt1 = vi.alt1()
+    hap_rows = []
+    for v in inc_v:
+        codes = _unpack_np(ds.reader.read_packed(int(v), 1))[0][
+            : ds.raw_sample_ct
+        ][inc_s]
+        pp, pi = ds.phase_row(int(v))
+        pps, pis = pp[inc_s], pi[inc_s]
+        if ((codes == 1) & ~pps).any() or (codes == 3).any():
+            raise ValueError(
+                f"'--export haps{'legend' if legend else ''}' must be used "
+                "with a fully phased dataset."
+            )
+        # hap code 0 = FIRST listed allele (ALT), 1 = REF: hom-alt = "0 0",
+        # hom-ref = "1 1"; unswapped het "0|1" (REF|ALT) = "1 0"
+        h1 = np.where(codes == 2, 0, 1)
+        h2 = h1.copy()
+        het = codes == 1
+        h1 = np.where(het & ~pis, 1, h1)
+        h2 = np.where(het & ~pis, 0, h2)
+        h1 = np.where(het & pis, 0, h1)
+        h2 = np.where(het & pis, 1, h2)
+        hap_rows.append((v, h1, h2))
+    if legend:
+        lg_path = cfg.out + ".legend"
+        with open(lg_path, "w") as f:
+            f.write("id position a0 a1\n")
+            for v, _, _ in hap_rows:
+                f.write(f"{vi.vid[v]} {vi.pos[v]} {alt1[v]} {vi.ref[v]}\n")
+        path = cfg.out + ".haps"
+        with open(path, "w") as f:
+            for _, h1, h2 in hap_rows:
+                f.write(" ".join(
+                    f"{a} {b}" for a, b in zip(h1, h2)) + "\n")
+        log.log(f"--export hapslegend: {path} + {lg_path} written.")
+    else:
+        path = cfg.out + ".haps"
+        with open(path, "w") as f:
+            for v, h1, h2 in hap_rows:
+                f.write(
+                    f"{vi.chr_info.name(vi.chrom[v])} {vi.vid[v]} {vi.pos[v]} "
+                    f"{alt1[v]} {vi.ref[v]} "
+                    + " ".join(f"{a} {b}" for a, b in zip(h1, h2))
+                    + "\n"
+                )
+        log.log(f"--export haps: {path} written.")
+    _export_oxford_sample(ds, cfg, log)

@@ -87,11 +87,9 @@ def indep_pairwise(ds: Dataset, cfg, log: RunLogger, phased: bool = False) -> No
     2.0/plink2_ld.cc:1549): identical greedy walk, pair r^2 from the
     ML-phased haplotype-cubic estimator over 3x3 joint counts."""
     spec = cfg.indep_pairphase if phased else cfg.indep_pairwise
-    if phased and not getattr(ds, "has_phase", False):
+    if phased and not ds.has_phase:
         # the reference requires true phase tracks for --indep-pairphase
-        # (it does NOT statistically phase like --r2-phased); our storage
-        # carries hardcalls only so far, so mirror its error.  The
-        # ML-statistical-phasing walk below stays ready for phased storage.
+        # (it does NOT statistically phase like --r2-phased)
         raise ValueError(
             "--indep-pairphase: 0-based variant #0 is not fully phased."
         )
@@ -133,7 +131,7 @@ def indep_pairwise(ds: Dataset, cfg, log: RunLogger, phased: bool = False) -> No
             _prune_subcontig(
                 ds, sub, ds.vi.pos[sub], majf[sub], inc_f, smask, npad,
                 ws, is_kb, step, r2t, removed_global,
-                maj_alt_sub=maj_alt[sub] if phased else None,
+                phased=phased,
             )
 
     pruned = removed_global & considered
@@ -166,23 +164,49 @@ def _max_bp_window_span(bps: np.ndarray, ws: int) -> int:
 
 def _prune_subcontig(
     ds, sub, bps, majf_sub, inc_f, smask, npad, ws, is_kb, step, r2t,
-    removed_global, maj_alt_sub=None,
+    removed_global, phased=False,
 ):
     n = len(sub)
     # gather packed rows for this subcontig, compacted to founder columns
     lo, hi = int(sub[0]), int(sub[-1]) + 1
     packed = ds.reader.read_packed(lo, hi - lo)[sub - lo]
     codes = _sub_codes(packed, ds.raw_sample_ct, inc_f)
+    if phased:
+        # fully-phased pruning works on the 2n haplotype columns directly:
+        # r^2 between 0/1 haplotype indicators IS the phased r^2, so the
+        # unphased banded machinery applies unchanged (IndepPairphaseThread
+        # equivalence for fully known phase)
+        nh = 2 * len(inc_f)
+        hap = np.full((n, nh), 3, np.uint8)
+        for k, v in enumerate(sub):
+            c = codes[k]
+            pp, pi = ds.phase_row(int(v))
+            pps, pis = pp[inc_f], pi[inc_f]
+            bad = (c == 1) & ~pps
+            if bad.any():
+                raise ValueError(
+                    f"--indep-pairphase: 0-based variant #{int(v)} is not "
+                    "fully phased."
+                )
+            h1 = np.where(c == 2, 2, 0)
+            h2 = h1.copy()
+            het = c == 1
+            # unswapped "0|1": hap1 REF(0), hap2 ALT(2)
+            h2 = np.where(het & ~pis, 2, h2)
+            h1 = np.where(het & pis, 2, h1)
+            h1 = np.where(c == 3, 3, h1)
+            h2 = np.where(c == 3, 3, h2)
+            hap[k, 0::2] = h1
+            hap[k, 1::2] = h2
+        codes = hap
+        npad = -(-nh // 4) * 4
+        smask = np.zeros(npad, np.int8)
+        smask[:nh] = 1
     packed_f = _repack(codes, npad)
 
     width = (min(ws, n - 1)) if not is_kb else _max_bp_window_span(bps, ws)
     band = LdBand(packed_f, smask, width)
     jband = None
-    if maj_alt_sub is not None:
-        from ..ops.ld import LdJointBand
-        from .vcor import _phased_r_from_joint
-
-        jband = LdJointBand(packed_f, smask, width)
 
     # per-variant monomorphic check (ref :906-910): no homs, or all nonmissing
     # hom-ref, or all hom-alt
@@ -234,16 +258,7 @@ def _prune_subcontig(
             if not live_firsts:
                 continue
             f_locs = np.array([window[fp] for fp in live_firsts])
-            if jband is None:
-                exceeds = band.r2_exceeds_vec(f_locs, s_loc, r2t)
-            else:
-                jc = jband.joint_counts(f_locs, s_loc - f_locs)
-                r = _phased_r_from_joint(
-                    jc, maj_alt_sub[f_locs],
-                    np.full(len(f_locs), bool(maj_alt_sub[s_loc])),
-                )
-                with np.errstate(invalid="ignore"):
-                    exceeds = np.nan_to_num(r * r) > r2t
+            exceeds = band.r2_exceeds_vec(f_locs, s_loc, r2t)
             for k, fp in enumerate(live_firsts):
                 if not exceeds[k] or cur_removed[fp]:
                     continue

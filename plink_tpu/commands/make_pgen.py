@@ -48,6 +48,23 @@ def make_pgen(ds: Dataset, out_prefix: str, log: RunLogger, fmt: str = "pgen") -
 
     hdr = ds.reader.header
     trusted = (not hdr.all_provisional) and hdr.provisional_ref is None and hdr.mode != 0x01
+    if ds.has_phase and not ds.has_dosage:
+        with PgenWriter(out_prefix + ".pgen", N, V, trusted_ref=trusted,
+                        with_phase=True) as w:
+            from ..ops.pairwise import _unpack_np
+
+            for v in variant_idx:
+                row = _unpack_np(ds.reader.read_packed(int(v), 1))[0][
+                    : ds.raw_sample_ct
+                ][sample_idx]
+                pp, pi = ds.phase_row(int(v))
+                w.append_codes_with_phase(
+                    row, pp[sample_idx], pi[sample_idx]
+                )
+        write_pvar(out_prefix + ".pvar", ds.vi, ds.variant_mask)
+        write_psam(out_prefix + ".psam", ds.si, ds.sample_mask)
+        log.log(f"--make-pgen: {out_prefix}.pgen + .pvar + .psam written ({V} variants, {N} samples).")
+        return
     if ds.has_dosage:
         # preserve dosage tracks (bitarray representation per variant)
         with PgenWriter(out_prefix + ".pgen", N, V, trusted_ref=trusted,

@@ -126,6 +126,31 @@ class Dataset:
         self._counts_cache.clear()
 
     @property
+    def has_phase(self) -> bool:
+        """Any variant carries a hardcall-phase track (vrtype bit 4)."""
+        h = self.reader.header
+        return h.mode == 0x10 and bool((h.vrtypes & 0x10).any())
+
+    def phase_row(self, v: int):
+        """(phasepresent [N] bool, swapped [N] bool) for one variant's het
+        calls (False everywhere when no phase track)."""
+        codes = None
+        aux = self.reader.read_dosage(int(v))
+        pp = np.zeros(self.raw_sample_ct, bool)
+        pi = np.zeros(self.raw_sample_ct, bool)
+        if aux.phasepresent is not None:
+            from .ops.pairwise import _unpack_np
+
+            codes = _unpack_np(self.reader.read_packed(int(v), 1))[0][
+                : self.raw_sample_ct
+            ]
+            het_idx = np.flatnonzero(codes == 1)
+            pp[het_idx] = aux.phasepresent
+            phased_idx = het_idx[aux.phasepresent]
+            pi[phased_idx] = aux.phaseinfo
+        return pp, pi
+
+    @property
     def has_dosage(self) -> bool:
         """Any variant carries a dosage track (vrtype bits 5-6)."""
         h = self.reader.header

@@ -326,7 +326,10 @@ class PgenReader:
         hdr = self.header
         vrtype = int(hdr.vrtypes[vidx])
         aux = VariantAux()
-        if hdr.mode == 0x01 or (vrtype & VRTYPE_DOSAGE_BITS) == 0:
+        if hdr.mode == 0x01 or (
+            (vrtype & VRTYPE_DOSAGE_BITS) == 0
+            and (vrtype & VRTYPE_HPHASE) == 0
+        ):
             return aux
         N = self.sample_ct
         buf, rel = self._read_records_raw(vidx, 1)

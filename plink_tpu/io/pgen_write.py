@@ -51,6 +51,7 @@ class PgenWriter:
         use_ld: bool = True,
         trusted_ref: bool = False,
         with_dosage: bool = False,
+        with_phase: bool = False,
     ):
         self.path = path
         self.sample_ct = sample_ct
@@ -58,6 +59,7 @@ class PgenWriter:
         self.use_ld = use_ld
         self._trusted_ref = trusted_ref
         self._with_dosage = with_dosage
+        self._with_phase = with_phase
         self._nb = pack.bytes_per_variant(sample_ct)
         self._f = open(path, "wb")
         self._vrtypes: list[int] = []
@@ -68,15 +70,17 @@ class PgenWriter:
         # Reserve header space: worst-case length width = 4 bytes, 4-bit vrtypes.
         n_blocks = (variant_ct + _VBLOCK - 1) >> 16
         self._len_bytes = 4 if self._nb >= (1 << 24) else 3 if self._nb >= (1 << 16) else 2 if self._nb >= (1 << 8) else 1
+        if with_phase:
+            with_dosage_hdr = True  # 8-bit vrtypes needed for 0x10 bit
         # dosage records are larger: widen the length field
         if with_dosage:
             self._len_bytes = max(self._len_bytes,
                                   3 if sample_ct >= (1 << 15) else 2)
+        self._vr8 = with_dosage or with_phase  # 8-bit vrtype storage
         header_size = 12 + 8 * n_blocks
-        vr_bytes = 1 if with_dosage else 0  # 8-bit vrtypes when dosage used
         for b in range(n_blocks):
             vct = min(_VBLOCK, variant_ct - (b << 16))
-            header_size += (vct if with_dosage else (vct + 1) // 2) \
+            header_size += (vct if self._vr8 else (vct + 1) // 2) \
                 + self._len_bytes * vct
         self._data_start = header_size
         self._f.write(b"\x00" * header_size)
@@ -109,6 +113,57 @@ class PgenWriter:
         body += np.asarray(dosage_vals, dtype="<u2")[order].tobytes()
         self._f.write(body)
         self._vrtypes.append(0x60)
+        self._rec_lens.append(len(body))
+        self._ld_base = row.copy()
+        self._written += 1
+
+    def append_codes_with_phase(
+        self, row: np.ndarray, phasepresent: np.ndarray,
+        phaseinfo: np.ndarray, dosage_ids=None, dosage_vals=None,
+    ) -> None:
+        """Append one variant with a hardcall-phase track (vrtype 0x10,
+        pgenlib_misc.h:1004): explicit phasepresent form (first track bit 1,
+        then het_ct presence bits, then one phaseinfo bit per phased het;
+        1 = swapped "1|0").  phasepresent/phaseinfo are [N] bool, only het
+        positions consulted."""
+        if not self._with_phase:
+            raise ValueError("writer not opened with with_phase=True")
+        row = np.asarray(row, dtype=np.uint8)
+        N = self.sample_ct
+        at_block_start = (self._written & (_VBLOCK - 1)) == 0
+        if at_block_start:
+            self._block_offsets.append(self._f.tell())
+        body = pack.pack2(row).tobytes()
+        vrtype = 0
+        het_idx = np.flatnonzero(row == 1)
+        pp = np.asarray(phasepresent, bool)[het_idx]
+        if pp.any():
+            vrtype |= 0x10
+            pi = np.asarray(phaseinfo, bool)[het_idx][pp]
+            if pp.all():
+                bits = np.concatenate([[0], pi.astype(np.uint8)])
+                body += np.packbits(
+                    np.asarray(bits, np.uint8), bitorder="little"
+                ).tobytes()
+            else:
+                # explicit form: [1]+phasepresent bits, then phaseinfo from
+                # the next byte boundary (pgenlib_read.cc:6844)
+                first = np.concatenate([[1], pp.astype(np.uint8)])
+                body += np.packbits(
+                    np.asarray(first, np.uint8), bitorder="little"
+                ).tobytes()
+                body += np.packbits(
+                    pi.astype(np.uint8), bitorder="little"
+                ).tobytes()
+        if dosage_ids is not None and self._with_dosage:
+            vrtype |= 0x60
+            present = np.zeros(N, np.uint8)
+            present[np.asarray(dosage_ids, dtype=np.int64)] = 1
+            body += np.packbits(present, bitorder="little").tobytes()
+            order = np.argsort(np.asarray(dosage_ids, dtype=np.int64))
+            body += np.asarray(dosage_vals, dtype="<u2")[order].tobytes()
+        self._f.write(body)
+        self._vrtypes.append(vrtype)
         self._rec_lens.append(len(body))
         self._ld_base = row.copy()
         self._written += 1
@@ -181,7 +236,7 @@ class PgenWriter:
         # (matching plink2's default when converting PLINK1 data; callers with
         # trusted REF should flip to 0x40 via trusted_ref=True in the future).
         fmt = (self._len_bytes - 1) | (0x40 if self._trusted_ref else 0x80)
-        if self._with_dosage:
+        if self._vr8:
             fmt |= 4  # 8-bit vrtype storage
         f.write(bytes([fmt]))
         f.write(np.asarray(self._block_offsets, dtype="<u8").tobytes())
@@ -191,7 +246,7 @@ class PgenWriter:
             vstart = b << 16
             vct = min(_VBLOCK, self.variant_ct - vstart)
             vt = vrtypes[vstart : vstart + vct]
-            if self._with_dosage:
+            if self._vr8:
                 f.write(vt.tobytes())
             else:
                 if vct & 1:

@@ -59,7 +59,7 @@ def _parse_gt(tok: str) -> int:
 
 
 def read_vcf(path: str, chr_info: ChrInfo | None = None,
-             dosage_field: str | None = None):
+             dosage_field: str | None = None, with_phase: bool = False):
     """Parse a VCF into (VariantInfo, SampleInfo, codes uint8 [M, N][,
     dosage rows]).  With dosage_field (e.g. "DS"), also returns a list of
     (dosage_ids, dosage_vals) per variant (None when the variant has no
@@ -70,6 +70,7 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
     )
     rows = []
     dosage_rows: list = []
+    phase_rows: list = []
     sample_ids: list[str] = []
     header_lines: list[str] = []
     with _open_text(path) as f:
@@ -105,6 +106,17 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
             filts.append(None if t[6] == "." else t[6])
             infos.append(None if t[7] == "." else t[7])
             rows.append(np.array([_parse_gt(g) for g in t[9:]], dtype=np.uint8))
+            if with_phase:
+                pp = np.zeros(len(t) - 9, bool)
+                pi = np.zeros(len(t) - 9, bool)
+                for s_i, g in enumerate(t[9:]):
+                    gt = g.split(":", 1)[0]
+                    if "|" in gt:
+                        a = gt.split("|")
+                        if a[0] in ("0", "1") and a[1] in ("0", "1") and a[0] != a[1]:
+                            pp[s_i] = True
+                            pi[s_i] = a[0] == "1"  # "1|0" = swapped
+                phase_rows.append((pp, pi))
             if dosage_field is not None:
                 ids, vals = [], []
                 if ds_idx is not None:
@@ -148,6 +160,9 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
         phenos={},
         has_fid=False,
     )
+    out = [vi, si, codes]
     if dosage_field is not None:
-        return vi, si, codes, dosage_rows
-    return vi, si, codes
+        out.append(dosage_rows)
+    if with_phase:
+        out.append(phase_rows)
+    return tuple(out)

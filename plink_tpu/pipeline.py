@@ -72,10 +72,17 @@ def _import_vcf(path: str, out_prefix: str, log: RunLogger,
                 else:
                     w.append_codes_with_dosage(r, dr[0], dr[1])
     else:
-        vi, si, codes = read_vcf(path)
-        with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
-                        trusted_ref=True) as w:
-            w.append_codes(codes)
+        vi, si, codes, phase_rows = read_vcf(path, with_phase=True)
+        any_phase = any(pp.any() for pp, _ in phase_rows)
+        if any_phase:
+            with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
+                            trusted_ref=True, with_phase=True) as w:
+                for r, (pp, pi) in zip(codes, phase_rows):
+                    w.append_codes_with_phase(r, pp, pi)
+        else:
+            with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
+                            trusted_ref=True) as w:
+                w.append_codes(codes)
     write_pvar(tmp + ".pvar", vi)
     write_psam(tmp + ".psam", si)
     log.log(
