@@ -138,6 +138,10 @@ class Config:
     clump_r2: float | None = None
     clump_kb: float | None = None
     set_all_var_ids: str | None = None
+    set_missing_var_ids: str | None = None
+    sort_vars: bool = False
+    ref_allele: tuple | None = None
+    alt_allele: tuple | None = None
     rm_dup: str | None = None
     thin: float | None = None
     thin_count: int | None = None
@@ -255,6 +259,12 @@ def parse_args(argv: list[str]) -> Config:
             cfg.snps_only_acgt = "just-acgt" in args
         elif name == "set_all_var_ids":
             cfg.set_all_var_ids = args[0]
+        elif name == "set_missing_var_ids":
+            cfg.set_missing_var_ids = args[0]
+        elif name == "sort_vars":
+            cfg.sort_vars = True
+        elif name in ("ref_allele", "alt_allele"):
+            setattr(cfg, name, tuple(args))
         elif name == "rm_dup":
             cfg.rm_dup = args[0] if args else "error"
         elif name == "thin":

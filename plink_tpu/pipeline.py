@@ -386,6 +386,14 @@ def run_pipeline(cfg: Config) -> int:
             F.snps_only_filter(ds, cfg.snps_only_acgt, log)
         if cfg.set_all_var_ids:
             F.set_all_var_ids(ds, cfg.set_all_var_ids, log)
+        if cfg.set_missing_var_ids:
+            F.set_missing_var_ids(ds, cfg.set_missing_var_ids, log)
+        if cfg.ref_allele:
+            F.ref_alt_allele(ds, cfg.ref_allele, set_ref=True, log=log)
+        if cfg.alt_allele:
+            F.ref_alt_allele(ds, cfg.alt_allele, set_ref=False, log=log)
+        if cfg.sort_vars:
+            F.sort_vars(ds, log)
         if cfg.rm_dup is not None:
             F.rm_dup(ds, cfg.rm_dup, log)
         if cfg.thin is not None or cfg.thin_count is not None:
