@@ -87,8 +87,10 @@ class Config:
     pgen_info: bool = False
     # relationship / matrix
     make_king: bool = False
+    make_king_mods: tuple = ()
     make_king_table: bool = False
     king_cutoff: float | None = None
+    king_cutoff_prefix: str | None = None
     king_table_subset: tuple | None = None
     make_grm_bin: bool = False
     make_grm_list: bool = False
@@ -319,12 +321,17 @@ def parse_args(argv: list[str]) -> Config:
             cfg.pgen_info = True
         elif name == "make_king":
             cfg.make_king = True
+            cfg.make_king_mods = tuple(args)
         elif name == "make_king_table":
             cfg.make_king_table = True
         elif name == "king_table_subset":
             cfg.king_table_subset = tuple(args)
         elif name == "king_cutoff":
-            cfg.king_cutoff = float(args[0]) if args else 0.177
+            if len(args) >= 2:
+                cfg.king_cutoff_prefix = args[0]
+                cfg.king_cutoff = float(args[1])
+            else:
+                cfg.king_cutoff = float(args[0]) if args else 0.177
         elif name == "make_grm_bin":
             cfg.make_grm_bin = True
         elif name == "make_grm_list":

@@ -62,6 +62,9 @@ def run_king(ds: Dataset, cfg, log: RunLogger) -> None:
     if getattr(cfg, "king_table_subset", None):
         _run_king_subset(ds, cfg, log, vmask)
         return
+    if getattr(cfg, "king_cutoff_prefix", None):
+        _king_cutoff_resume(ds, cfg, log)
+        return
     inc = np.flatnonzero(ds.sample_mask)
     n = inc.size
     si = ds.si
@@ -101,7 +104,9 @@ def _ids_header_and_rows(si, inc):
 def _write_kin0(ds: Dataset, cfg, log: RunLogger, kin_tiles, n, inc) -> None:
     si = ds.si
     use_fid = _ids_header_and_rows(si, inc)
-    path = cfg.out + ".kin0"
+    par = getattr(cfg, "parallel", None)
+    path = cfg.out + ".kin0" + (f".{par[0]}" if par else "")
+    write_header = par is None or par[0] == 1
     ids = [str(si.iid[i]) for i in inc]
     fids = [str(si.fid[i]) for i in inc]
     with open(path, "w") as f:
@@ -110,10 +115,17 @@ def _write_kin0(ds: Dataset, cfg, log: RunLogger, kin_tiles, n, inc) -> None:
             hdr += "FID1\tIID1\tFID2\tIID2"
         else:
             hdr += "IID1\tIID2"
-        f.write(hdr + "\tNSNP\tHETHET\tIBS0\tKINSHIP\n")
+        if write_header:
+            f.write(hdr + "\tNSNP\tHETHET\tIBS0\tKINSHIP\n")
         # row order: outer idx1 (larger), inner idx2
+        par = getattr(cfg, "parallel", None)
+        lo, hi = 1, n
+        if par:
+            k, tot = par
+            lo, hi = _parallel_bounds(n, 1, k - 1, tot)
+            lo = max(lo, 1)
         lines: list[str] = []
-        for i in range(1, n):
+        for i in range(lo, hi):
             r0 = (i // kin_tiles_tile(kin_tiles)) * kin_tiles_tile(kin_tiles)
             for j in range(i):
                 c0 = (j // kin_tiles_tile(kin_tiles)) * kin_tiles_tile(kin_tiles)
@@ -154,13 +166,75 @@ def _write_king_id(path: str, si, inc, use_fid: bool) -> None:
 def _write_king_matrix(ds: Dataset, cfg, log: RunLogger, kin, n, inc) -> None:
     si = ds.si
     use_fid = _ids_header_and_rows(si, inc)
-    path = cfg.out + ".king"
-    with open(path, "w") as f:
-        for i in range(1, n):
-            f.write("\t".join(g6(kin[i, j]) for j in range(i)) + "\n")
+    mods = set(getattr(cfg, "make_king_mods", ()))
+    shape = "triangle"
+    for m in ("square", "square0", "triangle"):
+        if m in mods:
+            shape = m
+    low = np.tril(kin, -1)
+    full = low + low.T
+    np.fill_diagonal(full, 0.5)
+    par = getattr(cfg, "parallel", None)
+    lo, hi = 1, n
+    suffix = ""
+    if par:
+        k, tot = par
+        lo, hi = _parallel_bounds(n, 1, k - 1, tot)
+        lo = max(lo, 1)
+        suffix = f".{k}"
+    if "bin" in mods or "bin4" in mods:
+        dt = np.float32 if "bin4" in mods else np.float64
+        path = cfg.out + ".king.bin" + suffix
+        with open(path, "wb") as f:
+            if shape == "triangle":
+                for i in range(lo, hi):
+                    f.write(full[i, :i].astype(dt).tobytes())
+            else:
+                for i in range(lo if par else 0, hi):
+                    row = full[i] if shape == "square" else np.r_[
+                        full[i, : i + 1], np.zeros(n - i - 1)
+                    ]
+                    f.write(row.astype(dt).tobytes())
+    else:
+        path = cfg.out + ".king" + suffix
+        with open(path, "w") as f:
+            if shape == "triangle":
+                for i in range(lo, hi):
+                    f.write("\t".join(g6(full[i, j]) for j in range(i)) + "\n")
+            else:
+                for i in range(lo if par else 0, hi):
+                    row = full[i] if shape == "square" else np.r_[
+                        full[i, : i + 1], np.zeros(n - i - 1)
+                    ]
+                    f.write("\t".join(g6(x) for x in row) + "\n")
     _write_king_id(cfg.out + ".king.id", si, inc, use_fid)
     log.log(
         f"--make-king: Results written to {path} and {cfg.out}.king.id ."
+    )
+
+
+def _parallel_bounds(ct: int, start: int, parallel_idx: int,
+                     parallel_tot: int):
+    """ParallelBounds/TriangleDivide port (2.0/plink2_common.cc:4936):
+    row range whose triangle pair counts split evenly."""
+    import math
+
+    modif = 1 - start * 2
+
+    def tdiv(cur_prod_x2: int) -> int:
+        if cur_prod_x2 == 0:
+            return -modif if modif < 0 else 0
+        vv = int(math.sqrt(float(cur_prod_x2)))
+        while (vv - 1) * (vv + modif - 1) >= cur_prod_x2:
+            vv -= 1
+        while vv * (vv + modif) < cur_prod_x2:
+            vv += 1
+        return vv
+
+    ct_tot = ct * (ct + modif)
+    return (
+        tdiv((ct_tot * parallel_idx) // parallel_tot),
+        tdiv((ct_tot * (parallel_idx + 1)) // parallel_tot),
     )
 
 
@@ -292,3 +366,38 @@ def _run_king_subset(ds: Dataset, cfg, log: RunLogger, vmask) -> None:
             "(sample ID not present)."
         )
     log.log(f"Results written to {out} .")
+
+
+def _king_cutoff_resume(ds: Dataset, cfg, log: RunLogger) -> None:
+    """--king-cutoff <prefix> <threshold>: resume pruning from a previously
+    written triangular .king.bin + .king.id (KingCutoffBatchBinary,
+    2.0/plink2_matrix_calc.h:224)."""
+    prefix = cfg.king_cutoff_prefix
+    with open(prefix + ".king.id") as f:
+        lines = [l.split("\t") for l in f.read().splitlines()]
+    hdr = lines[0]
+    iid_col = hdr.index("IID") if "IID" in hdr else len(hdr) - 1
+    ids = [t[iid_col] for t in lines[1:]]
+    n = len(ids)
+    raw = np.fromfile(prefix + ".king.bin")
+    tri = n * (n - 1) // 2
+    if raw.size == tri:
+        vals = raw
+    else:
+        raw4 = np.fromfile(prefix + ".king.bin", dtype=np.float32)
+        if raw4.size == tri:
+            vals = raw4.astype(np.float64)
+        else:
+            raise ValueError(
+                "--king-cutoff currently requires a *triangular* .bin file."
+            )
+    kin = np.zeros((n, n))
+    pos = 0
+    for i in range(1, n):
+        kin[i, :i] = vals[pos : pos + i]
+        pos += i
+    si = ds.si
+    by_iid = {str(si.iid[i]): i for i in range(si.sample_ct)}
+    raw_idx = np.array([by_iid.get(x, -1) for x in ids])
+    inc = raw_idx
+    _king_cutoff_prune(ds, cfg, log, kin, n, inc)
