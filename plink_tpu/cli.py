@@ -85,6 +85,10 @@ class Config:
     write_snplist: bool = False
     validate: bool = False
     pgen_info: bool = False
+    genotyping_rate: tuple | None = None
+    maj_ref: bool = False
+    indiv_sort: tuple | None = None
+    recover_var_ids: tuple | None = None
     # relationship / matrix
     make_king: bool = False
     make_king_mods: tuple = ()
@@ -317,6 +321,14 @@ def parse_args(argv: list[str]) -> Config:
             cfg.write_snplist = True
         elif name == "validate":
             cfg.validate = True
+        elif name == "genotyping_rate":
+            cfg.genotyping_rate = tuple(args)
+        elif name == "maj_ref":
+            cfg.maj_ref = True
+        elif name == "indiv_sort":
+            cfg.indiv_sort = tuple(args)
+        elif name == "recover_var_ids":
+            cfg.recover_var_ids = tuple(args)
         elif name == "pgen_info":
             cfg.pgen_info = True
         elif name == "make_king":

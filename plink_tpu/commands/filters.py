@@ -812,3 +812,137 @@ def set_missing_var_ids(ds: Dataset, template: str, log: RunLogger) -> None:
         f"--set-missing-var-ids: {len(idx)} ID{'s' if len(idx) != 1 else ''} "
         "assigned."
     )
+
+
+def genotyping_rate(ds: Dataset, log: RunLogger) -> None:
+    """--genotyping-rate: overall hardcall nonmissing fraction log line."""
+    cts = ds.geno_counts()
+    sel = ds.variant_mask
+    nonmiss = int(cts[sel, :3].sum())
+    total = int(sel.sum()) * ds.sample_ct
+    rate = nonmiss / total if total else 0.0
+    from ..utils.fmt import g6
+
+    log.log(f"Total (hardcall) genotyping rate is {g6(rate)}.")
+
+
+def pgen_info(ds: Dataset, path: str, log: RunLogger) -> None:
+    """--pgen-info summary block (matching the reference's wording)."""
+    hdr = ds.reader.header
+    log.log(f"--pgen-info on {path}:")
+    log.log(f"  Variants: {ds.raw_variant_ct}")
+    log.log(f"  Samples: {ds.raw_sample_ct}")
+    if hdr.all_provisional:
+        log.log("  REF alleles are all provisional")
+    elif hdr.provisional_ref is not None and hdr.provisional_ref.any():
+        log.log("  REF alleles are usually known, but sometimes provisional")
+    else:
+        log.log("  REF alleles are all known")
+    log.log("  Maximum allele count for a single variant: 2")
+    if hdr.mode == 0x10 and (hdr.vrtypes & 0x10).any():
+        log.log("  Some hardcalls are explicitly phased")
+    else:
+        log.log("  No hardcalls are explicitly phased")
+    if hdr.mode == 0x10 and (hdr.vrtypes & 0x60).any():
+        log.log("  Some dosages present")
+    else:
+        log.log("  No dosages present")
+
+
+def validate_pgen(ds: Dataset, path: str, log: RunLogger) -> None:
+    """--validate: full decode pass over every record."""
+    for _ in ds.iter_packed_blocks():
+        pass
+    if ds.has_dosage or ds.has_phase:
+        for v in range(ds.raw_variant_ct):
+            ds.reader.read_dosage(v)
+    log.log(f"Validating {path}... done.")
+
+
+def maj_ref(ds: Dataset, log: RunLogger) -> None:
+    """--maj-ref: set REF to the major allele for provisional-REF variants
+    (plink2_common.cc allele rotation; no-op warning when every REF is
+    trusted)."""
+    from .basic_reports import alt_allele_freqs
+    from .fasta import FlipOverlayReader
+
+    hdr = ds.reader.header
+    if hdr.provisional_ref is not None:
+        prov = hdr.provisional_ref.copy()
+    else:
+        prov = np.full(ds.raw_variant_ct, bool(hdr.all_provisional))
+    if not prov.any():
+        log.log(
+            "Warning: --maj-ref has no effect, since no provisional "
+            "reference alleles are present."
+        )
+        return
+    freqs = np.nan_to_num(alt_allele_freqs(ds, founders_only=True))
+    flip = prov & ds.variant_mask & (freqs > 0.5)
+    for i in np.flatnonzero(flip):
+        alt1 = str(ds.vi.alt[i]).split(",", 1)[0]
+        ds.vi.ref[i], ds.vi.alt[i] = alt1, str(ds.vi.ref[i])
+    ct = int(flip.sum())
+    log.log(f"--maj-ref: {ct} allele pair{'s' if ct != 1 else ''} swapped.")
+    if flip.any():
+        ds.reader = FlipOverlayReader(ds.reader, flip)
+        ds.invalidate_counts()
+
+
+def recover_var_ids(ds: Dataset, args: tuple, log: RunLogger) -> None:
+    """--recover-var-ids <pvar-like file>: restore IDs by (CHROM, POS,
+    allele-pair) match.  Message format matches the reference
+    ("N lines scanned.")."""
+    path = args[0]
+    key_to_id: dict = {}
+    nlines = 0
+    with open(path) as f:
+        for ln in f:
+            nlines += 1
+            if ln.startswith("#"):
+                continue
+            t = ln.rstrip("\n").split("\t")
+            if len(t) < 5:
+                t = ln.split()
+            if len(t) < 5:
+                continue
+            key = (t[0], t[1], frozenset((t[3], t[4])))
+            key_to_id[key] = t[2]
+    ci = ds.vi.chr_info
+    n = 0
+    for i in np.flatnonzero(ds.variant_mask):
+        key = (
+            ci.name(ds.vi.chrom[i]), str(ds.vi.pos[i]),
+            frozenset((str(ds.vi.ref[i]), str(ds.vi.alt[i]))),
+        )
+        if key in key_to_id:
+            ds.vi.vid[i] = key_to_id[key]
+            n += 1
+    log.log(f"--recover-var-ids: {nlines} line{'s' if nlines != 1 else ''} scanned.")
+
+
+def indiv_sort_order(ds: Dataset, args: tuple, log: RunLogger) -> np.ndarray:
+    """--indiv-sort [natural|ascii|none|file <f>]: returns the raw-index
+    order of included samples."""
+    mode = args[0] if args else "natural"
+    inc = np.flatnonzero(ds.sample_mask)
+    ids = [str(ds.si.iid[i]) for i in inc]
+    if mode == "none":
+        order = np.arange(len(inc))
+    elif mode == "ascii":
+        order = np.argsort(np.array(ids, dtype=object), kind="stable")
+    elif mode == "file":
+        with open(args[1]) as f:
+            want = [l.split()[-1] for l in f if l.strip() and not l.startswith("#")]
+        pos = {x: k for k, x in enumerate(ids)}
+        order = np.array([pos[w] for w in want if w in pos])
+    else:  # natural
+        import re
+
+        def natkey(s):
+            return [int(p) if p.isdigit() else p
+                    for p in re.split(r"(\d+)", s)]
+
+        order = np.array(sorted(range(len(ids)), key=lambda k: natkey(ids[k])))
+    log.log(f"--indiv-sort: {len(order)} samples reordered.")
+    return inc[order]

@@ -21,10 +21,14 @@ def _subset_codes(packed_block: np.ndarray, sample_idx: np.ndarray, sample_ct_ra
 
 def make_pgen(ds: Dataset, out_prefix: str, log: RunLogger, fmt: str = "pgen") -> None:
     """fmt: 'pgen' (pgen+pvar+psam) or 'bed' (bed+bim+fam)."""
-    sample_idx = np.flatnonzero(ds.sample_mask)
+    sample_idx = getattr(ds, "sample_order", None)
+    if sample_idx is None:
+        sample_idx = np.flatnonzero(ds.sample_mask)
     variant_idx = np.flatnonzero(ds.variant_mask)
     N, V = sample_idx.size, variant_idx.size
-    all_samples = N == ds.raw_sample_ct
+    all_samples = N == ds.raw_sample_ct and bool(
+        np.all(sample_idx == np.arange(ds.raw_sample_ct))
+    )
 
     if fmt == "bed":
         rows = []
@@ -104,7 +108,8 @@ def make_pgen(ds: Dataset, out_prefix: str, log: RunLogger, fmt: str = "pgen") -
             else:
                 w.append_codes(_subset_codes(block, sample_idx, ds.raw_sample_ct))
     write_pvar(out_prefix + ".pvar", ds.vi, ds.variant_mask)
-    write_psam(out_prefix + ".psam", ds.si, ds.sample_mask)
+    write_psam(out_prefix + ".psam", ds.si, ds.sample_mask,
+               order=getattr(ds, "sample_order", None))
     log.log(f"--make-pgen: {out_prefix}.pgen + .pvar + .psam written ({V} variants, {N} samples).")
 
 

@@ -214,8 +214,12 @@ def read_psam(path: str, missing_pheno: float = -9) -> SampleInfo:
     )
 
 
-def write_psam(path: str, si: SampleInfo, sample_mask: np.ndarray | None = None) -> None:
-    idx = np.flatnonzero(sample_mask) if sample_mask is not None else np.arange(si.sample_ct)
+def write_psam(path: str, si: SampleInfo, sample_mask: np.ndarray | None = None,
+               order: np.ndarray | None = None) -> None:
+    if order is not None:
+        idx = order
+    else:
+        idx = np.flatnonzero(sample_mask) if sample_mask is not None else np.arange(si.sample_ct)
     cols = ["#FID", "IID"] if si.has_fid else ["#IID"]
     if si.sid is not None:
         cols.append("SID")

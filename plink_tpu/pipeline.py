@@ -394,6 +394,10 @@ def run_pipeline(cfg: Config) -> int:
             F.ref_alt_allele(ds, cfg.alt_allele, set_ref=False, log=log)
         if cfg.sort_vars:
             F.sort_vars(ds, log)
+        if cfg.maj_ref:
+            F.maj_ref(ds, log)
+        if cfg.recover_var_ids:
+            F.recover_var_ids(ds, cfg.recover_var_ids, log)
         if cfg.rm_dup is not None:
             F.rm_dup(ds, cfg.rm_dup, log)
         if cfg.thin is not None or cfg.thin_count is not None:
@@ -485,6 +489,16 @@ def run_pipeline(cfg: Config) -> int:
                 for i in np.flatnonzero(ds.variant_mask):
                     f.write(str(ds.vi.vid[i]) + "\n")
             log.log(f"--write-snplist: IDs written to {path} .")
+        if cfg.genotyping_rate is not None:
+            F.genotyping_rate(ds, log)
+        if cfg.pgen_info:
+            src_path = (cfg.pfile + ".pgen") if cfg.pfile else "input.pgen"
+            F.pgen_info(ds, src_path, log)
+        if cfg.validate:
+            src_path = (cfg.pfile + ".pgen") if cfg.pfile else "input.pgen"
+            F.validate_pgen(ds, src_path, log)
+        if cfg.indiv_sort:
+            ds.sample_order = F.indiv_sort_order(ds, cfg.indiv_sort, log)
         if cfg.make_just_psam or cfg.make_just_pvar:
             from .io.psam import write_psam
             from .io.pvar import write_pvar
