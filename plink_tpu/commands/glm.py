@@ -221,6 +221,8 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
     for m_ in sorted(mods):
         if m_ in _GLM_SUPPORTED_MODS or m_.startswith("cols="):
             continue
+        if m_.startswith(("local-covar=", "local-psam=", "local-pvar=")):
+            continue
         if m_ in _GLM_KNOWN_UNSUPPORTED_MODS or m_.startswith("local-"):
             raise ValueError(f"--glm modifier '{m_}' is not supported yet.")
         raise ValueError(f"Invalid --glm argument '{m_}'.")
@@ -247,7 +249,8 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
         cov_names = cov_names + ["SEX"]
         cov_data = np.concatenate([cov_data, sex[:, None]], axis=1)
         cov_nonmiss &= ds.si.sex != 0
-    if not cov_names and "allow-no-covars" not in mods:
+    has_local = any(m_.startswith("local-covar=") for m_ in mods)
+    if not cov_names and "allow-no-covars" not in mods and not has_local:
         raise ValueError(
             "--glm: no covariates loaded; use 'allow-no-covars' to allow this"
         )
@@ -256,6 +259,8 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
         sd = cov_data[cov_nonmiss].std(axis=0, ddof=1)
         sd[sd == 0] = 1.0
         cov_data = (cov_data - m) / sd
+
+    local_info = _load_local_covars(ds, mods, log)
 
     phenos = _load_phenos(ds, cfg, log)
     if not phenos:
@@ -287,9 +292,10 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                 f"--glm {'Firth' if always_firth else 'logistic'} regression on "
                 f"phenotype '{name}': {case_ct} cases, {nm_ct - case_ct} controls."
             )
-            if ds.has_dosage:
+            if ds.has_dosage or local_info is not None:
                 _glm_dosage(ds, cfg, log, name, ydata, smask, p_names, p_data,
-                            a1_is_alt, hide_covar, "cc", always_firth, no_firth)
+                            a1_is_alt, hide_covar, "cc", always_firth,
+                            no_firth, local_info)
             else:
                 _glm_logistic(
                     ds, cfg, log, name, ydata, smask, p_names, p_data,
@@ -297,9 +303,10 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                 )
         else:
             log.log(f"--glm linear regression on phenotype '{name}': {nm_ct} samples.")
-            if ds.has_dosage:
+            if ds.has_dosage or local_info is not None:
                 _glm_dosage(ds, cfg, log, name, ydata, smask, p_names, p_data,
-                            a1_is_alt, hide_covar, "qt", always_firth, no_firth)
+                            a1_is_alt, hide_covar, "qt", always_firth,
+                            no_firth, local_info)
             else:
                 _glm_linear(
                     ds, cfg, log, name, ydata, smask, p_names, p_data,
@@ -1309,9 +1316,68 @@ def _emit_logistic_rows(
     f.writelines(lines)
 
 
+def _load_local_covars(ds, mods, log):
+    """--glm local-covar=/local-psam=/local-pvar= (GlmLocalOpen,
+    2.0/plink2_glm.cc:751): the local-pvar variant list RESTRICTS the
+    analysis to its variants (one local-covar line each); local-psam fixes
+    the per-line sample column order; covariate count inferred from the
+    line width.  Returns None or (vals [L, n_loc, K], line_of [raw variant
+    -> line], loc_raw_idx, K)."""
+    paths = {}
+    for m_ in mods:
+        for key in ("local-covar", "local-psam", "local-pvar"):
+            if m_.startswith(key + "="):
+                paths[key] = m_.split("=", 1)[1]
+    if not paths:
+        return None
+    if len(paths) != 3:
+        raise ValueError(
+            "--glm: local-covar= requires local-psam= and local-pvar=."
+        )
+    si = ds.si
+    with open(paths["local-psam"]) as f:
+        loc_ids = [l.split()[-1] for l in f
+                   if l.strip() and not l.startswith("#")]
+    by_iid = {str(si.iid[i]): i for i in range(si.sample_ct)}
+    loc_raw_idx = np.array([by_iid.get(x, -1) for x in loc_ids])
+    with open(paths["local-pvar"]) as f:
+        loc_vids = [l.split("\t")[2] if "\t" in l else l.split()[2]
+                    for l in f if l.strip() and not l.startswith("#")]
+    vid_to_raw = {str(v): i for i, v in enumerate(ds.vi.vid)}
+    line_of = {}
+    for ln_idx, vid_ in enumerate(loc_vids):
+        i = vid_to_raw.get(vid_)
+        if i is not None:
+            line_of[i] = ln_idx
+    n_loc = len(loc_ids)
+    rows = []
+    K = None
+    with open(paths["local-covar"]) as f:
+        for ln in f:
+            t = ln.split()
+            if not t:
+                continue
+            if K is None:
+                K = len(t) // n_loc
+                if K * n_loc != len(t):
+                    raise ValueError(
+                        "--glm local-covar=: line width is not a multiple of "
+                        "the local sample count."
+                    )
+            rows.append(
+                np.array(t, dtype=np.float64).reshape(n_loc, K)
+            )
+    vals = np.stack(rows)
+    log.log(
+        f"--glm local-covar=: {K} local covariate{'s' if K != 1 else ''} "
+        "present."
+    )
+    return vals, line_of, loc_raw_idx, K
+
+
 def _glm_dosage(
     ds, cfg, log, pheno_name, ydata, smask, cov_names, cov_data, a1_is_alt,
-    hide_covar, kind, always_firth, no_firth,
+    hide_covar, kind, always_firth, no_firth, local_info=None,
 ):
     """GLM over dosage-bearing datasets: per-variant f64 host regressions on
     the fused ALT-dosage vector (the reference's dosage GLM uses the same
@@ -1326,12 +1392,26 @@ def _glm_dosage(
         )
     log10 = "log10" in mods
     intercept = "intercept" in mods
+    lvals = lline_of = None
+    n_local = 0
+    if local_info is not None:
+        lvals, lline_of, loc_raw_idx, n_local = local_info
+        # restrict samples to local-psam membership
+        member = np.zeros(ds.raw_sample_ct, bool)
+        member[loc_raw_idx[loc_raw_idx >= 0]] = True
+        smask = smask & member
+        locpos_of_raw = np.full(ds.raw_sample_ct, -1)
+        for p_, r_ in enumerate(loc_raw_idx):
+            if r_ >= 0:
+                locpos_of_raw[r_] = p_
     inc = np.flatnonzero(smask)
     y = ydata[inc].astype(np.float64)
     k = len(cov_names)
-    dc = k + 1
+    dc = k + 1 + n_local
     d = dc + 1
     c = np.concatenate([np.ones((len(inc), 1)), cov_data[inc]], axis=1)
+    if n_local:
+        loc_cols = locpos_of_raw[inc]
 
     chrom, provref, a1, omitted = _row_meta(ds, a1_is_alt)
     vi = ds.vi
@@ -1357,23 +1437,41 @@ def _glm_dosage(
             "#CHROM\tPOS\tID\tREF\tALT\tPROVISIONAL_REF?\tA1\tOMITTED\t"
             f"A1_FREQ\tTEST\tOBS_CT\tBETA\tSE\tT_STAT\t{p_col}\tERRCODE\n"
         )
+    local_names = [f"LOCAL{j + 1}" for j in range(n_local)]
     tests = (["INTERCEPT"] if intercept else []) + ["ADD"]
     if not hide_covar:
-        tests += list(cov_names)
+        # reference TEST order: locals precede file covariates
+        tests += local_names + list(cov_names)
     test_pred = {"INTERCEPT": 0, "ADD": dc}
     for j, cn in enumerate(cov_names):
         test_pred[cn] = 1 + j
+    for j, cn in enumerate(local_names):
+        test_pred[cn] = 1 + len(cov_names) + j
     add_results: list[tuple[int, float]] = []
 
     from ..stats.distributions import t_logp_2sided
 
-    for v in np.flatnonzero(ds.variant_mask):
-        g_raw = ds.dosage_row(int(v))[inc]
+    vsel = np.flatnonzero(ds.variant_mask)
+    if lline_of is not None:
+        vsel = np.array([v for v in vsel if int(v) in lline_of], dtype=int)
+    for v in vsel:
+        if ds.has_dosage:
+            g_raw = ds.dosage_row(int(v))[inc]
+        else:
+            from ..ops.pairwise import _unpack_np
+
+            cdz = _unpack_np(ds.reader.read_packed(int(v), 1))[0][
+                : ds.raw_sample_ct
+            ][inc]
+            g_raw = np.where(cdz == 3, np.nan, cdz.astype(np.float64))
         g = g_raw if a1_is_alt[v] else 2.0 - g_raw
         val = np.isfinite(g)
         nm = int(val.sum())
         gv = g[val]
         cv = c[val]
+        if n_local:
+            lc = lvals[lline_of[int(v)]][loc_cols[val]]
+            cv = np.concatenate([cv, lc], axis=1)
         yv = y[val]
         meta = (
             f"{chrom[v]}\t{vi.pos[v]}\t{vi.vid[v]}\t{vi.ref[v]}\t"
