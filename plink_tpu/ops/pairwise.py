@@ -264,7 +264,9 @@ class PackedDevice:
                     codes = _unpack_np(packed)[:, self.include_idx]
                     packed = _pack_np(codes, self.npad)
                 blocks[bi, :vct, : packed.shape[1]] = packed[:, :nb_bytes]
-            self.packed = jnp.asarray(blocks)
+            import jax
+
+            self.packed = jax.device_put(blocks)
         self.vmask = jnp.asarray(vm)
         self.variant_ct = int(fullmask.sum())
 
