@@ -54,6 +54,10 @@ def _read_table(path: str):
 def _match_rows(ds: Dataset, id_mode: str, ids: np.ndarray) -> np.ndarray:
     """Map file rows -> raw sample indices (-1 = unmatched)."""
     si = ds.si
+    if id_mode == "iid" and len(ids) == si.sample_ct:
+        # common case: file rows in psam order -- skip the dict build
+        if np.array_equal(np.asarray(ids, dtype=object), si.iid):
+            return np.arange(si.sample_ct, dtype=np.int64)
     if id_mode == "fid_iid":
         keys = {f"{si.fid[i]}\t{si.iid[i]}": i for i in range(si.sample_ct)}
     else:
