@@ -243,7 +243,8 @@ class PgenReader:
             buf_c = np.ascontiguousarray(buf)
             rel_c = np.ascontiguousarray(rel)
             vr_c = np.ascontiguousarray(vrtypes)
-            rc = lib.pgen_decode_block(
+            nthreads = min(os.cpu_count() or 1, 8) if vct >= 256 else 1
+            rc = lib.pgen_decode_block_mt(
                 buf_c.ctypes.data_as(ctypes.c_void_p),
                 rel_c.ctypes.data_as(ctypes.c_void_p),
                 vr_c.ctypes.data_as(ctypes.c_void_p),
@@ -251,6 +252,7 @@ class PgenReader:
                 ld_base.ctypes.data_as(ctypes.c_void_p),
                 ld_valid.ctypes.data_as(ctypes.c_void_p),
                 out.ctypes.data_as(ctypes.c_void_p),
+                nthreads,
             )
             if rc == 0:
                 # track LD cache across calls: last non-LD row of this batch

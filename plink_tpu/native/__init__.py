@@ -25,7 +25,8 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO + ".tmp", _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o",
+             _SO + ".tmp", _SRC],
             check=True, capture_output=True, timeout=120,
         )
         os.replace(_SO + ".tmp", _SO)
@@ -60,6 +61,12 @@ def get_lib():
             ctypes.c_void_p,  # ld_base
             ctypes.c_void_p,  # ld_valid
             ctypes.c_void_p,  # out
+        ]
+        lib.pgen_decode_block_mt.restype = ctypes.c_int
+        lib.pgen_decode_block_mt.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ]
         lib.bed_to_pgen_bytes.restype = None
         lib.bed_to_pgen_bytes.argtypes = [

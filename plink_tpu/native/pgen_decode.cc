@@ -11,6 +11,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -202,3 +204,70 @@ void bed_to_pgen_bytes(const uint8_t* in, int64_t n, uint8_t* out) {
 }
 
 }  // extern "C"
+
+
+// Multithreaded block decode: partitions the variant range at LD-chain
+// starts (records with main type not in {2,3}) so each worker owns whole
+// chains and needs no cross-thread ld_base.  Segment 0 uses the caller's
+// rolling ld_base for chains continuing from the previous block.
+extern "C" int pgen_decode_block_mt(const uint8_t* buf, const int64_t* rel,
+                                    const uint8_t* vrtypes, int64_t vct,
+                                    int64_t sample_ct, uint8_t* ld_base,
+                                    int64_t* ld_valid, uint8_t* out,
+                                    int nthreads) {
+  const int64_t nb = (sample_ct + 3) / 4;
+  if (nthreads <= 1 || vct < 64) {
+    return pgen_decode_block(buf, rel, vrtypes, vct, sample_ct, ld_base,
+                             ld_valid, out);
+  }
+  // collect chain starts
+  std::vector<int64_t> starts;
+  starts.reserve(1024);
+  for (int64_t i = 0; i < vct; ++i) {
+    const int m = vrtypes[i] & 7;
+    if (m != 2 && m != 3) starts.push_back(i);
+  }
+  if (starts.size() < 2) {
+    return pgen_decode_block(buf, rel, vrtypes, vct, sample_ct, ld_base,
+                             ld_valid, out);
+  }
+  int T = nthreads;
+  if (static_cast<int64_t>(starts.size()) < T) T = static_cast<int>(starts.size());
+  std::vector<int64_t> seg(T + 1);
+  seg[0] = 0;
+  for (int t = 1; t < T; ++t) {
+    seg[t] = starts[(starts.size() * t) / T];
+  }
+  seg[T] = vct;
+  std::vector<int> rcs(T, 0);
+  std::vector<std::vector<uint8_t>> bases(T);
+  std::vector<int64_t> valids(T, 0);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < T; ++t) {
+    threads.emplace_back([&, t]() {
+      bases[t].resize(nb);
+      int64_t lv = 0;
+      uint8_t* lb = bases[t].data();
+      if (t == 0) {
+        std::memcpy(lb, ld_base, nb);
+        lv = *ld_valid;
+      }
+      rcs[t] = pgen_decode_block(buf, rel + seg[t], vrtypes + seg[t],
+                                 seg[t + 1] - seg[t], sample_ct, lb, &lv,
+                                 out + seg[t] * nb);
+      valids[t] = lv;
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int t = 0; t < T; ++t) {
+    if (rcs[t]) return rcs[t];
+  }
+  for (int t = T - 1; t >= 0; --t) {
+    if (valids[t]) {
+      std::memcpy(ld_base, bases[t].data(), nb);
+      *ld_valid = 1;
+      break;
+    }
+  }
+  return 0;
+}
