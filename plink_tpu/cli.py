@@ -30,6 +30,14 @@ class Config:
     tfam: str | None = None
     sample: str | None = None
     data: tuple | None = None
+    # import thresholds (16384-scale ints; 2.0/plink2.cc:5470,7088,7368)
+    hard_call_thresh: int | None = None
+    dosage_erase_thresh: int = 0
+    import_dosage_certainty: float = 0.0
+    vcf_min_gq: int | None = None
+    vcf_min_dp: int | None = None
+    vcf_max_dp: int | None = None
+    vcf_half_call: int | None = None  # 0=ref 1=haploid 2=missing 3=error
     out: str = "plink2"
     # sample filters
     keep: str | None = None
@@ -223,6 +231,32 @@ def parse_args(argv: list[str]) -> Config:
             cfg.bcf = tuple(args)
         elif name == "read_freq":
             cfg.read_freq = args[0]
+        elif name == "hard_call_threshold":
+            f = float(args[0])
+            if not 0.0 <= f < 0.5 - 2.0 ** -44:
+                raise FlagError("--hard-call-threshold must be in [0, 0.5).")
+            cfg.hard_call_thresh = int(f * (1 + 2.0 ** -44) * 16384)
+        elif name == "dosage_erase_threshold":
+            f = float(args[0])
+            if not 0.0 <= f < 0.5 - 2.0 ** -44:
+                raise FlagError(
+                    "--dosage-erase-threshold must be in [0, 0.5).")
+            cfg.dosage_erase_thresh = int(f * (1 + 2.0 ** -44) * 16384)
+        elif name == "import_dosage_certainty":
+            f = float(args[0])
+            if not 0.0 <= f <= 1.0:
+                raise FlagError(
+                    "--import-dosage-certainty must be in [0, 1].")
+            cfg.import_dosage_certainty = f
+        elif name in ("vcf_min_gq", "vcf_min_dp", "vcf_max_dp"):
+            setattr(cfg, name, int(args[0]))
+        elif name == "vcf_half_call":
+            modes = {"reference": 0, "r": 0, "haploid": 1, "h": 1,
+                     "missing": 2, "m": 2, "error": 3, "e": 3}
+            if args[0] not in modes:
+                raise FlagError(
+                    f"'{args[0]}' is not a valid mode for --vcf-half-call.")
+            cfg.vcf_half_call = modes[args[0]]
         elif name == "sample":
             cfg.sample = args[0]
         elif name == "data":

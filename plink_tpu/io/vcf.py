@@ -1,4 +1,4 @@
-"""VCF hard-call importer.
+"""VCF importer.
 
 Behavior reference: VcfToPgen (2.0/plink2_import.cc:2768), a two-pass
 converter.  Here a single streaming pass suffices: variant metadata and
@@ -8,8 +8,16 @@ as we go, so memory stays bounded by one block).
 Supported: plain and gzip/BGZF-compressed VCF, GT hard-calls (phased '|' or
 unphased '/' separators), biallelic and multiallelic sites (ALT codes > 1
 currently collapse to missing, matching a hard-call-only biallelic engine),
-missing calls './.' and half-calls.  'dosage=DS' imports the DS FORMAT
-field into 16384-scale dosage tracks alongside the GT hardcalls.
+missing calls './.', --vcf-half-call modes, dosage import from DS / GP /
+HDS FORMAT fields (16384-scale) with the reference's exact
+--hard-call-threshold / --dosage-erase-threshold / --import-dosage-certainty
+semantics (ParseVcfBiallelicDosage 2.0/plink2_import.cc:975,
+ParseVcfBiallelicGp :932, ParseVcfBiallelicHds :1035, ApplyHardCallThresh
+2.0/plink2_data.cc:3331), and --vcf-min-gq / --vcf-min-dp / --vcf-max-dp
+per-call filters (VcfCheckQuals 2.0/plink2_import.cc:900).
+
+Deviation: explicit phased-dosage (dphase) tracks are not stored; HDS
+import keeps the combined dosage + hardcall phase only.
 """
 
 from __future__ import annotations
@@ -23,7 +31,13 @@ from .psam import PhenoCol, SampleInfo
 from .pvar import VariantInfo
 from ..utils.chrom import ChrInfo
 
-_GT_MAP = {}
+_GT_MAP: dict = {}
+
+# --import-dosage-certainty is pre-multiplied by (1 - kSmallEpsilon) at CLI
+# parse time (2.0/plink2.cc:7372, kSmallEpsilon = 2^-44)
+_SMALL_EPS = 2.0 ** -44
+# default import hard-call threshold: kDosageMid/10 (2.0/plink2.cc:7377)
+DEFAULT_IMPORT_HARD_CALL_THRESH = 16384 // 10
 
 
 def _open_text(path: str):
@@ -34,19 +48,38 @@ def _open_text(path: str):
     return open(path, "r")
 
 
-def _parse_gt(tok: str) -> int:
-    """GT token -> pgen code (0/1/2 ALT count, 3 missing)."""
-    code = _GT_MAP.get(tok)
+def _parse_gt(tok: str, halfcall: int = 2) -> int:
+    """GT token -> pgen code (0/1/2 ALT count, 3 missing).
+
+    halfcall: 0=reference, 1=haploid, 2=missing, 3=error
+    (VcfHalfCall, 2.0/plink2_import.h:30; the 'x/.' geno <<= mode trick is
+    2.0/plink2_import.cc:1367)."""
+    key = (tok, halfcall)
+    code = _GT_MAP.get(key)
     if code is not None:
         return code
     a = tok.replace("|", "/").split(":", 1)[0].split("/")
     alleles = []
+    half = False
     for s in a:
         if s == "." or s == "":
-            alleles = None
-            break
+            half = True
+            continue
         alleles.append(int(s))
-    if alleles is None or len(alleles) == 0:
+    if half and alleles and len(a) > 1:
+        # half-call like '1/.' (one known allele)
+        if any(x > 1 for x in alleles):
+            code = 3
+        elif halfcall == 3:
+            raise ValueError(
+                "VCF half-call present; use --vcf-half-call to specify "
+                "how these should be processed."
+            )
+        elif halfcall == 2:
+            code = 3
+        else:
+            code = alleles[0] << halfcall
+    elif not alleles:
         code = 3
     elif any(x > 1 for x in alleles):
         code = 3  # multiallelic ALT>1: treated as missing for now
@@ -54,16 +87,103 @@ def _parse_gt(tok: str) -> int:
         code = 2 if alleles[0] == 1 else 0  # haploid -> homozygous
     else:
         code = alleles[0] + alleles[1]
-    _GT_MAP[tok] = code
+    _GT_MAP[key] = code
     return code
 
 
+def _parse_dosage(parts, ds_idx, hds_idx, is_haploid, is_gp, certainty):
+    """Returns (status, dosage_int) with status 'ok'/'missing'/'fm'
+    (force-missing via --import-dosage-certainty).
+
+    Mirrors ParseVcfBiallelicHds/Dosage/Gp (2.0/plink2_import.cc:932-1110);
+    dosage_int is on the 16384-per-allele-copy scale."""
+    if hds_idx is not None and len(parts) > hds_idx:
+        tok = parts[hds_idx]
+        if tok and tok[0] != "?" and not (
+            tok[0] == "." and (len(tok) < 2 or not tok[1].isdigit())
+        ):
+            vals = tok.split(",")
+            if len(vals) > 2:
+                return "fm", 0  # polyploid -> force-missing
+            d1 = float(vals[0])
+            if not 0.0 <= d1 <= 1.0:
+                raise ValueError(f"invalid HDS value {tok!r}")
+            if len(vals) == 1:
+                if certainty != 0.0 and (1.0 - d1 <= certainty) and (
+                    d1 <= certainty
+                ):
+                    return "fm", 0
+                return "ok", int(d1 * 32768 + 0.5)
+            d2 = float(vals[1])
+            if not 0.0 <= d2 <= 1.0:
+                raise ValueError(f"invalid HDS value {tok!r}")
+            s = d1 + d2
+            if certainty != 0.0:
+                dist = abs(1.0 - s)
+                if (1.0 - dist <= certainty) and (dist <= certainty):
+                    return "fm", 0
+            return "ok", int(s * 16384 + 0.5)
+        if ds_idx is None:
+            return "missing", 0
+    if ds_idx is None or len(parts) <= ds_idx:
+        return "missing", 0
+    tok = parts[ds_idx]
+    if not tok or tok[0] == "?" or (
+        tok[0] == "." and (len(tok) < 2 or not tok[1].isdigit())
+    ):
+        return "missing", 0
+    if is_gp:
+        vals = [float(x) for x in tok.split(",")]
+        if any(not 0.0 <= v <= 1.0 for v in vals[: 3 if not is_haploid else 2]):
+            raise ValueError(f"invalid GP value {tok!r}")
+        if is_haploid:
+            if len(vals) < 2:
+                raise ValueError(f"invalid GP value {tok!r}")
+            p0, p1 = vals[0], vals[1]
+            denom = p0 + p1
+            if denom <= 2 * certainty and p0 <= certainty and p1 <= certainty:
+                return "fm", 0
+            ds = 2 * p1 / denom
+        else:
+            if len(vals) < 3:
+                raise ValueError(f"invalid GP value {tok!r}")
+            p0, p1, p2 = vals[0], vals[1], vals[2]
+            denom = p0 + p1 + p2
+            if denom <= 3 * certainty and p0 <= certainty and \
+                    p1 <= certainty and p2 <= certainty:
+                return "fm", 0
+            ds = (p1 + 2 * p2) / denom
+    else:
+        ds = float(tok.split(",", 1)[0])
+        if ds < 0.0:
+            raise ValueError(f"invalid DS value {tok!r}")
+        if is_haploid:
+            if certainty != 0.0 and (1.0 - ds <= certainty) and (
+                ds <= certainty
+            ):
+                return "fm", 0
+            ds *= 2
+        elif certainty != 0.0:
+            dist = abs(1.0 - ds)
+            if (1.0 - dist <= certainty) and (dist <= certainty):
+                return "fm", 0
+        if ds > 2.0:
+            raise ValueError(f"invalid DS value {tok!r} (> 2.0)")
+    return "ok", int(ds * 16384 + 0.5)
+
+
 def read_vcf(path: str, chr_info: ChrInfo | None = None,
-             dosage_field: str | None = None, with_phase: bool = False):
+             dosage_field: str | None = None, with_phase: bool = False,
+             hard_call_thresh: int | None = None,
+             dosage_erase_thresh: int = 0,
+             import_dosage_certainty: float = 0.0,
+             min_gq: int | None = None, min_dp: int | None = None,
+             max_dp: int | None = None, halfcall_mode: int = 2):
     """Parse a VCF into (VariantInfo, SampleInfo, codes uint8 [M, N][,
-    dosage rows]).  With dosage_field (e.g. "DS"), also returns a list of
-    (dosage_ids, dosage_vals) per variant (None when the variant has no
-    dosage entries)."""
+    dosage rows]).  With dosage_field ("DS", "GP", or "HDS"), also returns a
+    list of (dosage_ids, dosage_vals) per variant (None when the variant has
+    no dosage entries).  Thresholds are on the 16384 scale; hard_call_thresh
+    None uses the reference's import default (kDosageMid/10)."""
     ci = chr_info or ChrInfo()
     chroms, poss, vids, refs, alts, quals, filts, infos = (
         [], [], [], [], [], [], [], []
@@ -73,6 +193,16 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
     phase_rows: list = []
     sample_ids: list[str] = []
     header_lines: list[str] = []
+    is_gp = dosage_field == "GP"
+    want_hds = dosage_field == "HDS"
+    if hard_call_thresh is None:
+        hard_call_thresh = DEFAULT_IMPORT_HARD_CALL_THRESH
+    hc_halfdist = 8192 - hard_call_thresh
+    erase_halfdist = 8192 - dosage_erase_thresh
+    certainty = import_dosage_certainty * (1.0 - _SMALL_EPS)
+    qual_filter = (min_gq is not None) or (min_dp is not None) or (
+        max_dp is not None
+    )
     with _open_text(path) as f:
         for line in f:
             line = line.rstrip("\n")
@@ -92,11 +222,9 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
             if len(t) < 10:
                 raise ValueError(f"VCF data line with <10 columns: {line[:80]}")
             fmt = t[8].split(":")
-            if fmt[0] != "GT":
+            gt_exists = fmt[0] == "GT"
+            if not gt_exists and dosage_field is None:
                 raise ValueError("VCF FORMAT must lead with GT")
-            ds_idx = fmt.index(dosage_field) if (
-                dosage_field and dosage_field in fmt
-            ) else None
             chroms.append(ci.code(t[0]))
             poss.append(int(t[1]))
             vids.append(t[2])
@@ -105,10 +233,76 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
             quals.append(None if t[5] == "." else t[5])
             filts.append(None if t[6] == "." else t[6])
             infos.append(None if t[7] == "." else t[7])
-            rows.append(np.array([_parse_gt(g) for g in t[9:]], dtype=np.uint8))
+            ns = len(t) - 9
+            if dosage_field is None and not qual_filter:
+                rows.append(np.fromiter(
+                    (_parse_gt(g, halfcall_mode) for g in t[9:]),
+                    dtype=np.uint8, count=ns,
+                ))
+            else:
+                gq_idx = fmt.index("GQ") if (
+                    min_gq is not None and "GQ" in fmt) else None
+                dp_idx = fmt.index("DP") if (
+                    (min_dp is not None or max_dp is not None)
+                    and "DP" in fmt) else None
+                ds_idx = fmt.index(
+                    "DS" if want_hds else dosage_field
+                ) if dosage_field and (
+                    "DS" if want_hds else dosage_field) in fmt else None
+                hds_idx = fmt.index("HDS") if (
+                    want_hds and "HDS" in fmt) else None
+                geno = np.full(ns, 3, np.uint8)
+                dids, dvals = [], []
+                for s_i, g in enumerate(t[9:]):
+                    parts = g.split(":")
+                    if gq_idx is not None and len(parts) > gq_idx:
+                        try:
+                            if int(parts[gq_idx]) < min_gq:
+                                continue  # whole call filtered -> missing
+                        except ValueError:
+                            pass
+                    if dp_idx is not None and len(parts) > dp_idx:
+                        try:
+                            dp = int(parts[dp_idx])
+                            if (min_dp is not None and dp < min_dp) or (
+                                max_dp is not None and dp > max_dp
+                            ):
+                                continue
+                        except ValueError:
+                            pass
+                    gt = parts[0] if gt_exists else ""
+                    is_hap = gt_exists and (
+                        len(gt) < 2 or gt[1] not in "/|"
+                    )
+                    if dosage_field is not None:
+                        st, dosage_int = _parse_dosage(
+                            parts, ds_idx, hds_idx, is_hap, is_gp, certainty
+                        )
+                    else:
+                        st = "missing"
+                    if st == "fm":
+                        continue  # force-missing: GT ignored
+                    g_code = _parse_gt(gt, halfcall_mode) if gt_exists else 3
+                    if st == "ok":
+                        halfdist = abs((dosage_int & 16383) - 8192)
+                        if halfdist < erase_halfdist:
+                            dids.append(s_i)
+                            dvals.append(dosage_int)
+                            g_code = 3 if halfdist < hc_halfdist else (
+                                (dosage_int + 8192) >> 14
+                            )
+                        else:
+                            g_code = (dosage_int + 8192) >> 14
+                    geno[s_i] = g_code
+                rows.append(geno)
+                if dosage_field is not None:
+                    dosage_rows.append(
+                        (np.array(dids, np.uint32), np.array(dvals, "<u2"))
+                        if dids else None
+                    )
             if with_phase:
-                pp = np.zeros(len(t) - 9, bool)
-                pi = np.zeros(len(t) - 9, bool)
+                pp = np.zeros(ns, bool)
+                pi = np.zeros(ns, bool)
                 for s_i, g in enumerate(t[9:]):
                     gt = g.split(":", 1)[0]
                     if "|" in gt:
@@ -117,20 +311,6 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
                             pp[s_i] = True
                             pi[s_i] = a[0] == "1"  # "1|0" = swapped
                 phase_rows.append((pp, pi))
-            if dosage_field is not None:
-                ids, vals = [], []
-                if ds_idx is not None:
-                    for s_i, g in enumerate(t[9:]):
-                        parts = g.split(":")
-                        if len(parts) > ds_idx and parts[ds_idx] not in (".", ""):
-                            ids.append(s_i)
-                            vals.append(
-                                int(round(float(parts[ds_idx]) * 16384.0))
-                            )
-                dosage_rows.append(
-                    (np.array(ids, np.uint32), np.array(vals, "<u2"))
-                    if ids else None
-                )
     M, N = len(rows), len(sample_ids)
     codes = (
         np.vstack(rows) if rows else np.zeros((0, N), dtype=np.uint8)

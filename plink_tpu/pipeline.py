@@ -26,7 +26,7 @@ def _load(cfg: Config, log: RunLogger) -> Dataset:
     if cfg.pedmap:
         return _import_pedmap(cfg.pedmap, cfg.out, log)
     if cfg.vcf:
-        return _import_vcf(cfg.vcf[0], cfg.out, log, cfg.vcf[1:])
+        return _import_vcf(cfg.vcf[0], cfg.out, log, cfg.vcf[1:], cfg)
     if cfg.gen or cfg.data:
         return _import_oxford(cfg, log)
     if cfg.bgen:
@@ -45,23 +45,70 @@ def _load(cfg: Config, log: RunLogger) -> Dataset:
 
 
 def _import_vcf(path: str, out_prefix: str, log: RunLogger,
-                mods: tuple = ()) -> Dataset:
+                mods: tuple = (), cfg=None) -> Dataset:
     """--vcf: convert to a temporary .pgen trio, then proceed (ref workflow:
     VcfToPgen writes <out>-temporary.* and Plink2Core consumes them,
     2.0/plink2.cc import path)."""
     from .io.pgen_write import PgenWriter
     from .io.psam import write_psam
     from .io.pvar import write_pvar
-    from .io.vcf import read_vcf
+    from .io.vcf import DEFAULT_IMPORT_HARD_CALL_THRESH, read_vcf
 
     dosage_field = None
     for m in mods:
         if m.startswith("dosage="):
             dosage_field = m.split("=", 1)[1]
+    gp_force = dosage_field == "GP-force"
+    if gp_force:
+        dosage_field = "GP"
+    thresh_kw = {}
+    if cfg is not None:
+        hc = cfg.hard_call_thresh
+        erase = cfg.dosage_erase_thresh
+        if erase > (hc if hc is not None else 16384 // 10):
+            raise ValueError(
+                "--dosage-erase-threshold value cannot be larger than "
+                "--hard-call-threshold value."
+            )
+        if cfg.import_dosage_certainty != 0.0:
+            hc_eff = hc if hc is not None else DEFAULT_IMPORT_HARD_CALL_THRESH
+            if hc_eff + cfg.import_dosage_certainty * 16384 >= 16384:
+                raise ValueError(
+                    "--hard-call-threshold + --import-dosage-certainty "
+                    "settings conflict."
+                )
+        thresh_kw = dict(
+            hard_call_thresh=hc,
+            dosage_erase_thresh=erase,
+            import_dosage_certainty=cfg.import_dosage_certainty,
+            min_gq=cfg.vcf_min_gq, min_dp=cfg.vcf_min_dp,
+            max_dp=cfg.vcf_max_dp,
+            halfcall_mode=(
+                cfg.vcf_half_call if cfg.vcf_half_call is not None else 3
+            ),
+        )
+        if dosage_field == "GP" and not gp_force and \
+                cfg.import_dosage_certainty == 0.0:
+            # VcfToPgen errors when a FORMAT/DS header coexists with
+            # unforced dosage=GP (2.0/plink2_import.cc:3000)
+            from .io.vcf import _open_text
+            with _open_text(path) as probe:
+                for ln in probe:
+                    if not ln.startswith("##"):
+                        break
+                    if ln.startswith("##FORMAT=<ID=DS,") or \
+                            ln.startswith("##FORMAT=<ID=DS>"):
+                        raise ValueError(
+                            "--vcf dosage=GP specified, but "
+                            "--import-dosage-certainty was not and FORMAT/DS "
+                            "header line is present; use 'dosage=DS' or "
+                            "'dosage=GP-force'."
+                        )
     tmp = out_prefix + "-temporary"
     # VCF REF is trusted (not provisional), matching VcfToPgen
     if dosage_field:
-        vi, si, codes, dosage_rows = read_vcf(path, dosage_field=dosage_field)
+        vi, si, codes, dosage_rows = read_vcf(
+            path, dosage_field=dosage_field, **thresh_kw)
         with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
                         trusted_ref=True, with_dosage=True) as w:
             for r, dr in zip(codes, dosage_rows):
@@ -72,7 +119,8 @@ def _import_vcf(path: str, out_prefix: str, log: RunLogger,
                 else:
                     w.append_codes_with_dosage(r, dr[0], dr[1])
     else:
-        vi, si, codes, phase_rows = read_vcf(path, with_phase=True)
+        vi, si, codes, phase_rows = read_vcf(
+            path, with_phase=True, **thresh_kw)
         any_phase = any(pp.any() for pp, _ in phase_rows)
         if any_phase:
             with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
