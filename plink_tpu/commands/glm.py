@@ -127,6 +127,10 @@ def _load_covars(ds: Dataset, cfg, log: RunLogger):
             numeric = np.where(
                 np.isin(arr, ("NA", "nan", "-9")), "nan", arr
             ).astype(np.float64)
+        # match the rectangular fast path: plink2 compares the parsed double
+        # to missing_phenod (-9.0), so "-9.0"/"-9e0" are also missing
+        # (2.0/plink2_psam.cc:358,524)
+        numeric[numeric == -9.0] = np.nan
         data[rows[ok]] = numeric[ok]
     nonmiss = ~np.isnan(data).any(axis=1)
     log.log(

@@ -181,6 +181,10 @@ def _write_king_matrix(ds: Dataset, cfg, log: RunLogger, kin, n, inc) -> None:
         k, tot = par
         lo, hi = _parallel_bounds(n, 1, k - 1, tot)
         lo = max(lo, 1)
+        # square shapes emit every row, including row 0 (no triangle pairs):
+        # shard 1 must start at row 0 or the concatenation drops it.
+        if shape != "triangle" and k == 1:
+            lo = 0
         suffix = f".{k}"
     if "bin" in mods or "bin4" in mods:
         dt = np.float32 if "bin4" in mods else np.float64

@@ -67,15 +67,26 @@ class PgenWriter:
         self._block_offsets: list[int] = []
         self._ld_base: np.ndarray | None = None  # unpacked codes of last non-LD record
         self._written = 0
-        # Reserve header space: worst-case length width = 4 bytes, 4-bit vrtypes.
+        # Reserve header space: size the length field from the worst-case
+        # record body across every enabled track (the reference widens the
+        # same way via vrec_len_byte_ct, pgenlib_write.cc SpgwInitPhase1).
         n_blocks = (variant_ct + _VBLOCK - 1) >> 16
-        self._len_bytes = 4 if self._nb >= (1 << 24) else 3 if self._nb >= (1 << 16) else 2 if self._nb >= (1 << 8) else 1
+        max_body = self._nb
         if with_phase:
-            with_dosage_hdr = True  # 8-bit vrtypes needed for 0x10 bit
-        # dosage records are larger: widen the length field
+            # dense hardcalls + explicit-form leader byte + (N+1 presence
+            # bits) + up-to-N phaseinfo bits
+            max_body = max(max_body,
+                           self._nb + 1 + (sample_ct + 1 + 7) // 8
+                           + (sample_ct + 7) // 8)
         if with_dosage:
-            self._len_bytes = max(self._len_bytes,
-                                  3 if sample_ct >= (1 << 15) else 2)
+            # dense hardcalls (+ phase track if enabled) + presence bitarray
+            # + 2 bytes/sample dosage values
+            dosage_extra = (sample_ct + 7) // 8 + 2 * sample_ct
+            max_body = max(max_body, max_body + dosage_extra)
+        self._max_body = max_body
+        self._len_bytes = (1 if max_body < (1 << 8) else
+                           2 if max_body < (1 << 16) else
+                           3 if max_body < (1 << 24) else 4)
         self._vr8 = with_dosage or with_phase  # 8-bit vrtype storage
         header_size = 12 + 8 * n_blocks
         for b in range(n_blocks):
@@ -86,6 +97,16 @@ class PgenWriter:
         self._f.write(b"\x00" * header_size)
 
     # ------------------------------------------------------------------
+    def _push_record(self, vrtype: int, body: bytes) -> None:
+        if len(body) >= (1 << (8 * self._len_bytes)):
+            raise ValueError(
+                f"record body ({len(body)} B) exceeds length-field capacity "
+                f"({self._len_bytes} B); writer mis-sized (max_body="
+                f"{self._max_body})")
+        self._f.write(body)
+        self._vrtypes.append(vrtype)
+        self._rec_lens.append(len(body))
+
     def append_codes(self, codes: np.ndarray) -> None:
         """Append one or more variants given unpacked uint8 codes [*, N]."""
         codes = np.atleast_2d(np.asarray(codes, dtype=np.uint8))
@@ -111,9 +132,7 @@ class PgenWriter:
         body += np.packbits(present, bitorder="little").tobytes()
         order = np.argsort(np.asarray(dosage_ids, dtype=np.int64))
         body += np.asarray(dosage_vals, dtype="<u2")[order].tobytes()
-        self._f.write(body)
-        self._vrtypes.append(0x60)
-        self._rec_lens.append(len(body))
+        self._push_record(0x60, body)
         self._ld_base = row.copy()
         self._written += 1
 
@@ -162,9 +181,7 @@ class PgenWriter:
             body += np.packbits(present, bitorder="little").tobytes()
             order = np.argsort(np.asarray(dosage_ids, dtype=np.int64))
             body += np.asarray(dosage_vals, dtype="<u2")[order].tobytes()
-        self._f.write(body)
-        self._vrtypes.append(vrtype)
-        self._rec_lens.append(len(body))
+        self._push_record(vrtype, body)
         self._ld_base = row.copy()
         self._written += 1
 
@@ -217,9 +234,7 @@ class PgenWriter:
                 candidates.append((len(body), 2, body))
 
         cost, vrtype, body = min(candidates, key=lambda c: c[0])
-        self._f.write(body)
-        self._vrtypes.append(vrtype)
-        self._rec_lens.append(len(body))
+        self._push_record(vrtype, body)
         if vrtype not in (2, 3):
             self._ld_base = row.copy()
         self._written += 1

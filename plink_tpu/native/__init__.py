@@ -10,6 +10,7 @@ toolchain.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -17,12 +18,18 @@ import threading
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libpgen_decode.so")
 _SRC = os.path.join(_DIR, "pgen_decode.cc")
+_HASH = _SO + ".hash"
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _build(src_hash: str) -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o",
@@ -30,6 +37,8 @@ def _build() -> bool:
             check=True, capture_output=True, timeout=120,
         )
         os.replace(_SO + ".tmp", _SO)
+        with open(_HASH, "w") as f:
+            f.write(src_hash)
         return True
     except Exception:
         return False
@@ -44,8 +53,15 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _build():
+        # Rebuild keyed on a content hash of the source (mtimes are
+        # unreliable on fresh checkouts where everything shares one stamp).
+        src_hash = _src_hash()
+        built_hash = None
+        if os.path.exists(_SO) and os.path.exists(_HASH):
+            with open(_HASH) as f:
+                built_hash = f.read().strip()
+        if built_hash != src_hash:
+            if not _build(src_hash):
                 return None
         try:
             lib = ctypes.CDLL(_SO)

@@ -9,6 +9,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libpgen_decode.so pgen_decode.cc
 
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -107,12 +108,13 @@ int pgen_decode_block(const uint8_t* buf, const int64_t* rel,
                       const uint8_t* vrtypes, int64_t vct, int64_t sample_ct,
                       uint8_t* ld_base, int64_t* ld_valid, uint8_t* out) {
   const int64_t nb = (sample_ct + 3) / 4;
-  static uint8_t invert_table[256];
-  static bool invert_init = false;
-  if (!invert_init) {
-    build_invert_table(invert_table);
-    invert_init = true;
-  }
+  // C++11 magic static: thread-safe one-time init (callers include the
+  // multithreaded pgen_decode_block_mt workers).
+  static const std::array<uint8_t, 256> invert_table = [] {
+    std::array<uint8_t, 256> t{};
+    build_invert_table(t.data());
+    return t;
+  }();
   const uint8_t tail_keep =
       (sample_ct & 3) ? static_cast<uint8_t>((1u << (2 * (sample_ct & 3))) - 1)
                       : 0xFF;
@@ -189,17 +191,16 @@ int pgen_decode_block(const uint8_t* buf, const int64_t* rel,
 
 // Translate PLINK1 .bed bytes to pgen encoding in place-copy form.
 void bed_to_pgen_bytes(const uint8_t* in, int64_t n, uint8_t* out) {
-  static uint8_t table[256];
-  static bool init = false;
-  if (!init) {
+  static const std::array<uint8_t, 256> table = [] {
+    std::array<uint8_t, 256> t{};
     const uint8_t map2[4] = {2, 3, 1, 0};
     for (int b = 0; b < 256; ++b) {
       int o = 0;
       for (int s = 0; s < 8; s += 2) o |= map2[(b >> s) & 3] << s;
-      table[b] = static_cast<uint8_t>(o);
+      t[b] = static_cast<uint8_t>(o);
     }
-    init = true;
-  }
+    return t;
+  }();
   for (int64_t i = 0; i < n; ++i) out[i] = table[in[i]];
 }
 
