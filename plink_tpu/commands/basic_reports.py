@@ -25,28 +25,24 @@ from ..utils.logging import RunLogger
 def _group_counts(ds: Dataset, founders_only: bool) -> dict[str, np.ndarray]:
     """Counts [M,4] for 'all', 'male', 'female' subsets of included samples
     (single device pass over all three masks)."""
-    from ..ops.counts import geno_counts_multimask
+    from ..ops.counts import geno_counts_multimask, geno_counts_multimask_all
 
     base = ds.sample_mask & (ds.founder_mask if founders_only else True)
     masks = [base, base & ds.male_mask(), base & ds.female_mask()]
+    # one scan over the device-resident block tensor = one dispatch + one
+    # fetch for the whole file (per-block round trips dominate on a
+    # tunnel-attached TPU)
+    db = ds.device_blocked_packed()
+    if db is not None:
+        cat = geno_counts_multimask_all(
+            db, ds.raw_sample_ct, masks, ds.raw_variant_ct
+        )
+        return {"all": cat[0], "male": cat[1], "female": cat[2]}
     parts: list[list[np.ndarray]] = [[], [], []]
-    # slice device-resident blocks when available: the jnp.asarray inside the
-    # counting wrapper is then a no-op, so the packed matrix crosses
-    # host->device once per dataset instead of once per command
-    dp = ds.device_all_packed()
-    if dp is not None:
-        bs = ds.block_size
-        for v0 in range(0, ds.raw_variant_ct, bs):
-            out = geno_counts_multimask(
-                dp[v0 : v0 + bs], ds.raw_sample_ct, masks
-            )
-            for g in range(3):
-                parts[g].append(out[g])
-    else:
-        for _, packed in ds.iter_packed_blocks():
-            out = geno_counts_multimask(packed, ds.raw_sample_ct, masks)
-            for g in range(3):
-                parts[g].append(out[g])
+    for _, packed in ds.iter_packed_blocks():
+        out = geno_counts_multimask(packed, ds.raw_sample_ct, masks)
+        for g in range(3):
+            parts[g].append(out[g])
     cat = [np.concatenate(p) if p else np.zeros((0, 4), np.int64) for p in parts]
     return {"all": cat[0], "male": cat[1], "female": cat[2]}
 

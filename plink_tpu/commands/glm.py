@@ -108,17 +108,16 @@ def _load_covars(ds: Dataset, cfg, log: RunLogger):
     data = np.full((n, len(sel)), np.nan)
     ok = rows >= 0
     if flat is not None:
+        from ..io.psam import _parse_float_col
+
+        fa = np.asarray(flat, dtype=object).reshape(nrow, ncol)
         numeric = np.empty((nrow, len(sel)))
         for k, s in enumerate(sel):
-            col = flat[id_cols + s :: ncol]
+            col = fa[:, id_cols + s]
             try:
-                numeric[:, k] = np.asarray(col, dtype=np.float64)
-            except ValueError:
-                cs = np.array(col, dtype=object)
-                with np.errstate(invalid="ignore"):
-                    numeric[:, k] = np.where(
-                        np.isin(cs, ("NA", "nan", "-9")), "nan", cs
-                    ).astype(np.float64)
+                numeric[:, k] = col.astype(np.float64)
+            except (ValueError, TypeError):
+                numeric[:, k] = _parse_float_col(col)
         numeric[numeric == -9.0] = np.nan  # input-missing-phenotype code
         data[rows[ok]] = numeric[ok]
     else:
@@ -283,11 +282,15 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
     always_firth = "firth" in mods
     no_firth = "no-firth" in mods
 
+    # enqueue the packed-matrix upload now (device_put is async) so the
+    # host->device transfer overlaps the covariate/phenotype parsing below
+    ds.device_blocked_packed()
+    cov_names, cov_data, cov_nonmiss = _load_covars(ds, cfg, log)
+    phenos_early = _load_phenos(ds, cfg, log)
+
     # A1 selection (minor allele unless omit-ref); needed before --condition
     freqs = alt_allele_freqs(ds, founders_only=not cfg.nonfounders)
     a1_is_alt = np.ones(ds.raw_variant_ct, bool) if omit_ref else ~(freqs > 0.5)
-
-    cov_names, cov_data, cov_nonmiss = _load_covars(ds, cfg, log)
     if cfg.condition or cfg.condition_list:
         cnames, cdata, cnonmiss = _load_condition(ds, cfg, a1_is_alt, log)
         cov_names = cnames + cov_names
@@ -311,7 +314,7 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
 
     local_info = _load_local_covars(ds, mods, log)
 
-    phenos = _load_phenos(ds, cfg, log)
+    phenos = phenos_early
     if not phenos:
         raise ValueError("--glm: no phenotypes loaded")
 
@@ -427,7 +430,6 @@ def _glm_linear(
 ):
     import jax.numpy as jnp
 
-    from ..ops.glm import linear_block_sums
     from ..stats.distributions import f_logsf
 
     mods = set(cfg.glm_modifiers)
@@ -508,14 +510,18 @@ def _glm_linear(
     )
     add_results: list[tuple[int, float]] = []
 
+    # ONE device call for the whole dataset (scan over blocks), ONE fetch
+    from ..ops.glm import linear_sums_scan
+
+    sums_all = {
+        kk: np.asarray(vv, dtype=np.float64)
+        for kk, vv in linear_sums_scan(
+            pd.packed, c32, ccfl, y32, cy32, y232
+        ).items()
+    }
     for bi in range(pd.nblocks):
         v0 = bi * pd.vb
-        sums = {
-            kk: np.asarray(vv, dtype=np.float64)
-            for kk, vv in linear_block_sums(
-                pd.packed[bi], c32, ccfl, y32, cy32, y232
-            ).items()
-        }
+        sums = {kk: vv[bi] for kk, vv in sums_all.items()}
         vct = min(pd.vb, M - v0)
         ia = np.array([i for i in range(vct) if vmask[v0 + i]])
         if ia.size == 0:
@@ -1004,9 +1010,6 @@ def _glm_logistic(
 ):
     import jax.numpy as jnp
 
-    from ..ops.glm import (
-        design_moments_block, firth_irls_block, logistic_irls_block,
-    )
     from ..stats.distributions import f_logsf
 
     mods = set(cfg.glm_modifiers)
@@ -1084,36 +1087,69 @@ def _glm_logistic(
     for j, cn in enumerate(cov_names):
         test_pred[cn] = 1 + j
 
+    # plane-weight tensors for every block upfront, then ONE device call
+    # for the whole dataset: moments + IRLS scan over blocks (the tunnel
+    # round-trip latency dwarfs the kernel time, so per-block dispatch was
+    # the bottleneck)
+    alt_pad_all = np.zeros(pd.nblocks * pd.vb, bool)
+    alt_pad_all[:M] = a1_is_alt
+    alt_b = alt_pad_all.reshape(pd.nblocks, pd.vb)
+    gw_all = np.where(
+        alt_b[:, :, None, None], w_alt_arr[None, None], w_ref_arr[None, None]
+    ).astype(np.float32)  # [nb, vb, P, 3]
+    # moments pass carries one extra always-additive predictor so the
+    # A1-dosage separation/const statistics come out of the same matmul
+    add_w_all = np.where(
+        alt_b[:, :, None], np.array([1.0, 2.0, 0.0], np.float32),
+        np.array([-1.0, -2.0, 2.0], np.float32),
+    )[:, :, None, :]
+    gwm_all = np.concatenate([gw_all, add_w_all], axis=2)
+
+    from ..ops.glm import glm_logistic_scan
+
+    outs = glm_logistic_scan(
+        pd.packed, jnp.asarray(gw_all), jnp.asarray(gwm_all), c32, cy32,
+        y32, mask_dev, dc, P, covj, always_firth,
+    )
+    (momy_d, beta_d, se_d, conv_d, fail_d, unf_d, obs_d, invalid_d,
+     hinv_d) = outs
+    # bulk fetch; the [nb, vb, d, d] covariance tensor stays on device
+    # unless the joint test needs it (validParameters ran on device)
+    momy_all = np.asarray(momy_d, dtype=np.float64)
+    beta_all = np.asarray(beta_d, dtype=np.float64)
+    se_all = np.asarray(se_d, dtype=np.float64)
+    conv_all = np.asarray(conv_d)
+    fail_all = np.asarray(fail_d)
+    unf_all = np.asarray(unf_d)
+    obs_all = np.asarray(obs_d)
+    invalid_all = np.asarray(invalid_d)
+    hinv_all = np.asarray(hinv_d, dtype=np.float64) if joint_name else None
+
+    def _invalid_rows(hf, rows):
+        """Host recomputation of the validParameters() check for rows whose
+        covariance was replaced after the device pass."""
+        out = np.zeros(len(rows), bool)
+        for k_, i in enumerate(rows):
+            h = hf[i]
+            dg = np.diag(h)
+            with np.errstate(invalid="ignore"):
+                if ((dg[1:] < 1e-20) | ~np.isfinite(dg[1:])).any():
+                    out[k_] = True
+                    continue
+                sd = np.sqrt(dg)
+                for i_ in range(1, d):
+                    for j_ in range(i_):
+                        if h[i_, j_] > 0.99999 * sd[i_] * sd[j_]:
+                            out[k_] = True
+        return out
+
     for bi in range(pd.nblocks):
         v0 = bi * pd.vb
         vct = min(pd.vb, M - v0)
         ia = np.array([i for i in range(vct) if vmask[v0 + i]])
         if ia.size == 0:
             continue
-        alt_np = a1_is_alt[v0 : v0 + pd.vb]
-        alt_pad = np.zeros(pd.vb, bool)
-        alt_pad[: len(alt_np)] = alt_np
-        gw_np = np.where(
-            alt_pad[:, None, None], w_alt_arr[None], w_ref_arr[None]
-        )
-        gw = jnp.asarray(gw_np)
-        # moments pass carries one extra always-additive predictor so the
-        # A1-dosage separation/const statistics come out of the same matmul
-        add_w = np.where(
-            alt_pad[:, None], np.array([[1.0, 2.0, 0.0]], np.float32),
-            np.array([[-1.0, -2.0, 2.0]], np.float32),
-        )[:, None, :]
-        gw_m = jnp.asarray(np.concatenate([gw_np, add_w], axis=1))
-        pk = pd.packed[bi]
-        # one moments pass serves the collinearity pre-check AND the
-        # separation/const statistics: append y as an extra "covariate"
-        # column so its geno cross-moments come out of the same matmul
-        momy = np.asarray(
-            design_moments_block(
-                pk, gw_m, cy32, mask_dev, dc + 1, P + 1, covj + (0,)
-            ),
-            dtype=np.float64,
-        )
+        momy = momy_all[bi]
         # design columns in momy: [c (dc) | y | model preds (P) | ADD]
         keep_cols = list(range(dc)) + list(range(dc + 1, dc + 1 + P))
         xtx = momy[np.ix_(range(pd.vb), keep_cols, keep_cols)]
@@ -1145,6 +1181,10 @@ def _glm_logistic(
 
         refined = np.zeros(pd.vb, bool)
         obs_f = None  # set after the kernel supplies per-variant obs counts
+        hfull = (
+            hinv_all[bi].copy() if joint_name
+            else np.zeros((pd.vb, d, d))
+        )
 
         def _refine(rows, firth_mode, beta_a, se_a, hfull_a, conv_a, fail_a,
                     unf_a):
@@ -1166,15 +1206,12 @@ def _glm_logistic(
                 conv_a[i], fail_a[i], unf_a[i] = cv_, False, un_
 
         if always_firth:
-            beta, se, _, conv, fail, unf, obs, hfull = (
-                np.asarray(x) for x in firth_irls_block(
-                    pk, gw, c32, y32, mask_dev, dc, P, covj
-                )
-            )
-            beta = beta.astype(np.float64)
-            se = se.astype(np.float64)
-            hfull = hfull.astype(np.float64)
-            conv, fail, unf = conv.copy(), fail.copy(), unf.copy()
+            beta = beta_all[bi].copy()
+            se = se_all[bi].copy()
+            conv = conv_all[bi].copy()
+            fail = fail_all[bi].copy()
+            unf = unf_all[bi].copy()
+            obs = obs_all[bi]
             used_firth = np.ones(pd.vb, bool)
             obs_f = obs.astype(np.float64)
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -1189,19 +1226,17 @@ def _glm_logistic(
                 _refine(np.flatnonzero(extra), True, beta, se, hfull, conv,
                         fail, unf)
         else:
-            lb, lse, _, lconv, lfail, lunf, lobs, lhfull = (
-                np.asarray(x)
-                for x in logistic_irls_block(pk, gw, c32, y32, mask_dev, dc, P, covj)
-            )
+            beta = beta_all[bi].copy()
+            se = se_all[bi].copy()
+            conv = conv_all[bi].copy()
+            fail = fail_all[bi].copy()
+            unf = unf_all[bi].copy()
+            obs = obs_all[bi]
             with np.errstate(divide="ignore", invalid="ignore"):
-                const = (g_ssq - g_tot * g_tot / np.maximum(lobs, 1)) <= 1e-12
+                const = (g_ssq - g_tot * g_tot / np.maximum(obs, 1)) <= 1e-12
             # separation pre-check: case dosage of A1 == 0 or == total dosage
             # (ref: plink2_glm_logistic.cc:2224-2236)
             sep = ((g_case <= 0.0) | (g_case >= g_tot)) & ~const
-            beta = lb.astype(np.float64)
-            se = lse.astype(np.float64)
-            hfull = lhfull.astype(np.float64)
-            conv, fail, unf, obs = lconv.copy(), lfail.copy(), lunf.copy(), lobs
             obs_f = obs.astype(np.float64)
             used_firth = np.zeros(pd.vb, bool)
             rows = np.flatnonzero(
@@ -1217,10 +1252,13 @@ def _glm_logistic(
             else:
                 need_firth = (sep | fail) & ~const
                 if need_firth.any():
+                    from ..ops.glm import firth_irls_block
+
                     fb, fse, _, fconv, ffail, funf, fobs, fhfull = (
                         np.asarray(x)
                         for x in firth_irls_block(
-                            pk, gw, c32, y32, mask_dev, dc, P, covj
+                            pd.packed[bi], jnp.asarray(gw_all[bi]), c32, y32,
+                            mask_dev, dc, P, covj
                         )
                     )
                     fb = fb.astype(np.float64)
@@ -1237,20 +1275,14 @@ def _glm_logistic(
                     beta[m], se[m], hfull[m] = fb[m], fse[m], fhfull[m]
                     conv[m], fail[m], unf[m] = fconv[m], ffail[m], funf[m]
                     used_firth = need_firth
+                    refined[m] = True  # invalid flags recomputed from fhfull
 
-        # validParameters() check (ref: plink2_glm_logistic.cc:4871-4893):
-        # any non-intercept covariance diagonal < 1e-20 or non-finite, or any
-        # estimate pair with correlation > 0.99999, invalidates the whole row
-        invalid = np.zeros(pd.vb, bool)
-        with np.errstate(invalid="ignore"):
-            dg = np.einsum("vii->vi", hfull)
-            invalid |= (
-                (dg[:, 1:] < 1e-20) | ~np.isfinite(dg[:, 1:])
-            ).any(axis=1)
-            sd = np.sqrt(dg)
-            for i_ in range(1, d):
-                for j_ in range(i_):
-                    invalid |= hfull[:, i_, j_] > 0.99999 * sd[:, i_] * sd[:, j_]
+        # validParameters() flags: device pass for unchanged rows; host
+        # recomputation for rows refined or replaced above
+        invalid = invalid_all[bi].copy()
+        rr = np.flatnonzero(refined)
+        if rr.size:
+            invalid[rr] = _invalid_rows(hfull, rr)
 
         # joint Wald test over the main genotype params (ref: constraint set
         # plink2_glm.cc:2867 "raw_joint_test_params[0] = 6";

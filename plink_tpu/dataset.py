@@ -70,6 +70,13 @@ class Dataset:
         """Whole-file packed matrix as a device (HBM) array, cached; None when
         too large for the host cache."""
         if self._device_packed is None:
+            if self._device_blocked is not None:
+                # device-side reshape of the already-uploaded block tensor
+                nbk, vb, nb = self._device_blocked.shape
+                self._device_packed = self._device_blocked.reshape(
+                    nbk * vb, nb
+                )[: self.raw_variant_ct]
+                return self._device_packed
             host = self.all_packed()
             if host is None:
                 return None
@@ -80,6 +87,49 @@ class Dataset:
             # networked TPU attachments
             self._device_packed = jax.device_put(host)
         return self._device_packed
+
+    _device_blocked = None
+
+    def device_blocked_packed(self):
+        """Device-resident [nb, vb, NB] block view of the packed matrix
+        (device-side pad+reshape of the flat resident copy; no extra
+        host->device transfer), cached; None when too large."""
+        if self._device_blocked is None:
+            import jax
+            import jax.numpy as jnp
+
+            vb = self.block_size
+            M = self.raw_variant_ct
+            nb = (self.raw_sample_ct + 3) // 4
+            if M * nb > self.PACKED_CACHE_MAX_BYTES:
+                return None
+            if self._device_packed is not None or self._packed_cache is not None:
+                dp = self.device_all_packed()
+                nblocks = max(1, -(-M // vb))
+                pad_v = nblocks * vb - M
+                self._device_blocked = jnp.pad(dp, ((0, pad_v), (0, 0))).reshape(
+                    nblocks, vb, dp.shape[1]
+                )
+            else:
+                # streaming path: decode block k+1 on the host (multithreaded
+                # native decoder) while block k's device_put transfer is in
+                # flight — read and upload overlap instead of serializing.
+                # This is the TPU analogue of the reference's double-buffered
+                # PgenMtLoadInit pipeline (2.0/plink2_common.cc:3926).
+                host_blocks = []
+                dev_blocks = []
+                for v0 in range(0, M, vb):
+                    vct = min(vb, M - v0)
+                    pk = self.reader.read_packed(v0, vct)
+                    if vct < vb:
+                        pk = np.concatenate(
+                            [pk, np.zeros((vb - vct, pk.shape[1]), np.uint8)]
+                        )
+                    dev_blocks.append(jax.device_put(pk))  # async
+                    host_blocks.append(pk)
+                self._device_blocked = jnp.stack(dev_blocks)
+                self._packed_cache = np.concatenate(host_blocks)[:M]
+        return self._device_blocked
 
     def iter_packed_blocks(self, block_size: int | None = None, pad: bool = False):
         """Yield (vstart, packed[uint8, B x NB]) over ALL raw variants in order.

@@ -96,8 +96,44 @@ def _is_numeric_start(tok: str) -> bool:
     return False
 
 
-def _classify_pheno(values: list[str]) -> str:
+def _classify_pheno_np(u: np.ndarray) -> str:
+    """Vectorized phenotype-class inference (pgen_spec.tex:767-784).
+
+    u: numpy unicode array of the raw tokens.
+    """
+    upper = np.char.upper(u)
+    is_na = (upper == "NA") | (upper == "NAN")
+    non_na = u[~is_na]
+    if non_na.size == 0:
+        return "qt"
+    # numeric-start test: digit first char, or +-. prefix then digit
+    first = non_na.astype("U1")
+    # fixed-width U2 copies are \0-padded, so a U1 view yields [char0, char1]
+    two = np.ascontiguousarray(non_na.astype("U2"))
+    chars = two.view("U1").reshape(len(non_na), 2)
+    second = chars[:, 1]
+    d1 = np.char.isdigit(first)
+    sign = (first == "+") | (first == "-") | (first == ".")
+    three = np.ascontiguousarray(non_na.astype("U3"))
+    third = three.view("U1").reshape(len(non_na), 3)[:, 2]
+    d2 = np.char.isdigit(second) | ((second == ".") & np.char.isdigit(third))
+    numeric_start = d1 | (sign & d2)
+    if not numeric_start.all():
+        return "cat"
+    if np.isin(u, list(_BINARY_OK)).all():
+        return "cc"
+    return "qt"
+
+
+def _classify_pheno(values) -> str:
     """Infer phenotype class per pgen_spec.tex:767-784."""
+    u = np.asarray(values, dtype="U")
+    # the vectorized second-char extraction above is only cheap for short
+    # tokens; fall back to the scalar walk for pathological inputs
+    try:
+        return _classify_pheno_np(u)
+    except Exception:
+        pass
     seen_non_na = False
     for v in values:
         if v.upper() in ("NA", "NAN"):
@@ -113,7 +149,26 @@ def _classify_pheno(values: list[str]) -> str:
     return "cc"
 
 
-def _build_pheno(name: str, values: list[str], missing_pheno: float = -9) -> PhenoCol:
+def _parse_float_col(values: np.ndarray) -> np.ndarray:
+    """Token array -> float64 with unparseable entries = NaN (vectorized)."""
+    try:
+        import pandas as pd
+
+        return np.array(
+            pd.to_numeric(pd.Series(values), errors="coerce"),
+            dtype=np.float64, copy=True,
+        )
+    except Exception:
+        out = np.full(len(values), np.nan)
+        for i, v in enumerate(values):
+            try:
+                out[i] = float(v)
+            except (TypeError, ValueError):
+                pass
+        return out
+
+
+def _build_pheno(name: str, values, missing_pheno: float = -9) -> PhenoCol:
     kind = _classify_pheno(values)
     n = len(values)
     if kind == "cat":
@@ -127,14 +182,9 @@ def _build_pheno(name: str, values: list[str], missing_pheno: float = -9) -> Phe
                 cats.append(key)
             data[i] = index[key]
         return PhenoCol(name, "cat", data, data != 0, cats)
-    vals = np.full(n, np.nan)
-    for i, v in enumerate(values):
-        if v in _MISSING_NUM:
-            continue
-        try:
-            vals[i] = float(v)
-        except ValueError:
-            vals[i] = np.nan
+    varr = np.asarray(values, dtype=object)
+    vals = _parse_float_col(varr)
+    vals[np.isin(varr, list(_MISSING_NUM))] = np.nan
     if missing_pheno == missing_pheno:  # not nan
         vals[vals == missing_pheno] = np.nan
     nonmiss = ~np.isnan(vals)
@@ -149,8 +199,8 @@ def _build_pheno(name: str, values: list[str], missing_pheno: float = -9) -> Phe
 
 def read_psam(path: str, missing_pheno: float = -9) -> SampleInfo:
     with _open_text(path) as f:
-        lines = [ln.rstrip("\r\n") for ln in f]
-    lines = [ln for ln in lines if ln.strip()]
+        text = f.read()
+    lines = [ln for ln in text.splitlines() if ln.strip()]
     header_cols = None
     body_start = 0
     for i, ln in enumerate(lines):
@@ -163,22 +213,34 @@ def read_psam(path: str, missing_pheno: float = -9) -> SampleInfo:
             break
     else:
         body_start = len(lines)
-    body = [ln.split() for ln in lines[body_start:]]
-    body = [t for t in body if t]
-    if header_cols is None:
-        ncol = len(body[0]) if body else 6
-        if ncol >= 6:
-            header_cols = ["FID", "IID", "PAT", "MAT", "SEX", "PHENO1"]
-        else:
-            header_cols = ["FID", "IID", "PAT", "MAT", "SEX"]
+    # fast path: rectangular body parsed with ONE flat split + reshape
+    # (per-line split costs seconds at biobank sample counts)
+    body_arr = None
+    if header_cols is not None and body_start < len(lines):
+        flat = np.array("\n".join(lines[body_start:]).split(), dtype=object)
+        ncol_h = len(header_cols)
+        if flat.size % ncol_h == 0:
+            body_arr = flat.reshape(-1, ncol_h)
+    if body_arr is None:
+        body = [ln.split() for ln in lines[body_start:]]
+        body = [t for t in body if t]
+        if header_cols is None:
+            ncol = len(body[0]) if body else 6
+            if ncol >= 6:
+                header_cols = ["FID", "IID", "PAT", "MAT", "SEX", "PHENO1"]
+            else:
+                header_cols = ["FID", "IID", "PAT", "MAT", "SEX"]
+        body_arr = np.empty((len(body), len(header_cols)), dtype=object)
+        for i, t in enumerate(body):
+            body_arr[i, : len(t)] = t[: len(header_cols)]
     col = {c: j for j, c in enumerate(header_cols)}
-    n = len(body)
+    n = body_arr.shape[0]
 
-    def get(name) -> list[str] | None:
+    def get(name):
         j = col.get(name)
         if j is None:
             return None
-        return [t[j] for t in body]
+        return body_arr[:, j]
 
     fid = get("FID")
     iid = get("IID")
@@ -191,11 +253,9 @@ def read_psam(path: str, missing_pheno: float = -9) -> SampleInfo:
     sex_raw = get("SEX")
     sex = np.zeros(n, dtype=np.int8)
     if sex_raw is not None:
-        for i, v in enumerate(sex_raw):
-            if v in ("1", "M", "m"):
-                sex[i] = 1
-            elif v in ("2", "F", "f"):
-                sex[i] = 2
+        sr = np.asarray(sex_raw, dtype=object)
+        sex[np.isin(sr, ("1", "M", "m"))] = 1
+        sex[np.isin(sr, ("2", "F", "f"))] = 2
     known = {"FID", "IID", "SID", "PAT", "MAT", "SEX"}
     phenos: dict[str, PhenoCol] = {}
     for c in header_cols:

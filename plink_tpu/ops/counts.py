@@ -16,6 +16,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 
 from .planes import unpack_codes
@@ -102,6 +103,38 @@ def geno_counts_multimask(
         mm[: m.shape[0], g] = m.astype(np.float32)
     out = np.asarray(_geno_counts_multimask(jnp.asarray(packed), jnp.asarray(mm), npad))
     return [out[g].astype(np.int64) for g in range(len(masks))]
+
+
+@partial(jax.jit, static_argnames=("npad",))
+def _geno_counts_scan(blocks: jax.Array, masks: jax.Array, npad: int) -> jax.Array:
+    """Whole-dataset multimask counts in ONE device call.
+
+    blocks [nb, vb, NB] uint8, masks f32 [npad, G] -> int32 [nb, G, vb, 4].
+    lax.scan over blocks: one dispatch + one small fetch instead of a
+    blocking round trip per block (round-trip latency on a tunnel-attached
+    TPU costs far more than the counting matmuls themselves).
+    """
+
+    def body(carry, pk):
+        return carry, _geno_counts_multimask(pk, masks, npad)
+
+    _, outs = lax.scan(body, 0, blocks)
+    return outs
+
+
+def geno_counts_multimask_all(
+    blocks, sample_ct: int, masks: list[np.ndarray], variant_ct: int
+) -> list[np.ndarray]:
+    """Counts for the full dataset from a device-resident [nb, vb, NB]
+    block tensor; returns per-mask int64 [variant_ct, 4]."""
+    npad = ((sample_ct + 3) // 4) * 4
+    mm = np.zeros((npad, len(masks)), dtype=np.float32)
+    for g, m in enumerate(masks):
+        mm[: m.shape[0], g] = m.astype(np.float32)
+    out = np.asarray(_geno_counts_scan(blocks, jnp.asarray(mm), npad))
+    nb, G, vb, _ = out.shape
+    flat = out.transpose(1, 0, 2, 3).reshape(G, nb * vb, 4)[:, :variant_ct]
+    return [flat[g].astype(np.int64) for g in range(len(masks))]
 
 
 @partial(jax.jit, static_argnames=("npad", "f64"))

@@ -43,15 +43,7 @@ def _geno_block(pk: jax.Array) -> tuple[jax.Array, jax.Array]:
     return g, 1.0 - miss
 
 
-@jax.jit
-def linear_block_sums(
-    packed: jax.Array,  # [vb, NB] uint8 (samples = per-pheno subset, compacted)
-    c: jax.Array,  # [n, dc] f32 covariates incl. leading intercept column
-    ccfl: jax.Array,  # [n, dc*dc] f32 flattened outer products c_i c_j
-    y: jax.Array,  # [n] f32
-    cy: jax.Array,  # [n, dc] f32 = c * y[:, None]
-    y2: jax.Array,  # [n] f32 = y*y
-):
+def _linear_sums_body(packed, c, ccfl, y, cy, y2):
     """Per-variant PLANE-weighted sufficient statistics for OLS.
 
     Every genotype predictor the reference's GLM supports (ADD, DOMDEV, DOM,
@@ -86,6 +78,42 @@ def linear_block_sums(
     }
 
 
+@jax.jit
+def linear_block_sums(
+    packed: jax.Array,  # [vb, NB] uint8 (samples = per-pheno subset, compacted)
+    c: jax.Array,  # [n, dc] f32 covariates incl. leading intercept column
+    ccfl: jax.Array,  # [n, dc*dc] f32 flattened outer products c_i c_j
+    y: jax.Array,  # [n] f32
+    cy: jax.Array,  # [n, dc] f32 = c * y[:, None]
+    y2: jax.Array,  # [n] f32 = y*y
+):
+    return _linear_sums_body(packed, c, ccfl, y, cy, y2)
+
+
+@jax.jit
+def linear_sums_scan(
+    blocks: jax.Array,  # [nb, vb, NB] uint8
+    c: jax.Array,
+    ccfl: jax.Array,
+    y: jax.Array,
+    cy: jax.Array,
+    y2: jax.Array,
+):
+    """Whole-dataset linear sufficient statistics in ONE device call.
+
+    lax.scan over variant blocks -> dict of [nb, vb, ...] stacked sums.
+    One dispatch + one fetch instead of per-block round trips; on a
+    tunnel-attached TPU the per-call latency dominates the actual compute,
+    so this is the difference between O(nb) and O(1) round trips.
+    """
+
+    def body(carry, pk):
+        return carry, _linear_sums_body(pk, c, ccfl, y, cy, y2)
+
+    _, outs = lax.scan(body, 0, blocks)
+    return outs
+
+
 # ---------------------------------------------------------------------------
 # logistic / Firth IRLS
 # ---------------------------------------------------------------------------
@@ -102,8 +130,7 @@ def _solve_psd(h: jax.Array, grad: jax.Array) -> jax.Array:
     )
 
 
-@partial(jax.jit, static_argnames=("dc", "np_", "covj"))
-def design_moments_block(
+def _moments_body(
     packed: jax.Array,
     gw: jax.Array,  # [vb, P, 3] plane weights
     c: jax.Array,   # [n, dc]
@@ -150,8 +177,7 @@ def design_moments_block(
     return h
 
 
-@partial(jax.jit, static_argnames=("dc", "np_", "covj"))
-def logistic_irls_block(
+def _logistic_body(
     packed: jax.Array,  # [vb, NB] uint8
     gw: jax.Array,  # [vb, P, 3] f32 plane weights (H, A, V) per geno predictor
     c: jax.Array,  # [n, dc] f32 covariates incl. intercept
@@ -293,8 +319,7 @@ def logistic_irls_block(
     return beta, se, ll, conv, failed, unfinished, obs, hinv
 
 
-@partial(jax.jit, static_argnames=("dc", "np_", "covj"))
-def firth_irls_block(
+def _firth_body(
     packed: jax.Array,
     gw: jax.Array,  # [vb, P, 3] plane weights
     c: jax.Array,
@@ -446,3 +471,71 @@ def firth_irls_block(
     se = jnp.sqrt(jnp.maximum(jax.vmap(jnp.diag)(h2inv_last), 0.0))
     unfinished = ~conv & ~failed
     return beta, se, pll, conv, failed, unfinished, obs, h2inv_last
+
+
+@partial(jax.jit, static_argnames=("dc", "np_", "covj"))
+def design_moments_block(packed, gw, c, mask, dc, np_=1, covj=()):
+    return _moments_body(packed, gw, c, mask, dc, np_, covj)
+
+
+@partial(jax.jit, static_argnames=("dc", "np_", "covj"))
+def logistic_irls_block(packed, gw, c, y, mask, dc, np_=1, covj=()):
+    return _logistic_body(packed, gw, c, y, mask, dc, np_, covj)
+
+
+@partial(jax.jit, static_argnames=("dc", "np_", "covj"))
+def firth_irls_block(packed, gw, c, y, mask, dc, np_=1, covj=()):
+    return _firth_body(packed, gw, c, y, mask, dc, np_, covj)
+
+
+def _valid_params_flags(hinv: jax.Array, d: int) -> jax.Array:
+    """validParameters() check on device (ref: plink2_glm_logistic.cc:
+    4871-4893): non-intercept covariance diagonal < 1e-20 or non-finite, or
+    any estimate pair correlated > 0.99999, invalidates the row."""
+    dg = jnp.diagonal(hinv, axis1=1, axis2=2)  # [vb, d]
+    bad = ((dg[:, 1:] < 1e-20) | ~jnp.isfinite(dg[:, 1:])).any(axis=1)
+    sd = jnp.sqrt(dg)
+    tril = jnp.tril(jnp.ones((d, d), bool), -1)
+    corr_bad = (hinv > 0.99999 * sd[:, :, None] * sd[:, None, :]) & tril[None]
+    return bad | corr_bad.any(axis=(1, 2))
+
+
+@partial(jax.jit, static_argnames=("dc", "np_", "covj", "firth"))
+def glm_logistic_scan(
+    blocks: jax.Array,   # [nb, vb, NB] uint8
+    gws: jax.Array,      # [nb, vb, P, 3] model-predictor plane weights
+    gwms: jax.Array,     # [nb, vb, P+1, 3] moments weights (model preds + ADD)
+    c: jax.Array,        # [n, dc]
+    cy: jax.Array,       # [n, dc+1] = [c | y]
+    y: jax.Array,        # [n]
+    mask: jax.Array,     # [n]
+    dc: int,
+    np_: int = 1,
+    covj: tuple = (),
+    firth: bool = False,
+):
+    """Whole-dataset hybrid-GLM pass in ONE device call.
+
+    Per block: the collinearity/separation moments matrix (with y appended
+    as an extra covariate column and ADD as an extra predictor) AND the full
+    logistic (or Firth) IRLS.  lax.scan over blocks keeps peak memory at one
+    block's temporaries while returning stacked per-variant results, so the
+    host pays a single dispatch + fetch for the entire scan instead of
+    2 round trips per block (the tunnel round trip costs more than the
+    compute).  The validParameters() covariance check also runs on device so
+    the [vb, d, d] covariance tensor never has to cross the wire in the
+    common (no-joint-test) case.
+    """
+    d = dc + np_
+
+    def body(carry, xs):
+        pk, gw, gwm = xs
+        momy = _moments_body(pk, gwm, cy, mask, dc + 1, np_ + 1, covj + (0,))
+        beta, se, ll, conv, fail, unf, obs, hinv = (
+            _firth_body if firth else _logistic_body
+        )(pk, gw, c, y, mask, dc, np_, covj)
+        invalid = _valid_params_flags(hinv, d)
+        return carry, (momy, beta, se, conv, fail, unf, obs, invalid, hinv)
+
+    _, outs = lax.scan(body, 0, (blocks, gws, gwms))
+    return outs
