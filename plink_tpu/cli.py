@@ -483,7 +483,25 @@ def parse_args(argv: list[str]) -> Config:
     return cfg
 
 
+def _honor_platform_env() -> None:
+    """Apply JAX_PLATFORMS via jax.config: some site hooks (e.g. remote-TPU
+    tunnels injected through PYTHONPATH sitecustomize) register their
+    platform regardless of the env var, so the env alone is silently
+    ignored; jax.config.update always wins."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
 def main(argv: list[str] | None = None) -> int:
+    _honor_platform_env()
     from .pipeline import run_pipeline
 
     argv = argv if argv is not None else sys.argv[1:]

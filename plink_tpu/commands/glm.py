@@ -390,7 +390,13 @@ def _p_str(lnp: float, log10: bool) -> str:
 
 def _auto_vb(npad: int) -> int:
     """Variant-block size bounded so [vb, n] f32 temporaries stay ~0.5 GB
-    (several are live at once inside the IRLS loop)."""
+    (several are live at once inside the IRLS loop).  PLINK_TPU_VB overrides
+    (used by the mesh-sharding tests to force multi-block panels)."""
+    import os
+
+    env = os.environ.get("PLINK_TPU_VB")
+    if env:
+        return max(8, (int(env) // 8) * 8)
     target_elems = 1 << 27
     vb = max(64, min(2048, target_elems // max(npad, 1)))
     return (vb // 8) * 8
@@ -511,11 +517,11 @@ def _glm_linear(
     add_results: list[tuple[int, float]] = []
 
     # ONE device call for the whole dataset (scan over blocks), ONE fetch
-    from ..ops.glm import linear_sums_scan
+    from ..ops.glm import linear_sums_scan_any
 
     sums_all = {
         kk: np.asarray(vv, dtype=np.float64)
-        for kk, vv in linear_sums_scan(
+        for kk, vv in linear_sums_scan_any(
             pd.packed, c32, ccfl, y32, cy32, y232
         ).items()
     }
@@ -1105,9 +1111,9 @@ def _glm_logistic(
     )[:, :, None, :]
     gwm_all = np.concatenate([gw_all, add_w_all], axis=2)
 
-    from ..ops.glm import glm_logistic_scan
+    from ..ops.glm import glm_logistic_scan_any
 
-    outs = glm_logistic_scan(
+    outs = glm_logistic_scan_any(
         pd.packed, jnp.asarray(gw_all), jnp.asarray(gwm_all), c32, cy32,
         y32, mask_dev, dc, P, covj, always_firth,
     )

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..dataset import Dataset
-from ..ops.pairwise import PackedDevice, grm_coefs, grm_tile, iter_lower_tiles
+from ..ops.pairwise import PackedDevice, grm_coefs, grm_tile_any, iter_lower_tiles
 from ..utils.fmt import g6
 from ..utils.logging import RunLogger
 from .basic_reports import alt_allele_freqs
@@ -49,7 +49,7 @@ def _grm_matrix(ds: Dataset, cfg, log: RunLogger, tile: int = 2048):
     grm = np.zeros((n, n), dtype=np.float64)
     nm = np.zeros((n, n), dtype=np.int64)
     for r0, c0 in iter_lower_tiles(pd.npad, s):
-        acc, cnt = grm_tile(pd.packed, coef_dev, pd.vmask, r0, c0, s, s)
+        acc, cnt = grm_tile_any(pd.packed, coef_dev, pd.vmask, r0, c0, s, s)
         rmax, cmax = min(r0 + s, n), min(c0 + s, n)
         if rmax <= r0 or cmax <= c0:
             continue

@@ -25,7 +25,7 @@ from ..ops.pairwise import (
     PackedDevice,
     iter_lower_tiles,
     king_counts_from_gram,
-    king_gram_tile,
+    king_gram_tile_any,
     king_kinship,
 )
 from ..utils.fmt import g6
@@ -52,7 +52,7 @@ def _pair_tables(ds: Dataset, vmask: np.ndarray, tile: int = 2048,
     pd = PackedDevice(ds, vmask, tile=tile, sample_mask=sample_mask)
     s = pd.tile
     for r0, c0 in iter_lower_tiles(pd.npad, s):
-        g = np.asarray(king_gram_tile(pd.packed, pd.vmask, r0, c0, s, s))
+        g = np.asarray(king_gram_tile_any(pd.packed, pd.vmask, r0, c0, s, s))
         counts = king_counts_from_gram(g, s, s)
         yield r0, c0, s, counts, pd
 

@@ -48,7 +48,7 @@ def run_pca(ds: Dataset, cfg, log: RunLogger, grm: np.ndarray | None = None) -> 
 def _pca_approx(ds: Dataset, cfg, pc_ct: int, log: RunLogger):
     import jax.numpy as jnp
 
-    from ..ops.pca import x_apply, xt_apply, xtx_apply
+    from ..ops.pca import x_apply_any, xt_apply_any, xtx_apply_any
 
     freqs = alt_allele_freqs(ds, founders_only=not cfg.nonfounders)
     vmask = ds.variant_mask.copy()
@@ -72,13 +72,13 @@ def _pca_approx(ds: Dataset, cfg, pc_ct: int, log: RunLogger):
     cur = jnp.asarray(g0)
     inv_m = 1.0 / variant_ct
     for _ in range(pc_ct):
-        cur = xtx_apply(pd.packed, coef_dev, smask_dev, cur) * inv_m
+        cur = xtx_apply_any(pd.packed, coef_dev, smask_dev, cur) * inv_m
         blocks.append(np.asarray(cur))
     qq = np.concatenate(blocks, axis=1).astype(np.float64)  # [npad, (pc_ct+1)*L]
     qq[n:] = 0.0
     qq, _ = np.linalg.qr(qq)
     b = np.asarray(
-        x_apply(pd.packed, coef_dev, smask_dev, jnp.asarray(qq.astype(np.float32)))
+        x_apply_any(pd.packed, coef_dev, smask_dev, jnp.asarray(qq.astype(np.float32)))
     ).reshape(npadv, qq.shape[1])[: len(freqs)]
     # SVD of the projected matrix ("Recovering top PCs from range
     # approximation", ref :5867)
@@ -121,7 +121,7 @@ def _write_allele_wts(ds, cfg, log, inc, eigvals, eigvecs, pc_ct) -> None:
     is verified by reconstruction tests instead of byte-diffing.)"""
     import jax.numpy as jnp
 
-    from ..ops.pca import x_apply
+    from ..ops.pca import x_apply_any
 
     freqs = alt_allele_freqs(ds, founders_only=not cfg.nonfounders)
     vmask = ds.variant_mask
@@ -137,7 +137,7 @@ def _write_allele_wts(ds, cfg, log, inc, eigvals, eigvecs, pc_ct) -> None:
     upad = np.zeros((npad, pc_ct), np.float32)
     upad[:n] = eigvecs
     w = np.asarray(
-        x_apply(pd.packed, coef_dev, jnp.asarray(smask), jnp.asarray(upad))
+        x_apply_any(pd.packed, coef_dev, jnp.asarray(smask), jnp.asarray(upad))
     ).reshape(npadv, pc_ct)
     sel = np.flatnonzero(vmask)
     w = w[: len(np.flatnonzero(vmask))] if False else w

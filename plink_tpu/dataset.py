@@ -70,7 +70,10 @@ class Dataset:
         """Whole-file packed matrix as a device (HBM) array, cached; None when
         too large for the host cache."""
         if self._device_packed is None:
-            if self._device_blocked is not None:
+            from .parallel.mesh import sharded_mesh_of
+
+            if (self._device_blocked is not None
+                    and sharded_mesh_of(self._device_blocked) is None):
                 # device-side reshape of the already-uploaded block tensor
                 nbk, vb, nb = self._device_blocked.shape
                 self._device_packed = self._device_blocked.reshape(
@@ -103,6 +106,20 @@ class Dataset:
             nb = (self.raw_sample_ct + 3) // 4
             if M * nb > self.PACKED_CACHE_MAX_BYTES:
                 return None
+            from .parallel.mesh import active_mesh, put_blocks
+
+            nblocks = max(1, -(-M // vb))
+            mesh = active_mesh() if nblocks > 1 else None
+            if mesh is not None:
+                # multi-device: shard the block axis over the mesh (padded
+                # blocks are all-zero; consumers trim to variant_ct)
+                host = self.all_packed()
+                pad_v = nblocks * vb - M
+                blocks = np.pad(host, ((0, pad_v), (0, 0))).reshape(
+                    nblocks, vb, nb
+                )
+                self._device_blocked = put_blocks(blocks, mesh)
+                return self._device_blocked
             if self._device_packed is not None or self._packed_cache is not None:
                 dp = self.device_all_packed()
                 nblocks = max(1, -(-M // vb))
@@ -272,6 +289,9 @@ def load_dataset(prefix: str, block_size: int = DEFAULT_BLOCK) -> Dataset:
     # adaptive streaming block: keep [block, N] device intermediates ~128M
     # elements so biobank-scale sample counts don't spill HBM
     adaptive = max(64, min(block_size, (1 << 27) // max(N, 1)))
+    env_vb = os.environ.get("PLINK_TPU_VB")
+    if env_vb:
+        adaptive = max(8, (int(env_vb) // 8) * 8)
     return Dataset(
         reader=reader,
         vi=vi,

@@ -12,7 +12,7 @@ All counts are exact: planes hold {0,1} and reductions accumulate in f32
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -122,16 +122,46 @@ def _geno_counts_scan(blocks: jax.Array, masks: jax.Array, npad: int) -> jax.Arr
     return outs
 
 
+def _counts_scan_any(blocks, masks, npad):
+    from ..parallel.mesh import sharded_mesh_of
+
+    mesh = sharded_mesh_of(blocks)
+    if mesh is None:
+        return _geno_counts_scan(blocks, masks, npad)
+    return _counts_scan_sharded(mesh, npad)(blocks, masks)
+
+
+@lru_cache(maxsize=None)
+def _counts_scan_sharded(mesh, npad):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import AXIS
+
+    def local(blocks, masks):
+        def body(carry, pk):
+            return carry, _geno_counts_multimask(pk, masks, npad)
+
+        _, outs = lax.scan(body, 0, blocks)
+        return outs
+
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P(AXIS), P()), out_specs=P(AXIS),
+        check_rep=False,
+    ))
+
+
 def geno_counts_multimask_all(
     blocks, sample_ct: int, masks: list[np.ndarray], variant_ct: int
 ) -> list[np.ndarray]:
     """Counts for the full dataset from a device-resident [nb, vb, NB]
-    block tensor; returns per-mask int64 [variant_ct, 4]."""
+    block tensor (block-sharded tensors scan per-device); returns per-mask
+    int64 [variant_ct, 4]."""
     npad = ((sample_ct + 3) // 4) * 4
     mm = np.zeros((npad, len(masks)), dtype=np.float32)
     for g, m in enumerate(masks):
         mm[: m.shape[0], g] = m.astype(np.float32)
-    out = np.asarray(_geno_counts_scan(blocks, jnp.asarray(mm), npad))
+    out = np.asarray(_counts_scan_any(blocks, jnp.asarray(mm), npad))
     nb, G, vb, _ = out.shape
     flat = out.transpose(1, 0, 2, 3).reshape(G, nb * vb, 4)[:, :variant_ct]
     return [flat[g].astype(np.int64) for g in range(len(masks))]

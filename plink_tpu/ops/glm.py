@@ -500,8 +500,7 @@ def _valid_params_flags(hinv: jax.Array, d: int) -> jax.Array:
     return bad | corr_bad.any(axis=(1, 2))
 
 
-@partial(jax.jit, static_argnames=("dc", "np_", "covj", "firth"))
-def glm_logistic_scan(
+def _glm_scan_body(
     blocks: jax.Array,   # [nb, vb, NB] uint8
     gws: jax.Array,      # [nb, vb, P, 3] model-predictor plane weights
     gwms: jax.Array,     # [nb, vb, P+1, 3] moments weights (model preds + ADD)
@@ -539,3 +538,78 @@ def glm_logistic_scan(
 
     _, outs = lax.scan(body, 0, (blocks, gws, gwms))
     return outs
+
+
+@partial(jax.jit, static_argnames=("dc", "np_", "covj", "firth"))
+def glm_logistic_scan(blocks, gws, gwms, c, cy, y, mask, dc, np_=1, covj=(),
+                      firth=False):
+    return _glm_scan_body(blocks, gws, gwms, c, cy, y, mask, dc, np_, covj,
+                          firth)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _glm_scan_sharded(mesh, dc, np_, covj, firth):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import AXIS
+
+    def local(blocks, gws, gwms, c, cy, y, mask):
+        return _glm_scan_body(blocks, gws, gwms, c, cy, y, mask, dc, np_,
+                              covj, firth)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P()),
+        out_specs=tuple([P(AXIS)] * 9), check_rep=False,
+    ))
+
+
+def glm_logistic_scan_any(blocks, gws, gwms, c, cy, y, mask, dc, np_=1,
+                          covj=(), firth=False):
+    """glm_logistic_scan routing block-sharded inputs through shard_map:
+    each device runs the scan over its variant-block shard (pure data
+    parallelism over the unbounded axis -- P1 of SURVEY.md section 2.6)."""
+    from ..parallel.mesh import sharded_mesh_of
+
+    mesh = sharded_mesh_of(blocks)
+    if mesh is None:
+        return glm_logistic_scan(blocks, gws, gwms, c, cy, y, mask, dc, np_,
+                                 covj, firth)
+    return _glm_scan_sharded(mesh, dc, np_, covj, firth)(
+        blocks, gws, gwms, c, cy, y, mask
+    )
+
+
+@lru_cache(maxsize=None)
+def _linear_scan_sharded(mesh):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import AXIS
+
+    def local(blocks, c, ccfl, y, cy, y2):
+        def body(carry, pk):
+            return carry, _linear_sums_body(pk, c, ccfl, y, cy, y2)
+
+        _, outs = lax.scan(body, 0, blocks)
+        return outs
+
+    keys = ("hcc", "acc", "mcc", "hcy", "acy", "mcy", "myy")
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(), P(), P(), P(), P()),
+        out_specs={k: P(AXIS) for k in keys}, check_rep=False,
+    ))
+
+
+def linear_sums_scan_any(blocks, c, ccfl, y, cy, y2):
+    from ..parallel.mesh import sharded_mesh_of
+
+    mesh = sharded_mesh_of(blocks)
+    if mesh is None:
+        return linear_sums_scan(blocks, c, ccfl, y, cy, y2)
+    return _linear_scan_sharded(mesh)(blocks, c, ccfl, y, cy, y2)

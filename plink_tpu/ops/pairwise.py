@@ -71,8 +71,8 @@ def king_gram_tile(
     def body(acc, xs):
         pk, vm = xs
         vmc = vm[:, None]
-        pr = lax.dynamic_slice(pk, (0, row0 // 4), (vb, s // 4))
-        pc = lax.dynamic_slice(pk, (0, col0 // 4), (vb, t // 4))
+        pr = lax.dynamic_slice_in_dim(pk, row0 // 4, s // 4, axis=1)
+        pc = lax.dynamic_slice_in_dim(pk, col0 // 4, t // 4, axis=1)
         p = _planes3(pr, vmc)
         q = _planes3(pc, vmc)
         g = lax.dot_general(
@@ -154,8 +154,8 @@ def grm_tile(
         acc, nm = carry
         pk, cf, vm = xs
         vmc = vm[:, None]
-        pr = lax.dynamic_slice(pk, (0, row0 // 4), (vb, s // 4))
-        pc = lax.dynamic_slice(pk, (0, col0 // 4), (vb, t // 4))
+        pr = lax.dynamic_slice_in_dim(pk, row0 // 4, s // 4, axis=1)
+        pc = lax.dynamic_slice_in_dim(pk, col0 // 4, t // 4, axis=1)
         zr = normed(pr, cf)
         zc = normed(pc, cf)
         # per-block product in f32 (6-pass MXU), carried in f64 so the
@@ -180,6 +180,77 @@ def grm_tile(
     nm0 = jnp.zeros((s, t), jnp.int32)
     (acc, nm), _ = lax.scan(body, (acc0, nm0), (packed, coef, vmask))
     return acc, nm
+
+
+# ---------------------------------------------------------------------------
+# mesh-sharded dispatchers: when the packed block tensor is sharded over the
+# variant-block axis (PackedDevice on a >1-device mesh), the contraction
+# over variants runs per-device and the partial Grams psum over ICI --
+# replacing the reference's manual --parallel sharding
+# (2.0/plink2_matrix_calc.cc:81-117) with real collectives.
+# ---------------------------------------------------------------------------
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _king_sharded(mesh, s, t):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import AXIS
+
+    def local(pk, vm, row0, col0):
+        return lax.psum(king_gram_tile(pk, vm, row0, col0, s, t), AXIS)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(), P()),
+        out_specs=P(), check_rep=False,
+    ))
+
+
+def king_gram_tile_any(packed, vmask, row0, col0, s: int, t: int):
+    """king_gram_tile that routes block-sharded inputs through shard_map."""
+    from ..parallel.mesh import sharded_mesh_of
+
+    mesh = sharded_mesh_of(packed)
+    if mesh is None:
+        return king_gram_tile(packed, vmask, row0, col0, s, t)
+    return _king_sharded(mesh, s, t)(
+        packed, vmask, jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32)
+    )
+
+
+@lru_cache(maxsize=None)
+def _grm_sharded(mesh, s, t):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import AXIS
+
+    def local(pk, cf, vm, row0, col0):
+        acc, nm = grm_tile(pk, cf, vm, row0, col0, s, t)
+        return lax.psum(acc, AXIS), lax.psum(nm, AXIS)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P()),
+        out_specs=(P(), P()), check_rep=False,
+    ))
+
+
+def grm_tile_any(packed, coef, vmask, row0, col0, s: int, t: int):
+    """grm_tile that routes block-sharded inputs through shard_map."""
+    from ..parallel.mesh import sharded_mesh_of
+
+    mesh = sharded_mesh_of(packed)
+    if mesh is None:
+        return grm_tile(packed, coef, vmask, row0, col0, s, t)
+    return _grm_sharded(mesh, s, t)(
+        packed, coef, vmask,
+        jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32),
+    )
 
 
 def grm_coefs(
@@ -225,6 +296,11 @@ class PackedDevice:
         tile: int = DEFAULT_TILE,
         sample_mask: np.ndarray | None = None,
     ):
+        import os
+
+        env_vb = os.environ.get("PLINK_TPU_VB")
+        if env_vb:
+            vb = max(8, (int(env_vb) // 8) * 8)
         smask = ds.sample_mask if sample_mask is None else sample_mask
         self.include_idx = np.flatnonzero(smask)
         self.n = int(self.include_idx.size)
@@ -238,16 +314,25 @@ class PackedDevice:
         self.vb = vb
         M = ds.raw_variant_ct
         self.nblocks = max(1, -(-M // vb))
+        from ..parallel import mesh as pmesh
+
+        mesh = pmesh.active_mesh() if self.nblocks > 1 else None
+        if mesh is not None:
+            # shard the variant-block axis over the mesh (P1 data
+            # parallelism); padded all-zero blocks are masked via vmask
+            self.nblocks = pmesh.pad_to_multiple(self.nblocks, mesh.size)
         nb_bytes = self.npad // 4
         compact = self.include_idx.size != ds.raw_sample_ct
         fullmask = np.asarray(vmask, dtype=bool)
         vm = np.zeros((self.nblocks, vb), dtype=np.int8)
         for bi in range(self.nblocks):
             v0 = bi * vb
-            vct = min(vb, M - v0)
+            vct = min(vb, max(0, M - v0))
             if vct > 0:
                 vm[bi, :vct] = fullmask[v0 : v0 + vct]
-        dp = None if compact else getattr(ds, "device_all_packed", lambda: None)()
+        dp = None
+        if mesh is None and not compact:
+            dp = getattr(ds, "device_all_packed", lambda: None)()
         if dp is not None and dp.shape[1] <= nb_bytes:
             # device-side reshape of the dataset's resident copy: pad the
             # variant axis to nblocks*vb and the byte axis to npad/4, no
@@ -266,6 +351,11 @@ class PackedDevice:
                 blocks[bi, :vct, : packed.shape[1]] = packed[:, :nb_bytes]
             import jax
 
+            if mesh is not None:
+                self.packed = jax.device_put(blocks, pmesh.shard_rows(mesh))
+                self.vmask = jax.device_put(vm, pmesh.shard_rows(mesh))
+                self.variant_ct = int(fullmask.sum())
+                return
             self.packed = jax.device_put(blocks)
         self.vmask = jnp.asarray(vm)
         self.variant_ct = int(fullmask.sum())

@@ -95,3 +95,61 @@ def xt_apply(
     acc0 = jnp.zeros((packed.shape[2] * 4, b.shape[2]), jnp.float32)
     acc, _ = lax.scan(body, acc0, (packed, coef, b))
     return acc
+
+
+# --- mesh-sharded dispatchers (variant-block axis sharded, psum over ICI) ---
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _pca_sharded(mesh, which):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import AXIS
+
+    if which == "xtx":
+        def local(packed, coef, smask, q):
+            return lax.psum(xtx_apply(packed, coef, smask, q), AXIS)
+
+        in_specs = (P(AXIS), P(AXIS), P(), P())
+        out_specs = P()
+    elif which == "x":
+        def local(packed, coef, smask, q):
+            return x_apply(packed, coef, smask, q)
+
+        in_specs = (P(AXIS), P(AXIS), P(), P())
+        out_specs = P(AXIS)
+    else:  # xt
+        def local(packed, coef, smask, b):
+            return lax.psum(xt_apply(packed, coef, smask, b), AXIS)
+
+        in_specs = (P(AXIS), P(AXIS), P(), P(AXIS))
+        out_specs = P()
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_rep=False,
+    ))
+
+
+def _dispatch(which, fallback, packed, coef, smask, last):
+    from ..parallel.mesh import sharded_mesh_of
+
+    mesh = sharded_mesh_of(packed)
+    if mesh is None:
+        return fallback(packed, coef, smask, last)
+    return _pca_sharded(mesh, which)(packed, coef, smask, last)
+
+
+def xtx_apply_any(packed, coef, smask, q):
+    """(X^T X) @ q with block-sharded streaming + psum when on a mesh."""
+    return _dispatch("xtx", xtx_apply, packed, coef, smask, q)
+
+
+def x_apply_any(packed, coef, smask, q):
+    return _dispatch("x", x_apply, packed, coef, smask, q)
+
+
+def xt_apply_any(packed, coef, smask, b):
+    return _dispatch("xt", xt_apply, packed, coef, smask, b)
