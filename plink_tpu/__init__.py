@@ -19,10 +19,23 @@ Layering (mirrors SURVEY.md section 1, re-architected for TPU):
   pipeline   fixed-order command orchestration               (ref: plink2.cc Plink2Core)
 """
 
+import os as _os
+
 import jax as _jax
 
 # Stats/GRM accumulators need real float64 (the reference is f64 end-to-end
 # in these paths); kernels opt in to narrow dtypes explicitly everywhere.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: first-compile latency on remote-attached
+# TPUs is tens of seconds per kernel; cache survives across CLI invocations.
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _cache = _os.path.expanduser("~/.cache/plink_tpu/jaxcache")
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 __version__ = "0.1.0"

@@ -104,6 +104,7 @@ class Config:
     king_cutoff: float | None = None
     king_cutoff_prefix: str | None = None
     king_table_subset: tuple | None = None
+    king_table_filter: float | None = None
     make_grm_bin: bool = False
     make_grm_list: bool = False
     make_rel: str | None = None
@@ -370,6 +371,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.make_king_mods = tuple(args)
         elif name == "make_king_table":
             cfg.make_king_table = True
+        elif name == "king_table_filter":
+            cfg.king_table_filter = float(args[0])
         elif name == "king_table_subset":
             cfg.king_table_subset = tuple(args)
         elif name == "king_cutoff":

@@ -48,13 +48,28 @@ def _grm_matrix(ds: Dataset, cfg, log: RunLogger, tile: int = 2048):
     s = pd.tile
     grm = np.zeros((n, n), dtype=np.float64)
     nm = np.zeros((n, n), dtype=np.int64)
-    for r0, c0 in iter_lower_tiles(pd.npad, s):
-        acc, cnt = grm_tile_any(pd.packed, coef_dev, pd.vmask, r0, c0, s, s)
+    # dispatch-ahead pipeline: device computes tile k+1..k+W while tile k's
+    # result streams back (fetch latency dominates on tunnel-attached TPUs)
+    from collections import deque
+
+    window = 8
+    q: deque = deque()
+
+    def _drain_one():
+        r0, c0, acc, cnt = q.popleft()
         rmax, cmax = min(r0 + s, n), min(c0 + s, n)
         if rmax <= r0 or cmax <= c0:
-            continue
+            return
         grm[r0:rmax, c0:cmax] = np.asarray(acc)[: rmax - r0, : cmax - c0]
         nm[r0:rmax, c0:cmax] = np.asarray(cnt)[: rmax - r0, : cmax - c0]
+
+    for r0, c0 in iter_lower_tiles(pd.npad, s):
+        acc, cnt = grm_tile_any(pd.packed, coef_dev, pd.vmask, r0, c0, s, s)
+        q.append((r0, c0, acc, cnt))
+        if len(q) >= window:
+            _drain_one()
+    while q:
+        _drain_one()
     with np.errstate(divide="ignore", invalid="ignore"):
         grm = grm / nm
     return grm, nm, pd

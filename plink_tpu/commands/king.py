@@ -74,22 +74,59 @@ def run_king(ds: Dataset, cfg, log: RunLogger) -> None:
     if want_matrix or cfg.king_cutoff is not None:
         kin = np.zeros((n, n), dtype=np.float64)
 
-    table_rows: list[tuple[int, int, dict]] = []
-    kin_tiles: dict[tuple[int, int], tuple[np.ndarray, dict]] = {}
-    for r0, c0, s, counts, pd in _pair_tables(ds, vmask):
-        k = king_kinship(counts)
+    # tile stream: Gram + per-pair stats computed on device; the host only
+    # fetches what each consumer needs (with --king-table-filter, the pass
+    # count is checked first so clean tiles cost one scalar fetch)
+    import jax.numpy as jnp
+
+    from ..ops.pairwise import PackedDevice as _PD, king_tile_stats
+
+    thresh = cfg.king_table_filter if cfg.king_table_filter is not None else -np.inf
+    pd = PackedDevice(ds, vmask, tile=2048)
+    s = pd.tile
+    pair_i: list[np.ndarray] = []
+    pair_j: list[np.ndarray] = []
+    pair_stats: list[np.ndarray] = []  # columns: nsnp, hethet, ibs0, kin
+    total_pass = 0
+    for r0, c0 in iter_lower_tiles(pd.npad, s):
+        g = king_gram_tile_any(pd.packed, pd.vmask, r0, c0, s, s)
+        kin_t, nsnp_t, hh_t, ibs0_t, passing, cnt = king_tile_stats(
+            g, jnp.asarray(r0, jnp.int32), jnp.asarray(c0, jnp.int32),
+            jnp.asarray(n, jnp.int32), jnp.asarray(thresh, jnp.float64),
+            s, s,
+        )
         rmax = min(r0 + s, n)
         cmax = min(c0 + s, n)
         if rmax <= r0 or cmax <= c0:
             continue
         if kin is not None:
-            kv = k[: rmax - r0, : cmax - c0]
-            kin[r0:rmax, c0:cmax] = kv
+            kin[r0:rmax, c0:cmax] = np.asarray(kin_t)[: rmax - r0, : cmax - c0]
         if cfg.make_king_table:
-            kin_tiles[(r0, c0)] = (k, {kk: v for kk, v in counts.items()})
+            c_pass = int(cnt)
+            total_pass += c_pass
+            if c_pass == 0:
+                continue
+            pm = np.asarray(passing)
+            ii, jj = np.nonzero(pm)
+            pair_i.append(ii + r0)
+            pair_j.append(jj + c0)
+            pair_stats.append(np.column_stack([
+                np.asarray(nsnp_t)[ii, jj],
+                np.asarray(hh_t)[ii, jj],
+                np.asarray(ibs0_t)[ii, jj],
+                np.asarray(kin_t)[ii, jj],
+            ]))
 
     if cfg.make_king_table:
-        _write_kin0(ds, cfg, log, kin_tiles, n, inc)
+        if cfg.king_table_filter is not None:
+            grand_tot = n * (n - 1) // 2
+            filtered = grand_tot - total_pass
+            log.log(
+                f"--king-table-filter: {total_pass} relationship"
+                f"{'s' if total_pass != 1 else ''} reported ({filtered} "
+                f"filtered out)."
+            )
+        _write_kin0_pairs(ds, cfg, log, pair_i, pair_j, pair_stats, n, inc)
     if cfg.make_king:
         _write_king_matrix(ds, cfg, log, kin, n, inc)
     if cfg.king_cutoff is not None:
@@ -101,7 +138,13 @@ def _ids_header_and_rows(si, inc):
     return use_fid
 
 
-def _write_kin0(ds: Dataset, cfg, log: RunLogger, kin_tiles, n, inc) -> None:
+def _write_kin0_pairs(ds: Dataset, cfg, log: RunLogger, pair_i, pair_j,
+                      pair_stats, n, inc) -> None:
+    """Write .kin0 rows from the streamed (i, j, stats) pair set.
+
+    Reference row order (CalcKing writer): outer index i ascending from 1,
+    inner j < i ascending; --parallel restricts the i range via
+    TriangleDivide bounds."""
     si = ds.si
     use_fid = _ids_header_and_rows(si, inc)
     par = getattr(cfg, "parallel", None)
@@ -109,6 +152,23 @@ def _write_kin0(ds: Dataset, cfg, log: RunLogger, kin_tiles, n, inc) -> None:
     write_header = par is None or par[0] == 1
     ids = [str(si.iid[i]) for i in inc]
     fids = [str(si.fid[i]) for i in inc]
+    if pair_i:
+        I = np.concatenate(pair_i)
+        J = np.concatenate(pair_j)
+        S = np.concatenate(pair_stats)
+    else:
+        I = np.zeros(0, np.int64)
+        J = np.zeros(0, np.int64)
+        S = np.zeros((0, 4))
+    lo, hi = 1, n
+    if par:
+        k, tot = par
+        lo, hi = _parallel_bounds(n, 1, k - 1, tot)
+        lo = max(lo, 1)
+    m = (I >= lo) & (I < hi)
+    I, J, S = I[m], J[m], S[m]
+    order = np.lexsort((J, I))
+    I, J, S = I[order], J[order], S[order]
     with open(path, "w") as f:
         hdr = "#"
         if use_fid:
@@ -117,43 +177,20 @@ def _write_kin0(ds: Dataset, cfg, log: RunLogger, kin_tiles, n, inc) -> None:
             hdr += "IID1\tIID2"
         if write_header:
             f.write(hdr + "\tNSNP\tHETHET\tIBS0\tKINSHIP\n")
-        # row order: outer idx1 (larger), inner idx2
-        par = getattr(cfg, "parallel", None)
-        lo, hi = 1, n
-        if par:
-            k, tot = par
-            lo, hi = _parallel_bounds(n, 1, k - 1, tot)
-            lo = max(lo, 1)
         lines: list[str] = []
-        for i in range(lo, hi):
-            r0 = (i // kin_tiles_tile(kin_tiles)) * kin_tiles_tile(kin_tiles)
-            for j in range(i):
-                c0 = (j // kin_tiles_tile(kin_tiles)) * kin_tiles_tile(kin_tiles)
-                k, counts = kin_tiles[(r0, c0)]
-                ri, cj = i - r0, j - c0
-                nsnp = counts["nsnp"][ri, cj]
-                hethet = counts["hethet"][ri, cj]
-                ibs0 = counts["ibs0"][ri, cj]
-                recip = 1.0 / nsnp if nsnp else 0.0
-                if use_fid:
-                    idpart = f"{fids[i]}\t{ids[i]}\t{fids[j]}\t{ids[j]}"
-                else:
-                    idpart = f"{ids[i]}\t{ids[j]}"
-                lines.append(
-                    f"{idpart}\t{nsnp}\t{g6(hethet * recip)}\t{g6(ibs0 * recip)}\t"
-                    f"{g6(k[ri, cj])}\n"
-                )
+        for i_, j_, st in zip(I, J, S):
+            nsnp = int(st[0])
+            recip = 1.0 / nsnp if nsnp else 0.0
+            if use_fid:
+                idpart = f"{fids[i_]}\t{ids[i_]}\t{fids[j_]}\t{ids[j_]}"
+            else:
+                idpart = f"{ids[i_]}\t{ids[j_]}"
+            lines.append(
+                f"{idpart}\t{nsnp}\t{g6(st[1] * recip)}\t{g6(st[2] * recip)}\t"
+                f"{g6(st[3])}\n"
+            )
         f.writelines(lines)
     log.log(f"--make-king-table: Results written to {path} .")
-
-
-def kin_tiles_tile(kin_tiles) -> int:
-    """Tile edge length inferred from stored tile origins."""
-    starts = sorted({r for r, _ in kin_tiles})
-    if len(starts) > 1:
-        return starts[1] - starts[0]
-    k, _ = next(iter(kin_tiles.values()))
-    return k.shape[0]
 
 
 def _write_king_id(path: str, si, inc, use_fid: bool) -> None:

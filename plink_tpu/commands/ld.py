@@ -170,7 +170,18 @@ def _prune_subcontig(
     # gather packed rows for this subcontig, compacted to founder columns
     lo, hi = int(sub[0]), int(sub[-1]) + 1
     packed = ds.reader.read_packed(lo, hi - lo)[sub - lo]
-    codes = _sub_codes(packed, ds.raw_sample_ct, inc_f)
+    all_founders = (
+        inc_f.size == ds.raw_sample_ct
+        and not phased
+        and npad == packed.shape[1] * 4
+    )
+    if all_founders:
+        # no column compaction needed: raw packed rows are already in the
+        # kernel layout and smask zeroes the byte-padding columns
+        packed_f = packed
+        codes = None
+    else:
+        codes = _sub_codes(packed, ds.raw_sample_ct, inc_f)
     if phased:
         # fully-phased pruning works on the 2n haplotype columns directly:
         # r^2 between 0/1 haplotype indicators IS the phased r^2, so the
@@ -202,7 +213,8 @@ def _prune_subcontig(
         npad = -(-nh // 4) * 4
         smask = np.zeros(npad, np.int8)
         smask[:nh] = 1
-    packed_f = _repack(codes, npad)
+    if codes is not None:
+        packed_f = _repack(codes, npad)
 
     width = (min(ws, n - 1)) if not is_kb else _max_bp_window_span(bps, ws)
     band = LdBand(packed_f, smask, width)

@@ -75,6 +75,63 @@ def pair_stats_from_gram(g: np.ndarray, ca: int, cb: int) -> dict[str, np.ndarra
     }
 
 
+@partial(jax.jit, static_argnames=("width",))
+def _ld_band_scan(blocks: jax.Array, nxt: jax.Array, smask: jax.Array,
+                  width: int):
+    """Banded pair statistics for a whole subcontig in ONE device call.
+
+    blocks [nc, c, NB] uint8 chunked variant rows (c >= width); nxt is
+    blocks rolled by one (next chunk, zeros for the last).  For each chunk:
+    the RAV plane Gram against itself and against the next chunk, band-
+    extracted on device so only [nc, 6, c, width+1] int32 crosses the wire
+    (the full Gram would be ~c/width times larger).  Returns (bands, nm1,
+    homref1, homalt1).
+    """
+    c = blocks.shape[1]
+
+    def body(carry, xs):
+        pa, pb = xs
+        p = _planes_rav(pa, smask)
+        q = _planes_rav(pb, smask)
+        npad = smask.shape[0]
+        p3 = p.reshape(c, 3, npad).transpose(1, 0, 2).reshape(3 * c, npad)
+        q3 = q.reshape(c, 3, npad).transpose(1, 0, 2).reshape(3 * c, npad)
+        g_self = lax.dot_general(
+            p3, p3, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        g_cross = lax.dot_general(
+            p3, q3, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        ii = jnp.arange(c)[:, None]
+        dd = jnp.arange(width + 1)[None, :]
+        jidx = jnp.minimum(ii + dd, 2 * c - 1)  # [c, width+1]
+
+        def band(a, b):
+            m_self = lax.dynamic_slice(g_self, (a * c, b * c), (c, c))
+            m_cross = lax.dynamic_slice(g_cross, (a * c, b * c), (c, c))
+            mcat = jnp.concatenate([m_self, m_cross], axis=1)  # [c, 2c]
+            return jnp.take_along_axis(mcat, jidx, axis=1)
+
+        rr, ra, rv = band(0, 0), band(0, 1), band(0, 2)
+        ar, aa, av = band(1, 0), band(1, 1), band(1, 2)
+        vr, va, vv = band(2, 0), band(2, 1), band(2, 2)
+        six = jnp.stack([
+            rr - ra - ar + aa,  # dot
+            vv,                 # nm
+            rv - av,            # sum_i
+            rv + av,            # ssq_i
+            vr - va,            # sum_j
+            vr + va,            # ssq_j
+        ])  # [6, c, width+1]
+        nm1 = vv[:, 0]
+        homref1 = rv[:, 0]
+        homalt1 = av[:, 0]
+        return carry, (six, nm1, homref1, homalt1)
+
+    _, outs = lax.scan(body, 0, (blocks, nxt))
+    return outs
+
+
 class LdJointBand:
     """Banded 3x3 joint genotype-count tables for variant pairs.
 
@@ -172,25 +229,37 @@ class LdBand:
         # chunk edge must be >= the band width
         c = max(chunk or 64, self.width, 1)
         c = min(c, max(n, 1))
-        self.bands = {
-            k: np.zeros((n, self.width + 1), dtype=np.int64) for k in self.KEYS
-        }
-        self.nm1 = np.zeros(n, np.int64)
-        self.homref1 = np.zeros(n, np.int64)
-        self.homalt1 = np.zeros(n, np.int64)
+        # round the chunk edge so every chunk has one static shape (one XLA
+        # compile) -- the variant axis is padded with zero rows
+        nc = max(1, -(-n // c))
+        pad_rows = nc * c - n
+        pr = packed_rows
+        if pad_rows:
+            pr = np.concatenate(
+                [pr, np.zeros((pad_rows, pr.shape[1]), np.uint8)]
+            )
+        blocks = jnp.asarray(pr.reshape(nc, c, pr.shape[1]))
+        nxt = jnp.concatenate(
+            [blocks[1:], jnp.zeros_like(blocks[:1])], axis=0
+        )
         sm = jnp.asarray(np.asarray(smask, dtype=np.int8))
-        chunks = [(s, min(s + c, n)) for s in range(0, n, c)]
-        for ci, (s0, s1) in enumerate(chunks):
-            pa = jnp.asarray(packed_rows[s0:s1])
-            g_aa = np.asarray(ld_gram_pair(pa, pa, sm))
-            stats = pair_stats_from_gram(g_aa, s1 - s0, s1 - s0)
-            self._fill_self(stats, s0, s1 - s0)
-            if s1 < n:
-                s2 = min(s1 + c, n)
-                pb = jnp.asarray(packed_rows[s1:s2])
-                g_ab = np.asarray(ld_gram_pair(pa, pb, sm))
-                stats_ab = pair_stats_from_gram(g_ab, s1 - s0, s2 - s1)
-                self._fill_cross(stats_ab, s0, s1 - s0, s1, s2 - s1)
+        six, nm1, homref1, homalt1 = _ld_band_scan(
+            blocks, nxt, sm, self.width
+        )
+        six = np.asarray(six, dtype=np.int64)  # [nc, 6, c, width+1]
+        flat = six.transpose(1, 0, 2, 3).reshape(6, nc * c, self.width + 1)
+        # zero out entries whose pair index exceeds the subcontig (padding
+        # rows contribute garbage via the clipped gather)
+        self.bands = {}
+        for k_i, k in enumerate(self.KEYS):
+            b = flat[k_i][:n].copy()
+            ii = np.arange(n)[:, None]
+            dd = np.arange(self.width + 1)[None, :]
+            b[ii + dd >= n] = 0
+            self.bands[k] = b
+        self.nm1 = np.asarray(nm1, np.int64).reshape(nc * c)[:n]
+        self.homref1 = np.asarray(homref1, np.int64).reshape(nc * c)[:n]
+        self.homalt1 = np.asarray(homalt1, np.int64).reshape(nc * c)[:n]
 
     def _fill_self(self, stats, s0, clen):
         vv = stats["nm"]

@@ -121,6 +121,48 @@ def king_kinship(counts: dict[str, np.ndarray]) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("s", "t"))
+def king_tile_stats(
+    g: jax.Array,  # [3s, 3t] int32 plane Gram
+    row0: jax.Array,
+    col0: jax.Array,
+    n: jax.Array,  # included sample count (pairs beyond are padding)
+    thresh: jax.Array,  # f64 kinship filter (-inf = keep all)
+    s: int,
+    t: int,
+):
+    """Per-pair KING statistics computed ON DEVICE from the plane Gram.
+
+    Returns (kin f64 [s,t], nsnp i32, hethet i32, ibs0 i32, pass_mask bool,
+    pass_ct i32).  pass_mask applies the strictly-lower-triangle validity
+    (global row > global col, both < n) and the --king-table-filter
+    threshold (reference keeps kinship >= filter,
+    2.0/plink2_matrix_calc.cc:2306).  Streaming callers fetch pass_ct
+    first (one scalar) and pull the tiles only when something passed --
+    at biobank n the full per-pair table never crosses the wire.
+    """
+    gi = g.astype(jnp.int32)
+    H, A, V = 0, 1, 2
+    blk = lambda a, b: gi[a * s : (a + 1) * s, b * t : (b + 1) * t]
+    hethet = blk(H, H)
+    ibs0 = blk(V, A) + blk(A, V) - blk(H, A) - blk(A, H) - 2 * blk(A, A)
+    hrhc = blk(H, V) - hethet
+    hchr = blk(V, H) - hethet
+    nsnp = blk(V, V)
+    # f64 from the start: 4*ibs0 can overflow int32 at extreme variant counts
+    smaller = hethet.astype(jnp.float64) + jnp.minimum(hrhc, hchr).astype(jnp.float64)
+    num = (4.0 * ibs0.astype(jnp.float64) + hrhc.astype(jnp.float64)
+           + hchr.astype(jnp.float64))
+    kin = 0.5 - num / (4.0 * smaller)  # -inf when smaller == 0, matching ref
+    rows = row0 + jnp.arange(s)
+    cols = col0 + jnp.arange(t)
+    valid = (rows[:, None] > cols[None, :]) & (rows[:, None] < n) & (
+        cols[None, :] < n
+    )
+    passing = valid & (kin >= thresh)
+    return kin, nsnp, hethet, ibs0, passing, passing.sum(dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("s", "t"))
 def grm_tile(
     packed: jax.Array,  # [nb, vb, NB] uint8
     coef: jax.Array,  # [nb, vb, 3] f32: normed value for codes 0/1/2 (0 if excluded)

@@ -86,3 +86,18 @@ def test_our_pgen_readable_by_oracle(dummy_panel):
     a = (d / "o_refreq.afreq").read_text().splitlines()
     b = (d / "o_freq.afreq").read_text().splitlines()
     assert a == b
+
+
+def test_king_table_filter_match(dummy_panel):
+    d = dummy_panel
+    flags = ["--pfile", "panel", "--make-king-table", "--king-table-filter",
+             "0.05"]
+    run_oracle(flags + ["--out", "o_ktf"], str(d))
+    run_tpu(flags + ["--out", "t_ktf"], str(d))
+    _assert_same(d, "o_ktf", "t_ktf", ["kin0"])
+    # filter log line parity (counts reported/filtered)
+    o = (d / "o_ktf.log").read_text()
+    t = (d / "t_ktf.log").read_text()
+    oline = [l for l in o.splitlines() if l.startswith("--king-table-filter:")]
+    tline = [l for l in t.splitlines() if l.startswith("--king-table-filter:")]
+    assert oline == tline
