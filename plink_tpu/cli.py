@@ -131,6 +131,7 @@ class Config:
     condition_list: tuple | None = None
     quantile_normalize: bool = False
     adjust: bool = False
+    aperm: tuple | None = None
     adjust_file: tuple | None = None
     gwas_ssf: tuple | None = None
     # scoring
@@ -373,6 +374,13 @@ def parse_args(argv: list[str]) -> Config:
             cfg.make_king_table = True
         elif name == "king_table_filter":
             cfg.king_table_filter = float(args[0])
+        elif name == "aperm":
+            # --aperm min [max [alpha [beta [init_interval [slope]]]]]
+            dflt = [6, 1000000, 0.0, 0.0001, 1.0, 0.001 * (1 + 2 ** -44)]
+            vals = [float(a) for a in args]
+            cfg.aperm = tuple(
+                (vals[i] if i < len(vals) else dflt[i]) for i in range(6)
+            )
         elif name == "king_table_subset":
             cfg.king_table_subset = tuple(args)
         elif name == "king_cutoff":

@@ -251,7 +251,7 @@ def _load_condition(ds: Dataset, cfg, a1_is_alt, log: RunLogger):
 _GLM_MODEL_MODS = {"genotypic", "hethom", "dominant", "recessive", "hetonly"}
 _GLM_SUPPORTED_MODS = _GLM_MODEL_MODS | {
     "interaction", "hide-covar", "omit-ref", "sex", "firth", "no-firth",
-    "firth-fallback", "allow-no-covars", "intercept", "log10",
+    "firth-fallback", "allow-no-covars", "intercept", "log10", "aperm",
     # accepted no-ops, matching the reference's parser
     "perm-count", "no-x-sex", "skip-invalid-pheno",
 }
@@ -269,6 +269,8 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
     for m_ in sorted(mods):
         if m_ in _GLM_SUPPORTED_MODS or m_.startswith("cols="):
             continue
+        if m_.startswith("mperm="):
+            continue
         if m_.startswith(("local-covar=", "local-psam=", "local-pvar=")):
             continue
         if m_ in _GLM_KNOWN_UNSUPPORTED_MODS or m_.startswith("local-"):
@@ -278,6 +280,19 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
         raise ValueError("Conflicting --glm arguments.")
     hide_covar = "hide-covar" in mods
     omit_ref = "omit-ref" in mods
+    perm_adaptive = "aperm" in mods
+    mperm_ct = 0
+    for m_ in mods:
+        if m_.startswith("mperm="):
+            mperm_ct = int(m_.split("=", 1)[1])
+    if perm_adaptive and mperm_ct:
+        raise ValueError("Conflicting --glm arguments (aperm + mperm).")
+    perm_mode = "adaptive" if perm_adaptive else ("maxT" if mperm_ct else None)
+    if perm_mode and (mods & _GLM_MODEL_MODS or "interaction" in mods):
+        raise ValueError(
+            "--glm permutation tests currently support the additive model "
+            "only."
+        )
     add_sex = "sex" in mods
     always_firth = "firth" in mods
     no_firth = "no-firth" in mods
@@ -349,10 +364,30 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                             a1_is_alt, hide_covar, "cc", always_firth,
                             no_firth, local_info)
             else:
+                perm_capture = None
+                if perm_mode:
+                    if not always_firth:
+                        raise ValueError(
+                            "--glm case/control permutation test requires "
+                            "'firth' modifier."
+                        )
+                    M_ = ds.raw_variant_ct
+                    perm_capture = {
+                        "valid": np.zeros(M_, bool),
+                        "t": np.full(M_, np.nan),
+                        "lnp": np.full(M_, np.nan),
+                        "dof": np.zeros(M_),
+                    }
                 _glm_logistic(
                     ds, cfg, log, name, ydata, smask, p_names, p_data,
                     a1_is_alt, hide_covar, always_firth, no_firth,
+                    perm_capture=perm_capture,
                 )
+                if perm_mode:
+                    _glm_firth_perm(
+                        ds, cfg, log, name, ydata, smask, p_names, p_data,
+                        a1_is_alt, perm_capture, perm_mode, mperm_ct,
+                    )
         else:
             log.log(f"--glm linear regression on phenotype '{name}': {nm_ct} samples.")
             if ds.has_dosage or local_info is not None:
@@ -360,10 +395,24 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                             a1_is_alt, hide_covar, "qt", always_firth,
                             no_firth, local_info)
             else:
+                perm_capture = None
+                if perm_mode:
+                    M_ = ds.raw_variant_ct
+                    perm_capture = {
+                        "valid": np.zeros(M_, bool),
+                        "t": np.full(M_, np.nan),
+                        "lnp": np.full(M_, np.nan),
+                        "dof": np.zeros(M_),
+                    }
                 _glm_linear(
                     ds, cfg, log, name, ydata, smask, p_names, p_data,
-                    a1_is_alt, hide_covar,
+                    a1_is_alt, hide_covar, perm_capture=perm_capture,
                 )
+                if perm_mode:
+                    _glm_linear_perm(
+                        ds, cfg, log, name, ydata, smask, p_names, p_data,
+                        a1_is_alt, perm_capture, perm_mode, mperm_ct,
+                    )
 
 
 def _row_meta(ds: Dataset, a1_is_alt):
@@ -432,7 +481,7 @@ def _geno_predictors(mods: set, cov_names: list[str]):
 
 def _glm_linear(
     ds, cfg, log, pheno_name, ydata, smask, cov_names, cov_data, a1_is_alt,
-    hide_covar,
+    hide_covar, perm_capture=None,
 ):
     import jax.numpy as jnp
 
@@ -587,6 +636,7 @@ def _glm_linear(
             f, ds, v0, ia, nm, g1, gg1, xtx, xty, yy_v, d, tests, hide_covar,
             chrom, provref, a1, omitted, vi, cov_names, add_results,
             pred_specs, geno_idx, joint_name, exact_s_fn, intercept, log10,
+            perm_capture=perm_capture,
         )
     f.close()
     log.log(f"Results written to {path} .")
@@ -725,7 +775,7 @@ def _emit_linear_rows(
     f, ds, v0, ia, nm, g1, gg1, xtx, xty, yy_v, d, tests, hide_covar,
     chrom, provref, a1, omitted, vi, cov_names, add_results=None,
     pred_specs=None, geno_idx=None, joint_name=None, exact_s_fn=None,
-    intercept=False, log10=False,
+    intercept=False, log10=False, perm_capture=None,
 ):
     from ..stats.distributions import f_logsf
 
@@ -805,6 +855,14 @@ def _emit_linear_rows(
                     add_results.append(
                         (int(v0 + ia[i]), float(logp[i, add_pred]))
                     )
+    if perm_capture is not None and geno_idx:
+        gp = geno_idx[0]
+        vv = v0 + ia
+        okp = ok & np.isfinite(logp[:, gp])
+        perm_capture["valid"][vv] = okp
+        perm_capture["t"][vv] = np.where(okp, tstat[:, gp], np.nan)
+        perm_capture["lnp"][vv] = np.where(okp, logp[:, gp], np.nan)
+        perm_capture["dof"][vv] = dof
     test_pred = {spec[0]: p for p, spec in enumerate(pred_specs)}
     test_pred["INTERCEPT"] = 0
     lines = []
@@ -1012,7 +1070,7 @@ def _firth_f64(X, yv):
 
 def _glm_logistic(
     ds, cfg, log, pheno_name, ydata, smask, cov_names, cov_data, a1_is_alt,
-    hide_covar, always_firth, no_firth,
+    hide_covar, always_firth, no_firth, perm_capture=None,
 ):
     import jax.numpy as jnp
 
@@ -1318,7 +1376,7 @@ def _glm_logistic(
             f, v0, ia, beta, se, conv, fail, unf, obs, a1f, const, used_firth,
             firth_col, tests, test_pred, chrom, provref, a1, omitted, vi, d,
             no_firth, add_results, joint_name, fstat, logp_joint, pre_err,
-            invalid, log10,
+            invalid, log10, perm_capture=perm_capture,
         )
     f.close()
     log.log(f"Results written to {path} .")
@@ -1349,7 +1407,7 @@ def _emit_logistic_rows(
     f, v0, ia, beta, se, conv, fail, unf, obs, a1f, const, used_firth,
     firth_col, tests, test_pred, chrom, provref, a1, omitted, vi, d, no_firth,
     add_results=None, joint_name=None, fstat=None, logp_joint=None,
-    pre_err=None, invalid=None, log10=False,
+    pre_err=None, invalid=None, log10=False, perm_capture=None,
 ):
     with np.errstate(divide="ignore", invalid="ignore"):
         zstat = np.where(se > 0, beta / se, np.nan)
@@ -1393,6 +1451,14 @@ def _emit_logistic_rows(
             and np.isfinite(logp[i, test_pred[add_test]])
         ):
             add_results.append((vidx, float(logp[i, test_pred[add_test]])))
+        if perm_capture is not None and add_test is not None:
+            pi_ = test_pred[add_test]
+            okp = (not bad and np.isfinite(beta[i, pi_])
+                   and np.isfinite(se[i, pi_]) and se[i, pi_] > 0)
+            if okp:
+                perm_capture["valid"][vidx] = True
+                perm_capture["t"][vidx] = abs(beta[i, pi_] / se[i, pi_])
+                perm_capture["lnp"][vidx] = logp[i, pi_]
         for tname in tests:
             fcol = f"{firth_str}\t" if firth_col else ""
             if tname == joint_name:
@@ -1688,3 +1754,267 @@ def _glm_dosage(
         from .adjust import write_adjusted
 
         write_adjusted(ds, cfg, log, pheno_name, suffix, add_results, a1)
+
+
+def _glm_linear_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
+                     cov_data, a1_is_alt, capture, perm_mode, mperm_ct):
+    """Linear-GLM permutation test (additive model).
+
+    TPU-first re-design of GlmLinearPerm (2.0/plink2_glm_linear.cc:4940):
+    the permutation axis is an extra MXU batch dimension -- X^T X inverts
+    once per variant while X^T y_p streams as plane-Gram matmuls against
+    the permuted phenotype matrix.  Within a variant the degrees of freedom
+    are permutation-invariant, so the reference's ln-p comparisons are
+    equivalent to |t| comparisons and the counting runs on the raw
+    t-statistics; ln-p only materializes host-side for the max(T) per-
+    permutation best list.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.glm import linear_perm_scan
+    from .perm_report import AdaptiveState, emp2_from_best, write_perm_report
+
+    adaptive = perm_mode == "adaptive"
+    aperm = getattr(cfg, "aperm", None) or (6, 1000000, 0.0, 0.0001, 1.0,
+                                            0.001 * (1 + 2 ** -44))
+    perms_total = int(aperm[1]) if adaptive else int(mperm_ct)
+
+    inc = np.flatnonzero(smask)
+    n = inc.size
+    y = ydata[inc].astype(np.float64)
+    k = len(cov_names)
+    dc = k + 1
+    c = np.concatenate([np.ones((n, 1)), cov_data[inc]], axis=1)
+    vb = _auto_vb(-(-n // 4) * 4)
+
+    pd = PackedDevice(ds, ds.variant_mask, vb=vb, tile=1 << 30,
+                      sample_mask=smask)
+    npad = pd.npad
+    mask = np.zeros(npad, np.float32)
+    mask[:n] = 1.0
+    cpad = np.zeros((npad, dc), np.float32)
+    cpad[:n] = c
+    c32 = jnp.asarray(cpad)
+    mask_dev = jnp.asarray(mask)
+    M = ds.raw_variant_ct
+
+    # additive plane weights per block
+    alt_pad_all = np.zeros(pd.nblocks * pd.vb, bool)
+    alt_pad_all[:M] = a1_is_alt
+    alt_b = alt_pad_all.reshape(pd.nblocks, pd.vb)
+    gw_all = np.where(
+        alt_b[:, :, None, None],
+        np.array([[[1.0, 2.0, 0.0]]], np.float32),
+        np.array([[[-1.0, -2.0, 2.0]]], np.float32),
+    ).astype(np.float32)  # [nb, vb, 1, 3]
+    gw_dev = jnp.asarray(gw_all)
+
+    valid = capture["valid"] & ds.variant_mask
+    test_rows = np.flatnonzero(valid)
+    T = test_rows.size
+    t_orig = np.abs(capture["t"][test_rows])
+    lnp_orig = capture["lnp"][test_rows]
+    dof = capture["dof"][test_rows]
+
+    rng = np.random.default_rng(cfg.seed)
+    B = max(16, min(256, (1 << 26) // max(n, 1)))
+    B = min(B, perms_total)
+
+    log.log(
+        f"Starting {'adaptive' if adaptive else 'max(T)'} permutation for "
+        f"phenotype '{pheno_name}' ({T} allele tests, "
+        f"{'all' if T == np.count_nonzero(ds.variant_mask) else T} valid)."
+    )
+
+    state = None
+    if adaptive:
+        state = AdaptiveState(T, tuple(float(x) for x in aperm[:6]),
+                              perms_total)
+        # reference zt uses the ORIGINAL allele-test count, not just valid
+        # tests (GlmLinearPerm adaptive_ci_zt, plink2_glm_linear.cc:5462)
+        from ..stats.distributions import norm_ppf
+
+        n_orig = int(np.count_nonzero(ds.variant_mask))
+        state.zt = float(norm_ppf(1.0 - float(aperm[3])
+                                  / (2.0 * max(n_orig, 1))))
+    ctx2 = np.zeros(T, np.int64)
+    best_lnp: list[np.ndarray] = []
+    ys = y.astype(np.float32)
+
+    done = 0
+    while done < perms_total:
+        if adaptive and state.remaining() == 0:
+            break
+        Bc = min(B, perms_total - done)
+        Yb = np.empty((npad, Bc), np.float32)
+        Yb[n:] = 0.0
+        for p in range(Bc):
+            Yb[:n, p] = rng.permutation(ys)
+        t_all = np.asarray(linear_perm_scan(
+            pd.packed, gw_dev, c32, jnp.asarray(Yb), mask_dev, dc, (0,)
+        ))
+        t_flat = t_all.reshape(pd.nblocks * pd.vb, Bc)
+        tp = np.abs(t_flat[test_rows].astype(np.float64))
+        tp = np.nan_to_num(tp, nan=0.0, posinf=np.inf)
+        cnt = ((tp > t_orig[:, None]).astype(np.int8) * 2
+               + (tp == t_orig[:, None]).astype(np.int8))
+        if adaptive:
+            state.update(cnt)
+        else:
+            ctx2 += cnt.astype(np.int64).sum(axis=1)
+            # per-permutation best ln-p across valid tests
+            lnp_b = np.asarray(t_logp_2sided(tp, dof[:, None]))
+            best_lnp.append(np.min(lnp_b, axis=0) if T else
+                            np.full(Bc, np.inf))
+        done += Bc
+
+
+    suffix = "aperm" if adaptive else "mperm"
+    path = f"{cfg.out}.{pheno_name}.glm.linear.{suffix}"
+    chrom, provref, a1, omitted = _row_meta(ds, a1_is_alt)
+    test_idx = np.full(M, -1, np.int64)
+    test_idx[test_rows] = np.arange(T)
+    perm_count = "perm-count" in set(cfg.glm_modifiers)
+    if adaptive:
+        state.finish()
+        write_perm_report(
+            path, ds, ds.variant_mask, a1, omitted, provref, valid,
+            test_idx, True, state.ctx2, state.denom, done,
+            perm_count=perm_count, log=log,
+        )
+    else:
+        best = np.concatenate(best_lnp) if best_lnp else np.zeros(0)
+        emp2 = emp2_from_best(lnp_orig, best, lower_is_extreme=True)
+        denom = np.full(T, done + 1, np.int64)
+        write_perm_report(
+            path, ds, ds.variant_mask, a1, omitted, provref, valid,
+            test_idx, False, ctx2, denom, done, emp2_ctx2=emp2,
+            perm_count=perm_count, log=log,
+        )
+
+
+def _glm_firth_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
+                    cov_data, a1_is_alt, capture, perm_mode, mperm_ct):
+    """Case/control (Firth) permutation test.
+
+    Reference: GlmLogisticPerm (2.0/plink2_glm_logistic.cc:6342): permstat
+    = |z| of the additive term (higher = more extreme), counting
+    ctx2 += 1 + (orig < perm) when orig <= perm (:6704); EMP2 from per-
+    permutation max |z|.  Suffix follows the main report
+    (.glm.firth.{a,m}perm).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.glm import firth_perm_scan
+    from .perm_report import AdaptiveState, emp2_from_best, write_perm_report
+
+    adaptive = perm_mode == "adaptive"
+    aperm = getattr(cfg, "aperm", None) or (6, 1000000, 0.0, 0.0001, 1.0,
+                                            0.001 * (1 + 2 ** -44))
+    perms_total = int(aperm[1]) if adaptive else int(mperm_ct)
+
+    inc = np.flatnonzero(smask)
+    n = inc.size
+    y = ydata[inc].astype(np.float32)
+    k = len(cov_names)
+    dc = k + 1
+    c = np.concatenate([np.ones((n, 1)), cov_data[inc]], axis=1)
+    vb = _auto_vb(-(-n // 4) * 4)
+
+    pd = PackedDevice(ds, ds.variant_mask, vb=vb, tile=1 << 30,
+                      sample_mask=smask)
+    npad = pd.npad
+    mask = np.zeros(npad, np.float32)
+    mask[:n] = 1.0
+    cpad = np.zeros((npad, dc), np.float32)
+    cpad[:n] = c
+    c32 = jnp.asarray(cpad)
+    mask_dev = jnp.asarray(mask)
+    M = ds.raw_variant_ct
+
+    alt_pad_all = np.zeros(pd.nblocks * pd.vb, bool)
+    alt_pad_all[:M] = a1_is_alt
+    alt_b = alt_pad_all.reshape(pd.nblocks, pd.vb)
+    gw_all = np.where(
+        alt_b[:, :, None, None],
+        np.array([[[1.0, 2.0, 0.0]]], np.float32),
+        np.array([[[-1.0, -2.0, 2.0]]], np.float32),
+    ).astype(np.float32)
+    gw_dev = jnp.asarray(gw_all)
+
+    valid = capture["valid"] & ds.variant_mask
+    test_rows = np.flatnonzero(valid)
+    T = test_rows.size
+    z_orig = capture["t"][test_rows]  # already |z|
+
+    rng = np.random.default_rng(cfg.seed)
+    B = max(4, min(64, (1 << 24) // max(n, 1)))
+    B = min(B, perms_total)
+
+    log.log(
+        f"Starting {'adaptive' if adaptive else 'max(T)'} permutation for "
+        f"phenotype '{pheno_name}' ({T} allele tests)."
+    )
+
+    state = None
+    if adaptive:
+        state = AdaptiveState(T, tuple(float(x) for x in aperm[:6]),
+                              perms_total)
+        from ..stats.distributions import norm_ppf
+
+        n_orig = int(np.count_nonzero(ds.variant_mask))
+        state.zt = float(norm_ppf(1.0 - float(aperm[3])
+                                  / (2.0 * max(n_orig, 1))))
+    ctx2 = np.zeros(T, np.int64)
+    best_z: list[np.ndarray] = []
+
+    done = 0
+    while done < perms_total:
+        if adaptive and state.remaining() == 0:
+            break
+        Bc = min(B, perms_total - done)
+        Yb = np.empty((npad, Bc), np.float32)
+        Yb[n:] = 0.0
+        for p in range(Bc):
+            Yb[:n, p] = rng.permutation(y)
+        stats = np.asarray(firth_perm_scan(
+            pd.packed, gw_dev, c32, jnp.asarray(Yb), mask_dev, dc, (0,)
+        ))  # [Bc, nb, vb]
+        s_flat = stats.reshape(Bc, pd.nblocks * pd.vb).T[test_rows]
+        sp = s_flat.astype(np.float64)
+        # 0/1 phenotypes make the perm-stat distribution discrete: values
+        # exactly equal in the reference's f64 arithmetic land within f32
+        # noise here, so near-equality counts as a tie (the reference's
+        # tie-as-half rule, plink2_glm_logistic.cc:6704)
+        tol = 2e-3 * np.maximum(1.0, z_orig[:, None])
+        cnt = ((sp > z_orig[:, None] + tol).astype(np.int8) * 2
+               + (np.abs(sp - z_orig[:, None]) <= tol).astype(np.int8))
+        if adaptive:
+            state.update(cnt)
+        else:
+            ctx2 += cnt.astype(np.int64).sum(axis=1)
+            best_z.append(np.max(sp, axis=0) if T else np.full(Bc, -1.0))
+        done += Bc
+
+    suffix = "aperm" if adaptive else "mperm"
+    path = f"{cfg.out}.{pheno_name}.glm.firth.{suffix}"
+    chrom, provref, a1, omitted = _row_meta(ds, a1_is_alt)
+    test_idx = np.full(M, -1, np.int64)
+    test_idx[test_rows] = np.arange(T)
+    perm_count = "perm-count" in set(cfg.glm_modifiers)
+    if adaptive:
+        state.finish()
+        write_perm_report(
+            path, ds, ds.variant_mask, a1, omitted, provref, valid,
+            test_idx, True, state.ctx2, state.denom, done,
+            perm_count=perm_count, log=log,
+        )
+    else:
+        best = np.concatenate(best_z) if best_z else np.zeros(0)
+        emp2 = emp2_from_best(z_orig, best, lower_is_extreme=False)
+        denom = np.full(T, done + 1, np.int64)
+        write_perm_report(
+            path, ds, ds.variant_mask, a1, omitted, provref, valid,
+            test_idx, False, ctx2, denom, done, emp2_ctx2=emp2,
+            perm_count=perm_count, log=log,
+        )

@@ -88,24 +88,27 @@ def run_king(ds: Dataset, cfg, log: RunLogger) -> None:
     pair_j: list[np.ndarray] = []
     pair_stats: list[np.ndarray] = []  # columns: nsnp, hethet, ibs0, kin
     total_pass = 0
-    for r0, c0 in iter_lower_tiles(pd.npad, s):
-        g = king_gram_tile_any(pd.packed, pd.vmask, r0, c0, s, s)
-        kin_t, nsnp_t, hh_t, ibs0_t, passing, cnt = king_tile_stats(
-            g, jnp.asarray(r0, jnp.int32), jnp.asarray(c0, jnp.int32),
-            jnp.asarray(n, jnp.int32), jnp.asarray(thresh, jnp.float64),
-            s, s,
-        )
+
+    # dispatch-ahead pipeline: keep several tiles in flight so device
+    # compute overlaps the (slow) result transfers
+    from collections import deque
+
+    q: deque = deque()
+    state = {"total_pass": 0}
+
+    def _drain_one():
+        r0, c0, kin_t, nsnp_t, hh_t, ibs0_t, passing, cnt = q.popleft()
         rmax = min(r0 + s, n)
         cmax = min(c0 + s, n)
         if rmax <= r0 or cmax <= c0:
-            continue
+            return
         if kin is not None:
             kin[r0:rmax, c0:cmax] = np.asarray(kin_t)[: rmax - r0, : cmax - c0]
         if cfg.make_king_table:
             c_pass = int(cnt)
-            total_pass += c_pass
+            state["total_pass"] += c_pass
             if c_pass == 0:
-                continue
+                return
             pm = np.asarray(passing)
             ii, jj = np.nonzero(pm)
             pair_i.append(ii + r0)
@@ -116,6 +119,20 @@ def run_king(ds: Dataset, cfg, log: RunLogger) -> None:
                 np.asarray(ibs0_t)[ii, jj],
                 np.asarray(kin_t)[ii, jj],
             ]))
+
+    for r0, c0 in iter_lower_tiles(pd.npad, s):
+        g = king_gram_tile_any(pd.packed, pd.vmask, r0, c0, s, s)
+        tile = king_tile_stats(
+            g, jnp.asarray(r0, jnp.int32), jnp.asarray(c0, jnp.int32),
+            jnp.asarray(n, jnp.int32), jnp.asarray(thresh, jnp.float64),
+            s, s,
+        )
+        q.append((r0, c0) + tuple(tile))
+        if len(q) >= 8:
+            _drain_one()
+    while q:
+        _drain_one()
+    total_pass = state["total_pass"]
 
     if cfg.make_king_table:
         if cfg.king_table_filter is not None:

@@ -613,3 +613,109 @@ def linear_sums_scan_any(blocks, c, ccfl, y, cy, y2):
     if mesh is None:
         return linear_sums_scan(blocks, c, ccfl, y, cy, y2)
     return _linear_scan_sharded(mesh)(blocks, c, ccfl, y, cy, y2)
+
+
+def _linear_perm_body(pk, gw, c, Y, mask, dc, covj):
+    """Per-block permutation t-statistics for a single-genotype-predictor
+    linear model.
+
+    The genotype design is FIXED across permutations, so X^T X (and its
+    inverse) is computed once per variant while X^T y_p / y_p^T y_p are
+    plane-Gram matmuls against the permuted phenotype matrix Y [n, B] --
+    the permutation axis rides the MXU as an extra batch dimension
+    (TPU-first replacement for the reference's per-perm worker loop,
+    GlmLinearSubbatchThread, 2.0/plink2_glm_linear.cc:2542).
+
+    Returns t [vb, B] f32 (primary-predictor t-stat; NaN on singular fits).
+    """
+    codes = unpack_codes(pk, 0)
+    b0f = (codes & 1).astype(jnp.float32)
+    b1f = ((codes >> 1) & 1).astype(jnp.float32)
+    missp = b0f * b1f
+    valid = (1.0 - missp) * mask[None, :]
+    hpl = (b0f - missp) * valid
+    apl = (b1f - missp) * valid
+    vb, n = valid.shape
+    d = dc + 1
+    hi = lax.Precision.HIGHEST
+    g = gw[:, 0, 0:1] * hpl + gw[:, 0, 1:2] * apl + gw[:, 0, 2:3] * valid
+    if covj and covj[0]:
+        g = g * c[None, :, covj[0]]
+
+    # X^T X per variant (same math as the moments kernel, P = 1)
+    ccfl = (c[:, :, None] * c[:, None, :]).reshape(n, dc * dc)
+    a = lax.dot_general(valid, ccfl, (((1,), (0,)), ((), ())), precision=hi,
+                        preferred_element_type=jnp.float32).reshape(vb, dc, dc)
+    h = jnp.zeros((vb, d, d), jnp.float32)
+    h = h.at[:, :dc, :dc].set(a)
+    cg = lax.dot_general(g, c, (((1,), (0,)), ((), ())), precision=hi,
+                         preferred_element_type=jnp.float32)
+    h = h.at[:, :dc, dc].set(cg)
+    h = h.at[:, dc, :dc].set(cg)
+    h = h.at[:, dc, dc].set(jnp.sum(g * g, axis=1))
+
+    eye = jnp.eye(d, dtype=jnp.float32)
+    inv = jax.vmap(lambda m: jax.scipy.linalg.cho_solve(
+        (jnp.linalg.cholesky(m), True), eye))(h)
+
+    dotB = lambda wv, m: lax.dot_general(
+        wv, m, (((1,), (0,)), ((), ())), precision=hi,
+        preferred_element_type=jnp.float32)
+    parts = [dotB(valid, c[:, j:j + 1] * Y) for j in range(dc)]
+    parts.append(dotB(g, Y))
+    xty = jnp.stack(parts, axis=1)  # [vb, d, B]
+    yy = dotB(valid, Y * Y)  # [vb, B]
+
+    beta = jnp.einsum("vij,vjb->vib", inv, xty)
+    rss = yy - jnp.einsum("vjb,vjb->vb", beta, xty)
+    nm = h[:, 0, 0]
+    dof = jnp.maximum(nm - d, 1.0)
+    sigma2 = rss / dof[:, None]
+    se2 = sigma2 * inv[:, d - 1, d - 1][:, None]
+    return beta[:, d - 1] / jnp.sqrt(jnp.maximum(se2, 0.0))
+
+
+@partial(jax.jit, static_argnames=("dc", "covj"))
+def linear_perm_scan(blocks, gws, c, Y, mask, dc, covj=()):
+    """Whole-dataset permutation t-stats: [nb, vb, B] f32 in one call."""
+
+    def body(carry, xs):
+        pk, gw = xs
+        return carry, _linear_perm_body(pk, gw, c, Y, mask, dc, covj)
+
+    _, outs = lax.scan(body, 0, (blocks, gws))
+    return outs
+
+
+@partial(jax.jit, static_argnames=("dc", "covj"))
+def firth_perm_scan(blocks, gws, c, Y, mask, dc, covj=()):
+    """Case/control permutation statistics: Firth |z| per (variant, perm).
+
+    The reference requires the 'firth' modifier for cc permutation and runs
+    FirthRegression per permuted phenotype (GlmLogisticPerm,
+    2.0/plink2_glm_logistic.cc:6342-6704); here the perm axis is an outer
+    lax.scan over the already variant-batched Firth IRLS kernel.  permstat
+    follows :6690-6697: -1 on fit failure, 0 when beta==0, +inf when se==0,
+    else |beta/se|.  Returns [B, nb, vb] f32.
+    """
+    d = dc + 1
+
+    def per_perm(carry, yb):
+        def per_block(c2, xs):
+            pk, gw = xs
+            beta, se, _ll, conv, failed, unf, _obs, _hinv = _firth_body(
+                pk, gw, c, yb, mask, dc, 1, covj
+            )
+            bg = beta[:, d - 1]
+            sg = se[:, d - 1]
+            stat = jnp.abs(bg / sg)
+            stat = jnp.where(bg == 0.0, 0.0, stat)
+            stat = jnp.where((sg == 0.0) & (bg != 0.0), jnp.inf, stat)
+            stat = jnp.where(failed | jnp.isnan(stat), -1.0, stat)
+            return c2, stat
+
+        _, stats = lax.scan(per_block, 0, (blocks, gws))
+        return carry, stats
+
+    _, outs = lax.scan(per_perm, 0, Y.T)
+    return outs

@@ -253,3 +253,11 @@ def zstat_logp_2sided(z):
     """ln of two-sided normal p-value: P(|Z| > |z|) = Q_chi2(z^2, 1)."""
     z = np.asarray(z, dtype=np.float64)
     return chisq_logsf(z * z, 1.0)
+
+
+def norm_ppf(q):
+    """Inverse standard-normal CDF (QuantileToZscore equivalent,
+    2.0/include/plink2_stats.cc)."""
+    from scipy.special import ndtri
+
+    return ndtri(q)

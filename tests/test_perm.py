@@ -1,0 +1,134 @@
+"""Permutation tests (--glm aperm / mperm=N) vs the plink2 oracle.
+
+Empirical p-values are RNG-dependent, so comparisons are statistical:
+strong-signal variants must hit the exact EMP floor 1/(N+1) in both
+engines; null variants must agree within binomial noise.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+ORACLE = os.environ.get(
+    "PLINK2_ORACLE_LAPACK", "/tmp/oracle_lapack/2.0/build_dynamic/plink2"
+)
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(ORACLE), reason="LAPACK plink2 oracle not built"
+)
+
+
+def run_oracle(args, cwd):
+    subprocess.run([ORACLE] + args, cwd=cwd, check=True, capture_output=True)
+
+
+def run_tpu(args, cwd):
+    from plink_tpu.cli import main
+
+    old = os.getcwd()
+    os.chdir(cwd)
+    try:
+        assert main(args) == 0
+    finally:
+        os.chdir(old)
+
+
+def _read_emp(path, col2):
+    with open(path) as f:
+        hdr = f.readline().rstrip().split("\t")
+        rows = [l.rstrip().split("\t") for l in f]
+    i1, i2 = hdr.index("EMP1"), hdr.index(col2)
+    g = lambda s: float(s) if s != "NA" else np.nan
+    return (np.array([g(r[i1]) for r in rows]),
+            np.array([g(r[i2]) for r in rows]))
+
+
+@pytest.fixture(scope="module")
+def perm_panel(tmp_path_factory):
+    d = tmp_path_factory.mktemp("perm")
+    run_oracle(["--dummy", "300", "400", "0.02", "--seed", "11",
+                "--out", "panel"], str(d))
+    # qt pheno correlated with two variants
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from plink_tpu.dataset import load_dataset
+    from plink_tpu.ops.pairwise import _unpack_np
+
+    ds = load_dataset(str(d / "panel"))
+    codes = _unpack_np(ds.all_packed())[:, : ds.raw_sample_ct].astype(float)
+    codes[codes == 3] = np.nan
+    rng = np.random.default_rng(5)
+    yq = (np.nan_to_num(codes[7]) * 0.9 + np.nan_to_num(codes[200]) * 0.7
+          + rng.standard_normal(ds.raw_sample_ct))
+    with open(d / "ph.txt", "w") as f:
+        f.write("#IID\tQT\n")
+        for i, iid in enumerate(ds.si.iid):
+            f.write(f"{iid}\t{yq[i]:.6f}\n")
+    return d
+
+
+def test_linear_mperm(perm_panel):
+    d = perm_panel
+    N = 1000
+    args = ["--pfile", "panel", "--pheno", "ph.txt", "--pheno-name", "QT",
+            "--glm", "allow-no-covars", f"mperm={N}", "--seed", "4"]
+    run_oracle(args + ["--out", "o"], str(d))
+    run_tpu(args + ["--out", "t"], str(d))
+    oe1, oe2 = _read_emp(str(d / "o.QT.glm.linear.mperm"), "EMP2")
+    te1, te2 = _read_emp(str(d / "t.QT.glm.linear.mperm"), "EMP2")
+    # signal variants: exact floor in both engines
+    floor = 1.0 / (N + 1)
+    assert te1[7] == pytest.approx(floor) and oe1[7] == pytest.approx(floor)
+    assert te2[7] == pytest.approx(floor) and oe2[7] == pytest.approx(floor)
+    # null variants: within binomial noise (max over 400 tests ~ 4 sigma)
+    sd = np.sqrt(np.maximum(oe1 * (1 - oe1), 1e-9) / N)
+    frac_ok = np.nanmean(np.abs(oe1 - te1) <= 5 * sd + 6.0 / N)
+    assert frac_ok > 0.98, frac_ok
+    assert np.nanmax(np.abs(oe2 - te2)) < 0.12
+
+
+def test_linear_aperm(perm_panel):
+    d = perm_panel
+    args = ["--pfile", "panel", "--pheno", "ph.txt", "--pheno-name", "QT",
+            "--glm", "allow-no-covars", "aperm", "--seed", "4",
+            "--aperm", "6", "10000"]
+    run_oracle(args + ["--out", "oa"], str(d))
+    run_tpu(args + ["--out", "ta"], str(d))
+    oe1, opc = _read_emp(str(d / "oa.QT.glm.linear.aperm"), "PERM_CT")
+    te1, tpc = _read_emp(str(d / "ta.QT.glm.linear.aperm"), "PERM_CT")
+    floor = 1.0 / 10001
+    assert te1[7] == pytest.approx(floor) and oe1[7] == pytest.approx(floor)
+    # adaptive EMP1s agree within a factor ~e on log scale for the bulk
+    rel = np.abs(np.log(te1) - np.log(oe1))
+    assert np.nanmedian(rel) < 0.5
+    # pruning actually happened (null variants stop early in both)
+    assert np.nanmedian(tpc) < 2000 and np.nanmedian(opc) < 2000
+
+
+def test_firth_mperm(perm_panel):
+    d = perm_panel
+    N = 500
+    args = ["--pfile", "panel", "--glm", "allow-no-covars", "firth",
+            f"mperm={N}", "--seed", "4"]
+    run_oracle(args + ["--out", "oc"], str(d))
+    run_tpu(args + ["--out", "tc"], str(d))
+    oe1, _ = _read_emp(str(d / "oc.PHENO1.glm.firth.mperm"), "EMP2")
+    te1, _ = _read_emp(str(d / "tc.PHENO1.glm.firth.mperm"), "EMP2")
+    sd = np.sqrt(np.maximum(oe1 * (1 - oe1), 1e-9) / N)
+    frac_ok = np.nanmean(np.abs(oe1 - te1) <= 5 * sd + 8.0 / N)
+    assert frac_ok > 0.97, frac_ok
+
+
+def test_cc_perm_requires_firth(perm_panel):
+    d = perm_panel
+    from plink_tpu.cli import main
+
+    old = os.getcwd()
+    os.chdir(str(d))
+    try:
+        with pytest.raises(ValueError, match="requires"):
+            main(["--pfile", "panel", "--glm", "allow-no-covars",
+                  "mperm=10", "--out", "x"])
+    finally:
+        os.chdir(old)
