@@ -34,8 +34,9 @@ GLM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 500_000))
 GLM_VARIANTS = int(os.environ.get("BENCH_VARIANTS", 16384))
 SEED = 42
 
+_plat = os.environ.get("JAX_PLATFORMS", "default").split(",")[0] or "default"
 os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", os.path.join(BENCH_DIR, "jaxcache")
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(BENCH_DIR, f"jaxcache-{_plat}")
 )
 
 

@@ -30,7 +30,11 @@ _jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: first-compile latency on remote-attached
 # TPUs is tens of seconds per kernel; cache survives across CLI invocations.
 if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-    _cache = _os.path.expanduser("~/.cache/plink_tpu/jaxcache")
+    # per-platform cache dirs: the remote-TPU path compiles on a different
+    # machine than local CPU runs, and mixing their AOT artifacts trips
+    # machine-feature mismatches
+    _plat = _os.environ.get("JAX_PLATFORMS", "default").split(",")[0] or "default"
+    _cache = _os.path.expanduser(f"~/.cache/plink_tpu/jaxcache-{_plat}")
     try:
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)

@@ -78,6 +78,7 @@ class Config:
     hwe: float | None = None
     hwe_midp: bool = False
     nonfounders: bool = False
+    xchr_model: int = 2
     # commands
     freq: bool = False
     freq_counts: bool = False
@@ -374,6 +375,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.make_king_table = True
         elif name == "king_table_filter":
             cfg.king_table_filter = float(args[0])
+        elif name == "xchr_model":
+            cfg.xchr_model = int(args[0])
         elif name == "aperm":
             # --aperm min [max [alpha [beta [init_interval [slope]]]]]
             dflt = [6, 1000000, 0.0, 0.0001, 1.0, 0.001 * (1 + 2 ** -44)]

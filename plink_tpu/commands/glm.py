@@ -261,6 +261,129 @@ _GLM_KNOWN_UNSUPPORTED_MODS = {
 }
 
 
+def _hap_scale(ds) -> np.ndarray:
+    """Per-variant genotype-predictor scale: 0.5 on haploid chromosomes
+    other than chrX (the reference codes haploid dosages 0..1 --
+    GetGenoDosages haploid halving; chrX under --xchr-model 2 stays
+    0..2)."""
+    from ..utils.chrom import X_CODE
+
+    hap = ds.is_haploid_all() & (ds.vi.chrom != X_CODE)
+    return np.where(hap, 0.5, 1.0).astype(np.float32)
+
+
+def _ploidy_groups(ds, cfg, mods, smask, cov_names, cov_data, log):
+    """Split the GLM into per-ploidy passes (ref: GlmMain's chrX/chrY
+    sample-set and covariate switching, 2.0/plink2_glm.cc:2502-2640,
+    3154-3240):
+
+    - chrX: SEX is auto-added as a covariate (unless 'no-x-sex', the 'sex'
+      modifier already added it, samples are single-sex, or all-female
+      panels make X fully diploid); samples with unknown sex drop out.
+    - chrY: restricted to nonfemales; skipped when all samples are female.
+    - 'dominant'/'recessive'/'hetonly'/'genotypic'/'hethom' exclude
+      non-diploid chromosomes entirely.
+    - --xchr-model 0 removes chrX variants; model 1 (male dosage halving)
+      is not implemented yet.
+
+    Returns None when a single pass suffices, else a list of
+    (vmask_g, smask_g, cov_names_g, cov_data_g) tuples.
+    """
+    from ..utils.chrom import MT_CODE, X_CODE, Y_CODE
+
+    chrom = ds.vi.chrom
+    vmask = ds.variant_mask
+    is_x = chrom == X_CODE
+    is_y = chrom == Y_CODE
+    sex = ds.si.sex
+    xchr_model = getattr(cfg, "xchr_model", 2)
+    male_ct = int((smask & (sex == 1)).sum())
+    sexnm_ct = int((smask & (sex != 0)).sum())
+    n_inc = int(smask.sum())
+    x_fully_diploid = (male_ct == 0) and (sexnm_ct == n_inc) and xchr_model
+
+    if mods & _GLM_MODEL_MODS:
+        # diploid-only models: drop haploid chromosomes (chrX kept only in
+        # the fully-diploid all-female case)
+        haploid = ds.is_haploid_all()
+        drop = haploid.copy()
+        if x_fully_diploid:
+            drop &= ~is_x
+        if (vmask & drop).any():
+            ct = int((vmask & drop).sum())
+            log.log(
+                f"--glm: Excluding {ct} non-diploid variant"
+                f"{'s' if ct != 1 else ''} (diploid-only genotype model)."
+            )
+            vmask = vmask & ~drop
+        base = vmask
+        if base is ds.variant_mask:
+            return None
+        return [(base, smask, cov_names, cov_data)]
+
+    has_x = bool((vmask & is_x).any())
+    has_y = bool((vmask & is_y).any())
+    if not has_x and not has_y:
+        return None
+
+    add_sex = (
+        has_x
+        and "no-x-sex" not in mods
+        and "sex" not in mods
+        and male_ct > 0
+        and male_ct != sexnm_ct
+        and not x_fully_diploid
+    )
+    nonfemale = smask & (sex != 2)
+    nonfemale_ct = int(nonfemale.sum())
+
+    main_mask = vmask & ~is_x & ~is_y
+    groups = []
+    # chrX merges into the main pass when its sample/covariate sets match
+    if has_x:
+        if xchr_model == 0:
+            log.log("--glm: Excluding chrX variants (--xchr-model 0).")
+        elif xchr_model == 1:
+            raise NotImplementedError(
+                "--xchr-model 1 (male dosage halving) is not supported yet."
+            )
+        elif not add_sex:
+            main_mask = main_mask | (vmask & is_x)
+        else:
+            smask_x = smask & (sex != 0)
+            names_x = list(cov_names) + ["SEX"]
+            data_x = np.concatenate(
+                [cov_data, sex.astype(np.float64)[:, None]], axis=1
+            )
+            groups.append((vmask & is_x, smask_x, names_x, data_x))
+    if has_y:
+        if nonfemale_ct == 0:
+            log.log("--glm: Skipping chrY since all samples are female.")
+        elif nonfemale_ct == n_inc:
+            main_mask = main_mask | (vmask & is_y)
+        else:
+            groups.append((vmask & is_y, nonfemale, list(cov_names),
+                           cov_data))
+    if not groups and main_mask is not ds.variant_mask \
+            and np.array_equal(main_mask, vmask):
+        return None
+    if main_mask.any():
+        groups.insert(0, (main_mask, smask, list(cov_names), cov_data))
+    return groups
+
+
+def _drop_const_covars(smask_g, names_g, data_g):
+    """Per-group constant-covariate pruning (ref: GlmDetermineCovars run
+    per chrX/chrY sample set)."""
+    if not names_g:
+        return names_g, data_g
+    keep = [j for j in range(len(names_g))
+            if np.ptp(data_g[smask_g, j]) != 0]
+    if len(keep) == len(names_g):
+        return names_g, data_g
+    return [names_g[j] for j in keep], data_g[:, keep]
+
+
 def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
     mods = set(cfg.glm_modifiers)
     # modifier validation mirrors the reference's parse errors
@@ -365,11 +488,18 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                             no_firth, local_info)
             else:
                 perm_capture = None
+                groups = _ploidy_groups(ds, cfg, mods, smask, p_names,
+                                        p_data, log)
                 if perm_mode:
                     if not always_firth:
                         raise ValueError(
                             "--glm case/control permutation test requires "
                             "'firth' modifier."
+                        )
+                    if groups is not None:
+                        raise NotImplementedError(
+                            "--glm permutation with chrX/chrY variants is "
+                            "not supported yet."
                         )
                     M_ = ds.raw_variant_ct
                     perm_capture = {
@@ -378,11 +508,37 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                         "lnp": np.full(M_, np.nan),
                         "dof": np.zeros(M_),
                     }
-                _glm_logistic(
-                    ds, cfg, log, name, ydata, smask, p_names, p_data,
-                    a1_is_alt, hide_covar, always_firth, no_firth,
-                    perm_capture=perm_capture,
-                )
+                if groups is None:
+                    _glm_logistic(
+                        ds, cfg, log, name, ydata, smask, p_names, p_data,
+                        a1_is_alt, hide_covar, always_firth, no_firth,
+                        perm_capture=perm_capture,
+                    )
+                else:
+                    sink: list = []
+                    add_results: list = []
+                    hdr_box: list = []
+                    a1_arr = None
+                    for vm_g, sm_g, nm_g, dt_g in groups:
+                        if not vm_g.any() or not sm_g.any():
+                            continue
+                        nm_g, dt_g = _drop_const_covars(sm_g, nm_g, dt_g)
+                        _, _, a1_arr = _glm_logistic(
+                            ds, cfg, log, name, ydata, sm_g, nm_g, dt_g,
+                            a1_is_alt, hide_covar, always_firth, no_firth,
+                            vmask=vm_g, sink=sink, add_results=add_results,
+                            header_out=hdr_box,
+                        )
+                    suffix = "glm.firth" if always_firth else (
+                        "glm.logistic" if no_firth else "glm.logistic.hybrid"
+                    )
+                    path = f"{cfg.out}.{name}.{suffix}"
+                    _write_sink(path, hdr_box[0], sink, log)
+                    if getattr(cfg, "adjust", False):
+                        from .adjust import write_adjusted
+
+                        write_adjusted(ds, cfg, log, name, suffix,
+                                       add_results, a1_arr)
                 if perm_mode:
                     _glm_firth_perm(
                         ds, cfg, log, name, ydata, smask, p_names, p_data,
@@ -396,7 +552,14 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                             no_firth, local_info)
             else:
                 perm_capture = None
+                groups = _ploidy_groups(ds, cfg, mods, smask, p_names,
+                                        p_data, log)
                 if perm_mode:
+                    if groups is not None:
+                        raise NotImplementedError(
+                            "--glm permutation with chrX/chrY variants is "
+                            "not supported yet."
+                        )
                     M_ = ds.raw_variant_ct
                     perm_capture = {
                         "valid": np.zeros(M_, bool),
@@ -404,10 +567,32 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                         "lnp": np.full(M_, np.nan),
                         "dof": np.zeros(M_),
                     }
-                _glm_linear(
-                    ds, cfg, log, name, ydata, smask, p_names, p_data,
-                    a1_is_alt, hide_covar, perm_capture=perm_capture,
-                )
+                if groups is None:
+                    _glm_linear(
+                        ds, cfg, log, name, ydata, smask, p_names, p_data,
+                        a1_is_alt, hide_covar, perm_capture=perm_capture,
+                    )
+                else:
+                    sink2: list = []
+                    add_results2: list = []
+                    hdr_box2: list = []
+                    a1_arr2 = None
+                    for vm_g, sm_g, nm_g, dt_g in groups:
+                        if not vm_g.any() or not sm_g.any():
+                            continue
+                        nm_g, dt_g = _drop_const_covars(sm_g, nm_g, dt_g)
+                        _, _, a1_arr2 = _glm_linear(
+                            ds, cfg, log, name, ydata, sm_g, nm_g, dt_g,
+                            a1_is_alt, hide_covar, vmask=vm_g, sink=sink2,
+                            add_results=add_results2, header_out=hdr_box2,
+                        )
+                    path = f"{cfg.out}.{name}.glm.linear"
+                    _write_sink(path, hdr_box2[0], sink2, log)
+                    if getattr(cfg, "adjust", False):
+                        from .adjust import write_adjusted
+
+                        write_adjusted(ds, cfg, log, name, "glm.linear",
+                                       add_results2, a1_arr2)
                 if perm_mode:
                     _glm_linear_perm(
                         ds, cfg, log, name, ydata, smask, p_names, p_data,
@@ -481,8 +666,15 @@ def _geno_predictors(mods: set, cov_names: list[str]):
 
 def _glm_linear(
     ds, cfg, log, pheno_name, ydata, smask, cov_names, cov_data, a1_is_alt,
-    hide_covar, perm_capture=None,
+    hide_covar, perm_capture=None, vmask=None, sink=None, add_results=None,
+    header_out=None,
 ):
+    """Runs one linear-GLM pass over `vmask` (default: all included
+    variants) for one sample set / covariate set, appending per-variant
+    row strings to `sink`.  Ploidy groups (autosomes, chrX with the auto
+    SEX covariate, chrY on nonfemales) each get their own pass; the caller
+    merges sinks in variant order (ref: GlmMain's per-chromosome sample/
+    covariate switching, 2.0/plink2_glm.cc:3154-3240)."""
     import jax.numpy as jnp
 
     from ..stats.distributions import f_logsf
@@ -536,7 +728,13 @@ def _glm_linear(
     cty_full = c.T @ y
     yy_full = float(y @ y)
 
-    pd = PackedDevice(ds, ds.variant_mask, vb=vb, tile=1 << 30, sample_mask=smask)
+    if vmask is None:
+        vmask = ds.variant_mask
+    standalone = sink is None
+    if standalone:
+        sink = []
+        add_results = [] if add_results is None else add_results
+    pd = PackedDevice(ds, vmask, vb=vb, tile=1 << 30, sample_mask=smask)
     npad = pd.npad
     cp = np.zeros((npad, dc))
     cp[:n] = c
@@ -550,20 +748,20 @@ def _glm_linear(
     cy32 = jnp.asarray((cp * yp[:, None]).astype(np.float32))
     y232 = jnp.asarray((yp * yp).astype(np.float32))
 
-    vmask = ds.variant_mask
     M = ds.raw_variant_ct
     chrom, provref, a1, omitted = _row_meta(ds, a1_is_alt)
     vi = ds.vi
 
-    path = f"{cfg.out}.{pheno_name}.glm.linear"
-    f = open(path, "w")
     stat_col = "T_OR_F_STAT" if joint_name else "T_STAT"
     p_col = "NEG_LOG10_P" if log10 else "P"
-    f.write(
+    header = (
         "#CHROM\tPOS\tID\tREF\tALT\tPROVISIONAL_REF?\tA1\tOMITTED\tA1_FREQ\t"
         f"TEST\tOBS_CT\tBETA\tSE\t{stat_col}\t{p_col}\tERRCODE\n"
     )
-    add_results: list[tuple[int, float]] = []
+    if header_out is not None:
+        header_out.append(header)
+    if add_results is None:
+        add_results = []
 
     # ONE device call for the whole dataset (scan over blocks), ONE fetch
     from ..ops.glm import linear_sums_scan_any
@@ -632,18 +830,39 @@ def _glm_linear(
             cross((1, 2, 0), (1, 2, 0), 0, 0),
         )
 
+        # haploid genotype coding 0..1: scale geno rows/cols of the
+        # sufficient statistics (s for cross terms, s^2 for geno-geno)
+        hs_b = _hap_scale(ds)[v0 + ia].astype(np.float64)
+        if (hs_b != 1.0).any():
+            gpred = [p for p, sp_ in enumerate(pred_specs)
+                     if sp_[1] != (0, 0, 1) or sp_[2] != (0, 0, 1)]
+            for p in gpred:
+                xtx[:, p, :] *= hs_b[:, None]
+                xtx[:, :, p] *= hs_b[:, None]
+                xty[:, p] *= hs_b
         _emit_linear_rows(
-            f, ds, v0, ia, nm, g1, gg1, xtx, xty, yy_v, d, tests, hide_covar,
+            sink, ds, v0, ia, nm, g1, gg1, xtx, xty, yy_v, d, tests, hide_covar,
             chrom, provref, a1, omitted, vi, cov_names, add_results,
             pred_specs, geno_idx, joint_name, exact_s_fn, intercept, log10,
             perm_capture=perm_capture,
         )
-    f.close()
-    log.log(f"Results written to {path} .")
-    if getattr(cfg, "adjust", False):
-        from .adjust import write_adjusted
+    if standalone:
+        path = f"{cfg.out}.{pheno_name}.glm.linear"
+        _write_sink(path, header, sink, log)
+        if getattr(cfg, "adjust", False):
+            from .adjust import write_adjusted
 
-        write_adjusted(ds, cfg, log, pheno_name, "glm.linear", add_results, a1)
+            write_adjusted(ds, cfg, log, pheno_name, "glm.linear",
+                           add_results, a1)
+    return sink, add_results, a1
+
+
+def _write_sink(path, header, sink, log):
+    sink.sort(key=lambda kv: kv[0])
+    with open(path, "w") as f:
+        f.write(header)
+        f.writelines(s for _, s in sink)
+    log.log(f"Results written to {path} .")
 
 
 def _collinearity_err(s, nm_i):
@@ -772,7 +991,7 @@ def _collinearity_errs_batch(xtx, rows, exact_s_fn):
 
 
 def _emit_linear_rows(
-    f, ds, v0, ia, nm, g1, gg1, xtx, xty, yy_v, d, tests, hide_covar,
+    sink, ds, v0, ia, nm, g1, gg1, xtx, xty, yy_v, d, tests, hide_covar,
     chrom, provref, a1, omitted, vi, cov_names, add_results=None,
     pred_specs=None, geno_idx=None, joint_name=None, exact_s_fn=None,
     intercept=False, log10=False, perm_capture=None,
@@ -865,9 +1084,9 @@ def _emit_linear_rows(
         perm_capture["dof"][vv] = dof
     test_pred = {spec[0]: p for p, spec in enumerate(pred_specs)}
     test_pred["INTERCEPT"] = 0
-    lines = []
     for i in range(b):
         vidx = v0 + ia[i]
+        lines = []
         meta = (
             f"{chrom[vidx]}\t{vi.pos[vidx]}\t{vi.vid[vidx]}\t{vi.ref[vidx]}\t"
             f"{vi.alt[vidx]}\t{provref[vidx]}\t{a1[vidx]}\t{omitted[vidx]}\t"
@@ -890,7 +1109,7 @@ def _emit_linear_rows(
                     f"{g6(se[i, pi])}\t{g6(tstat[i, pi])}\t"
                     f"{_p_str(logp[i, pi], log10)}\t.\n"
                 )
-    f.writelines(lines)
+        sink.append((int(vidx), "".join(lines)))
 
 
 def _pinv_nolapack(m):
@@ -911,7 +1130,8 @@ def _pinv_nolapack(m):
 
 def _variant_design_f64(ds, inc, c, kern_preds, alt_is_a1, vidx):
     """Host f64 design matrix [nm, d] for one variant: [c | G_1..G_P] with
-    plane-combination genotype predictors (flip-resolved)."""
+    plane-combination genotype predictors (flip-resolved; haploid variants
+    scale 0.5 like the device kernels)."""
     from ..ops.pairwise import _unpack_np
 
     codes = _unpack_np(ds.reader.read_packed(vidx, 1))[0][: ds.raw_sample_ct][inc]
@@ -919,10 +1139,11 @@ def _variant_design_f64(ds, inc, c, kern_preds, alt_is_a1, vidx):
     hp = (codes == 1).astype(np.float64)
     ap = (codes == 2).astype(np.float64)
     vp = val.astype(np.float64)
+    scale = float(_hap_scale(ds)[vidx])
     cols = [c]
     for _nm, wa, wr, cj in kern_preds:
         w = wa if alt_is_a1 else wr
-        g = w[0] * hp + w[1] * ap + w[2] * vp
+        g = (w[0] * hp + w[1] * ap + w[2] * vp) * scale
         if cj:
             g = g * c[:, cj]
         cols.append(g[:, None])
@@ -1070,8 +1291,11 @@ def _firth_f64(X, yv):
 
 def _glm_logistic(
     ds, cfg, log, pheno_name, ydata, smask, cov_names, cov_data, a1_is_alt,
-    hide_covar, always_firth, no_firth, perm_capture=None,
+    hide_covar, always_firth, no_firth, perm_capture=None, vmask=None,
+    sink=None, add_results=None, header_out=None, gmul=None,
 ):
+    """One logistic/Firth pass over `vmask` for one sample/covariate set;
+    appends per-variant row strings to `sink` (see _glm_linear)."""
     import jax.numpy as jnp
 
     from ..stats.distributions import f_logsf
@@ -1105,7 +1329,13 @@ def _glm_logistic(
 
     exact_s_fn = _exact_s_builder(ds, inc, c, kern_preds, a1_is_alt)
 
-    pd = PackedDevice(ds, ds.variant_mask, vb=vb, tile=1 << 30, sample_mask=smask)
+    if vmask is None:
+        vmask = ds.variant_mask
+    standalone = sink is None
+    if standalone:
+        sink = []
+        add_results = [] if add_results is None else add_results
+    pd = PackedDevice(ds, vmask, vb=vb, tile=1 << 30, sample_mask=smask)
     npad = pd.npad
     mask = np.zeros(npad, np.float32)
     mask[:n] = 1.0
@@ -1118,25 +1348,26 @@ def _glm_logistic(
     cy32 = jnp.asarray(np.concatenate([cpad, ypad[:, None]], axis=1))
     mask_dev = jnp.asarray(mask)
 
-    vmask = ds.variant_mask
     M = ds.raw_variant_ct
     chrom, provref, a1, omitted = _row_meta(ds, a1_is_alt)
     vi = ds.vi
     suffix = "glm.firth" if always_firth else (
         "glm.logistic" if no_firth else "glm.logistic.hybrid"
     )
-    path = f"{cfg.out}.{pheno_name}.{suffix}"
-    f = open(path, "w")
     firth_col = not always_firth and not no_firth
     stat_col = "Z_OR_F_STAT" if joint_name else "Z_STAT"
     intercept = "intercept" in mods
     log10 = "log10" in mods
     p_col = "NEG_LOG10_P" if log10 else "P"
-    f.write(
+    header = (
         "#CHROM\tPOS\tID\tREF\tALT\tPROVISIONAL_REF?\tA1\tOMITTED\tA1_FREQ\t"
         + ("FIRTH?\t" if firth_col else "")
         + f"TEST\tOBS_CT\tOR\tLOG(OR)_SE\t{stat_col}\t{p_col}\tERRCODE\n"
     )
+    if header_out is not None:
+        header_out.append(header)
+    if add_results is None:
+        add_results = []
     tests = ["INTERCEPT"] if intercept else []
     tests += [s[0] for s in kern_preds[:n_main]]
     if not hide_covar:
@@ -1144,7 +1375,6 @@ def _glm_logistic(
     tests += [s[0] for s in kern_preds[n_main:]]
     if joint_name:
         tests.append(joint_name)
-    add_results: list[tuple[int, float]] = []
     test_pred = {"INTERCEPT": 0}
     for p_, s in enumerate(kern_preds):
         test_pred[s[0]] = dc + p_
@@ -1161,6 +1391,11 @@ def _glm_logistic(
     gw_all = np.where(
         alt_b[:, :, None, None], w_alt_arr[None, None], w_ref_arr[None, None]
     ).astype(np.float32)  # [nb, vb, P, 3]
+    # haploid genotype coding is 0..1 (dosage halved; z/p invariant, OR/SE
+    # match the reference's per-copy scale)
+    hs_pad = np.ones(pd.nblocks * pd.vb, np.float32)
+    hs_pad[:M] = _hap_scale(ds)
+    gw_all = gw_all * hs_pad.reshape(pd.nblocks, pd.vb)[:, :, None, None]
     # moments pass carries one extra always-additive predictor so the
     # A1-dosage separation/const statistics come out of the same matmul
     add_w_all = np.where(
@@ -1373,17 +1608,19 @@ def _glm_logistic(
         with np.errstate(divide="ignore", invalid="ignore"):
             a1f = np.where(obs > 0, g_tot / (2 * np.maximum(obs, 1)), np.nan)
         _emit_logistic_rows(
-            f, v0, ia, beta, se, conv, fail, unf, obs, a1f, const, used_firth,
+            sink, v0, ia, beta, se, conv, fail, unf, obs, a1f, const, used_firth,
             firth_col, tests, test_pred, chrom, provref, a1, omitted, vi, d,
             no_firth, add_results, joint_name, fstat, logp_joint, pre_err,
             invalid, log10, perm_capture=perm_capture,
         )
-    f.close()
-    log.log(f"Results written to {path} .")
-    if getattr(cfg, "adjust", False):
-        from .adjust import write_adjusted
+    if standalone:
+        path = f"{cfg.out}.{pheno_name}.{suffix}"
+        _write_sink(path, header, sink, log)
+        if getattr(cfg, "adjust", False):
+            from .adjust import write_adjusted
 
-        write_adjusted(ds, cfg, log, pheno_name, suffix, add_results, a1)
+            write_adjusted(ds, cfg, log, pheno_name, suffix, add_results, a1)
+    return sink, add_results, a1
 
 
 def _a1_case_total(pk, flip, y32, mask_dev):
@@ -1404,7 +1641,7 @@ def _a1_case_total(pk, flip, y32, mask_dev):
 
 
 def _emit_logistic_rows(
-    f, v0, ia, beta, se, conv, fail, unf, obs, a1f, const, used_firth,
+    sink, v0, ia, beta, se, conv, fail, unf, obs, a1f, const, used_firth,
     firth_col, tests, test_pred, chrom, provref, a1, omitted, vi, d, no_firth,
     add_results=None, joint_name=None, fstat=None, logp_joint=None,
     pre_err=None, invalid=None, log10=False, perm_capture=None,
@@ -1415,8 +1652,8 @@ def _emit_logistic_rows(
     add_test = next(
         (t for t in tests if t in ("ADD", "DOM", "REC", "HET", "HOM")), None
     )
-    lines = []
     for i in ia:
+        lines = []
         vidx = v0 + i
         nm_i = int(obs[i])
         meta = (
@@ -1485,7 +1722,7 @@ def _emit_logistic_rows(
                     f"{g6(np.exp(np.float64(beta[i, pi])))}\t{g6(se[i, pi])}\t"
                     f"{g6(zstat[i, pi])}\t{_p_str(logp[i, pi], log10)}\t{ok_err}\n"
                 )
-    f.writelines(lines)
+        sink.append((int(vidx), "".join(lines)))
 
 
 def _load_local_covars(ds, mods, log):

@@ -14,6 +14,21 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+def run_oracle(args, cwd):
+    subprocess.run([ORACLE] + args, cwd=cwd, check=True, capture_output=True)
+
+
+def run_tpu(args, cwd):
+    from plink_tpu.cli import main
+
+    old = os.getcwd()
+    os.chdir(cwd)
+    try:
+        assert main(args) == 0
+    finally:
+        os.chdir(old)
+
+
 @pytest.fixture(scope="module")
 def panel(tmp_path_factory):
     d = tmp_path_factory.mktemp("xchr")
@@ -89,3 +104,76 @@ def test_impute_sex(panel):
     finally:
         os.chdir(old)
     assert (panel / "ois.psam").read_bytes() == (panel / "tis.psam").read_bytes()
+
+
+def _glm_cmp(d, oracle_stem, tpu_stem, ext, val_lo, val_hi, tol):
+    def rows(p):
+        with open(p) as f:
+            hdr = f.readline()
+            return hdr, [l.rstrip("\n").split("\t") for l in f]
+    oh, orows = rows(str(d / f"{oracle_stem}.{ext}"))
+    th, trows = rows(str(d / f"{tpu_stem}.{ext}"))
+    assert oh == th
+    om = {(r[0], r[1], r[val_lo - 1]): r for r in orows}
+    tm = {(r[0], r[1], r[val_lo - 1]): r for r in trows}
+    assert set(om) == set(tm)
+    for k in om:
+        ra, rb = om[k], tm[k]
+        assert ra[:val_lo] == rb[:val_lo], (ra, rb)
+        for ca, cb in zip(ra[val_lo:val_hi], rb[val_lo:val_hi]):
+            if ca == "NA" or cb == "NA":
+                assert ca == cb, (ra, rb)
+                continue
+            x, y = float(ca), float(cb)
+            err = min(abs(x - y), abs(x - y) / max(abs(x), abs(y), 1e-300))
+            assert err <= tol, (k, ra, rb)
+
+
+def test_glm_mixed_ploidy(tmp_path):
+    """--glm on a 1/X/Y/MT panel with mixed sexes: chrX auto-adds the SEX
+    covariate, chrY restricts to nonfemales, haploid genotypes are coded
+    0..1 (ref: GlmMain chrX/chrY handling, 2.0/plink2_glm.cc:2502-2640)."""
+    d = tmp_path
+    run_oracle(["--dummy", "300", "240", "0.02", "--seed", "31",
+                "--out", "base"], str(d))
+    # rewrite chroms (1, X, Y, MT) and alternate sexes
+    lines = (d / "base.pvar").read_text().splitlines()
+    hdr = [l for l in lines if l.startswith("#")]
+    rows = [l for l in lines if not l.startswith("#")]
+    out = []
+    for i, r in enumerate(rows):
+        t = r.split("\t")
+        t[0] = "1" if i < 120 else ("X" if i < 180 else
+                                    ("Y" if i < 210 else "MT"))
+        t[1] = str(1000 + i)
+        out.append("\t".join(t))
+    (d / "mix.pvar").write_text("\n".join(hdr + out) + "\n")
+    import shutil
+    shutil.copy(d / "base.pgen", d / "mix.pgen")
+    plines = (d / "base.psam").read_text().splitlines()
+    shdr = plines[0].lstrip("#").split("\t")
+    si = shdr.index("SEX")
+    out = [plines[0]]
+    for i, l in enumerate(plines[1:]):
+        t = l.split("\t")
+        t[si] = "1" if i % 2 == 0 else "2"
+        out.append("\t".join(t))
+    (d / "mix.psam").write_text("\n".join(out) + "\n")
+
+    flags = ["--pfile", "mix", "--glm", "allow-no-covars"]
+    run_oracle(flags + ["--out", "o"], str(d))
+    run_tpu(flags + ["--out", "t"], str(d))
+    _glm_cmp(d, "o", "t", "PHENO1.glm.logistic.hybrid", 11, 15, 2e-3)
+
+    # quantitative pheno
+    import numpy as np
+    rng = np.random.default_rng(8)
+    with open(d / "qt.txt", "w") as f:
+        f.write("#IID\tQT\n")
+        for l in out[1:]:
+            f.write(f"{l.split(chr(9))[0]}\t{rng.normal():.6f}\n")
+    flags = ["--pfile", "mix", "--pheno", "qt.txt", "--pheno-name", "QT",
+             "--glm", "allow-no-covars"]
+    run_oracle(flags + ["--out", "oq"], str(d))
+    run_tpu(flags + ["--out", "tq"], str(d))
+    _glm_cmp(d, "oq", "tq", "QT.glm.linear", 10, 14, 1e-4)
