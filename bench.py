@@ -137,9 +137,10 @@ def _emit(metric, value, unit, vs):
 
 
 def bench_config(name, metric, our_argv, oracle_name, oracle_bin, oracle_args,
-                 out_prefix):
-    log(f"bench [{name}]: warmup ...")
-    run_ours(our_argv + ["--out", out_prefix + ".warm"])
+                 out_prefix, warmup=True):
+    if warmup:
+        log(f"bench [{name}]: warmup ...")
+        run_ours(our_argv + ["--out", out_prefix + ".warm"])
     log(f"bench [{name}]: timed ...")
     dt = run_ours(our_argv + ["--out", out_prefix + ".timed"])
     base = _oracle_wall(oracle_name, oracle_bin, oracle_args)
@@ -193,7 +194,7 @@ def main():
             "king_50k", ORACLE,
             ["--pfile", p3, "--make-king-table", "--king-table-filter",
              "0.044", "--out", os.path.join(outd, "o_king")],
-            os.path.join(outd, "king"),
+            os.path.join(outd, "king"), warmup=False,
         )
         t_grm = bench_config(
             "grm_50k", "grm_bin_50000x32768_wall",
@@ -201,7 +202,7 @@ def main():
             "grm_50k", ORACLE_LAPACK,
             ["--pfile", p3, "--make-grm-bin",
              "--out", os.path.join(outd, "o_grm")],
-            os.path.join(outd, "grm"),
+            os.path.join(outd, "grm"), warmup=False,
         )
     except Exception as e:
         log(f"bench [king/grm_50k] FAILED: {e}")
@@ -216,7 +217,7 @@ def main():
             "pca_100k", ORACLE_LAPACK,
             ["--pfile", p4, "--pca", "10", "approx",
              "--out", os.path.join(outd, "o_pca")],
-            os.path.join(outd, "pca"),
+            os.path.join(outd, "pca"), warmup=False,
         )
     except Exception as e:
         log(f"bench [pca_100k] FAILED: {e}")

@@ -63,8 +63,12 @@ def _grm_matrix(ds: Dataset, cfg, log: RunLogger, tile: int = 2048):
         grm[r0:rmax, c0:cmax] = np.asarray(acc)[: rmax - r0, : cmax - c0]
         nm[r0:rmax, c0:cmax] = np.asarray(cnt)[: rmax - r0, : cmax - c0]
 
+    # small panels keep f64 numerators (byte parity); u16 counts need
+    # variant_ct < 65536
+    fetch32 = n > 8192 and int(vmask.sum()) < 65536
     for r0, c0 in iter_lower_tiles(pd.npad, s):
-        acc, cnt = grm_tile_any(pd.packed, coef_dev, pd.vmask, r0, c0, s, s)
+        acc, cnt = grm_tile_any(pd.packed, coef_dev, pd.vmask, r0, c0, s, s,
+                                fetch32)
         q.append((r0, c0, acc, cnt))
         if len(q) >= window:
             _drain_one()
@@ -101,10 +105,19 @@ def run_grm_pca(ds: Dataset, cfg, log: RunLogger) -> None:
         _write_id_file(cfg.out + ".grm.id", si, inc)
         log.log(f"--make-grm-list: GRM written to {path} + {cfg.out}.grm.id .")
     if cfg.make_grm_bin:
-        tri = np.concatenate([grm[i, : i + 1] for i in range(n)]).astype("<f4")
-        tri.tofile(cfg.out + ".grm.bin")
-        trin = np.concatenate([nm[i, : i + 1] for i in range(n)]).astype("<f4")
-        trin.tofile(cfg.out + ".grm.N.bin")
+        # stream the lower triangle in row blocks (no 2x in-memory copy of
+        # the multi-GB triangle at biobank n)
+        with open(cfg.out + ".grm.bin", "wb") as fb, \
+                open(cfg.out + ".grm.N.bin", "wb") as fn:
+            bs = 1024
+            for i0 in range(0, n, bs):
+                i1 = min(i0 + bs, n)
+                fb.write(np.concatenate(
+                    [grm[i, : i + 1] for i in range(i0, i1)]
+                ).astype("<f4").tobytes())
+                fn.write(np.concatenate(
+                    [nm[i, : i + 1] for i in range(i0, i1)]
+                ).astype("<f4").tobytes())
         _write_id_file(cfg.out + ".grm.id", si, inc)
         log.log(
             f"--make-grm-bin: GRM written to {cfg.out}.grm.bin + "

@@ -162,7 +162,7 @@ def king_tile_stats(
     return kin, nsnp, hethet, ibs0, passing, passing.sum(dtype=jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("s", "t"))
+@partial(jax.jit, static_argnames=("s", "t", "fetch32"))
 def grm_tile(
     packed: jax.Array,  # [nb, vb, NB] uint8
     coef: jax.Array,  # [nb, vb, 3] f32: normed value for codes 0/1/2 (0 if excluded)
@@ -171,6 +171,7 @@ def grm_tile(
     col0: jax.Array,
     s: int,
     t: int,
+    fetch32: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """One GRM sample tile: (f32 [s, t] weighted sums, int32 [s, t] per-pair
     observed counts)."""
@@ -221,6 +222,11 @@ def grm_tile(
     acc0 = jnp.zeros((s, t), jnp.float64)
     nm0 = jnp.zeros((s, t), jnp.int32)
     (acc, nm), _ = lax.scan(body, (acc0, nm0), (packed, coef, vmask))
+    if fetch32:
+        # shrink the device->host bytes at biobank n: the written .grm.bin
+        # is float32 anyway, and pair counts fit u16 below 65536 variants
+        acc = acc.astype(jnp.float32)
+        nm = nm.astype(jnp.uint16)
     return acc, nm
 
 
@@ -265,14 +271,14 @@ def king_gram_tile_any(packed, vmask, row0, col0, s: int, t: int):
 
 
 @lru_cache(maxsize=None)
-def _grm_sharded(mesh, s, t):
+def _grm_sharded(mesh, s, t, fetch32=False):
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.mesh import AXIS
 
     def local(pk, cf, vm, row0, col0):
-        acc, nm = grm_tile(pk, cf, vm, row0, col0, s, t)
+        acc, nm = grm_tile(pk, cf, vm, row0, col0, s, t, fetch32)
         return lax.psum(acc, AXIS), lax.psum(nm, AXIS)
 
     return jax.jit(shard_map(
@@ -282,14 +288,15 @@ def _grm_sharded(mesh, s, t):
     ))
 
 
-def grm_tile_any(packed, coef, vmask, row0, col0, s: int, t: int):
+def grm_tile_any(packed, coef, vmask, row0, col0, s: int, t: int,
+                 fetch32: bool = False):
     """grm_tile that routes block-sharded inputs through shard_map."""
     from ..parallel.mesh import sharded_mesh_of
 
     mesh = sharded_mesh_of(packed)
     if mesh is None:
-        return grm_tile(packed, coef, vmask, row0, col0, s, t)
-    return _grm_sharded(mesh, s, t)(
+        return grm_tile(packed, coef, vmask, row0, col0, s, t, fetch32)
+    return _grm_sharded(mesh, s, t, fetch32)(
         packed, coef, vmask,
         jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32),
     )
