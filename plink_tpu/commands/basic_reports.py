@@ -127,6 +127,30 @@ def _provref_strs(ds: Dataset):
     return "", lambda i: ""
 
 
+def ma_alt_counts(ds: Dataset, v: int, alt_total: float,
+                  smask: np.ndarray) -> np.ndarray:
+    """Per-ALT allele counts for a multiallelic variant from the sparse aux
+    patches (host-side corrections on top of the dense ALT1-collapsed base
+    counting; diploid chromosomes).  alt_total = total ALT dosage over the
+    included samples."""
+    n_alt = int(ds.allele_cts()[v]) - 1
+    cts = np.zeros(n_alt, np.float64)
+    cts[0] = alt_total
+    ids01, a01, ids10, lo10, hi10 = ds.ma_patch(v)
+    if ids01.size:
+        keep = smask[ids01]
+        for a in a01[keep]:
+            cts[0] -= 1.0
+            cts[a - 1] += 1.0
+    if ids10.size:
+        keep = smask[ids10]
+        for lo, hi in zip(lo10[keep], hi10[keep]):
+            cts[0] -= 2.0
+            cts[lo - 1] += 1.0
+            cts[hi - 1] += 1.0
+    return cts
+
+
 def write_freq(ds: Dataset, out_prefix: str, log: RunLogger, founders_only: bool = True) -> str:
     """--freq -> <out>.afreq."""
     alt, obs = allele_counts_and_obs(ds, founders_only)
@@ -138,11 +162,23 @@ def write_freq(ds: Dataset, out_prefix: str, log: RunLogger, founders_only: bool
     prov_hdr, prov_fn = _provref_strs(ds)
     with open(path, "w") as fh:
         fh.write(f"#CHROM\tID\tREF\tALT{prov_hdr}\tALT_FREQS\tOBS_CT\n")
+        ma = ds.multiallelic_mask()
+        smask_f = ds.sample_mask & (
+            ds.founder_mask if founders_only else True
+        )
         for i in np.flatnonzero(ds.variant_mask):
-            fr = alt[i] / obs[i] if obs[i] > 0 else np.nan
+            if ma[i]:
+                cts = ma_alt_counts(ds, int(i), alt[i], smask_f)
+                with np.errstate(invalid="ignore"):
+                    frs = cts / obs[i] if obs[i] > 0 else np.full(
+                        len(cts), np.nan)
+                fr_str = ",".join(g6(x) for x in frs)
+            else:
+                fr = alt[i] / obs[i] if obs[i] > 0 else np.nan
+                fr_str = g6(fr)
             fh.write(
                 f"{ci.name(int(ds.vi.chrom[i]))}\t{ds.vi.vid[i]}\t{ds.vi.ref[i]}\t{ds.vi.alt[i]}"
-                f"{prov_fn(i)}\t{g6(fr)}\t{int(obs[i])}\n"
+                f"{prov_fn(i)}\t{fr_str}\t{int(obs[i])}\n"
             )
     log.log(f"--freq: Allele frequencies ({'founders' if founders_only else 'all samples'}) "
             f"written to {path} .")
@@ -331,6 +367,7 @@ def write_geno_counts(ds: Dataset, out_prefix: str, log: RunLogger) -> str:
     cts = _group_counts(ds, founders_only=False)
     a, m, f = cts["all"], cts["male"], cts["female"]
     nf = a - f
+    ma = ds.multiallelic_mask()
     path = out_prefix + ".gcount"
     ci = ds.vi.chr_info
     prov_hdr, prov_fn = _provref_strs(ds)
@@ -357,6 +394,42 @@ def write_geno_counts(ds: Dataset, out_prefix: str, log: RunLogger) -> str:
                 hom_alt -= hap_alt
                 het -= int(m[i, 1])  # male hets -> missing
                 miss += int(m[i, 1])
+            if ma[i]:
+                # multiallelic expansion: per-ALT het counts, colex-ordered
+                # ALTxALTy pair counts, per-ALT hap counts (WriteGenoCounts
+                # multiallelic branch, 2.0/plink2_misc.cc)
+                n_alt = int(ds.allele_cts()[i]) - 1
+                smask_i = ds.sample_mask
+                ids01, a01, ids10, lo10, hi10 = ds.ma_patch(int(i))
+                het_cts = np.zeros(n_alt, np.int64)
+                het_cts[0] = het
+                pair_cts = np.zeros((n_alt + 1, n_alt + 1), np.int64)
+                pair_cts[1, 1] = hom_alt
+                if ids01.size:
+                    for x in a01[smask_i[ids01]]:
+                        het_cts[0] -= 1
+                        het_cts[x - 1] += 1
+                if ids10.size:
+                    keep = smask_i[ids10]
+                    for lo, hi in zip(lo10[keep], hi10[keep]):
+                        pair_cts[1, 1] -= 1
+                        pair_cts[lo, hi] += 1
+                het_str = ",".join(str(x) for x in het_cts)
+                # colex order: (1,1),(1,2),(2,2),(1,3),(2,3),(3,3)...
+                pairs = []
+                for hi_ in range(1, n_alt + 1):
+                    for lo_ in range(1, hi_ + 1):
+                        pairs.append(int(pair_cts[lo_, hi_]))
+                two_str = ",".join(str(x) for x in pairs)
+                hap_str = ",".join(
+                    str(hap_alt if k == 0 else 0) for k in range(n_alt)
+                )
+                fh.write(
+                    f"{ci.name(chrom)}\t{ds.vi.vid[i]}\t{ds.vi.ref[i]}\t"
+                    f"{ds.vi.alt[i]}{prov_fn(i)}\t{hom_ref}\t{het_str}\t"
+                    f"{two_str}\t{hap_ref}\t{hap_str}\t{miss}\n"
+                )
+                continue
             fh.write(
                 f"{ci.name(chrom)}\t{ds.vi.vid[i]}\t{ds.vi.ref[i]}\t{ds.vi.alt[i]}{prov_fn(i)}"
                 f"\t{hom_ref}\t{het}\t{hom_alt}\t{hap_ref}\t{hap_alt}\t{miss}\n"

@@ -304,6 +304,16 @@ def _export_vcf(ds: Dataset, cfg, log: RunLogger, with_ds: bool = False) -> None
                     gt_rows.append("\t" + "\t".join(cells))
             else:
                 gt_bytes = _GT_LUT[codes].reshape(codes.shape[0], -1)
+            ma_mask = ds.multiallelic_mask()
+            ma_rows_gt = {}
+            for r, i_local in enumerate(sel):
+                i = v0 + i_local
+                if ma_mask[i] and not phased_ds:
+                    ac = ds.allele_codes(int(i))[inc_s]
+                    cells = [
+                        "./." if a < 0 else f"{a}/{b}" for a, b in ac
+                    ]
+                    ma_rows_gt[r] = "\t" + "\t".join(cells)
             for r, i_local in enumerate(sel):
                 i = v0 + i_local
                 q = "." if qual is None or qual[i] is None else str(qual[i])
@@ -316,7 +326,9 @@ def _export_vcf(ds: Dataset, cfg, log: RunLogger, with_ds: bool = False) -> None
                 )
                 f.write(meta.encode())
                 if not with_ds:
-                    if phased_ds:
+                    if r in ma_rows_gt:
+                        f.write(ma_rows_gt[r].encode())
+                    elif phased_ds:
                         f.write(gt_rows[r].encode())
                     else:
                         f.write(gt_bytes[r].tobytes())

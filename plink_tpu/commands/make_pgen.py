@@ -52,6 +52,42 @@ def make_pgen(ds: Dataset, out_prefix: str, log: RunLogger, fmt: str = "pgen") -
 
     hdr = ds.reader.header
     trusted = (not hdr.all_provisional) and hdr.provisional_ref is None and hdr.mode != 0x01
+    ma_any = bool(
+        hdr.mode not in (0x01,)
+        and (hdr.vrtypes[variant_idx] & 0x08).any()
+    )
+    if ma_any:
+        # multiallelic variants present: rewrite dense rows + aux track 1
+        # with sample-index remapping
+        with PgenWriter(out_prefix + ".pgen", N, V, trusted_ref=trusted,
+                        with_multiallelic=True) as w:
+            from ..ops.pairwise import _unpack_np
+
+            old_to_new = np.full(ds.raw_sample_ct, -1, np.int64)
+            old_to_new[sample_idx] = np.arange(N)
+            acs = ds.allele_cts()
+            z = np.zeros(0, np.int64)
+            for v in variant_idx:
+                row = _unpack_np(ds.reader.read_packed(int(v), 1))[0][
+                    : ds.raw_sample_ct
+                ][sample_idx]
+                ids01, a01, ids10, lo10, hi10 = ds.ma_patch(int(v))
+                if ids01.size:
+                    k = old_to_new[ids01] >= 0
+                    a01 = a01[k]
+                    ids01 = old_to_new[ids01[k]]
+                if ids10.size:
+                    k = old_to_new[ids10] >= 0
+                    lo10, hi10 = lo10[k], hi10[k]
+                    ids10 = old_to_new[ids10[k]]
+                w.append_codes_multiallelic(
+                    row, ids01, a01, ids10, lo10, hi10, int(acs[v])
+                )
+        write_pvar(out_prefix + ".pvar", ds.vi, ds.variant_mask)
+        write_psam(out_prefix + ".psam", ds.si, ds.sample_mask,
+                   order=getattr(ds, "sample_order", None))
+        log.log(f"--make-pgen: {out_prefix}.pgen + .pvar + .psam written ({V} variants, {N} samples).")
+        return
     if ds.has_phase and not ds.has_dosage:
         with PgenWriter(out_prefix + ".pgen", N, V, trusted_ref=trusted,
                         with_phase=True) as w:

@@ -243,6 +243,37 @@ class Dataset:
             d[aux.dosage_ids] = vals
         return d
 
+    _allele_cts = None
+
+    def allele_cts(self) -> np.ndarray:
+        """Alleles per variant (2 = biallelic) from the .pvar ALT column."""
+        if self._allele_cts is None:
+            alts = self.vi.alt
+            self._allele_cts = np.array(
+                [str(a).count(",") + 2 for a in alts], dtype=np.int32
+            )
+        return self._allele_cts
+
+    def multiallelic_mask(self) -> np.ndarray:
+        return self.allele_cts() > 2
+
+    _ma_cache: dict | None = None
+
+    def ma_patch(self, v: int):
+        """Aux-track-1 patches for variant v: (ids01, allele01, ids10,
+        lo10, hi10); empty tuple arrays for biallelic records."""
+        if self._ma_cache is None:
+            self._ma_cache = {}
+        if v not in self._ma_cache:
+            self._ma_cache[v] = self.reader.read_multiallelic(
+                int(v), int(self.allele_cts()[v])
+            )
+        return self._ma_cache[v]
+
+    def allele_codes(self, v: int) -> np.ndarray:
+        """Per-sample unordered allele pairs [N, 2] (REF=0; -1 missing)."""
+        return self.reader.read_allele_codes(int(v), int(self.allele_cts()[v]))
+
     def is_chrx(self) -> np.ndarray:
         return self.vi.chrom == X_CODE
 

@@ -387,3 +387,135 @@ class PgenReader:
             vals = buf[o : o + 2 * ids.size].view("<u2")
             aux.dosage_ids, aux.dosage_vals = ids, vals.copy()
         return aux
+
+    # -- multiallelic hardcalls --------------------------------------------
+    def read_multiallelic(self, vidx: int, allele_ct: int):
+        """Decode auxiliary track #1 (multiallelic hard-calls,
+        pgen_spec.tex:469-541) for one variant.
+
+        Returns (ids01, allele01, ids10, lo10, hi10):
+          ids01    sample indices whose het call is REF-ALTx with x >= 2,
+          allele01 the 1-based ALT index x for each,
+          ids10    sample indices whose category-2 call isn't hom-ALT1,
+          lo10/hi10 the unordered 1-based ALT allele pair.
+        Empty arrays when the variant has no aux track.
+        """
+        empt = np.zeros(0, np.int64)
+        vrtype = int(self.header.vrtypes[vidx])
+        if self.header.mode == 0x01 or not (vrtype & VRTYPE_MULTIALLELIC):
+            return empt, empt, empt, empt, empt
+        N = self.sample_ct
+        buf, rel = self._read_records_raw(vidx, 1)
+        o = int(rel[0])
+        main = vrtype & VRTYPE_MAIN_MASK
+        if main == 0:
+            o += self._nb
+        elif main == 1:
+            o += 1 + (N + 7) // 8
+            _, _, o = decode_difflist(buf, o, N, True)
+        elif main in (2, 3, 4, 6, 7):
+            _, _, o = decode_difflist(buf, o, N, True)
+        codes = pack.unpack2(self.read_packed(vidx, 1)[0], N)
+        cat1 = np.flatnonzero(codes == 1)
+        cat2 = np.flatnonzero(codes == 2)
+        n_alt = allele_ct - 1
+        fmt = int(buf[o])
+        o += 1
+        f01, f10 = fmt & 0x0F, fmt >> 4
+
+        def _read_bitarray(o, J):
+            nb_ = (J + 7) // 8
+            bits = np.unpackbits(buf[o : o + nb_], bitorder="little")[:J]
+            return bits.astype(bool), o + nb_
+
+        def _val_width(n_alt):
+            # category-1 value width in bits (pgen_spec.tex:488-499)
+            if n_alt == 2:
+                return 0
+            if n_alt == 3:
+                return 1
+            if n_alt <= 5:
+                return 2
+            if n_alt <= 17:
+                return 4
+            if n_alt <= 257:
+                return 8
+            return 16
+
+        def _read_packed_vals(o, K, width):
+            if K == 0 or width == 0:
+                return np.zeros(K, np.int64), o + 0
+            total_bits = K * width
+            nb_ = (total_bits + 7) // 8
+            bits = np.unpackbits(buf[o : o + nb_], bitorder="little")
+            vals = np.zeros(K, np.int64)
+            for b in range(width):
+                vals |= bits[b::width][:K].astype(np.int64) << b
+            return vals, o + nb_
+
+        # --- category 1 patch set ---
+        if f01 == 15:
+            ids01 = empt
+            allele01 = empt
+        else:
+            if f01 == 0:
+                sel, o = _read_bitarray(o, cat1.size)
+                ids01 = cat1[sel]
+            elif f01 == 1:
+                sids, _, o = decode_difflist(buf, o, N, False)
+                ids01 = sids.astype(np.int64)
+            else:
+                raise ValueError(f"reserved cat1 patch format {f01}")
+            w = _val_width(n_alt)
+            vals, o = _read_packed_vals(o, ids01.size, w)
+            allele01 = vals + 2
+
+        # --- category 2 patch set ---
+        if f10 == 15:
+            ids10, lo10, hi10 = empt, empt, empt
+        else:
+            if f10 == 0:
+                sel, o = _read_bitarray(o, cat2.size)
+                ids10 = cat2[sel]
+            elif f10 == 1:
+                sids, _, o = decode_difflist(buf, o, N, False)
+                ids10 = sids.astype(np.int64)
+            else:
+                raise ValueError(f"reserved cat2 patch format {f10}")
+            K = ids10.size
+            if n_alt == 2:
+                bits, o = _read_bitarray(o, K)
+                lo10 = np.where(bits, 2, 1).astype(np.int64)
+                hi10 = np.full(K, 2, np.int64)
+            else:
+                if n_alt <= 4:
+                    w = 2
+                elif n_alt <= 16:
+                    w = 4
+                elif n_alt <= 256:
+                    w = 8
+                else:
+                    w = 16
+                pairs, o = _read_packed_vals(o, 2 * K, w)
+                lo10 = pairs[0::2] + 1
+                hi10 = pairs[1::2] + 1
+        return (np.asarray(ids01, np.int64), np.asarray(allele01, np.int64),
+                np.asarray(ids10, np.int64), np.asarray(lo10, np.int64),
+                np.asarray(hi10, np.int64))
+
+    def read_allele_codes(self, vidx: int, allele_ct: int) -> np.ndarray:
+        """Per-sample unordered allele pair [N, 2] int16 (REF=0, ALT1=1, ...;
+        -1/-1 = missing), assembling the biallelic base + aux track 1."""
+        N = self.sample_ct
+        codes = pack.unpack2(self.read_packed(vidx, 1)[0], N)
+        out = np.zeros((N, 2), np.int16)
+        out[codes == 1] = (0, 1)
+        out[codes == 2] = (1, 1)
+        out[codes == 3] = (-1, -1)
+        ids01, a01, ids10, lo10, hi10 = self.read_multiallelic(vidx, allele_ct)
+        if ids01.size:
+            out[ids01, 1] = a01.astype(np.int16)
+        if ids10.size:
+            out[ids10, 0] = lo10.astype(np.int16)
+            out[ids10, 1] = hi10.astype(np.int16)
+        return out

@@ -52,6 +52,7 @@ class PgenWriter:
         trusted_ref: bool = False,
         with_dosage: bool = False,
         with_phase: bool = False,
+        with_multiallelic: bool = False,
     ):
         self.path = path
         self.sample_ct = sample_ct
@@ -60,6 +61,7 @@ class PgenWriter:
         self._trusted_ref = trusted_ref
         self._with_dosage = with_dosage
         self._with_phase = with_phase
+        self._with_multiallelic = with_multiallelic
         self._nb = pack.bytes_per_variant(sample_ct)
         self._f = open(path, "wb")
         self._vrtypes: list[int] = []
@@ -78,6 +80,11 @@ class PgenWriter:
             max_body = max(max_body,
                            self._nb + 1 + (sample_ct + 1 + 7) // 8
                            + (sample_ct + 7) // 8)
+        if with_multiallelic:
+            # dense main + fmt byte + two N-bit arrays + <=4B/sample values
+            max_body = max(max_body,
+                           self._nb + 1 + 2 * ((sample_ct + 7) // 8)
+                           + 6 * sample_ct)
         if with_dosage:
             # dense hardcalls (+ phase track if enabled) + presence bitarray
             # + 2 bytes/sample dosage values
@@ -87,7 +94,7 @@ class PgenWriter:
         self._len_bytes = (1 if max_body < (1 << 8) else
                            2 if max_body < (1 << 16) else
                            3 if max_body < (1 << 24) else 4)
-        self._vr8 = with_dosage or with_phase  # 8-bit vrtype storage
+        self._vr8 = with_dosage or with_phase or with_multiallelic  # 8-bit vrtypes
         header_size = 12 + 8 * n_blocks
         for b in range(n_blocks):
             vct = min(_VBLOCK, variant_ct - (b << 16))
@@ -112,6 +119,28 @@ class PgenWriter:
         codes = np.atleast_2d(np.asarray(codes, dtype=np.uint8))
         for row in codes:
             self._append_one(row)
+
+    def append_codes_multiallelic(
+        self, row: np.ndarray, ids01, a01, ids10, lo10, hi10,
+        allele_ct: int,
+    ) -> None:
+        """Append one multiallelic variant: dense hardcalls + auxiliary
+        track #1 (vrtype 0x08)."""
+        if not self._with_multiallelic:
+            raise ValueError("writer not opened with with_multiallelic=True")
+        row = np.asarray(row, dtype=np.uint8)
+        at_block_start = (self._written & (_VBLOCK - 1)) == 0
+        if at_block_start:
+            self._block_offsets.append(self._f.tell())
+        body = pack.pack2(row).tobytes()
+        vrtype = 0
+        if len(np.asarray(ids01)) or len(np.asarray(ids10)):
+            vrtype |= 0x08
+            body += multiallelic_track(row, ids01, a01, ids10, lo10, hi10,
+                                       allele_ct)
+        self._push_record(vrtype, body)
+        self._ld_base = row.copy()
+        self._written += 1
 
     def append_codes_with_dosage(
         self, row: np.ndarray, dosage_ids: np.ndarray, dosage_vals: np.ndarray
@@ -310,3 +339,83 @@ def write_pgen_simple(path: str, packed_pgen: np.ndarray, sample_ct: int) -> Non
         f.write(np.asarray([packed_pgen.shape[0], sample_ct], dtype="<u4").tobytes())
         f.write(bytes([0x40]))  # no vrtype info, no allele cts, all REF trusted
         f.write(packed_pgen.tobytes())
+
+
+class MultiallelicWriterMixin:
+    pass
+
+
+def _pack_bits(bits: np.ndarray) -> bytes:
+    return np.packbits(np.asarray(bits, np.uint8), bitorder="little").tobytes()
+
+
+def _pack_vals(vals: np.ndarray, width: int) -> bytes:
+    """Fixed-width little-bit-order packed array (pgen_spec.tex:488-499)."""
+    K = len(vals)
+    if K == 0 or width == 0:
+        return b""
+    bits = np.zeros(K * width, np.uint8)
+    v = np.asarray(vals, np.int64)
+    for b in range(width):
+        bits[b::width] = (v >> b) & 1
+    return _pack_bits(bits)
+
+
+def _cat1_width(n_alt: int) -> int:
+    if n_alt == 2:
+        return 0
+    if n_alt == 3:
+        return 1
+    if n_alt <= 5:
+        return 2
+    if n_alt <= 17:
+        return 4
+    if n_alt <= 257:
+        return 8
+    return 16
+
+
+def _cat2_width(n_alt: int) -> int:
+    if n_alt <= 4:
+        return 2
+    if n_alt <= 16:
+        return 4
+    if n_alt <= 256:
+        return 8
+    return 16
+
+
+def multiallelic_track(row: np.ndarray, ids01, a01, ids10, lo10, hi10,
+                       allele_ct: int) -> bytes:
+    """Auxiliary track #1 bytes (format 0 bitarrays,
+    pgen_spec.tex:469-541) for one variant whose base hardcalls are `row`
+    (REF-ALTx coded 1, ALTx-ALTy coded 2)."""
+    n_alt = allele_ct - 1
+    cat1 = np.flatnonzero(row == 1)
+    cat2 = np.flatnonzero(row == 2)
+    ids01 = np.asarray(ids01, np.int64)
+    ids10 = np.asarray(ids10, np.int64)
+    f01 = 15 if ids01.size == 0 else 0
+    f10 = 15 if ids10.size == 0 else 0
+    body = bytes([f01 | (f10 << 4)])
+    if f01 == 0:
+        sel = np.isin(cat1, ids01)
+        body += _pack_bits(sel)
+        order = np.argsort(ids01)
+        body += _pack_vals(np.asarray(a01, np.int64)[order] - 2,
+                           _cat1_width(n_alt))
+    if f10 == 0:
+        sel = np.isin(cat2, ids10)
+        body += _pack_bits(sel)
+        order = np.argsort(ids10)
+        lo = np.asarray(lo10, np.int64)[order]
+        hi = np.asarray(hi10, np.int64)[order]
+        if n_alt == 2:
+            body += _pack_bits(lo == 2)
+        else:
+            w = _cat2_width(n_alt)
+            pairs = np.empty(2 * len(lo), np.int64)
+            pairs[0::2] = lo - 1
+            pairs[1::2] = hi - 1
+            body += _pack_vals(pairs, w)
+    return body

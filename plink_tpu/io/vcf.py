@@ -91,6 +91,64 @@ def _parse_gt(tok: str, halfcall: int = 2) -> int:
     return code
 
 
+def _parse_gt_ma(tok: str, halfcall: int = 2):
+    """Multiallelic GT parse -> (base_code, lo, hi) with 0=REF, k=ALTk and
+    lo <= hi; missing = (3, -1, -1).  Base code follows the pgen patch
+    convention (1 = REF-ALTx, 2 = ALTx-ALTy; pgen_spec.tex:469-479)."""
+    a = tok.replace("|", "/").split(":", 1)[0].split("/")
+    alleles = []
+    half = False
+    for s in a:
+        if s == "." or s == "":
+            half = True
+            continue
+        alleles.append(int(s))
+    if half and alleles and len(a) > 1:
+        if halfcall == 3:
+            raise ValueError(
+                "VCF half-call present; use --vcf-half-call to specify "
+                "how these should be processed."
+            )
+        if halfcall == 2:
+            return 3, -1, -1
+        if halfcall == 0:  # treat as REF for the unknown allele
+            alleles = [0, alleles[0]]
+        else:  # haploid
+            alleles = [alleles[0], alleles[0]]
+    if not alleles:
+        return 3, -1, -1
+    if len(alleles) == 1:
+        alleles = [alleles[0], alleles[0]]
+    lo, hi = min(alleles), max(alleles)
+    if hi == 0:
+        return 0, 0, 0
+    if lo == 0:
+        return 1, lo, hi
+    return 2, lo, hi
+
+
+def _parse_gt_ma_row(tokens, halfcall: int):
+    """One multiallelic variant row -> (codes [N] uint8, patches tuple)."""
+    n = len(tokens)
+    codes = np.empty(n, np.uint8)
+    ids01, a01, ids10, lo10, hi10 = [], [], [], [], []
+    for i, g in enumerate(tokens):
+        c, lo, hi = _parse_gt_ma(g, halfcall)
+        codes[i] = c
+        if c == 1 and hi >= 2:
+            ids01.append(i)
+            a01.append(hi)
+        elif c == 2 and (lo != 1 or hi != 1):
+            ids10.append(i)
+            lo10.append(lo)
+            hi10.append(hi)
+    return codes, (
+        np.array(ids01, np.int64), np.array(a01, np.int64),
+        np.array(ids10, np.int64), np.array(lo10, np.int64),
+        np.array(hi10, np.int64),
+    )
+
+
 def _parse_dosage(parts, ds_idx, hds_idx, is_haploid, is_gp, certainty):
     """Returns (status, dosage_int) with status 'ok'/'missing'/'fm'
     (force-missing via --import-dosage-certainty).
@@ -189,6 +247,7 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
         [], [], [], [], [], [], [], []
     )
     rows = []
+    ma_rows: dict = {}
     dosage_rows: list = []
     phase_rows: list = []
     sample_ids: list[str] = []
@@ -234,6 +293,18 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
             filts.append(None if t[6] == "." else t[6])
             infos.append(None if t[7] == "." else t[7])
             ns = len(t) - 9
+            is_ma = "," in t[4]
+            if is_ma and gt_exists:
+                codes, patches = _parse_gt_ma_row(t[9:], halfcall_mode)
+                rows.append(codes)
+                ma_rows[len(rows) - 1] = patches
+                if dosage_field is not None:
+                    dosage_rows.append(
+                        (np.zeros(0, np.uint32), np.zeros(0, "<u2"))
+                    )
+                if with_phase:
+                    phase_rows.append(None)
+                continue
             if dosage_field is None and not qual_filter:
                 rows.append(np.fromiter(
                     (_parse_gt(g, halfcall_mode) for g in t[9:]),
@@ -345,4 +416,5 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
         out.append(dosage_rows)
     if with_phase:
         out.append(phase_rows)
+    out.append(ma_rows)  # {row_idx: patch tuple} for multiallelic variants
     return tuple(out)

@@ -107,8 +107,13 @@ def _import_vcf(path: str, out_prefix: str, log: RunLogger,
     tmp = out_prefix + "-temporary"
     # VCF REF is trusted (not provisional), matching VcfToPgen
     if dosage_field:
-        vi, si, codes, dosage_rows = read_vcf(
+        vi, si, codes, dosage_rows, ma_rows = read_vcf(
             path, dosage_field=dosage_field, **thresh_kw)
+        if ma_rows:
+            raise NotImplementedError(
+                "--vcf dosage import with multiallelic variants is not "
+                "supported yet; biallelic-split the VCF first."
+            )
         with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
                         trusted_ref=True, with_dosage=True) as w:
             for r, dr in zip(codes, dosage_rows):
@@ -119,13 +124,30 @@ def _import_vcf(path: str, out_prefix: str, log: RunLogger,
                 else:
                     w.append_codes_with_dosage(r, dr[0], dr[1])
     else:
-        vi, si, codes, phase_rows = read_vcf(
+        vi, si, codes, phase_rows, ma_rows = read_vcf(
             path, with_phase=True, **thresh_kw)
-        any_phase = any(pp.any() for pp, _ in phase_rows)
-        if any_phase:
+        any_phase = any(pp is not None and pp[0].any() for pp in phase_rows)
+        if ma_rows and any_phase:
+            raise NotImplementedError(
+                "--vcf with both phased hardcalls and multiallelic variants "
+                "is not supported yet."
+            )
+        if ma_rows:
+            acs = [len(str(a).split(",")) + 1 for a in vi.alt]
+            with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
+                            trusted_ref=True, with_multiallelic=True) as w:
+                z = np.zeros(0, np.int64)
+                for r_i, r in enumerate(codes):
+                    p = ma_rows.get(r_i)
+                    if p is None:
+                        w.append_codes_multiallelic(r, z, z, z, z, z, 2)
+                    else:
+                        w.append_codes_multiallelic(r, *p, acs[r_i])
+        elif any_phase:
             with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
                             trusted_ref=True, with_phase=True) as w:
-                for r, (pp, pi) in zip(codes, phase_rows):
+                for r, pr in zip(codes, phase_rows):
+                    pp, pi = pr
                     w.append_codes_with_phase(r, pp, pi)
         else:
             with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,

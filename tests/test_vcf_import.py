@@ -21,7 +21,7 @@ def test_vcf_export_import_identity(tmp_path, geno_factory):
     os.chdir(tmp_path)
     try:
         assert main(["--pfile", "d", "--export", "vcf", "--out", "e"]) == 0
-        vi, si, codes2 = read_vcf(str(tmp_path / "e.vcf"))
+        vi, si, codes2, _ma = read_vcf(str(tmp_path / "e.vcf"))
     finally:
         os.chdir(old)
     assert codes2.shape == codes.shape
