@@ -70,6 +70,16 @@ class Config:
     from_bp: int | None = None
     to_bp: int | None = None
     snps_only: bool = False
+    min_alleles: int | None = None
+    max_alleles: int | None = None
+    var_min_qual: float | None = None
+    var_filter: list[str] | None = None  # [] = PASS-only
+    output_chr: str = "MT"  # chrM naming scheme (plink2 --output-chr default)
+    input_missing_phenotype: float = -9
+    require_pheno: list[str] | None = None
+    require_covar: list[str] | None = None
+    prune: bool = False
+    new_id_max_allele_len: tuple = (23, "error")
     geno: float | None = None
     maf: float | None = None
     max_maf: float | None = None
@@ -375,6 +385,33 @@ def parse_args(argv: list[str]) -> Config:
             cfg.make_king_table = True
         elif name == "king_table_filter":
             cfg.king_table_filter = float(args[0])
+        elif name == "min_alleles":
+            cfg.min_alleles = int(args[0])
+        elif name == "max_alleles":
+            cfg.max_alleles = int(args[0])
+        elif name == "var_min_qual":
+            cfg.var_min_qual = float(args[0])
+        elif name == "var_filter":
+            cfg.var_filter = list(args)
+        elif name == "output_chr":
+            valid = ("chr26", "26", "chrM", "chrMT", "M", "MT", "0M", "0MT")
+            if args[0] not in valid:
+                raise FlagError(f"invalid --output-chr value '{args[0]}'")
+            cfg.output_chr = args[0]
+        elif name == "input_missing_phenotype":
+            cfg.input_missing_phenotype = float(args[0])
+        elif name == "require_pheno":
+            cfg.require_pheno = list(args)
+        elif name == "require_covar":
+            cfg.require_covar = list(args)
+        elif name == "prune":
+            cfg.prune = True
+        elif name == "new_id_max_allele_len":
+            ml = int(args[0])
+            mode = args[1] if len(args) > 1 else "error"
+            if mode not in ("error", "missing", "truncate"):
+                raise FlagError(f"invalid --new-id-max-allele-len mode '{mode}'")
+            cfg.new_id_max_allele_len = (ml, mode)
         elif name == "xchr_model":
             cfg.xchr_model = int(args[0])
         elif name == "aperm":
@@ -493,7 +530,15 @@ def parse_args(argv: list[str]) -> Config:
         elif name in ("keep_females", "keep_males"):
             setattr(cfg, name, True)
         else:
-            raise FlagError(f"unrecognized flag '--{name.replace('_', '-')}'")
+            dash = name.replace("_", "-")
+            from .help_data import PLINK2_FLAGS
+
+            if dash in PLINK2_FLAGS:
+                raise FlagError(
+                    f"--{dash} is a plink2 flag that is not implemented in "
+                    "plink-tpu yet."
+                )
+            raise FlagError(f"unrecognized flag '--{dash}'")
     return cfg
 
 
@@ -516,9 +561,13 @@ def _honor_platform_env() -> None:
 
 def main(argv: list[str] | None = None) -> int:
     _honor_platform_env()
+    argv = argv if argv is not None else sys.argv[1:]
+    if argv and argv[0] in ("--help", "-h", "help"):
+        from .help import print_help
+
+        return print_help(argv[1:])
     from .pipeline import run_pipeline
 
-    argv = argv if argv is not None else sys.argv[1:]
     try:
         cfg = parse_args(argv)
     except FlagError as e:

@@ -946,3 +946,103 @@ def indiv_sort_order(ds: Dataset, args: tuple, log: RunLogger) -> np.ndarray:
         order = np.array(sorted(range(len(ids)), key=lambda k: natkey(ids[k])))
     log.log(f"--indiv-sort: {len(order)} samples reordered.")
     return inc[order]
+
+
+def allele_ct_filter(ds: Dataset, min_a: int | None, max_a: int | None,
+                     log: RunLogger) -> None:
+    """--min-alleles / --max-alleles (ref: plink2_filter.cc allele-count
+    branch): keep variants whose allele count is inside [min, max]."""
+    ac = ds.allele_cts()
+    before = ds.variant_ct
+    keep = np.ones(ds.raw_variant_ct, bool)
+    if min_a is not None:
+        keep &= ac >= min_a
+    if max_a is not None:
+        keep &= ac <= max_a
+    ds.variant_mask &= keep
+    removed = before - ds.variant_ct
+    lim = []
+    if min_a is not None:
+        lim.append(f"--min-alleles {min_a}")
+    if max_a is not None:
+        lim.append(f"--max-alleles {max_a}")
+    log.log(
+        f"{' + '.join(lim)}: {removed} variant{'s' if removed != 1 else ''} "
+        "removed."
+    )
+    ds.invalidate_counts()
+
+
+def var_qual_filter(ds: Dataset, min_qual: float, log: RunLogger) -> None:
+    """--var-min-qual: drop variants whose QUAL is missing or below the
+    threshold (ref: plink2_filter.cc qual filter)."""
+    before = ds.variant_ct
+    qual = ds.vi.qual
+    keep = np.zeros(ds.raw_variant_ct, bool)
+    if qual is not None:
+        for i in range(ds.raw_variant_ct):
+            q = qual[i]
+            try:
+                keep[i] = q is not None and float(q) >= min_qual
+            except (TypeError, ValueError):
+                keep[i] = False
+    ds.variant_mask &= keep
+    removed = before - ds.variant_ct
+    log.log(
+        f"--var-min-qual: {removed} variant{'s' if removed != 1 else ''} "
+        "removed."
+    )
+    ds.invalidate_counts()
+
+
+def var_filter_filter(ds: Dataset, keep_vals: list, log: RunLogger) -> None:
+    """--var-filter [values...]: keep variants whose FILTER is PASS (or '.')
+    or one of the listed values (ref: plink2_filter.cc FILTER handling)."""
+    before = ds.variant_ct
+    filt = ds.vi.filt
+    ok = {"PASS", "."} | set(keep_vals)
+    keep = np.ones(ds.raw_variant_ct, bool)
+    if filt is not None:
+        for i in range(ds.raw_variant_ct):
+            f = filt[i]
+            if f is None:
+                continue
+            keep[i] = all(tok in ok for tok in str(f).split(";"))
+    ds.variant_mask &= keep
+    removed = before - ds.variant_ct
+    log.log(
+        f"--var-filter: {removed} variant{'s' if removed != 1 else ''} "
+        "removed."
+    )
+    ds.invalidate_counts()
+
+
+def require_pheno_filter(ds: Dataset, cfg, log: RunLogger) -> None:
+    """--require-pheno / --require-covar / --prune: drop samples with
+    missing values for the named (or all) phenotypes / covariates
+    (ref: plink2_filter.cc RequirePheno)."""
+    before = ds.sample_ct
+    keep = np.ones(ds.raw_sample_ct, bool)
+
+    def _require(names):
+        nonlocal keep
+        sel = names if names else list(ds.si.phenos)
+        for nm in sel:
+            pc = ds.si.phenos.get(nm)
+            if pc is None:
+                raise ValueError(f"--require-pheno: phenotype '{nm}' not found.")
+            keep &= pc.nonmiss
+
+    if cfg.prune or cfg.require_pheno is not None:
+        _require(cfg.require_pheno or [])
+    if cfg.require_covar is not None:
+        # covariates loaded via --covar are handled at GLM time; psam-borne
+        # covariate columns live in the pheno dict here
+        _require(cfg.require_covar or [])
+    ds.sample_mask &= keep
+    removed = before - ds.sample_ct
+    flag = "--prune" if cfg.prune else "--require-pheno"
+    log.log(
+        f"{flag}: {removed} sample{'s' if removed != 1 else ''} removed."
+    )
+    ds.invalidate_counts()

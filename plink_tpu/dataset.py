@@ -296,10 +296,14 @@ def _founders_from_pedigree(si: SampleInfo) -> np.ndarray:
     return np.array([(p == "0" and m == "0") for p, m in zip(si.pat, si.mat)], dtype=bool)
 
 
-def load_dataset(prefix: str, block_size: int = DEFAULT_BLOCK) -> Dataset:
+def load_dataset(prefix: str, block_size: int = DEFAULT_BLOCK,
+                 missing_pheno: float = -9) -> Dataset:
     """Load a .pgen/.pvar/.psam or .bed/.bim/.fam fileset by prefix."""
     if os.path.exists(prefix + ".pgen"):
-        si = read_psam(prefix + (".psam" if os.path.exists(prefix + ".psam") else ".fam"))
+        si = read_psam(
+            prefix + (".psam" if os.path.exists(prefix + ".psam") else ".fam"),
+            missing_pheno=missing_pheno,
+        )
         vi = (
             read_pvar(prefix + ".pvar")
             if os.path.exists(prefix + ".pvar")
@@ -307,7 +311,7 @@ def load_dataset(prefix: str, block_size: int = DEFAULT_BLOCK) -> Dataset:
         )
         reader = PgenReader(prefix + ".pgen", sample_ct=si.sample_ct)
     elif os.path.exists(prefix + ".bed"):
-        si = read_psam(prefix + ".fam")
+        si = read_psam(prefix + ".fam", missing_pheno=missing_pheno)
         vi = read_bim(prefix + ".bim")
         reader = PgenReader(prefix + ".bed", sample_ct=si.sample_ct)
     else:

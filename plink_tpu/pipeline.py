@@ -20,9 +20,11 @@ from .utils.logging import RunLogger, set_logger
 
 def _load(cfg: Config, log: RunLogger) -> Dataset:
     if cfg.pfile:
-        return load_dataset(cfg.pfile)
+        return load_dataset(cfg.pfile,
+                            missing_pheno=cfg.input_missing_phenotype)
     if cfg.bfile:
-        return load_dataset(cfg.bfile)
+        return load_dataset(cfg.bfile,
+                            missing_pheno=cfg.input_missing_phenotype)
     if cfg.pedmap:
         return _import_pedmap(cfg.pedmap, cfg.out, log)
     if cfg.vcf:
@@ -340,6 +342,11 @@ def run_pipeline(cfg: Config) -> int:
         log.log(
             f"{ds.raw_variant_ct} variants and {ds.raw_sample_ct} samples loaded."
         )
+        if cfg.output_chr != "MT":
+            ds.vi.chr_info.set_output_chr(cfg.output_chr)
+        if cfg.prune or cfg.require_pheno is not None \
+                or cfg.require_covar is not None:
+            F.require_pheno_filter(ds, cfg, log)
         if cfg.read_freq:
             # --read-freq: externally supplied allele frequencies override
             # computed ones wherever freqs are consumed
@@ -454,6 +461,12 @@ def run_pipeline(cfg: Config) -> int:
             ds.variant_mask &= ds.vi.pos <= cfg.to_bp
         if cfg.snps_only:
             F.snps_only_filter(ds, cfg.snps_only_acgt, log)
+        if cfg.min_alleles is not None or cfg.max_alleles is not None:
+            F.allele_ct_filter(ds, cfg.min_alleles, cfg.max_alleles, log)
+        if cfg.var_min_qual is not None:
+            F.var_qual_filter(ds, cfg.var_min_qual, log)
+        if cfg.var_filter is not None:
+            F.var_filter_filter(ds, cfg.var_filter, log)
         if cfg.set_all_var_ids:
             F.set_all_var_ids(ds, cfg.set_all_var_ids, log)
         if cfg.set_missing_var_ids:

@@ -45,11 +45,30 @@ class ChrInfo:
             self._contig_names.append(name)
         return self._contigs[name]
 
+    _output_numeric = False
+    _mt_name = "MT"
+
+    def set_output_chr(self, mode: str) -> None:
+        """--output-chr scheme (2.0/plink2_cmdline chr output modes): the MT
+        spelling selects numeric vs lettered sex-chromosome codes and the
+        'chr' prefix."""
+        self._output_chr_prefix = "chr" if mode.startswith("chr") else ""
+        base = mode[3:] if mode.startswith("chr") else mode
+        if base.startswith("0"):
+            base = base[1:]
+        self._output_numeric = base == "26"
+        self._mt_name = "M" if base == "M" else "MT"
+
     def name(self, code: int) -> str:
         if code <= self.autosome_ct:
             return f"{self._output_chr_prefix}{code}"
         if code in _SPECIAL_NAMES:
-            return f"{self._output_chr_prefix}{_SPECIAL_NAMES[code]}"
+            if self._output_numeric:
+                return f"{self._output_chr_prefix}{code}"
+            nm = _SPECIAL_NAMES[code]
+            if code == MT_CODE:
+                nm = self._mt_name
+            return f"{self._output_chr_prefix}{nm}"
         return self._contig_names[code - _FIRST_CONTIG]
 
     def is_haploid(self, code: int, sex: int = 0) -> bool:
