@@ -92,10 +92,16 @@ class Config:
     # commands
     freq: bool = False
     freq_counts: bool = False
+    freq_zs: bool = False
     missing: bool = False
+    missing_zs: bool = False
     hardy: bool = False
     hardy_midp: bool = False
+    hardy_zs: bool = False
     geno_counts: bool = False
+    geno_counts_zs: bool = False
+    write_snplist_zs: bool = False
+    zst_decompress: tuple | None = None
     het: bool = False
     sample_counts: bool = False
     make_pgen: bool = False
@@ -347,13 +353,17 @@ def parse_args(argv: list[str]) -> Config:
         elif name == "freq":
             cfg.freq = True
             cfg.freq_counts = "counts" in args
+            cfg.freq_zs = "zs" in args
         elif name == "missing":
             cfg.missing = True
+            cfg.missing_zs = "zs" in args
         elif name == "hardy":
             cfg.hardy = True
             cfg.hardy_midp = "midp" in args
+            cfg.hardy_zs = "zs" in args
         elif name == "geno_counts":
             cfg.geno_counts = True
+            cfg.geno_counts_zs = "zs" in args
         elif name == "het":
             cfg.het = True
         elif name == "sample_counts":
@@ -366,6 +376,9 @@ def parse_args(argv: list[str]) -> Config:
             cfg.export_fmts = args
         elif name == "write_snplist":
             cfg.write_snplist = True
+            cfg.write_snplist_zs = "zs" in args
+        elif name == "zst_decompress":
+            cfg.zst_decompress = tuple(args)
         elif name == "validate":
             cfg.validate = True
         elif name == "genotyping_rate":

@@ -151,8 +151,9 @@ def ma_alt_counts(ds: Dataset, v: int, alt_total: float,
     return cts
 
 
-def write_freq(ds: Dataset, out_prefix: str, log: RunLogger, founders_only: bool = True) -> str:
-    """--freq -> <out>.afreq."""
+def write_freq(ds: Dataset, out_prefix: str, log: RunLogger,
+               founders_only: bool = True, zs: bool = False) -> str:
+    """--freq -> <out>.afreq[.zst]."""
     alt, obs = allele_counts_and_obs(ds, founders_only)
     if ds.has_dosage:
         for v, (a_, o_) in dosage_counts_and_obs(ds, founders_only).items():
@@ -160,7 +161,10 @@ def write_freq(ds: Dataset, out_prefix: str, log: RunLogger, founders_only: bool
     path = out_prefix + ".afreq"
     ci = ds.vi.chr_info
     prov_hdr, prov_fn = _provref_strs(ds)
-    with open(path, "w") as fh:
+    from ..io.compress import open_out
+
+    fh, path = open_out(path, zs)
+    with fh:
         fh.write(f"#CHROM\tID\tREF\tALT{prov_hdr}\tALT_FREQS\tOBS_CT\n")
         ma = ds.multiallelic_mask()
         smask_f = ds.sample_mask & (
@@ -186,7 +190,8 @@ def write_freq(ds: Dataset, out_prefix: str, log: RunLogger, founders_only: bool
 
 
 def write_missing(
-    ds: Dataset, out_prefix: str, log: RunLogger, sample: bool = True, variant: bool = True
+    ds: Dataset, out_prefix: str, log: RunLogger, sample: bool = True,
+    variant: bool = True, zs: bool = False
 ) -> list[str]:
     """--missing -> <out>.vmiss / <out>.smiss."""
     out_paths = []
@@ -205,7 +210,10 @@ def write_missing(
                 gc.add_block(packed)
             gc_male = gc.result()
         path = out_prefix + ".vmiss"
-        with open(path, "w") as fh:
+        from ..io.compress import open_out
+
+        fh, path = open_out(path, zs)
+        with fh:
             fh.write("#CHROM\tID\tMISSING_CT\tOBS_CT\tF_MISS\n")
             for i in np.flatnonzero(ds.variant_mask):
                 if gc_male is not None and ds.vi.chrom[i] == Y_CODE:
@@ -234,7 +242,10 @@ def write_missing(
         vct_all = int(vmask.sum())
         path = out_prefix + ".smiss"
         pheno_names = list(ds.si.phenos)
-        with open(path, "w") as fh:
+        from ..io.compress import open_out
+
+        fh, path = open_out(path, zs)
+        with fh:
             pheno_hdr = "".join(f"\t{n}" for n in pheno_names)
             fh.write(f"{ds.si.id_header()}{pheno_hdr}\tMISSING_CT\tOBS_CT\tF_MISS\n")
             for s in np.flatnonzero(ds.sample_mask):
@@ -255,7 +266,8 @@ def write_missing(
 
 
 def write_hardy(
-    ds: Dataset, out_prefix: str, log: RunLogger, midp: bool = False, founders_only: bool = True
+    ds: Dataset, out_prefix: str, log: RunLogger, midp: bool = False,
+    founders_only: bool = True, zs: bool = False
 ) -> str:
     """--hardy -> <out>.hardy (autosomal) and, when chrX variants are
     present, <out>.hardy.x with the Graffelman-Weir female+male exact test
@@ -281,7 +293,10 @@ def write_hardy(
     pvals = hwe_exact_pvals(hom_ref, het, hom_alt, midp=midp)
     path = out_prefix + ".hardy"
     ci = ds.vi.chr_info
-    with open(path, "w") as fh:
+    from ..io.compress import open_out
+
+    fh, path = open_out(path, zs)
+    with fh:
         fh.write("#CHROM\tID\tA1\tAX\tHOM_A1_CT\tHET_A1_CT\tTWO_AX_CT\tO(HET_A1)\tE(HET_A1)\tP\n")
         for i in np.flatnonzero(ds.variant_mask):
             if ds.vi.chrom[i] in (X_CODE, Y_CODE, MT_CODE):
@@ -357,7 +372,8 @@ def write_hardy(
     return path
 
 
-def write_geno_counts(ds: Dataset, out_prefix: str, log: RunLogger) -> str:
+def write_geno_counts(ds: Dataset, out_prefix: str, log: RunLogger,
+                      zs: bool = False) -> str:
     """--geno-counts -> <out>.gcount.
 
     Hethap handling verified against the reference (mixed-chromosome panel):
@@ -371,7 +387,10 @@ def write_geno_counts(ds: Dataset, out_prefix: str, log: RunLogger) -> str:
     path = out_prefix + ".gcount"
     ci = ds.vi.chr_info
     prov_hdr, prov_fn = _provref_strs(ds)
-    with open(path, "w") as fh:
+    from ..io.compress import open_out
+
+    fh, path = open_out(path, zs)
+    with fh:
         fh.write(
             f"#CHROM\tID\tREF\tALT{prov_hdr}\tHOM_REF_CT\tHET_REF_ALT_CTS\tTWO_ALT_GENO_CTS"
             "\tHAP_REF_CT\tHAP_ALT_CTS\tMISSING_CT\n"

@@ -20,6 +20,7 @@ import numpy as np
 from ..dataset import Dataset
 from ..ops.pairwise import _unpack_np
 from ..utils.logging import RunLogger
+from .basic_reports import _provref_strs
 
 _GT_LUT = np.frombuffer(b"\t0/0\t0/1\t1/1\t./.", dtype=np.uint8).reshape(4, 4)
 
@@ -33,7 +34,7 @@ def run_export(ds: Dataset, cfg, log: RunLogger) -> None:
                 a.startswith("vcf-dosage=") for a in fmts
             )
             _export_vcf(ds, cfg, log, with_ds=ds_mode)
-        elif fmt.startswith("vcf-dosage="):
+        elif fmt.startswith("vcf-dosage=") or fl == "bgz":
             continue
         elif fmt == "A":
             _export_raw(ds, cfg, log, with_het=False)
@@ -241,6 +242,7 @@ def _export_vcf(ds: Dataset, cfg, log: RunLogger, with_ds: bool = False) -> None
     inc_v = np.flatnonzero(ds.variant_mask)
     path = cfg.out + ".vcf"
     ci = vi.chr_info
+    bgz = "bgz" in cfg.export_fmts or "vcf-4.2-bgz" in cfg.export_fmts
     chroms_present = []
     seen = set()
     for c in vi.chrom[inc_v]:
@@ -248,12 +250,27 @@ def _export_vcf(ds: Dataset, cfg, log: RunLogger, with_ds: bool = False) -> None
             seen.add(c)
             chroms_present.append(c)
     use_fid = si.has_fid and any(str(si.fid[i]) != "0" for i in inc_s)
-    with open(path, "wb") as f:
+    if bgz:
+        from ..io.compress import BgzfWriter
+
+        path += ".gz"
+        out_cm = BgzfWriter(path)
+    else:
+        out_cm = open(path, "wb")
+    with out_cm as f:
         hdr = "##fileformat=VCFv4.3\n"
         hdr += f"##fileDate={time.strftime('%Y%m%d')}\n"
         hdr += "##source=PLINKv2.0\n"
         for c in chroms_present:
             hdr += f"##contig=<ID={ci.name(int(c))}>\n"
+        _, prov_fn = _provref_strs(ds)
+        any_prov = any(
+            prov_fn(int(v)).lstrip("\t") == "Y" for v in inc_v
+        )
+        if any_prov:
+            hdr += ('##INFO=<ID=PR,Number=0,Type=Flag,Description='
+                    '"Provisional reference allele, may not be based on '
+                    'real reference genome">\n')
         hdr += '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
         if with_ds:
             hdr += ('##FORMAT=<ID=DS,Number=A,Type=Float,Description='
@@ -319,6 +336,8 @@ def _export_vcf(ds: Dataset, cfg, log: RunLogger, with_ds: bool = False) -> None
                 q = "." if qual is None or qual[i] is None else str(qual[i])
                 fl = "." if filt is None or filt[i] is None else str(filt[i])
                 inf = "." if info is None or info[i] is None else str(info[i])
+                if any_prov and prov_fn(int(i)).lstrip("\t") == "Y":
+                    inf = "PR" if inf == "." else inf + ";PR"
                 fmt_col = "GT:DS" if with_ds else "GT"
                 meta = (
                     f"{ci.name(int(vi.chrom[i]))}\t{vi.pos[i]}\t{vi.vid[i]}\t"

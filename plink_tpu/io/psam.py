@@ -69,15 +69,11 @@ class SampleInfo:
 
 
 def _open_text(path: str):
-    if path.endswith(".gz"):
-        return gzip.open(path, "rt")
-    if path.endswith(".zst"):
-        import io
-        import subprocess
+    """Plain / gzip-BGZF / zstd text input, sniffed by magic bytes (role of
+    the reference's TextStream format detection, 2.0/include/plink2_text)."""
+    from .compress import open_text_auto
 
-        p = subprocess.run(["zstd", "-dc", path], capture_output=True, check=True)
-        return io.StringIO(p.stdout.decode())
-    return open(path, "rt")
+    return open_text_auto(path)
 
 
 _BINARY_OK = {"1", "2", "-9", "0", "NA", "na", "nan", "NaN", "NAN", "Na"}

@@ -314,6 +314,13 @@ def _generate_dummy(cfg: Config, log: RunLogger) -> Dataset:
 
 
 def run_pipeline(cfg: Config) -> int:
+    if cfg.zst_decompress:
+        from .io.compress import zst_decompress
+
+        return zst_decompress(
+            cfg.zst_decompress[0],
+            cfg.zst_decompress[1] if len(cfg.zst_decompress) > 1 else None,
+        )
     log = RunLogger(cfg.out, silent=cfg.silent)
     set_logger(log)
     log.banner(["plink2t"] + cfg.argv)
@@ -493,16 +500,18 @@ def run_pipeline(cfg: Config) -> int:
         from .commands import basic_reports as R
 
         if cfg.freq:
-            R.write_freq(ds, cfg.out, log, founders_only=not cfg.nonfounders)
+            R.write_freq(ds, cfg.out, log, founders_only=not cfg.nonfounders,
+                         zs=cfg.freq_zs)
         if cfg.geno_counts:
-            R.write_geno_counts(ds, cfg.out, log)
+            R.write_geno_counts(ds, cfg.out, log, zs=cfg.geno_counts_zs)
         if cfg.missing:
-            R.write_missing(ds, cfg.out, log)
+            R.write_missing(ds, cfg.out, log, zs=cfg.missing_zs)
         if cfg.geno is not None:
             F.geno_filter(ds, cfg.geno, log)
         if cfg.hardy:
             R.write_hardy(ds, cfg.out, log, midp=cfg.hardy_midp,
-                          founders_only=not cfg.nonfounders)
+                          founders_only=not cfg.nonfounders,
+                          zs=cfg.hardy_zs)
         if cfg.hwe is not None:
             F.hwe_filter(ds, cfg.hwe, cfg.hwe_midp, log)
         if any(v is not None for v in (cfg.maf, cfg.max_maf, cfg.mac, cfg.max_mac)):
@@ -567,8 +576,10 @@ def run_pipeline(cfg: Config) -> int:
                     f.write((f"{si.fid[i]}\t{si.iid[i]}" if use_fid else str(si.iid[i])) + "\n")
             log.log(f"--write-samples: Sample IDs written to {path} .")
         if cfg.write_snplist:
-            path = cfg.out + ".snplist"
-            with open(path, "w") as f:
+            from .io.compress import open_out
+
+            f, path = open_out(cfg.out + ".snplist", cfg.write_snplist_zs)
+            with f:
                 for i in np.flatnonzero(ds.variant_mask):
                     f.write(str(ds.vi.vid[i]) + "\n")
             log.log(f"--write-snplist: IDs written to {path} .")

@@ -141,3 +141,35 @@ def test_ma_reader_matches_vcf_truth(ma_vcf):
             want = truth[int(ds.vi.pos[v])]
             for i in range(ds.raw_sample_ct):
                 assert tuple(sorted(got[i])) == want[i], (stem, v, i)
+
+
+def test_zst_outputs_and_bgz_export(ma_vcf):
+    """'zs' report modifiers and --export vcf bgz (content parity with the
+    oracle; our BGZF blocks differ byte-wise from libdeflate's but carry
+    the standard EOF marker)."""
+    d = ma_vcf
+    import gzip
+
+    import zstandard
+
+    run_oracle(["--pfile", "omap", "--freq", "zs", "--out", "oz"], str(d))
+    run_tpu(["--pfile", "tmap", "--freq", "zs", "--out", "tz", "--silent"],
+            str(d))
+    dctx = zstandard.ZstdDecompressor()
+    a = dctx.decompress((d / "oz.afreq.zst").read_bytes(),
+                        max_output_size=1 << 26)
+    b = dctx.decompress((d / "tz.afreq.zst").read_bytes(),
+                        max_output_size=1 << 26)
+    assert a == b
+    run_oracle(["--pfile", "omap", "--export", "vcf", "bgz", "--out", "ob"],
+               str(d))
+    run_tpu(["--pfile", "tmap", "--export", "vcf", "bgz", "--out", "tb",
+             "--silent"], str(d))
+    oa = [l for l in gzip.open(d / "ob.vcf.gz", "rt")
+          if not l.startswith("##")]
+    tb = [l for l in gzip.open(d / "tb.vcf.gz", "rt")
+          if not l.startswith("##")]
+    assert oa == tb
+    raw = (d / "tb.vcf.gz").read_bytes()
+    assert raw.endswith(bytes.fromhex(
+        "1f8b08040000000000ff0600424302001b0003000000000000000000"))
