@@ -1788,12 +1788,315 @@ def _glm_dosage(
     ds, cfg, log, pheno_name, ydata, smask, cov_names, cov_data, a1_is_alt,
     hide_covar, kind, always_firth, no_firth, local_info=None,
 ):
-    """GLM over dosage-bearing datasets: per-variant f64 host regressions on
-    the fused ALT-dosage vector (the reference's dosage GLM uses the same
-    dense dosage column; GlmMain dosage path).  ADD model only so far; the
-    f32 plane kernels cannot represent fractional dosages.  Perf note: this
-    is a host path -- kernelize with dense-G device IRLS when dosage data
-    hits benchmark scale."""
+    """GLM over dosage-bearing datasets: dense-G batched device IRLS/OLS on
+    the fused ALT-dosage matrix (the reference's dosage GLM builds the same
+    dense dosage column per variant; GlmMain dosage path,
+    2.0/plink2_glm.cc:2395).  ADD model only so far.  Rows the f32 kernels
+    cannot resolve to reference precision (low minor-dosage counts,
+    quasi-separation, non-convergence) are refined per-variant in f64 on
+    the host, mirroring the hardcall hybrid split.  Local-covariate runs
+    stay on the host path (per-variant covariate columns defeat the shared
+    c-matrix contraction)."""
+    if local_info is not None:
+        return _glm_dosage_host(
+            ds, cfg, log, pheno_name, ydata, smask, cov_names, cov_data,
+            a1_is_alt, hide_covar, kind, always_firth, no_firth, local_info,
+        )
+    import jax.numpy as jnp
+
+    from ..ops.glm import dense_cc_block, dense_firth_block, dense_qt_block
+    from ..stats.distributions import t_logp_2sided, zstat_logp_2sided
+
+    mods = set(cfg.glm_modifiers)
+    if mods & (_GLM_MODEL_MODS | {"interaction"}):
+        raise NotImplementedError(
+            "--glm genotype models with dosage data are not supported yet"
+        )
+    log10 = "log10" in mods
+    intercept = "intercept" in mods
+    inc = np.flatnonzero(smask)
+    n = inc.size
+    y = ydata[inc].astype(np.float64)
+    k = len(cov_names)
+    dc = k + 1
+    d = dc + 1
+    c = np.concatenate([np.ones((n, 1)), cov_data[inc]], axis=1)
+
+    chrom, provref, a1, omitted = _row_meta(ds, a1_is_alt)
+    vi = ds.vi
+    is_cc = kind == "cc"
+    if is_cc:
+        suffix = "glm.firth" if always_firth else (
+            "glm.logistic" if no_firth else "glm.logistic.hybrid"
+        )
+    else:
+        suffix = "glm.linear"
+    path = f"{cfg.out}.{pheno_name}.{suffix}"
+    firth_col = is_cc and not always_firth and not no_firth
+    p_col = "NEG_LOG10_P" if log10 else "P"
+    f = open(path, "w")
+    if is_cc:
+        f.write(
+            "#CHROM\tPOS\tID\tREF\tALT\tPROVISIONAL_REF?\tA1\tOMITTED\t"
+            "A1_FREQ\t" + ("FIRTH?\t" if firth_col else "")
+            + f"TEST\tOBS_CT\tOR\tLOG(OR)_SE\tZ_STAT\t{p_col}\tERRCODE\n"
+        )
+    else:
+        f.write(
+            "#CHROM\tPOS\tID\tREF\tALT\tPROVISIONAL_REF?\tA1\tOMITTED\t"
+            f"A1_FREQ\tTEST\tOBS_CT\tBETA\tSE\tT_STAT\t{p_col}\tERRCODE\n"
+        )
+    tests = (["INTERCEPT"] if intercept else []) + ["ADD"]
+    if not hide_covar:
+        tests += list(cov_names)
+    test_pred = {"INTERCEPT": 0, "ADD": dc}
+    for j, cn in enumerate(cov_names):
+        test_pred[cn] = 1 + j
+    add_results: list[tuple[int, float]] = []
+
+    npad = -(-max(n, 1) // 128) * 128
+    cpad = np.zeros((npad, dc), np.float32)
+    cpad[:n] = c
+    ypad = np.zeros(npad, np.float32)
+    ypad[:n] = y
+    maskpad = np.zeros(npad, np.float32)
+    maskpad[:n] = 1.0
+    c32 = jnp.asarray(cpad)
+    y32 = jnp.asarray(ypad)
+    m32 = jnp.asarray(maskpad)
+
+    vsel = np.flatnonzero(ds.variant_mask)
+    # block size: dense G + finite mask stay under ~0.5 GB on device
+    vb = int(min(512, max(16, (1 << 26) // max(npad, 1))))
+
+    def read_block(vblk):
+        nv = len(vblk)
+        gh = np.zeros((vb, npad), np.float32)
+        fh = np.zeros((vb, npad), np.float32)
+        graw = np.empty((nv, n), np.float64)
+        for i, v in enumerate(vblk):
+            row = ds.dosage_row(int(v))[inc]
+            gi = row if a1_is_alt[v] else 2.0 - row
+            graw[i] = gi
+            fin = np.isfinite(gi)
+            gh[i, :n] = np.where(fin, gi, 0.0)
+            fh[i, :n] = fin
+        return gh, fh, graw
+
+    def exact_s_of(graw, i):
+        gi = graw[i]
+        val = np.isfinite(gi)
+        X = np.column_stack([c[val], gi[val]])
+        return X.T @ X
+
+    for b0 in range(0, len(vsel), vb):
+        vblk = vsel[b0 : b0 + vb]
+        nv = len(vblk)
+        gh, fh, graw = read_block(vblk)
+        gd = jnp.asarray(gh)
+        fd = jnp.asarray(fh)
+        # exact f64 per-variant dosage sums on the host (the f32 device sums
+        # cannot resolve the const-allele / separation thresholds at scale)
+        g0 = np.where(np.isfinite(graw), graw, 0.0)
+        fin64 = np.isfinite(graw)
+        obs = fin64.sum(axis=1)
+        g_tot = g0.sum(axis=1)
+        g_ssq = (g0 * g0).sum(axis=1)
+        g_case = g0 @ y if is_cc else None
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gvar = g_ssq - np.where(obs > 0, g_tot * g_tot / np.maximum(obs, 1), 0.0)
+            mac = np.minimum(g_tot, 2.0 * obs - g_tot)
+
+        if not is_cc:
+            outs = dense_qt_block(gd, fd, c32, y32, m32, dc)
+            xtx_a, xty_a, yy_a = (np.asarray(x, np.float64) for x in outs[:3])
+        else:
+            outs = dense_cc_block(gd, fd, c32, y32, m32, dc, always_firth)
+            xtx_a = np.asarray(outs[0], np.float64)
+            beta_a = np.asarray(outs[4], np.float64)
+            se_a = np.asarray(outs[5], np.float64)
+            conv_a = np.asarray(outs[6]).copy()
+            fail_a = np.asarray(outs[7]).copy()
+            unf_a = np.asarray(outs[8]).copy()
+            invalid_a = np.asarray(outs[10]).copy()
+            used_firth = np.full(vb, bool(always_firth))
+            if not always_firth and not no_firth:
+                sep = (g_case <= 0.0) | (g_case >= g_tot)
+                need_firth = np.zeros(vb, bool)
+                need_firth[:nv] = (sep | fail_a[:nv]) & (gvar > 1e-12)
+                if need_firth.any():
+                    fouts = dense_firth_block(gd, fd, c32, y32, m32, dc)
+                    fb = np.asarray(fouts[0], np.float64)
+                    fse = np.asarray(fouts[1], np.float64)
+                    fconv = np.asarray(fouts[2])
+                    ffail = np.asarray(fouts[3])
+                    funf = np.asarray(fouts[4])
+                    finv = np.asarray(fouts[6])
+                    m = need_firth
+                    beta_a[m], se_a[m] = fb[m], fse[m]
+                    conv_a[m], fail_a[m], unf_a[m] = fconv[m], ffail[m], funf[m]
+                    invalid_a[m] = finv[m]
+                    used_firth = need_firth
+
+        for i in range(nv):
+            v = int(vblk[i])
+            nm = int(obs[i])
+            meta = (
+                f"{chrom[v]}\t{vi.pos[v]}\t{vi.vid[v]}\t{vi.ref[v]}\t"
+                f"{vi.alt[v]}\t{provref[v]}\t{a1[v]}\t{omitted[v]}\t"
+                f"{g6(g_tot[i] / (2 * nm)) if nm else 'NA'}"
+            )
+
+            def emit_bad(ec, firth_str="N"):
+                fcol = f"{firth_str}\t" if firth_col else ""
+                for tname in tests:
+                    f.write(
+                        f"{meta}\t{fcol}{tname}\t{nm}\tNA\tNA\tNA\tNA\t{ec}\n"
+                    )
+
+            if nm <= d:
+                emit_bad("SAMPLE_CT<=PREDICTOR_CT")
+                continue
+            if gvar[i] <= 1e-12:
+                emit_bad("CONST_OMITTED_ALLELE")
+                continue
+            ce = _collinearity_err_checked(
+                xtx_a[i], float(nm), lambda: exact_s_of(graw, i)
+            )
+            if ce is not None:
+                emit_bad(ce)
+                continue
+            if not is_cc:
+                refine = (
+                    mac[i] < 30.0
+                    or not np.all(np.isfinite(xty_a[i]))
+                    or nm < 4096
+                )
+                if refine:
+                    s = exact_s_of(graw, i)
+                    gi = graw[i]
+                    val = np.isfinite(gi)
+                    X = np.column_stack([c[val], gi[val]])
+                    xty = X.T @ y[val]
+                    yy = float(y[val] @ y[val])
+                else:
+                    s, xty, yy = xtx_a[i], xty_a[i], float(yy_a[i])
+                try:
+                    inv = np.linalg.inv(s)
+                except np.linalg.LinAlgError:
+                    emit_bad("RANK_DEFICIENT")
+                    continue
+                bvec = inv @ xty
+                rss = float(yy - bvec @ xty)
+                dof = nm - d
+                sigma2 = rss / dof
+                diag = np.diag(inv)
+                if sigma2 < 0 or (diag <= 0).any():
+                    emit_bad("INVALID_RESULT")
+                    continue
+                se = np.sqrt(sigma2 * diag)
+                tstat = bvec / se
+                logp = np.asarray(t_logp_2sided(tstat, np.full(d, float(dof))))
+                add_results.append((v, float(logp[dc])))
+                for tname in tests:
+                    pi = test_pred[tname]
+                    f.write(
+                        f"{meta}\t{tname}\t{nm}\t{g6(bvec[pi])}\t{g6(se[pi])}\t"
+                        f"{g6(tstat[pi])}\t{_p_str(logp[pi], log10)}\t.\n"
+                    )
+                continue
+            # logistic / firth
+            sep_i = g_case[i] <= 0.0 or g_case[i] >= g_tot[i]
+            if no_firth and sep_i:
+                emit_bad("SEPARATION")
+                continue
+            uf = bool(used_firth[i]) if not no_firth else False
+            bvec, sev = beta_a[i], se_a[i]
+            conv_i, fail_i, unf_i, inval_i = (
+                bool(conv_a[i]), bool(fail_a[i]), bool(unf_a[i]),
+                bool(invalid_a[i]),
+            )
+            with np.errstate(invalid="ignore"):
+                ext = (
+                    not conv_i or fail_i or unf_i or mac[i] < 30.0
+                    or np.abs(bvec[dc:]).max() > 5.0 or sev[dc:].max() > 5.0
+                    or nm < 4096
+                )
+            if ext:
+                gi = graw[i]
+                val = np.isfinite(gi)
+                X = np.column_stack([c[val], gi[val]])
+                yv = y[val]
+                res = None
+                uf = always_firth
+                if not always_firth and not sep_i:
+                    res = _logistic_f64(X, yv)
+                if res is None and not always_firth:
+                    if no_firth:
+                        emit_bad(
+                            "SEPARATION" if sep_i else "LOGISTIC_CONVERGE_FAIL"
+                        )
+                        continue
+                    uf = True
+                if uf:
+                    res = _firth_f64(X, yv)
+                    if res is None:
+                        emit_bad("FIRTH_CONVERGE_FAIL", "Y" if firth_col else "N")
+                        continue
+                bvec, sev, hinv_, conv_i, unf_i = res
+                dg = np.diag(hinv_)
+                inval_i = bool(((dg[1:] < 1e-20) | ~np.isfinite(dg[1:])).any())
+                with np.errstate(invalid="ignore"):
+                    sd = np.sqrt(dg)
+                for i_ in range(1, d):
+                    for j_ in range(i_):
+                        if hinv_[i_, j_] > 0.99999 * sd[i_] * sd[j_]:
+                            inval_i = True
+            else:
+                if fail_i:
+                    emit_bad(
+                        "FIRTH_CONVERGE_FAIL" if uf or always_firth
+                        else "LOGISTIC_CONVERGE_FAIL",
+                        "Y" if (uf and firth_col) else "N",
+                    )
+                    continue
+            if inval_i:
+                emit_bad("INVALID_RESULT", "Y" if uf and firth_col else "N")
+                continue
+            with np.errstate(divide="ignore", invalid="ignore"):
+                z = np.where(sev > 0, bvec / sev, np.nan)
+            logp = np.asarray(zstat_logp_2sided(np.nan_to_num(z)))
+            add_results.append((v, float(logp[dc])))
+            ok_err = "UNFINISHED" if unf_i else ERR_OK
+            fstr = ("Y" if uf else "N") if firth_col else None
+            fcol = f"{fstr}\t" if firth_col else ""
+            for tname in tests:
+                pi = test_pred[tname]
+                if not np.isfinite(bvec[pi]) or not np.isfinite(sev[pi]):
+                    f.write(
+                        f"{meta}\t{fcol}{tname}\t{nm}\tNA\tNA\tNA\tNA\t"
+                        "INVALID_RESULT\n"
+                    )
+                else:
+                    f.write(
+                        f"{meta}\t{fcol}{tname}\t{nm}\t"
+                        f"{g6(np.exp(bvec[pi]))}\t{g6(sev[pi])}\t{g6(z[pi])}\t"
+                        f"{_p_str(logp[pi], log10)}\t{ok_err}\n"
+                    )
+    f.close()
+    log.log(f"Results written to {path} .")
+    if getattr(cfg, "adjust", False):
+        from .adjust import write_adjusted
+
+        write_adjusted(ds, cfg, log, pheno_name, suffix, add_results, a1)
+
+
+def _glm_dosage_host(
+    ds, cfg, log, pheno_name, ydata, smask, cov_names, cov_data, a1_is_alt,
+    hide_covar, kind, always_firth, no_firth, local_info=None,
+):
+    """Host-loop dosage GLM retained for local-covariate runs (per-variant
+    covariate columns; ref GlmMain local-covar path)."""
     mods = set(cfg.glm_modifiers)
     if mods & (_GLM_MODEL_MODS | {"interaction"}):
         raise NotImplementedError(

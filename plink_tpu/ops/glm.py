@@ -177,28 +177,10 @@ def _moments_body(
     return h
 
 
-def _logistic_body(
-    packed: jax.Array,  # [vb, NB] uint8
-    gw: jax.Array,  # [vb, P, 3] f32 plane weights (H, A, V) per geno predictor
-    c: jax.Array,  # [n, dc] f32 covariates incl. intercept
-    y: jax.Array,  # [n] f32 in {0, 1}
-    mask: jax.Array,  # [n] f32: 1 = sample in this pheno's set
-    dc: int,
-    np_: int = 1,  # geno predictor count P
-    covj: tuple = (),  # per-predictor covariate column to multiply in
-    # (0 = intercept column = no-op); expresses GxC interaction predictors
-):
-    """Batched logistic IRLS, one variant per row, arbitrary genotype model.
-
-    Genotype predictors are plane linear combinations G_p = wH*H + wA*A +
-    wV*V (flip-resolved per variant on the host), so ADD/DOMDEV/DOM/REC/
-    hetonly/genotypic all run through the same kernel.  Design per variant:
-    [c (dc cols) | G_1..G_P] -> d = dc + P; samples with missing genotype
-    are dropped per-variant by zeroing their weights.
-
-    Returns (beta [vb, d], se [vb, d], loglik [vb], converged, failed,
-    unfinished, obs_ct).
-    """
+def _plane_cols(packed, gw, c, mask, np_, covj):
+    """Decode packed hardcalls into per-variant genotype predictor columns
+    G_p = wH*H + wA*A + wV*V (plane linear combinations, flip-resolved per
+    variant on the host) and the per-variant validity mask."""
     codes = unpack_codes(packed, 0)
     b0f = (codes & 1).astype(jnp.float32)
     b1f = ((codes >> 1) & 1).astype(jnp.float32)
@@ -206,21 +188,23 @@ def _logistic_body(
     valid = (1.0 - missp) * mask[None, :]
     hpl = (b0f - missp) * valid
     apl = (b1f - missp) * valid
+    gcols = [
+        (gw[:, p, 0:1] * hpl + gw[:, p, 1:2] * apl + gw[:, p, 2:3] * valid)
+        * (c[None, :, covj[p]] if covj and covj[p] else 1.0)
+        for p in range(np_)
+    ]
+    return gcols, valid
+
+
+def _design_ops(gcols, valid, c, dc):
+    """Shared X^T-contraction helpers for the design [c | G_1..G_P], where
+    the G_p are any dense [vb, n] columns (plane combinations for hardcalls,
+    fractional dosages for the dense path).  Every contraction is an MXU
+    matmul over the sample axis."""
     vb, n = valid.shape
-    P = np_
+    P = len(gcols)
     d = dc + P
     hi = lax.Precision.HIGHEST
-
-    def gcol(p):
-        base = gw[:, p, 0:1] * hpl + gw[:, p, 1:2] * apl + gw[:, p, 2:3] * valid
-        if covj and covj[p]:
-            base = base * c[None, :, covj[p]]
-        return base
-
-    gcols = [gcol(p) for p in range(P)]
-    yv = y[None, :] * valid  # [vb, n]
-    obs = jnp.sum(valid, axis=1)
-
     ccfl = (c[:, :, None] * c[:, None, :]).reshape(n, dc * dc)
 
     def xtv(w):  # X^T w for every variant: [vb, n] -> [vb, d]
@@ -252,6 +236,22 @@ def _logistic_body(
         for p in range(P):
             e = e + beta[:, dc + p : dc + p + 1] * gcols[p]
         return e * valid
+
+    return vb, n, d, ccfl, xtv, hessian, eta_of
+
+
+def _logistic_core(gcols, valid, c, y, dc):
+    """Batched logistic IRLS, one variant per row, arbitrary genotype model.
+
+    Design per variant: [c (dc cols) | G_1..G_P] -> d = dc + P; samples with
+    missing genotype are dropped per-variant by zeroing their weights.
+
+    Returns (beta [vb, d], se [vb, d], loglik [vb], converged, failed,
+    unfinished, obs_ct, hinv).
+    """
+    vb, n, d, ccfl, xtv, hessian, eta_of = _design_ops(gcols, valid, c, dc)
+    yv = y[None, :] * valid  # [vb, n]
+    obs = jnp.sum(valid, axis=1)
 
     def loglik_of(p, eta):
         # f64 accumulation so the 1e-8-relative convergence test below can
@@ -319,75 +319,39 @@ def _logistic_body(
     return beta, se, ll, conv, failed, unfinished, obs, hinv
 
 
-def _firth_body(
-    packed: jax.Array,
-    gw: jax.Array,  # [vb, P, 3] plane weights
-    c: jax.Array,
-    y: jax.Array,
-    mask: jax.Array,
+def _logistic_body(
+    packed: jax.Array,  # [vb, NB] uint8
+    gw: jax.Array,  # [vb, P, 3] f32 plane weights (H, A, V) per geno predictor
+    c: jax.Array,  # [n, dc] f32 covariates incl. intercept
+    y: jax.Array,  # [n] f32 in {0, 1}
+    mask: jax.Array,  # [n] f32: 1 = sample in this pheno's set
     dc: int,
-    np_: int = 1,
-    covj: tuple = (),
+    np_: int = 1,  # geno predictor count P
+    covj: tuple = (),  # per-predictor covariate column to multiply in
+    # (0 = intercept column = no-op); expresses GxC interaction predictors
 ):
+    """Plane front-end for _logistic_core: ADD/DOMDEV/DOM/REC/hetonly/
+    genotypic all run through the same kernel."""
+    gcols, valid = _plane_cols(packed, gw, c, mask, np_, covj)
+    return _logistic_core(gcols, valid, c, y, dc)
+
+
+def _firth_core(gcols, valid, c, y, dc):
     """Batched Firth penalized-likelihood regression, a faithful port of the
     reference's logistf-derived algorithm (FirthRegressionD,
     2.0/plink2_glm_logistic.cc:3049-3185), generalized to arbitrary
-    plane-combination genotype predictors:
+    genotype predictor columns:
       hdiag_s = v_s * x_s^T (X^T V X)^-1 x_s           (hat diagonal)
       ustar   = X^T [(y - p) + hdiag*(0.5 - p)]        (penalized score)
       step    = (X^T (1+hdiag) V X)^-1 ustar           ("second weights")
       step components capped at maxstep=5, convergence when
       delta_max <= 1e-5 AND max|ustar| < 1e-5 AND dloglik < 1e-5 (iter >= 1),
       max 25 iterations; SE from the second-weight covariance inv."""
-    codes = unpack_codes(packed, 0)
-    b0f = (codes & 1).astype(jnp.float32)
-    b1f = ((codes >> 1) & 1).astype(jnp.float32)
-    missp = b0f * b1f
-    valid = (1.0 - missp) * mask[None, :]
-    hpl = (b0f - missp) * valid
-    apl = (b1f - missp) * valid
-    vb, n = valid.shape
-    P = np_
-    d = dc + P
+    vb, n, d, ccfl, xtv, hessian, eta_of = _design_ops(gcols, valid, c, dc)
+    P = len(gcols)
     hi = lax.Precision.HIGHEST
-    gcols = [
-        (gw[:, p, 0:1] * hpl + gw[:, p, 1:2] * apl + gw[:, p, 2:3] * valid)
-        * (c[None, :, covj[p]] if covj and covj[p] else 1.0)
-        for p in range(P)
-    ]
     yv = y[None, :] * valid
     obs = jnp.sum(valid, axis=1)
-    ccfl = (c[:, :, None] * c[:, None, :]).reshape(n, dc * dc)
-
-    def xtv(w):
-        cw = lax.dot_general(w, c, (((1,), (0,)), ((), ())), precision=hi,
-                             preferred_element_type=jnp.float32)
-        parts = [cw] + [jnp.sum(w * g, axis=1)[:, None] for g in gcols]
-        return jnp.concatenate(parts, axis=1)
-
-    def hessian(w):
-        a = lax.dot_general(w, ccfl, (((1,), (0,)), ((), ())), precision=hi,
-                            preferred_element_type=jnp.float32).reshape(vb, dc, dc)
-        h = jnp.zeros((vb, d, d), jnp.float32)
-        h = h.at[:, :dc, :dc].set(a)
-        for p in range(P):
-            wg_p = w * gcols[p]
-            cg = lax.dot_general(wg_p, c, (((1,), (0,)), ((), ())), precision=hi,
-                                 preferred_element_type=jnp.float32)
-            h = h.at[:, :dc, dc + p].set(cg)
-            h = h.at[:, dc + p, :dc].set(cg)
-            for q in range(p, P):
-                gg = jnp.sum(wg_p * gcols[q], axis=1)
-                h = h.at[:, dc + p, dc + q].set(gg)
-                h = h.at[:, dc + q, dc + p].set(gg)
-        return h
-
-    def eta_of(beta):
-        e = lax.dot_general(beta[:, :dc], c, (((1,), (1,)), ((), ())),
-                            precision=hi, preferred_element_type=jnp.float32)
-        for p in range(P):
-            e = e + beta[:, dc + p : dc + p + 1] * gcols[p]
-        return e * valid
 
     def hat_diag(w, hinv):
         # h_s = w_s * x_s^T Hinv x_s without materializing [vb, n, d]
@@ -471,6 +435,83 @@ def _firth_body(
     se = jnp.sqrt(jnp.maximum(jax.vmap(jnp.diag)(h2inv_last), 0.0))
     unfinished = ~conv & ~failed
     return beta, se, pll, conv, failed, unfinished, obs, h2inv_last
+
+
+def _firth_body(
+    packed: jax.Array,
+    gw: jax.Array,  # [vb, P, 3] plane weights
+    c: jax.Array,
+    y: jax.Array,
+    mask: jax.Array,
+    dc: int,
+    np_: int = 1,
+    covj: tuple = (),
+):
+    """Plane front-end for _firth_core."""
+    gcols, valid = _plane_cols(packed, gw, c, mask, np_, covj)
+    return _firth_core(gcols, valid, c, y, dc)
+
+
+# ---------------------------------------------------------------------------
+# dense-G kernels (dosage GLM): the genotype predictor is a fractional
+# [vb, n] dosage matrix instead of a plane combination; everything else
+# (IRLS cores, moments, validParameters) is shared with the hardcall path.
+# Ref dosage design-matrix path: 2.0/plink2_glm.cc:2395.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("dc", "firth"))
+def dense_cc_block(g, fin, c, y, mask, dc, firth=False):
+    """One fused device pass for a dosage case/control block.
+
+    g [vb, n] f32 A1 dosages (missing -> 0), fin [vb, n] f32 finite mask.
+    Returns (xtx, g_case, g_tot, g_ssq, beta, se, conv, fail, unf, obs,
+    invalid, hinv)."""
+    valid = fin * mask[None, :]
+    gv = g * valid
+    gcols = [gv]
+    _, _, d, _, _, hessian, _ = _design_ops(gcols, valid, c, dc)
+    xtx = hessian(valid)
+    yv = y[None, :] * valid
+    g_case = jnp.sum(gv * yv, axis=1)
+    g_tot = jnp.sum(gv, axis=1)
+    g_ssq = jnp.sum(gv * gv, axis=1)
+    core = _firth_core if firth else _logistic_core
+    beta, se, _ll, conv, fail, unf, obs, hinv = core(gcols, valid, c, y, dc)
+    invalid = _valid_params_flags(hinv, d)
+    return xtx, g_case, g_tot, g_ssq, beta, se, conv, fail, unf, obs, invalid
+
+
+@partial(jax.jit, static_argnames=("dc",))
+def dense_firth_block(g, fin, c, y, mask, dc):
+    """Firth fallback over a dense dosage block (hybrid second pass)."""
+    valid = fin * mask[None, :]
+    gcols = [g * valid]
+    d = dc + 1
+    beta, se, _ll, conv, fail, unf, obs, hinv = _firth_core(
+        gcols, valid, c, y, dc)
+    invalid = _valid_params_flags(hinv, d)
+    return beta, se, conv, fail, unf, obs, invalid
+
+
+@partial(jax.jit, static_argnames=("dc",))
+def dense_qt_block(g, fin, c, y, mask, dc):
+    """Per-variant OLS sufficient statistics for a dosage block:
+    X^T X [vb, d, d], X^T y [vb, d], y'y, dosage sums, obs counts.
+    The tiny d x d solves run in float64 on the host (same split as the
+    hardcall linear path)."""
+    valid = fin * mask[None, :]
+    gv = g * valid
+    gcols = [gv]
+    _, _, d, _, xtv, hessian, _ = _design_ops(gcols, valid, c, dc)
+    xtx = hessian(valid)
+    yv = y[None, :] * valid
+    xty = xtv(yv)
+    yy = jnp.sum(yv * yv, axis=1)
+    g_tot = jnp.sum(gv, axis=1)
+    g_ssq = jnp.sum(gv * gv, axis=1)
+    obs = jnp.sum(valid, axis=1)
+    return xtx, xty, yy, g_tot, g_ssq, obs
 
 
 @partial(jax.jit, static_argnames=("dc", "np_", "covj"))

@@ -151,6 +151,65 @@ def test_dosage_glm(glm_panel, flags, suffix):
             assert min(sape, abs(fx - fy)) < tol, (a, b)
 
 
+@pytest.fixture(scope="module")
+def big_glm_panel(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dosglmbig")
+    for name, extra in (("bq", ["scalar-pheno"]), ("bb", [])):
+        subprocess.run(
+            [ORACLE, "--dummy", "4500", "60", "0.02", "dosage-freq=0.7"]
+            + extra + ["--seed", "23", "--out", name],
+            cwd=d, check=True, capture_output=True,
+        )
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    ids = [l.split()[0] for l in (d / "bq.psam").read_text().splitlines()[1:]]
+    with open(d / "bg.cov", "w") as f:
+        f.write("#IID\tC1\tC2\n")
+        for iid in ids:
+            f.write(f"{iid}\t{rng.normal():.5f}\t{rng.normal():.5f}\n")
+    return d
+
+
+@pytest.mark.parametrize(
+    "flags,suffix",
+    [
+        (["--pfile", "bq", "--glm", "--covar", "bg.cov"],
+         "PHENO1.glm.linear"),
+        (["--pfile", "bb", "--glm", "--covar", "bg.cov"],
+         "PHENO1.glm.logistic.hybrid"),
+        (["--pfile", "bb", "--glm", "firth", "--covar", "bg.cov"],
+         "PHENO1.glm.firth"),
+    ],
+)
+def test_dosage_glm_device_path(big_glm_panel, flags, suffix):
+    """n >= 4096 exercises the dense-G f32 device kernels end-to-end (small
+    panels route every row through the host f64 refinement)."""
+    from plink_tpu.cli import main
+
+    d = big_glm_panel
+    subprocess.run([ORACLE] + flags + ["--out", "o_g"], cwd=d, check=True,
+                   capture_output=True)
+    old = os.getcwd()
+    os.chdir(d)
+    try:
+        assert main(flags + ["--out", "t_g", "--silent"]) == 0
+    finally:
+        os.chdir(old)
+    tol = 1e-3 if suffix.endswith("linear") else 1e-2
+    la = (d / f"o_g.{suffix}").read_text().splitlines()
+    lb = (d / f"t_g.{suffix}").read_text().splitlines()
+    assert la[0] == lb[0]
+    assert len(la) == len(lb)
+    for a, b in zip(la[1:], lb[1:]):
+        for x, y in zip(a.split("\t"), b.split("\t")):
+            if x == y:
+                continue
+            fx, fy = float(x), float(y)
+            sape = abs(fx - fy) / max((abs(fx) + abs(fy)) / 2, 1e-300)
+            assert min(sape, abs(fx - fy)) < tol, (a, b)
+
+
 def test_vcf_ds_import_and_pgen_write(panel):
     """--vcf dosage=DS import, and make-pgen writing vrtype-0x60 dosage
     records the oracle can read back."""
