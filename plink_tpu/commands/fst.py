@@ -13,9 +13,12 @@ Per-pop genotype counts come from one multi-mask device counting pass.
 
 Output: <out>.fst.summary (#POP1 POP2 <METHOD>_FST); with
 'report-variants', one <out>.<POP1>.<POP2>.fst.var per pair (#CHROM POS ID
-OBS_CT <METHOD>_FST, computable rows only).  chrX handling not yet
-implemented (autosomal only, matching the reference's "Autosomal --fst"
-pass).
+OBS_CT <METHOD>_FST, computable rows only).
+
+chrX (ref :11643-11710): a second Hudson-only pass over chrX writes
+<out>.x.* files; male genotypes are haploid (one allele each, male hets
+dropped as missing).  Weir-Cockerham skips the chrX pass like the
+reference.
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ import numpy as np
 
 from ..dataset import Dataset
 from ..ops.counts import geno_counts_multimask
+from ..utils.chrom import X_CODE
 from ..utils.fmt import g6
 from ..utils.logging import RunLogger
 
@@ -69,74 +73,111 @@ def run_fst(ds: Dataset, cfg, log: RunLogger) -> None:
 
     masks = [member[p] & ds.sample_mask for p in pop_names]
     auto = ds.vi.chr_info.is_autosomal(ds.vi.chrom)
-    vmask = ds.variant_mask & auto
+    isx = ds.vi.chrom == X_CODE
+    male = ds.male_mask()
+    P = len(pop_names)
 
-    # per-pop genotype counts [P][M, 4]
-    parts = [[] for _ in pop_names]
+    passes = [("", "Autosomal", auto)]
+    if method == "hudson" and (ds.variant_mask & isx).any():
+        passes.append((".x", "chrX", isx))
+
+    x_needed = len(passes) > 1 and male.any()
+    # per-pop genotype counts [P][M, 4]; for chrX, male/nonmale split
+    count_masks = list(masks)
+    if x_needed:
+        count_masks = [m & ~male for m in masks] + [m & male for m in masks]
+    parts = [[] for _ in count_masks]
     for _, packed in ds.iter_packed_blocks():
-        out = geno_counts_multimask(packed, ds.raw_sample_ct, masks)
-        for g in range(len(masks)):
+        out = geno_counts_multimask(packed, ds.raw_sample_ct, count_masks)
+        for g in range(len(count_masks)):
             parts[g].append(out[g])
-    cts = [np.concatenate(p).astype(np.float64) for p in parts]
+    raw_cts = [np.concatenate(p).astype(np.float64) for p in parts]
 
-    sel = np.flatnonzero(vmask)
-    rows = []
-    for i1, i2 in itertools.combinations(range(len(pop_names)), 2):
-        c1, c2 = cts[i1][sel], cts[i2][sel]
-        # allele counts: REF = 2*homref + het, ALT = 2*homalt + het
-        ref1 = 2 * c1[:, 0] + c1[:, 1]
-        alt1 = 2 * c1[:, 2] + c1[:, 1]
-        ref2 = 2 * c2[:, 0] + c2[:, 1]
-        alt2 = 2 * c2[:, 2] + c2[:, 1]
-        n1 = ref1 + alt1
-        n2 = ref2 + alt2
-        with np.errstate(divide="ignore", invalid="ignore"):
-            if method == "hudson":
-                n_same = ref1 * ref2 + alt1 * alt2
-                n_pairs = n1 * n2
-                n_diff = n_pairs - n_same
-                within1 = _half_within(ref1, alt1, n1)
-                within2 = _half_within(ref2, alt2, n2)
-                denom = n_diff / n_pairs
-                numer = denom - within1 - within2
-                valid = (n_diff > 0) & np.isfinite(numer) & (denom != 0)
+    for suffix, prefix, chr_sel in passes:
+        vmask = ds.variant_mask & chr_sel
+        if not vmask.any():
+            continue
+        sel = np.flatnonzero(vmask)
+        is_x_pass = suffix == ".x"
+        # per-pop (ref allele ct, alt allele ct, nonmissing sample ct)
+        refs, alts, obss, cts = [], [], [], []
+        for g in range(P):
+            if x_needed:
+                c_nm = raw_cts[g][sel]
+                c_m = raw_cts[P + g][sel]
+                c = c_nm + c_m
             else:
-                numer, denom, valid = _wc_components(c1, c2)
-            fst = np.nansum(numer[valid]) / np.nansum(denom[valid])
-        rows.append((pop_names[i1], pop_names[i2], fst))
-        if report_variants:
-            tag = "HUDSON_FST" if method == "hudson" else "WC_FST"
-            vp = f"{cfg.out}.{pop_names[i1]}.{pop_names[i2]}.fst.var"
+                c_nm = c = raw_cts[g][sel]
+                c_m = np.zeros_like(c_nm)
+            if is_x_pass:
+                # males haploid; male hets are missing (ref :11062-11067)
+                refs.append(2 * c_nm[:, 0] + c_nm[:, 1] + c_m[:, 0])
+                alts.append(2 * c_nm[:, 2] + c_nm[:, 1] + c_m[:, 2])
+                obss.append(
+                    c_nm[:, 0] + c_nm[:, 1] + c_nm[:, 2]
+                    + c_m[:, 0] + c_m[:, 2]
+                )
+            else:
+                refs.append(2 * c[:, 0] + c[:, 1])
+                alts.append(2 * c[:, 2] + c[:, 1])
+                obss.append(c[:, 0] + c[:, 1] + c[:, 2])
+            cts.append(c)
+        rows = []
+        for i1, i2 in itertools.combinations(range(P), 2):
+            ref1, alt1, obs1 = refs[i1], alts[i1], obss[i1]
+            ref2, alt2, obs2 = refs[i2], alts[i2], obss[i2]
+            n1 = ref1 + alt1
+            n2 = ref2 + alt2
             with np.errstate(divide="ignore", invalid="ignore"):
-                per_var = numer / denom
-            obs = ((n1 + n2) / 2.0).astype(np.int64)
-            vi = ds.vi
-            with open(vp, "w") as f:
-                f.write(f"#CHROM\tPOS\tID\tOBS_CT\t{tag}\n")
-                # the reference prints every considered variant, rendering
-                # incomputable rows as nan (they are only excluded from the
-                # summary sums)
-                for k in range(len(sel)):
-                    v = sel[k]
-                    val = g6(per_var[k]) if valid[k] else "nan"
-                    f.write(
-                        f"{vi.chr_info.name(vi.chrom[v])}\t{vi.pos[v]}\t"
-                        f"{vi.vid[v]}\t{obs[k]}\t{val}\n"
-                    )
+                if method == "hudson":
+                    n_same = ref1 * ref2 + alt1 * alt2
+                    n_pairs = n1 * n2
+                    n_diff = n_pairs - n_same
+                    within1 = _half_within(ref1, alt1, n1)
+                    within2 = _half_within(ref2, alt2, n2)
+                    denom = n_diff / n_pairs
+                    numer = denom - within1 - within2
+                    valid = (n_diff > 0) & np.isfinite(numer) & (denom != 0)
+                else:
+                    numer, denom, valid = _wc_components(cts[i1], cts[i2])
+                fst = np.nansum(numer[valid]) / np.nansum(denom[valid])
+            rows.append((pop_names[i1], pop_names[i2], fst))
+            if report_variants:
+                tag = "HUDSON_FST" if method == "hudson" else "WC_FST"
+                vp = (
+                    f"{cfg.out}{suffix}.{pop_names[i1]}.{pop_names[i2]}"
+                    ".fst.var"
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    per_var = numer / denom
+                obs = (obs1 + obs2).astype(np.int64)
+                vi = ds.vi
+                with open(vp, "w") as f:
+                    f.write(f"#CHROM\tPOS\tID\tOBS_CT\t{tag}\n")
+                    # the reference prints every considered variant, rendering
+                    # incomputable rows as nan (they are only excluded from
+                    # the summary sums)
+                    for k in range(len(sel)):
+                        v = sel[k]
+                        val = g6(per_var[k]) if valid[k] else "nan"
+                        f.write(
+                            f"{vi.chr_info.name(vi.chrom[v])}\t{vi.pos[v]}\t"
+                            f"{vi.vid[v]}\t{obs[k]}\t{val}\n"
+                        )
 
-    if report_variants:
-        npair = len(rows)
-        log.log(
-            f"Autosomal --fst: {npair} .fst.var file"
-            f"{'s' if npair != 1 else ''} written."
-        )
-    path = cfg.out + ".fst.summary"
-    tag = "HUDSON_FST" if method == "hudson" else "WC_FST"
-    with open(path, "w") as f:
-        f.write(f"#POP1\tPOP2\t{tag}\n")
-        for a, b, v in rows:
-            f.write(f"{a}\t{b}\t{g6(v)}\n")
-    log.log(f"Autosomal --fst: Summary written to {path} .")
+        if report_variants:
+            npair = len(rows)
+            log.log(
+                f"{prefix} --fst: {npair} .fst.var file"
+                f"{'s' if npair != 1 else ''} written."
+            )
+        path = cfg.out + suffix + ".fst.summary"
+        tag = "HUDSON_FST" if method == "hudson" else "WC_FST"
+        with open(path, "w") as f:
+            f.write(f"#POP1\tPOP2\t{tag}\n")
+            for a, b, v in rows:
+                f.write(f"{a}\t{b}\t{g6(v)}\n")
+        log.log(f"{prefix} --fst: Summary written to {path} .")
 
 
 def _half_within(ref, alt, n):

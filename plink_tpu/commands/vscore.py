@@ -7,7 +7,10 @@ per variant, score_k = sum_s wt_sk * altdosage_vs with missing genotypes
 force-mean-imputed to 2*altfreq; --vscore-col-nums selects columns.
 Output <out>.vscore: #CHROM POS ID REF ALT <names...>.
 
-chrX/chrY dosage special-casing (:9296) not yet implemented.
+chrX/chrY (VscoreThread :8857-8868, :9158-9180): chrY and non-XY haploid
+dosages are halved (slope 0.5); chrY nonmale values are zeroed and chrY
+cannot be combined with unknown-sex samples; chrX follows --xchr-model
+(2 = autosomal [default], 1 = male dosages halved, 0 = X excluded).
 """
 
 from __future__ import annotations
@@ -16,6 +19,7 @@ import numpy as np
 
 from ..dataset import Dataset
 from ..ops.counts import variant_plane_weighted
+from ..utils.chrom import MT_CODE, X_CODE, Y_CODE
 from ..utils.fmt import g6
 from ..utils.logging import RunLogger
 from .basic_reports import alt_allele_freqs
@@ -87,27 +91,87 @@ def run_vscore(ds: Dataset, cfg, log: RunLogger) -> None:
     wtot = W.sum(axis=0)
     freqs = np.nan_to_num(alt_allele_freqs(ds, founders_only=not cfg.nonfounders))
 
+    vi = ds.vi
+    vmask = ds.variant_mask.copy()
+    isx_all = vi.chrom == X_CODE
+    isy_all = vi.chrom == Y_CODE
+    ismt_all = vi.chrom == MT_CODE
+    male = ds.male_mask() & ds.sample_mask
+    if (vmask & isy_all).any() and ((ds.si.sex == 0) & ds.sample_mask).any():
+        raise ValueError(
+            "When chrY is present, --variant-score cannot be used with "
+            "unknown-sex samples."
+        )
+    xchr_model = cfg.xchr_model
+    if xchr_model == 0 and (vmask & isx_all).any():
+        vmask = vmask & ~isx_all
+        if not vmask.any():
+            raise ValueError(
+                "No --variant-score variants remaining after --xchr-model 0."
+            )
+    # weight-matrix variants: chrY uses male-only weights; chrX under
+    # --xchr-model 1 uses half-male weights
+    W_y = W * male[:, None] if (vmask & isy_all).any() else None
+    W_x1 = (
+        W - 0.5 * W * male[:, None]
+        if (xchr_model == 1 and (vmask & isx_all).any())
+        else None
+    )
+    wtot_y = W_y.sum(axis=0) if W_y is not None else None
+    wtot_x1 = W_x1.sum(axis=0) if W_x1 is not None else None
+
     out = cfg.out + ".vscore"
     f = open(out, "w")
     f.write("#CHROM\tPOS\tID\tREF\tALT\t" + "\t".join(names) + "\n")
-    vi = ds.vi
     chrom_names = [vi.chr_info.name(c) for c in vi.chrom]
-    vmask = ds.variant_mask
+    dosage_vr = None
+    if ds.has_dosage:
+        dosage_vr = (ds.reader.header.vrtypes & 0x60) != 0
     for v0, packed in ds.iter_packed_blocks():
         vct = packed.shape[0]
+        sl = slice(v0, v0 + vct)
         pw = variant_plane_weighted(
             packed, ds.raw_sample_ct, W, f64=not single_prec
         )
-        fblk = freqs[v0 : v0 + vct]
-        score = (
+        fblk = freqs[sl]
+        wt_blk = np.broadcast_to(wtot, (vct, len(wtot)))
+        if W_y is not None and isy_all[sl].any():
+            pw_y = variant_plane_weighted(
+                packed, ds.raw_sample_ct, W_y, f64=not single_prec
+            )
+            ym = isy_all[sl]
+            pw = np.where(ym[:, None, None], pw_y, pw)
+            wt_blk = np.where(ym[:, None], wtot_y, wt_blk)
+        if W_x1 is not None and isx_all[sl].any():
+            pw_x = variant_plane_weighted(
+                packed, ds.raw_sample_ct, W_x1, f64=not single_prec
+            )
+            xm = isx_all[sl]
+            pw = np.where(xm[:, None, None], pw_x, pw)
+            wt_blk = np.where(xm[:, None], wtot_x1, wt_blk)
+        slope = np.where(isy_all[sl] | ismt_all[sl], 0.5, 1.0)
+        score = slope[:, None] * (
             pw[:, :, 0] + 2.0 * pw[:, :, 1]
-            + (wtot[None, :] - pw[:, :, 2]) * (2.0 * fblk[:, None])
+            + (wt_blk - pw[:, :, 2]) * (2.0 * fblk[:, None])
         )
         rows = []
         for j in range(vct):
             v = v0 + j
             if not vmask[v]:
                 continue
+            if dosage_vr is not None and dosage_vr[v]:
+                d = ds.dosage_row(v)
+                s = float(slope[j])
+                fin = np.isfinite(d)
+                dd = np.where(fin, d, 2.0 * freqs[v]) * s
+                if isy_all[v]:
+                    dd = dd * male
+                    wv = W_y
+                elif isx_all[v] and W_x1 is not None:
+                    wv = W_x1
+                else:
+                    wv = W
+                score[j] = dd @ wv
             rows.append(
                 f"{chrom_names[v]}\t{vi.pos[v]}\t{vi.vid[v]}\t{vi.ref[v]}\t"
                 f"{vi.alt[v]}\t"

@@ -47,3 +47,53 @@ def test_fst_differential(panel, method):
     assert (panel / f"o{method}.fst.summary").read_bytes() == (
         panel / f"t{method}.fst.summary"
     ).read_bytes()
+
+
+@pytest.fixture(scope="module")
+def xpanel(tmp_path_factory):
+    """chr1 + chrX panel with sexes and 3 populations."""
+    d = tmp_path_factory.mktemp("fstx")
+    subprocess.run(
+        [ORACLE, "--dummy", "400", "300", "0.05", "--seed", "42", "--out", "fx"],
+        cwd=d, check=True, capture_output=True,
+    )
+    rng = random.Random(7)
+    lines = (d / "fx.psam").read_text().splitlines()
+    with open(d / "fx.psam", "w") as f:
+        f.write("#IID\tSEX\tPHENO1\tPOP\n")
+        for i, l in enumerate(lines[1:]):
+            iid, _sex, ph = l.split("\t")
+            f.write(f"{iid}\t{1 + i % 2}\t{ph}\t"
+                    + rng.choice(["AFR", "EUR", "EAS"]) + "\n")
+    plines = (d / "fx.pvar").read_text().splitlines()
+    with open(d / "fx.pvar", "w") as f:
+        f.write(plines[0] + "\n")
+        body = plines[1:]
+        half = len(body) // 2
+        for i, l in enumerate(body):
+            cols = l.split("\t")
+            cols[0] = "1" if i < half else "X"
+            f.write("\t".join(cols) + "\n")
+    return d
+
+
+def test_fst_chrx_differential(xpanel):
+    """Hudson chrX pass: .x.fst.summary + .x per-variant files byte-match."""
+    from plink_tpu.cli import main
+
+    flags = ["--pfile", "fx", "--fst", "POP", "report-variants"]
+    subprocess.run([ORACLE] + flags + ["--out", "ox"], cwd=xpanel,
+                   check=True, capture_output=True)
+    old = os.getcwd()
+    os.chdir(xpanel)
+    try:
+        assert main(flags + ["--out", "tx"]) == 0
+    finally:
+        os.chdir(old)
+    outs = sorted(p.name[2:] for p in xpanel.glob("ox*") if not
+                  p.name.endswith(".log"))
+    assert any(s.startswith(".x.") for s in outs)
+    for s in outs:
+        assert (xpanel / ("ox" + s)).read_bytes() == (
+            xpanel / ("tx" + s)
+        ).read_bytes(), s
