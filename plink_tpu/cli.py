@@ -168,6 +168,9 @@ class Config:
     cell: int | None = None
     genome: bool = False
     genome_mods: tuple = ()
+    distance: tuple | None = None
+    distance_matrix: bool = False
+    ibs_matrix: bool = False
     sdiff: tuple | None = None
     pgen_diff: tuple | None = None
     check_sex: tuple | None = None
@@ -419,6 +422,12 @@ def parse_args(argv: list[str]) -> Config:
         elif name == "genome":
             cfg.genome = True
             cfg.genome_mods = tuple(args)
+        elif name == "distance":
+            cfg.distance = tuple(args)
+        elif name == "distance_matrix":
+            cfg.distance_matrix = True
+        elif name == "ibs_matrix":
+            cfg.ibs_matrix = True
         elif name == "min_alleles":
             cfg.min_alleles = int(args[0])
         elif name == "max_alleles":

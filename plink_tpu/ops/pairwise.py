@@ -85,6 +85,55 @@ def king_gram_tile(
     return acc
 
 
+@partial(jax.jit, static_argnames=("s", "t"))
+def wmiss_gram_tile(
+    packed: jax.Array,  # [nb, vb, NB] uint8
+    vmask: jax.Array,  # [nb, vb] int8
+    wlimbs: jax.Array,  # [nb, vb, 5] int8: 7-bit limbs of a uint32 weight
+    row0: jax.Array,
+    col0: jax.Array,
+    s: int,
+    t: int,
+) -> jax.Array:
+    """Weighted joint-missing Gram [5s, t] int32: limb-k block holds
+    sum_m limb_k(w_m) * miss_{m,i} * miss_{m,j}.  Exact integer arithmetic
+    via five int8 MXU matmuls (limbs < 128, so every product fits int8 and
+    the int32 accumulator holds 127 * M for M < 16.9M variants)."""
+
+    def miss_plane(pk_slice, vmc):
+        codes = unpack_codes(pk_slice, 0)
+        b0 = (codes & 1).astype(jnp.int8)
+        b1 = ((codes >> 1) & 1).astype(jnp.int8)
+        return (b0 & b1) * vmc
+
+    def body(acc, xs):
+        pk, vm, wl = xs
+        vmc = vm[:, None]
+        pr = lax.dynamic_slice_in_dim(pk, row0 // 4, s // 4, axis=1)
+        pc = lax.dynamic_slice_in_dim(pk, col0 // 4, t // 4, axis=1)
+        mr = miss_plane(pr, vmc)
+        mc = miss_plane(pc, vmc)
+        vb = mr.shape[0]
+        mw = (mr[:, None, :] * wl[:, :, None]).reshape(vb, 5 * s)
+        g = lax.dot_general(
+            mw, mc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        return acc + g, None
+
+    acc0 = jnp.zeros((5 * s, t), jnp.int32)
+    acc, _ = lax.scan(body, acc0, (packed, vmask, wlimbs))
+    return acc
+
+
+def weight_limbs(wi: np.ndarray, nblocks: int, vb: int) -> np.ndarray:
+    """uint32 weights [M] -> [nblocks, vb, 5] int8 7-bit limb planes."""
+    out = np.zeros((nblocks * vb, 5), dtype=np.int8)
+    w = wi.astype(np.int64)
+    for k in range(5):
+        out[: len(wi), k] = (w >> (7 * k)) & 0x7F
+    return out.reshape(nblocks, vb, 5)
+
+
 def king_counts_from_gram(g: np.ndarray, s: int, t: int) -> dict[str, np.ndarray]:
     """Split a [3s, 3t] Gram into the reference's five per-pair accumulators
     plus nsnp (all [s, t] int64). Keys follow kKingOffset* naming with

@@ -655,6 +655,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.genome import run_genome
 
             run_genome(ds, cfg, log)
+        if cfg.distance is not None or cfg.distance_matrix or cfg.ibs_matrix:
+            from .commands.distance import run_distance
+
+            run_distance(ds, cfg, log)
         if cfg.clump:
             from .commands.clump import run_clump
 
