@@ -171,6 +171,15 @@ class Config:
     distance: tuple | None = None
     distance_matrix: bool = False
     ibs_matrix: bool = False
+    cluster: tuple | None = None
+    cluster_k: int | None = None
+    cluster_mc: int | None = None
+    cluster_mcc: tuple[int, int] | None = None
+    cluster_ppc: float | None = None
+    cluster_ibm: float | None = None
+    ppc_gap: int | None = None
+    neighbour: tuple[int, int] | None = None
+    mds_plot: tuple | None = None
     sdiff: tuple | None = None
     pgen_diff: tuple | None = None
     check_sex: tuple | None = None
@@ -428,6 +437,35 @@ def parse_args(argv: list[str]) -> Config:
             cfg.distance_matrix = True
         elif name == "ibs_matrix":
             cfg.ibs_matrix = True
+        elif name == "cluster":
+            cfg.cluster = tuple(args)
+        elif name == "K":
+            cfg.cluster_k = int(args[0])
+        elif name == "mc":
+            cfg.cluster_mc = int(args[0])
+        elif name == "mcc":
+            cfg.cluster_mcc = (int(args[0]), int(args[1]))
+        elif name == "ppc":
+            cfg.cluster_ppc = float(args[0])
+        elif name == "ibm":
+            cfg.cluster_ibm = float(args[0])
+        elif name == "ppc_gap":
+            cfg.ppc_gap = int(float(args[0]) * 1000)
+        elif name in ("neighbour", "neighbor"):
+            cfg.neighbour = (int(args[0]), int(args[1]))
+        elif name == "mds_plot":
+            dims = 2
+            by_cluster = eigendecomp = eigvals = False
+            for a in args:
+                if a == "by-cluster":
+                    by_cluster = True
+                elif a == "eigendecomp":
+                    eigendecomp = True
+                elif a == "eigvals":
+                    eigvals = True
+                else:
+                    dims = int(a)
+            cfg.mds_plot = (dims, by_cluster, eigendecomp, eigvals)
         elif name == "min_alleles":
             cfg.min_alleles = int(args[0])
         elif name == "max_alleles":

@@ -133,7 +133,7 @@ def run_genome(ds: Dataset, cfg, log: RunLogger) -> None:
     vidx = np.flatnonzero(vmask)
     pos = ds.vi.pos[vidx]
     chrom = ds.vi.chrom[vidx]
-    ppc_gap = 500000
+    ppc_gap = getattr(cfg, "ppc_gap", None) or 500000
     skip = _ppc_skip_index(pos, chrom, ppc_gap)
     pk = ds.all_packed()
     codes = _unpack_np(pk[vidx])[:, : ds.raw_sample_ct][:, inc]

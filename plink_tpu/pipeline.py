@@ -13,7 +13,7 @@ import os
 
 import numpy as np
 
-from .cli import Config
+from .cli import Config, FlagError
 from .dataset import Dataset, load_dataset
 from .utils.logging import RunLogger, set_logger
 
@@ -659,6 +659,12 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.distance import run_distance
 
             run_distance(ds, cfg, log)
+        if cfg.cluster is not None or cfg.neighbour is not None:
+            from .commands.cluster import run_cluster
+
+            run_cluster(ds, cfg, log)
+        elif cfg.mds_plot is not None:
+            raise FlagError("--mds-plot must be used with --cluster.")
         if cfg.clump:
             from .commands.clump import run_clump
 
