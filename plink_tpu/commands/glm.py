@@ -1289,6 +1289,24 @@ def _firth_f64(X, yv):
     return b, se, hinv2, conv, unf
 
 
+def _phase_timer(log):
+    """PLINK_TPU_TIMING=1: log.log per-phase wall times (kernel vs host
+    breakdown for the bench record)."""
+    import os
+    import time
+
+    if not os.environ.get("PLINK_TPU_TIMING"):
+        return lambda label: None
+    t = [time.perf_counter()]
+
+    def mark(label):
+        now = time.perf_counter()
+        log.log(f"[timing] {label}: {now - t[0]:.2f}s")
+        t[0] = now
+
+    return mark
+
+
 def _glm_logistic(
     ds, cfg, log, pheno_name, ydata, smask, cov_names, cov_data, a1_is_alt,
     hide_covar, always_firth, no_firth, perm_capture=None, vmask=None,
@@ -1335,7 +1353,9 @@ def _glm_logistic(
     if standalone:
         sink = []
         add_results = [] if add_results is None else add_results
+    _mark = _phase_timer(log)
     pd = PackedDevice(ds, vmask, vb=vb, tile=1 << 30, sample_mask=smask)
+    _mark("pack+upload")
     npad = pd.npad
     mask = np.zeros(npad, np.float32)
     mask[:n] = 1.0
@@ -1423,6 +1443,7 @@ def _glm_logistic(
     obs_all = np.asarray(obs_d)
     invalid_all = np.asarray(invalid_d)
     hinv_all = np.asarray(hinv_d, dtype=np.float64) if joint_name else None
+    _mark("device scan+fetch")
 
     def _invalid_rows(hf, rows):
         """Host recomputation of the validParameters() check for rows whose
@@ -1613,6 +1634,7 @@ def _glm_logistic(
             no_firth, add_results, joint_name, fstat, logp_joint, pre_err,
             invalid, log10, perm_capture=perm_capture,
         )
+    _mark("host postprocess+emit")
     if standalone:
         path = f"{cfg.out}.{pheno_name}.{suffix}"
         _write_sink(path, header, sink, log)
