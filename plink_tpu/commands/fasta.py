@@ -249,7 +249,7 @@ def process_fa(ds: Dataset, cfg, log: RunLogger) -> None:
         hdr.all_provisional = bool(prov.all())
         if flip.any():
             ds.reader = FlipOverlayReader(ds.reader, flip)
-            ds.invalidate_counts()
+            ds.invalidate_genotypes()
     if do_norm:
         log.log(
             f"--normalize: {nchanged} variant{'s' if nchanged != 1 else ''} "

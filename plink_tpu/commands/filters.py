@@ -720,7 +720,7 @@ def sort_vars(ds: Dataset, log: RunLogger) -> None:
         hdr = ds.reader.header
     ds.variant_mask = ds.variant_mask[order]
     ds.reader = _PermutedReader(ds.reader, order)
-    ds.invalidate_counts()
+    ds.invalidate_genotypes()
     log.log("--sort-vars: variants reordered.")
 
 
@@ -792,7 +792,7 @@ def ref_alt_allele(ds: Dataset, args: tuple, set_ref: bool,
     hdr.all_provisional = bool(prov.all())
     if flip.any():
         ds.reader = FlipOverlayReader(ds.reader, flip)
-        ds.invalidate_counts()
+        ds.invalidate_genotypes()
 
 
 def set_missing_var_ids(ds: Dataset, template: str, log: RunLogger) -> None:
@@ -886,7 +886,7 @@ def maj_ref(ds: Dataset, log: RunLogger) -> None:
     log.log(f"--maj-ref: {ct} allele pair{'s' if ct != 1 else ''} swapped.")
     if flip.any():
         ds.reader = FlipOverlayReader(ds.reader, flip)
-        ds.invalidate_counts()
+        ds.invalidate_genotypes()
 
 
 def recover_var_ids(ds: Dataset, args: tuple, log: RunLogger) -> None:

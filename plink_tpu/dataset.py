@@ -219,6 +219,19 @@ class Dataset:
     def invalidate_counts(self) -> None:
         self._counts_cache.clear()
 
+    def invalidate_genotypes(self) -> None:
+        """Drop every decoded-genotype cache after ds.reader is replaced
+        (flip overlays, variant permutations).  The resident process-level
+        cache is keyed by the on-disk file, which the overlay no longer
+        matches, so detach from it too."""
+        self._packed_cache = None
+        self._device_packed = None
+        self._device_blocked = None
+        if self._resident_key is not None:
+            _RESIDENT.pop(self._resident_key, None)
+            self._resident_key = None
+        self.invalidate_counts()
+
     @property
     def has_phase(self) -> bool:
         """Any variant carries a hardcall-phase track (vrtype bit 4)."""
