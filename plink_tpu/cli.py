@@ -180,6 +180,16 @@ class Config:
     ppc_gap: int | None = None
     neighbour: tuple[int, int] | None = None
     mds_plot: tuple | None = None
+    homozyg: tuple | None = None
+    homozyg_snp: int | None = None
+    homozyg_kb: float | None = None
+    homozyg_density: float | None = None
+    homozyg_gap: float | None = None
+    homozyg_het: int | None = None
+    homozyg_window_snp: int | None = None
+    homozyg_window_het: int | None = None
+    homozyg_window_missing: int | None = None
+    homozyg_window_threshold: float | None = None
     sdiff: tuple | None = None
     pgen_diff: tuple | None = None
     check_sex: tuple | None = None
@@ -453,6 +463,26 @@ def parse_args(argv: list[str]) -> Config:
             cfg.ppc_gap = int(float(args[0]) * 1000)
         elif name in ("neighbour", "neighbor"):
             cfg.neighbour = (int(args[0]), int(args[1]))
+        elif name == "homozyg":
+            cfg.homozyg = tuple(args)
+        elif name == "homozyg_snp":
+            cfg.homozyg_snp = int(args[0])
+        elif name == "homozyg_kb":
+            cfg.homozyg_kb = float(args[0])
+        elif name == "homozyg_density":
+            cfg.homozyg_density = float(args[0])
+        elif name == "homozyg_gap":
+            cfg.homozyg_gap = float(args[0])
+        elif name == "homozyg_het":
+            cfg.homozyg_het = int(args[0])
+        elif name == "homozyg_window_snp":
+            cfg.homozyg_window_snp = int(args[0])
+        elif name == "homozyg_window_het":
+            cfg.homozyg_window_het = int(args[0])
+        elif name == "homozyg_window_missing":
+            cfg.homozyg_window_missing = int(args[0])
+        elif name == "homozyg_window_threshold":
+            cfg.homozyg_window_threshold = float(args[0])
         elif name == "mds_plot":
             dims = 2
             by_cluster = eigendecomp = eigvals = False

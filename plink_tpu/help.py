@@ -266,6 +266,44 @@ HELP: dict[str, tuple[str, str]] = {
     "vcf_half_call": ("--vcf-half-call <mode>",
                       "How to handle VCF half-calls "
                       "(error/haploid/missing/reference)."),
+    # ---- PLINK 1.9 analyses ----
+    "assoc": ("--assoc ['counts'|'fisher']",
+              "1.9 case/control allelic association (.assoc)."),
+    "model": ("--model ['fisher'|'trend-only'|...]",
+              "1.9 genotypic association table (.model)."),
+    "genome": ("--genome ['gz'|'full'|'unbounded'|'nudge']",
+               "1.9 IBS/IBD pairwise estimates incl. PI_HAT (.genome)."),
+    "distance": ("--distance ['square'|'triangle'|'ibs'|'1-ibs'|...]",
+                 "1.9 IBS-based distance matrices."),
+    "distance_matrix": ("--distance-matrix",
+                        "1.9 plink1-style .mdist matrix."),
+    "ibs_matrix": ("--ibs-matrix", "1.9 plink1-style .mibs matrix."),
+    "cluster": ("--cluster ['cc'|'group-avg'|'missing'|'only2']",
+                "1.9 complete-linkage IBS clustering."),
+    "neighbour": ("--neighbour <n1> <n2>",
+                  "1.9 nearest-neighbor outlier report (.nearest)."),
+    "mds_plot": ("--mds-plot <dims> ['by-cluster'|'eigendecomp'|'eigvals']",
+                 "1.9 multidimensional scaling coordinates (.mds)."),
+    "ppc_gap": ("--ppc-gap <kb>", "Gap between informative PPC-test pairs."),
+    "homozyg": ("--homozyg ['extend'|'subtract-1-from-lengths']",
+                "1.9 run-of-homozygosity scan (.hom/.hom.indiv/"
+                ".hom.summary)."),
+    "homozyg_snp": ("--homozyg-snp <n>", "Minimum ROH length in markers."),
+    "homozyg_kb": ("--homozyg-kb <kb>", "Minimum ROH length in kilobases."),
+    "homozyg_density": ("--homozyg-density <kb/snp>",
+                        "Maximum average marker spacing inside an ROH."),
+    "homozyg_gap": ("--homozyg-gap <kb>",
+                    "Maximum gap between consecutive ROH markers."),
+    "homozyg_het": ("--homozyg-het <n>",
+                    "Maximum heterozygote calls inside an ROH."),
+    "homozyg_window_snp": ("--homozyg-window-snp <n>",
+                           "Scanning window size in markers."),
+    "homozyg_window_het": ("--homozyg-window-het <n>",
+                           "Max hets in a hit window."),
+    "homozyg_window_missing": ("--homozyg-window-missing <n>",
+                               "Max missing calls in a hit window."),
+    "homozyg_window_threshold": ("--homozyg-window-threshold <frac>",
+                                 "Min hit-window fraction per marker."),
 }
 
 

@@ -665,6 +665,15 @@ def run_pipeline(cfg: Config) -> int:
             run_cluster(ds, cfg, log)
         elif cfg.mds_plot is not None:
             raise FlagError("--mds-plot must be used with --cluster.")
+        if cfg.homozyg is not None or any(
+                getattr(cfg, f) is not None for f in (
+                    "homozyg_snp", "homozyg_kb", "homozyg_density",
+                    "homozyg_gap", "homozyg_het", "homozyg_window_snp",
+                    "homozyg_window_het", "homozyg_window_missing",
+                    "homozyg_window_threshold")):
+            from .commands.homozyg import run_homozyg
+
+            run_homozyg(ds, cfg, log)
         if cfg.clump:
             from .commands.clump import run_clump
 

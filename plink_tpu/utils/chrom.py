@@ -48,10 +48,23 @@ class ChrInfo:
     _output_numeric = False
     _mt_name = "MT"
 
+    _output_set = False
+
+    def name19(self, code: int) -> str:
+        """1.9-style chromosome display: numeric sex/mito codes (23/24/
+        25/26) by default (1.9 chrom_name_write with the default
+        --output-chr 26), honoring an explicit --output-chr."""
+        if self._output_set:
+            return self.name(code)
+        if code <= MT_CODE:
+            return str(code)
+        return self.name(code)
+
     def set_output_chr(self, mode: str) -> None:
         """--output-chr scheme (2.0/plink2_cmdline chr output modes): the MT
         spelling selects numeric vs lettered sex-chromosome codes and the
         'chr' prefix."""
+        self._output_set = True
         self._output_chr_prefix = "chr" if mode.startswith("chr") else ""
         base = mode[3:] if mode.startswith("chr") else mode
         if base.startswith("0"):

@@ -127,6 +127,44 @@ def dtoa_g(x: float) -> str:
     return f"{sign}{prefix}{s}"
 
 
+_BANKER_LADDER_P3 = (
+    # (upper bound on |x|, banker band half-widths) per 1.9 dtoa_f_p3
+    (99.999499999999, (0.4999999995, 0.5000000005)),   # banker_round9
+    (999.99949999999, (0.499999995, 0.500000005)),     # banker_round8
+    (9999.9994999999, (0.49999995, 0.50000005)),       # banker_round7
+    (99999.999499999, (0.4999995, 0.5000005)),         # banker_round6
+    (999999.99949999, (0.499995, 0.500005)),           # banker_round5
+)
+
+
+def dtoa_f_p3(x: float) -> str:
+    """Fixed 3-decimal formatting, parity with 1.9 dtoa_f_p3
+    (1.9/plink_common.c:2260): banker-rounding band narrows as the
+    integer part grows."""
+    if x != x:
+        return "nan"
+    sign = ""
+    if x < 0:
+        sign = "-"
+        x = -x
+    if x < 9.9994999999999:
+        band = (0.49999999995, 0.50000000005)  # banker_round10
+    else:
+        for bound, b in _BANKER_LADDER_P3:
+            if x < bound:
+                band = b
+                break
+        else:
+            if x == float("inf"):
+                return sign + "inf"
+            return f"{sign}{x:.3f}"
+    d = x * 1000.0
+    r = int(d)
+    r += int((d - r) + band[r & 1])
+    q, rem = divmod(r, 1000)
+    return f"{sign}{q}.{rem:03d}"
+
+
 def g6(x: float) -> str:
     if x != x:
         return "NA"
