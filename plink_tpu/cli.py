@@ -190,6 +190,11 @@ class Config:
     homozyg_window_het: int | None = None
     homozyg_window_missing: int | None = None
     homozyg_window_threshold: float | None = None
+    fast_epistasis: tuple | None = None
+    epi1: float | None = None
+    epi2: float | None = None
+    epi_gap: float | None = None
+    je_cellmin: int | None = None
     sdiff: tuple | None = None
     pgen_diff: tuple | None = None
     check_sex: tuple | None = None
@@ -483,6 +488,16 @@ def parse_args(argv: list[str]) -> Config:
             cfg.homozyg_window_missing = int(args[0])
         elif name == "homozyg_window_threshold":
             cfg.homozyg_window_threshold = float(args[0])
+        elif name == "fast_epistasis":
+            cfg.fast_epistasis = tuple(args)
+        elif name == "epi1":
+            cfg.epi1 = float(args[0])
+        elif name == "epi2":
+            cfg.epi2 = float(args[0])
+        elif name == "gap":
+            cfg.epi_gap = float(args[0])
+        elif name == "je_cellmin":
+            cfg.je_cellmin = int(args[0])
         elif name == "mds_plot":
             dims = 2
             by_cluster = eigendecomp = eigvals = False
