@@ -195,6 +195,8 @@ class Config:
     epi2: float | None = None
     epi_gap: float | None = None
     je_cellmin: int | None = None
+    tdt: tuple | None = None
+    ci: float | None = None
     sdiff: tuple | None = None
     pgen_diff: tuple | None = None
     check_sex: tuple | None = None
@@ -498,6 +500,13 @@ def parse_args(argv: list[str]) -> Config:
             cfg.epi_gap = float(args[0])
         elif name == "je_cellmin":
             cfg.je_cellmin = int(args[0])
+        elif name == "tdt":
+            cfg.tdt = tuple(args)
+        elif name == "ci":
+            f = float(args[0])
+            if not 0.01 <= f < 1.0:
+                raise FlagError("--ci parameter must be in [0.01, 1).")
+            cfg.ci = f
         elif name == "mds_plot":
             dims = 2
             by_cluster = eigendecomp = eigvals = False

@@ -674,6 +674,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.homozyg import run_homozyg
 
             run_homozyg(ds, cfg, log)
+        if cfg.tdt is not None:
+            from .commands.family import run_tdt
+
+            run_tdt(ds, cfg, log)
         if cfg.fast_epistasis is not None:
             from .commands.epistasis import run_fast_epistasis
 
