@@ -197,6 +197,16 @@ class Config:
     je_cellmin: int | None = None
     tdt: tuple | None = None
     ci: float | None = None
+    meta_analysis: list[str] | None = None
+    meta_analysis_mods: tuple = ()
+    meta_chr_field: tuple | None = None
+    meta_snp_field: tuple | None = None
+    meta_bp_field: tuple | None = None
+    meta_a1_field: tuple | None = None
+    meta_a2_field: tuple | None = None
+    meta_p_field: tuple | None = None
+    meta_se_field: tuple | None = None
+    meta_ess_field: tuple | None = None
     sdiff: tuple | None = None
     pgen_diff: tuple | None = None
     check_sex: tuple | None = None
@@ -502,6 +512,37 @@ def parse_args(argv: list[str]) -> Config:
             cfg.je_cellmin = int(args[0])
         elif name == "tdt":
             cfg.tdt = tuple(args)
+        elif name == "meta_analysis":
+            if len(args) < 2:
+                raise FlagError(
+                    "--meta-analysis requires at least two PLINK "
+                    "report files.")
+            if "+" in args:
+                cut = args.index("+")
+                if cut < 2:
+                    raise FlagError(
+                        "--meta-analysis requires at least two PLINK "
+                        "report files.")
+                cfg.meta_analysis = list(args[:cut])
+                valid = ("study", "no-map", "no-allele", "report-all",
+                         "logscale", "qt", "weighted-z", "report-dups")
+                for m in args[cut + 1:]:
+                    if m not in valid:
+                        raise FlagError(
+                            f"Invalid --meta-analysis parameter '{m}'.")
+                cfg.meta_analysis_mods = tuple(args[cut + 1:])
+            else:
+                cfg.meta_analysis = list(args)
+        elif name in ("meta_analysis_chr_field",
+                      "meta_analysis_snp_field",
+                      "meta_analysis_bp_field",
+                      "meta_analysis_a1_field",
+                      "meta_analysis_a2_field",
+                      "meta_analysis_p_field",
+                      "meta_analysis_se_field",
+                      "meta_analysis_ess_field"):
+            key = name.replace("meta_analysis", "meta")
+            setattr(cfg, key, tuple(args))
         elif name == "ci":
             f = float(args[0])
             if not 0.01 <= f < 1.0:

@@ -328,6 +328,12 @@ def run_pipeline(cfg: Config) -> int:
         np.random.seed(cfg.seed)
     try:
         # file-only commands that need no genotype input
+        if cfg.meta_analysis:
+            from .commands.meta import run_meta_analysis
+
+            run_meta_analysis(cfg, log)
+            log.log(f"End of run; total wall-clock {log.elapsed():.2f}s.")
+            return 0
         if cfg.adjust_file or cfg.gwas_ssf:
             if cfg.adjust_file:
                 from .commands.adjust import run_adjust_file
