@@ -207,6 +207,13 @@ class Config:
     meta_p_field: tuple | None = None
     meta_se_field: tuple | None = None
     meta_ess_field: tuple | None = None
+    blocks: tuple | None = None
+    blocks_max_kb: float | None = None
+    blocks_min_maf: float | None = None
+    blocks_strong_lowci: float | None = None
+    blocks_strong_highci: float | None = None
+    blocks_recomb_highci: float | None = None
+    blocks_inform_frac: float | None = None
     sdiff: tuple | None = None
     pgen_diff: tuple | None = None
     check_sex: tuple | None = None
@@ -510,6 +517,15 @@ def parse_args(argv: list[str]) -> Config:
             cfg.epi_gap = float(args[0])
         elif name == "je_cellmin":
             cfg.je_cellmin = int(args[0])
+        elif name == "blocks":
+            for a in args:
+                if a not in ("no-pheno-req", "no-small-max-span"):
+                    raise FlagError(f"Invalid --blocks parameter '{a}'.")
+            cfg.blocks = tuple(args)
+        elif name in ("blocks_max_kb", "blocks_min_maf",
+                      "blocks_strong_lowci", "blocks_strong_highci",
+                      "blocks_recomb_highci", "blocks_inform_frac"):
+            setattr(cfg, name, float(args[0]))
         elif name == "tdt":
             cfg.tdt = tuple(args)
         elif name == "meta_analysis":

@@ -680,6 +680,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.homozyg import run_homozyg
 
             run_homozyg(ds, cfg, log)
+        if cfg.blocks is not None:
+            from .commands.blocks import run_blocks
+
+            run_blocks(ds, cfg, log)
         if cfg.tdt is not None:
             from .commands.family import run_tdt
 
