@@ -191,6 +191,8 @@ class Config:
     homozyg_window_missing: int | None = None
     homozyg_window_threshold: float | None = None
     fast_epistasis: tuple | None = None
+    epistasis: tuple | None = None
+    vif: float | None = None
     epi1: float | None = None
     epi2: float | None = None
     epi_gap: float | None = None
@@ -509,6 +511,10 @@ def parse_args(argv: list[str]) -> Config:
             cfg.homozyg_window_threshold = float(args[0])
         elif name == "fast_epistasis":
             cfg.fast_epistasis = tuple(args)
+        elif name == "epistasis":
+            cfg.epistasis = tuple(args)
+        elif name == "vif":
+            cfg.vif = float(args[0])
         elif name == "epi1":
             cfg.epi1 = float(args[0])
         elif name == "epi2":

@@ -671,7 +671,15 @@ def run_fast_epistasis(ds: Dataset, cfg, log: RunLogger) -> None:
             fh.write(line + "\n")
     fh.close()
 
-    # summary
+    write_epi_summary(out_path, vi, ci, chrom, vidx, maxsnp, n_sig,
+                      fails, gap_cts, best_chisq, best_id, m_ct, log)
+
+
+def write_epi_summary(out_path, vi, ci, chrom, vidx, maxsnp, n_sig,
+                      fails, gap_cts, best_chisq, best_id, m_ct,
+                      log) -> None:
+    """Shared .summary writer (epistasis_report,
+    1.9/plink_ld.c:10300-10420)."""
     sum_path = out_path + ".summary"
     with open(sum_path, "w") as fo:
         fo.write(" CHR " + "SNP".rjust(maxsnp)

@@ -692,6 +692,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.epistasis import run_fast_epistasis
 
             run_fast_epistasis(ds, cfg, log)
+        if cfg.epistasis is not None:
+            from .commands.epi_reg import run_epistasis
+
+            run_epistasis(ds, cfg, log)
         if cfg.clump:
             from .commands.clump import run_clump
 

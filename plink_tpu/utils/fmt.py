@@ -192,3 +192,180 @@ def logp_to_str(logp: float) -> str:
     e = int(np.floor(log10p))
     mant = 10.0 ** (log10p - e)
     return f"{dtoa_g(mant)}e{e:+03d}"
+
+
+def _float_round(f) -> int:
+    """1.9 float_round (plink_common.c:1690): (int)(f + 0.5) with the
+    0.5 added in double."""
+    return int(float(f) + 0.5)
+
+
+def _qrtoa_1p5(q: int, r: int) -> str:
+    """qrtoa_1p5 (plink_common.c:1466): 'q.rrrrr' with 2-digit-pair
+    trailing-zero trimming."""
+    out = str(q)
+    if not r:
+        return out
+    out += "."
+    q2 = r // 1000
+    rem = r - 1000 * q2
+    pairs = f"{q2:02d}"
+    if rem:
+        q3 = rem // 10
+        rem2 = rem - 10 * q3
+        pairs += f"{q3:02d}"
+        if rem2:
+            return out + pairs + str(rem2)
+    if pairs[-1] == "0":
+        pairs = pairs[:-1]
+    return out + pairs
+
+
+def _uitoa_trunc6(u: int) -> str:
+    """uitoa_trunc6 (plink_common.c:1376)."""
+    q = u // 10000
+    out = f"{q:02d}"
+    u -= 10000 * q
+    if u:
+        q2 = u // 100
+        out += f"{q2:02d}"
+        u -= 100 * q2
+        if u:
+            out += f"{u:02d}"
+    if out[-1] == "0":
+        out = out[:-1]
+    return out
+
+
+def _ftoa_so6(f) -> str:
+    """ftoa_so6 (plink_common.c:1730): 6-sig-fig float in [1, 999999.44)."""
+    F = np.float32
+    d = float(f)
+    if d < 99.999944:
+        if d < 9.9999944:
+            r = _float_round(F(f * F(100000)))
+            return _qrtoa_1p5(r // 100000, r % 100000)
+        r = _float_round(F(f * F(10000)))
+        q, rem = r // 10000, r % 10000
+        out = f"{q:02d}"
+        if not rem:
+            return out
+        out += "."
+        q2 = rem // 100
+        rem -= 100 * q2
+        out += f"{q2:02d}"
+        if rem:
+            out += f"{rem:02d}"
+        if out[-1] == "0":
+            out = out[:-1]
+        return out
+    if d < 9999.9944:
+        if d < 999.99944:
+            r = _float_round(F(f * F(1000)))
+            uii, rem = r // 1000, r % 1000
+            out = f"{uii:03d}"
+            if not rem:
+                return out
+            out += "."
+            q = rem // 10
+            rem -= 10 * q
+            out += f"{q:02d}"
+            if rem:
+                return out + str(rem)
+            if out[-1] == "0":
+                out = out[:-1]
+            return out
+        r = _float_round(F(f * F(100)))
+        uii, rem = r // 100, r % 100
+        out = f"{uii:04d}"
+        if not rem:
+            return out
+        out += "." + f"{rem:02d}"
+        if out[-1] == "0":
+            out = out[:-1]
+        return out
+    if d < 99999.944:
+        r = _float_round(F(f * F(10)))
+        uii, rem = r // 10, r % 10
+        out = f"{uii:05d}"
+        if not rem:
+            return out
+        return out + "." + str(rem)
+    return f"{_float_round(f):06d}"
+
+
+def ftoa_g(x) -> str:
+    """1.9 ftoa_g (plink_common.c): float-precision %g-style shortest
+    form.  The input is quantized to float32 and every scaling multiply
+    follows the reference's float/double promotion rules exactly."""
+    F = np.float32
+    f = F(x)
+    if f != f:
+        return "nan"
+    sign = ""
+    if f < 0:
+        sign = "-"
+        f = -f
+    d = float(f)
+    if d < 9.9999944e-5:
+        xp10 = 0
+        if d < 9.9999944e-16:
+            if f == 0.0:
+                return sign + "0"
+            if d < 9.9999944e-32:
+                f = F(float(f) * 1.0e32)
+                xp10 |= 32
+            else:
+                f = F(float(f) * 1.0e16)
+                xp10 |= 16
+        if float(f) < 9.9999944e-8:
+            f = F(f * F(100000000))
+            xp10 |= 8
+        if float(f) < 9.9999944e-4:
+            f = F(f * F(10000))
+            xp10 |= 4
+        if float(f) < 9.9999944e-2:
+            f = F(f * F(100))
+            xp10 |= 2
+        if float(f) < 9.9999944e-1:
+            f = F(f * F(10))
+            xp10 += 1
+        r = _float_round(F(f * F(100000)))
+        return (sign + _qrtoa_1p5(r // 100000, r % 100000)
+                + f"e-{xp10:02d}")
+    if d >= 999999.44:
+        xp10 = 0
+        if d >= 9.9999944e15:
+            if f == np.inf:
+                return sign + "inf"
+            if d >= 9.9999944e31:
+                f = F(float(f) * 1.0e-32)
+                xp10 |= 32
+            else:
+                f = F(float(f) * 1.0e-16)
+                xp10 |= 16
+        if float(f) >= 9.9999944e7:
+            f = F(float(f) * 1.0e-8)
+            xp10 |= 8
+        if float(f) >= 9.9999944e3:
+            f = F(float(f) * 1.0e-4)
+            xp10 |= 4
+        if float(f) >= 9.9999944e1:
+            f = F(float(f) * 1.0e-2)
+            xp10 |= 2
+        if float(f) >= 9.9999944e0:
+            f = F(float(f) * 1.0e-1)
+            xp10 += 1
+        r = _float_round(F(f * F(100000)))
+        return (sign + _qrtoa_1p5(r // 100000, r % 100000)
+                + f"e+{xp10:02d}")
+    if d >= 0.99999944:
+        return sign + _ftoa_so6(f)
+    out = "0."
+    if float(f) < 9.9999944e-3:
+        f = F(f * F(100))
+        out += "00"
+    if float(f) < 9.9999944e-2:
+        f = F(f * F(10))
+        out += "0"
+    return sign + out + _uitoa_trunc6(_float_round(F(f * F(1000000))))

@@ -104,3 +104,35 @@ def test_fast_epistasis_je_cellmin(epi_panel):
             str(d))
     _cmp(d, "o_jc.epi.cc", "t_jc.epi.cc")
     _cmp(d, "o_jc.epi.cc.summary", "t_jc.epi.cc.summary")
+
+
+@pytest.fixture(scope="module")
+def qt_pheno(epi_panel):
+    d = epi_panel
+    rng = np.random.default_rng(5)
+    fam = [ln.split() for ln in (d / "pb.fam").read_text().splitlines()]
+    body = "".join(f"{r[0]} {r[1]} {rng.normal(0, 1):.6f}\n" for r in fam)
+    (d / "qt_t.phe").write_text("#FID IID PHENO1\n" + body)
+    (d / "qt_o.phe").write_text("FID IID PHENO1\n" + body)
+    return d
+
+
+def test_epistasis_qt_linear(qt_pheno):
+    d = qt_pheno
+    run19(["--bfile", "pb", "--pheno", "qt_o.phe", "--epistasis",
+           "--epi1", "0.5", "--allow-no-sex", "--out", "oq"], str(d))
+    run_tpu(["--bfile", "pb", "--pheno", "qt_t.phe", "--epistasis",
+             "--epi1", "0.5", "--allow-no-sex", "--out", "tq",
+             "--silent"], str(d))
+    _cmp(d, "oq.epi.qt", "tq.epi.qt")
+    _cmp(d, "oq.epi.qt.summary", "tq.epi.qt.summary")
+
+
+def test_epistasis_cc_logistic(epi_panel):
+    d = epi_panel
+    run19(["--bfile", "pb", "--epistasis", "--epi1", "0.5",
+           "--allow-no-sex", "--out", "ocl"], str(d))
+    run_tpu(["--bfile", "pb", "--epistasis", "--epi1", "0.5",
+             "--allow-no-sex", "--out", "tcl", "--silent"], str(d))
+    _cmp(d, "ocl.epi.cc", "tcl.epi.cc")
+    _cmp(d, "ocl.epi.cc.summary", "tcl.epi.cc.summary")
