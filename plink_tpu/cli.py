@@ -193,6 +193,8 @@ class Config:
     fast_epistasis: tuple | None = None
     epistasis: tuple | None = None
     vif: float | None = None
+    test_missing: tuple | None = None
+    twolocus: tuple | None = None
     epi1: float | None = None
     epi2: float | None = None
     epi_gap: float | None = None
@@ -515,6 +517,12 @@ def parse_args(argv: list[str]) -> Config:
             cfg.epistasis = tuple(args)
         elif name == "vif":
             cfg.vif = float(args[0])
+        elif name == "test_missing":
+            cfg.test_missing = tuple(args)
+        elif name == "twolocus":
+            if len(args) != 2:
+                raise FlagError("--twolocus requires 2 variant IDs.")
+            cfg.twolocus = (args[0], args[1])
         elif name == "epi1":
             cfg.epi1 = float(args[0])
         elif name == "epi2":

@@ -696,6 +696,14 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.epi_reg import run_epistasis
 
             run_epistasis(ds, cfg, log)
+        if cfg.test_missing is not None:
+            from .commands.testmiss import run_test_missing
+
+            run_test_missing(ds, cfg, log)
+        if cfg.twolocus is not None:
+            from .commands.twolocus import run_twolocus
+
+            run_twolocus(ds, cfg, log)
         if cfg.clump:
             from .commands.clump import run_clump
 

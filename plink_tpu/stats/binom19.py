@@ -94,3 +94,75 @@ def binom_2sided(succ: int, obs: int, midp: bool) -> float:
         return tailp / (tailp + centerp)
     return (tailp - ((1 - SMALL_EPSILON) * EXACT_TEST_BIAS * 0.5)
             * tie_ct) / (tailp + centerp)
+
+
+FISHER_EPSILON = 0.0000000000009094947017729282379150390625
+
+
+def fisher22(m11: int, m12: int, m21: int, m22: int, midp: bool) -> float:
+    """2x2 Fisher exact test, PLINK 1.9 parity (fisher22,
+    1.9/plink_stats.c:771): relative-likelihood walk from the observed
+    table with EXACT_TEST_BIAS tie handling and optional mid-p."""
+    tprob = (1 - FISHER_EPSILON) * EXACT_TEST_BIAS
+    cur_prob = tprob
+    cprob = 0.0
+    tie_ct = 1
+    if m12 > m21:
+        m12, m21 = m21, m12
+    if m11 > m22:
+        m11, m22 = m22, m11
+    if m11 * m22 > m12 * m21:
+        m11, m12 = m12, m11
+        m21, m22 = m22, m21
+    cur11, cur12, cur21, cur22 = float(m11), float(m12), float(m21), \
+        float(m22)
+    while cur12 > 0.5:
+        cur11 += 1
+        cur22 += 1
+        cur_prob *= (cur12 * cur21) / (cur11 * cur22)
+        cur12 -= 1
+        cur21 -= 1
+        if cur_prob == float("inf"):
+            return 0.0
+        if cur_prob < EXACT_TEST_BIAS:
+            if cur_prob > (1 - 2 * FISHER_EPSILON) * EXACT_TEST_BIAS:
+                tie_ct += 1
+            tprob += cur_prob
+            break
+        cprob += cur_prob
+    if cprob == 0 and not midp:
+        return 1.0
+    while cur12 > 0.5:
+        cur11 += 1
+        cur22 += 1
+        cur_prob *= (cur12 * cur21) / (cur11 * cur22)
+        cur12 -= 1
+        cur21 -= 1
+        preaddp = tprob
+        tprob += cur_prob
+        if tprob <= preaddp:
+            break
+    if m11:
+        cur11, cur12, cur21, cur22 = float(m11), float(m12), \
+            float(m21), float(m22)
+        cur_prob = (1 - FISHER_EPSILON) * EXACT_TEST_BIAS
+        while True:
+            cur12 += 1
+            cur21 += 1
+            cur_prob *= (cur11 * cur22) / (cur12 * cur21)
+            cur11 -= 1
+            cur22 -= 1
+            preaddp = tprob
+            tprob += cur_prob
+            if tprob <= preaddp:
+                if not midp:
+                    return preaddp / (cprob + preaddp)
+                return (preaddp - ((1 - FISHER_EPSILON)
+                                   * EXACT_TEST_BIAS * 0.5)
+                        * tie_ct) / (cprob + preaddp)
+            if not cur11 > 0.5:
+                break
+    if not midp:
+        return tprob / (cprob + tprob)
+    return (tprob - ((1 - FISHER_EPSILON) * EXACT_TEST_BIAS * 0.5)
+            * tie_ct) / (cprob + tprob)

@@ -369,3 +369,46 @@ def ftoa_g(x) -> str:
         f = F(f * F(10))
         out += "0"
     return sign + out + _uitoa_trunc6(_float_round(F(f * F(1000000))))
+
+
+_BANKER7 = (0.49999995, 0.50000005)
+
+
+def dtoa_f_w9p6(x: float) -> str:
+    """1.9 dtoa_f_w9p6 (plink_common.c): ' q.rrrrrr' fixed-width for
+    |x| < 10 (the only range the twolocus proportions use)."""
+    if x != x:
+        return "      nan"
+    sign = " "
+    if x < 0:
+        sign = "-"
+        x = -x
+    d = x * 1000000
+    r = int(d)
+    r += int((d - r) + _BANKER7[r & 1])
+    q, rem = divmod(r, 1000000)
+    return f"{sign}{q}.{rem:06d}"
+
+
+def dtoa_f_w9p6_spaced(x: float) -> str:
+    """Trailing zeroes (and a bare '.') become spaces when the value
+    is an exact multiple of 1e-5 (1.9 dtoa_f_w9p6_spaced)."""
+    s = dtoa_f_w9p6(x)
+    dyy = x * 100000 + 0.00000005
+    if dyy - int(dyy) >= 0.0000001:
+        return s
+    t = s.rstrip("0")
+    if t.endswith("."):
+        t = t[:-1]
+    return t + " " * (len(s) - len(t))
+
+
+def dtoa_f_w9p6_clipped(x: float) -> str:
+    s = dtoa_f_w9p6(x)
+    dyy = x * 100000 + 0.00000005
+    if dyy - int(dyy) >= 0.0000001:
+        return s
+    t = s.rstrip("0")
+    if t.endswith("."):
+        t = t[:-1]
+    return t

@@ -1,0 +1,87 @@
+"""--test-missing / --twolocus differential tests vs plink 1.9."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+ORACLE19 = os.environ.get("PLINK19_ORACLE", "/tmp/oracle19/plink")
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(ORACLE19), reason="plink 1.9 oracle not built")
+
+
+def run19(args, cwd):
+    subprocess.run([ORACLE19] + args, cwd=cwd, check=True,
+                   capture_output=True)
+
+
+def run_tpu(args, cwd):
+    from plink_tpu.cli import main
+
+    old = os.getcwd()
+    os.chdir(cwd)
+    try:
+        assert main(args) == 0
+    finally:
+        os.chdir(old)
+
+
+@pytest.fixture(scope="module")
+def cc_panel(tmp_path_factory):
+    """200 samples x 320 markers over chr1/chr2/chrX, 4% missing,
+    case/control phenos, mixed sexes."""
+    d = tmp_path_factory.mktemp("m19")
+    rng = np.random.default_rng(23)
+    S, M_a, M_x = 200, 260, 60
+    M = M_a + M_x
+    chrom = [1] * 130 + [2] * 130 + [23] * M_x
+    pos = (list(range(100000, 100000 + 130 * 2000, 2000)) * 2
+           + list(range(500000, 500000 + M_x * 3000, 3000)))
+    with open(d / "p.map", "w") as f:
+        for j in range(M):
+            f.write(f"{chrom[j]} snp{j} 0 {pos[j]}\n")
+    freqs = rng.uniform(0.1, 0.9, M)
+    al = {0: "A A", 1: "A B", 2: "B B", 3: "0 0"}
+    with open(d / "p.ped", "w") as f:
+        for i in range(S):
+            g = []
+            for j in range(M):
+                v = rng.binomial(2, freqs[j])
+                if rng.random() < 0.04 + 0.06 * (i % 2):
+                    v = 3
+                g.append(al[v])
+            ph = 1 + i % 2
+            f.write(f"F{i} I{i} 0 0 {1 + i % 2} {ph} "
+                    + " ".join(g) + "\n")
+    run19(["--file", "p", "--make-bed", "--out", "pb"], str(d))
+    return d
+
+
+def _cmp(d, a, b):
+    assert (d / a).read_bytes() == (d / b).read_bytes(), (a, b)
+
+
+@pytest.mark.parametrize("mods", [[], ["midp"]])
+def test_test_missing(cc_panel, mods):
+    d = cc_panel
+    tag = "_".join(mods) or "def"
+    run19(["--bfile", "pb", "--test-missing"] + mods
+          + ["--allow-no-sex", "--out", f"o_{tag}"], str(d))
+    run_tpu(["--bfile", "pb", "--test-missing"] + mods
+            + ["--allow-no-sex", "--out", f"t_{tag}", "--silent"],
+            str(d))
+    _cmp(d, f"o_{tag}.missing", f"t_{tag}.missing")
+
+
+@pytest.mark.parametrize("pair", [("snp5", "snp17"),
+                                  ("snp261", "snp280"),
+                                  ("snp3", "snp300")])
+def test_twolocus(cc_panel, pair):
+    d = cc_panel
+    tag = "_".join(pair)
+    run19(["--bfile", "pb", "--twolocus", *pair, "--allow-no-sex",
+           "--out", f"o2_{tag}"], str(d))
+    run_tpu(["--bfile", "pb", "--twolocus", *pair, "--allow-no-sex",
+             "--out", f"t2_{tag}", "--silent"], str(d))
+    _cmp(d, f"o2_{tag}.twolocus", f"t2_{tag}.twolocus")
