@@ -195,6 +195,10 @@ class Config:
     vif: float | None = None
     test_missing: tuple | None = None
     twolocus: tuple | None = None
+    flip_scan: tuple | None = None
+    flip_scan_window: int | None = None
+    flip_scan_window_kb: float | None = None
+    flip_scan_threshold: float | None = None
     epi1: float | None = None
     epi2: float | None = None
     epi_gap: float | None = None
@@ -523,6 +527,14 @@ def parse_args(argv: list[str]) -> Config:
             if len(args) != 2:
                 raise FlagError("--twolocus requires 2 variant IDs.")
             cfg.twolocus = (args[0], args[1])
+        elif name == "flip_scan":
+            cfg.flip_scan = tuple(args)
+        elif name == "flip_scan_window":
+            cfg.flip_scan_window = int(args[0])
+        elif name == "flip_scan_window_kb":
+            cfg.flip_scan_window_kb = float(args[0])
+        elif name == "flip_scan_threshold":
+            cfg.flip_scan_threshold = float(args[0])
         elif name == "epi1":
             cfg.epi1 = float(args[0])
         elif name == "epi2":

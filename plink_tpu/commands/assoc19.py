@@ -18,6 +18,7 @@ import numpy as np
 from ..dataset import Dataset
 from ..stats.distributions import chisq_logsf
 from ..utils.logging import RunLogger
+from .homozyg import _fw_width
 
 
 _BR10 = (0.49999999995, 0.50000000005)
@@ -100,6 +101,79 @@ def _g4(x: float, width: int) -> str:
     return s.rjust(width)
 
 
+_BR11 = (0.499999999995, 0.500000000005)
+
+
+def _bround11(v: float) -> int:
+    i = int(v)
+    return i + int((v - i) + _BR11[i & 1])
+
+
+def _g3(x: float, width: int) -> str:
+    """dtoa_g_wxp3 (plink_common.c): 3-significant-figure shortest
+    form, right-aligned."""
+    if not np.isfinite(x):
+        if x != x:
+            return "nan".rjust(width)
+        return ("inf" if x > 0 else "-inf").rjust(width)
+    neg = x < 0
+    x = abs(x)
+    if x < 9.9949999999999e-5:
+        if x == 0.0:
+            s = "0"
+        else:
+            xp10 = 0
+            while x < 9.9949999999999e-1:
+                x *= 10
+                xp10 += 1
+            q = _bround11(x * 100)
+            whole, frac = divmod(q, 100)
+            s = str(whole)
+            fs = f"{frac:02d}".rstrip("0")
+            if fs:
+                s += "." + fs
+            s += f"e-{xp10:02d}"
+    elif x >= 999.49999999999:
+        xp10 = 0
+        while x >= 9.9949999999999:
+            x /= 10
+            xp10 += 1
+        q = _bround11(x * 100)
+        whole, frac = divmod(q, 100)
+        s = str(whole)
+        fs = f"{frac:02d}".rstrip("0")
+        if fs:
+            s += "." + fs
+        s += f"e+{xp10:02d}"
+    elif x >= 0.99949999999999:
+        # dtoa_so3
+        if x >= 99.949999999999:
+            q = _bround11(x)
+            s = f"{q // 10:02d}" + str(q % 10)
+        elif x >= 9.9949999999999:
+            q = _bround11(x * 10)
+            whole, frac = divmod(q, 10)
+            s = f"{whole:02d}" + (f".{frac}" if frac else "")
+        else:
+            q = _bround11(x * 100)
+            whole, frac = divmod(q, 100)
+            fs = f"{frac:02d}".rstrip("0")
+            s = str(whole) + (f".{fs}" if fs else "")
+    else:
+        prefix = "0."
+        if x < 9.9949999999999e-3:
+            x *= 100
+            prefix += "00"
+        if x < 9.9949999999999e-2:
+            x *= 10
+            prefix += "0"
+        q = _bround11(x * 1000)
+        s = prefix + f"{q:03d}".rstrip("0")
+    if neg:
+        s = "-" + s
+    return s.rjust(width)
+
+
 def _fw(s: str, width: int) -> str:
     return str(s).rjust(width)
 
@@ -169,7 +243,7 @@ def run_assoc(ds: Dataset, cfg, log: RunLogger) -> None:
     vi = ds.vi
     ci = vi.chr_info
     inc = np.flatnonzero(ds.variant_mask)
-    maxsnp = max(4, max((len(str(vi.vid[i])) for i in inc), default=4)) + 1
+    maxsnp = _fw_width(len(str(vi.vid[i])) for i in inc)
     alt1 = vi.alt1()
     path = cfg.out + ".assoc"
     with open(path, "w") as f:
@@ -269,7 +343,7 @@ def run_model(ds: Dataset, cfg, log: RunLogger) -> None:
     vi = ds.vi
     ci = vi.chr_info
     inc = np.flatnonzero(ds.variant_mask)
-    maxsnp = max(4, max((len(str(vi.vid[i])) for i in inc), default=4)) + 1
+    maxsnp = _fw_width(len(str(vi.vid[i])) for i in inc)
     alt1 = vi.alt1()
     path = cfg.out + ".model"
     with open(path, "w") as f:

@@ -38,6 +38,7 @@ from ..stats.binom19 import binom_2sided
 from ..stats.distributions import chisq_logsf
 from ..utils.chrom import MT_CODE, X_CODE, Y_CODE
 from ..utils.logging import RunLogger
+from .homozyg import _fw_width
 from .assoc19 import _fw, _g4
 from .cluster import _ltqnorm
 
@@ -332,9 +333,8 @@ def run_tdt(ds: Dataset, cfg, log: RunLogger) -> None:
         ex1 = ((pent >> 16) & 0xFF).sum(axis=1).astype(np.int64)
         ex2 = (pent >> 24).sum(axis=1).astype(np.int64)
 
-    maxsnp = max(
-        4, max((len(str(vi.vid[i])) for i in np.flatnonzero(
-            ds.variant_mask)), default=4)) + 1
+    maxsnp = _fw_width(
+        len(str(vi.vid[i])) for i in np.flatnonzero(ds.variant_mask))
     alt1 = vi.alt1()
     ci_size = cfg.ci if cfg.ci is not None else 0.0
     display_ci = ci_size > 0

@@ -20,6 +20,7 @@ from ..dataset import Dataset
 from ..stats.binom19 import fisher22
 from ..utils.chrom import MT_CODE, X_CODE, Y_CODE
 from ..utils.logging import RunLogger
+from .homozyg import _fw_width
 from .assoc19 import _fw, _g4
 
 
@@ -58,9 +59,8 @@ def run_test_missing(ds: Dataset, cfg, log: RunLogger) -> None:
     from ..ops.pairwise import _unpack_np
 
     codes = _unpack_np(ds.all_packed())[:, : ds.raw_sample_ct]
-    maxsnp = max(
-        4, max((len(str(vi.vid[i])) for i in np.flatnonzero(
-            ds.variant_mask)), default=4)) + 1
+    maxsnp = _fw_width(
+        len(str(vi.vid[i])) for i in np.flatnonzero(ds.variant_mask))
     ci = vi.chr_info
     out = cfg.out + ".missing"
     fh = open(out, "w")

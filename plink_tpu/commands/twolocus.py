@@ -20,6 +20,7 @@ from ..dataset import Dataset
 from ..utils.chrom import MT_CODE, X_CODE, Y_CODE
 from ..utils.fmt import dtoa_f_w9p6_clipped, dtoa_f_w9p6_spaced
 from ..utils.logging import RunLogger
+from .homozyg import _fw_width
 from .assoc19 import _fw
 
 
@@ -164,8 +165,7 @@ def run_twolocus(ds: Dataset, cfg, log: RunLogger) -> None:
         counts_case = np.bincount(sub[case], minlength=16)
         counts_ctrl = np.bincount(sub[~case], minlength=16)
 
-    maxsnp = max(
-        4, max((len(str(vi.vid[i])) for i in inc), default=4)) + 1
+    maxsnp = _fw_width(len(str(vi.vid[i])) for i in inc)
     out = cfg.out + ".twolocus"
     with open(out, "w") as fh:
         fh.write("\nAll individuals\n===============\n")

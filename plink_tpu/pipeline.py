@@ -704,6 +704,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.twolocus import run_twolocus
 
             run_twolocus(ds, cfg, log)
+        if cfg.flip_scan is not None:
+            from .commands.flipscan import run_flipscan
+
+            run_flipscan(ds, cfg, log)
         if cfg.clump:
             from .commands.clump import run_clump
 

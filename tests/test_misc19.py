@@ -85,3 +85,23 @@ def test_twolocus(cc_panel, pair):
     run_tpu(["--bfile", "pb", "--twolocus", *pair, "--allow-no-sex",
              "--out", f"t2_{tag}", "--silent"], str(d))
     _cmp(d, f"o2_{tag}.twolocus", f"t2_{tag}.twolocus")
+
+
+def test_flipscan(cc_panel):
+    d = cc_panel
+    run19(["--bfile", "pb", "--flip-scan", "--allow-no-sex", "--out",
+           "ofs"], str(d))
+    run_tpu(["--bfile", "pb", "--flip-scan", "--allow-no-sex", "--out",
+             "tfs", "--silent"], str(d))
+    _cmp(d, "ofs.flipscan", "tfs.flipscan")
+
+
+def test_flipscan_verbose(cc_panel):
+    d = cc_panel
+    args = ["--flip-scan", "verbose", "--flip-scan-window", "5",
+            "--flip-scan-threshold", "0.2", "--allow-no-sex"]
+    run19(["--bfile", "pb"] + args + ["--out", "ofv"], str(d))
+    run_tpu(["--bfile", "pb"] + args + ["--out", "tfv", "--silent"],
+            str(d))
+    _cmp(d, "ofv.flipscan", "tfv.flipscan")
+    _cmp(d, "ofv.flipscan.verbose", "tfv.flipscan.verbose")
