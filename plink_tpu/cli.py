@@ -199,6 +199,11 @@ class Config:
     flip_scan_window: int | None = None
     flip_scan_window_kb: float | None = None
     flip_scan_threshold: float | None = None
+    show_tags: str | None = None
+    list_all: bool = False
+    tag_kb: float | None = None
+    tag_r2: float | None = None
+    tag_mode2: bool = False
     epi1: float | None = None
     epi2: float | None = None
     epi_gap: float | None = None
@@ -535,6 +540,16 @@ def parse_args(argv: list[str]) -> Config:
             cfg.flip_scan_window_kb = float(args[0])
         elif name == "flip_scan_threshold":
             cfg.flip_scan_threshold = float(args[0])
+        elif name == "show_tags":
+            cfg.show_tags = args[0]
+        elif name == "list_all":
+            cfg.list_all = True
+        elif name == "tag_kb":
+            cfg.tag_kb = float(args[0])
+        elif name == "tag_r2":
+            cfg.tag_r2 = float(args[0])
+        elif name == "tag_mode2":
+            cfg.tag_mode2 = True
         elif name == "epi1":
             cfg.epi1 = float(args[0])
         elif name == "epi2":

@@ -708,6 +708,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.flipscan import run_flipscan
 
             run_flipscan(ds, cfg, log)
+        if cfg.show_tags is not None:
+            from .commands.show_tags import run_show_tags
+
+            run_show_tags(ds, cfg, log)
         if cfg.clump:
             from .commands.clump import run_clump
 

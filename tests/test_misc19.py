@@ -105,3 +105,24 @@ def test_flipscan_verbose(cc_panel):
             str(d))
     _cmp(d, "ofv.flipscan", "tfv.flipscan")
     _cmp(d, "ofv.flipscan.verbose", "tfv.flipscan.verbose")
+
+
+def test_show_tags_all(cc_panel):
+    d = cc_panel
+    run19(["--bfile", "pb", "--show-tags", "all", "--allow-no-sex",
+           "--out", "ost"], str(d))
+    run_tpu(["--bfile", "pb", "--show-tags", "all", "--allow-no-sex",
+             "--out", "tst", "--silent"], str(d))
+    _cmp(d, "ost.tags.list", "tst.tags.list")
+
+
+def test_show_tags_file(cc_panel):
+    d = cc_panel
+    (d / "tg.txt").write_text("snp5\nsnp40\nsnp261\nsnp300\n")
+    args = ["--show-tags", "tg.txt", "--tag-r2", "0.5", "--tag-kb",
+            "30", "--list-all", "--allow-no-sex"]
+    run19(["--bfile", "pb"] + args + ["--out", "ost2"], str(d))
+    run_tpu(["--bfile", "pb"] + args + ["--out", "tst2", "--silent"],
+            str(d))
+    _cmp(d, "ost2.tags", "tst2.tags")
+    _cmp(d, "ost2.tags.list", "tst2.tags.list")
