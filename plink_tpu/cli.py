@@ -204,6 +204,7 @@ class Config:
     tag_kb: float | None = None
     tag_r2: float | None = None
     tag_mode2: bool = False
+    test_mishap: bool = False
     epi1: float | None = None
     epi2: float | None = None
     epi_gap: float | None = None
@@ -550,6 +551,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.tag_r2 = float(args[0])
         elif name == "tag_mode2":
             cfg.tag_mode2 = True
+        elif name == "test_mishap":
+            cfg.test_mishap = True
         elif name == "epi1":
             cfg.epi1 = float(args[0])
         elif name == "epi2":

@@ -712,6 +712,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.show_tags import run_show_tags
 
             run_show_tags(ds, cfg, log)
+        if cfg.test_mishap:
+            from .commands.mishap import run_test_mishap
+
+            run_test_mishap(ds, cfg, log)
         if cfg.clump:
             from .commands.clump import run_clump
 

@@ -126,3 +126,37 @@ def test_show_tags_file(cc_panel):
             str(d))
     _cmp(d, "ost2.tags", "tst2.tags")
     _cmp(d, "ost2.tags.list", "tst2.tags.list")
+
+
+@pytest.fixture(scope="module")
+def dense_miss_panel(tmp_path_factory):
+    """150 samples x 80 chr1 markers with 12% missingness (for
+    --test-mishap, which needs >=5 missing calls per site)."""
+    d = tmp_path_factory.mktemp("mh19")
+    rng = np.random.default_rng(31)
+    S, M = 150, 80
+    al = {0: "A A", 1: "A B", 2: "B B", 3: "0 0"}
+    with open(d / "p.map", "w") as f:
+        for j in range(M):
+            f.write(f"1 v{j} 0 {1000 + j * 500}\n")
+    with open(d / "p.ped", "w") as f:
+        for i in range(S):
+            g = []
+            for j in range(M):
+                v = rng.binomial(2, 0.4)
+                if rng.random() < 0.12:
+                    v = 3
+                g.append(al[v])
+            f.write(f"F{i} I{i} 0 0 1 {1 + i % 2} " + " ".join(g)
+                    + "\n")
+    run19(["--file", "p", "--make-bed", "--out", "pb"], str(d))
+    return d
+
+
+def test_test_mishap(dense_miss_panel):
+    d = dense_miss_panel
+    run19(["--bfile", "pb", "--test-mishap", "--allow-no-sex", "--out",
+           "omh"], str(d))
+    run_tpu(["--bfile", "pb", "--test-mishap", "--allow-no-sex",
+             "--out", "tmh", "--silent"], str(d))
+    _cmp(d, "omh.missing.hap", "tmh.missing.hap")
