@@ -205,6 +205,7 @@ class Config:
     tag_r2: float | None = None
     tag_mode2: bool = False
     test_mishap: bool = False
+    gxe: int | None = None
     epi1: float | None = None
     epi2: float | None = None
     epi_gap: float | None = None
@@ -553,6 +554,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.tag_mode2 = True
         elif name == "test_mishap":
             cfg.test_mishap = True
+        elif name == "gxe":
+            cfg.gxe = int(args[0]) if args else 1
         elif name == "epi1":
             cfg.epi1 = float(args[0])
         elif name == "epi2":

@@ -716,6 +716,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.mishap import run_test_mishap
 
             run_test_mishap(ds, cfg, log)
+        if cfg.gxe is not None:
+            from .commands.gxe import run_gxe
+
+            run_gxe(ds, cfg, log)
         if cfg.clump:
             from .commands.clump import run_clump
 

@@ -160,3 +160,22 @@ def test_test_mishap(dense_miss_panel):
     run_tpu(["--bfile", "pb", "--test-mishap", "--allow-no-sex",
              "--out", "tmh", "--silent"], str(d))
     _cmp(d, "omh.missing.hap", "tmh.missing.hap")
+
+
+def test_gxe(cc_panel):
+    d = cc_panel
+    rng = np.random.default_rng(19)
+    fam = [ln.split() for ln in (d / "pb.fam").read_text().splitlines()]
+    body = "".join(f"{r[0]} {r[1]} {rng.normal(0, 1):.5f}\n"
+                   for r in fam)
+    (d / "qt_o.phe").write_text("FID IID PHENO\n" + body)
+    (d / "qt_t.phe").write_text("#FID IID PHENO\n" + body)
+    (d / "g.cov").write_text("".join(
+        f"{r[0]} {r[1]} {[1, 2, 1, 2, -9][i % 5]}\n"
+        for i, r in enumerate(fam)))
+    run19(["--bfile", "pb", "--pheno", "qt_o.phe", "--covar", "g.cov",
+           "--gxe", "--allow-no-sex", "--out", "og"], str(d))
+    run_tpu(["--bfile", "pb", "--pheno", "qt_t.phe", "--covar", "g.cov",
+             "--gxe", "--allow-no-sex", "--out", "tg", "--silent"],
+            str(d))
+    _cmp(d, "og.qassoc.gxe", "tg.qassoc.gxe")
