@@ -206,6 +206,13 @@ class Config:
     tag_mode2: bool = False
     test_mishap: bool = False
     gxe: int | None = None
+    mh: bool = False
+    bd: bool = False
+    mh_mods: tuple = ()
+    homog: bool = False
+    within: str | None = None
+    mwithin: int | None = None
+    family: bool = False
     epi1: float | None = None
     epi2: float | None = None
     epi_gap: float | None = None
@@ -556,6 +563,23 @@ def parse_args(argv: list[str]) -> Config:
             cfg.test_mishap = True
         elif name == "gxe":
             cfg.gxe = int(args[0]) if args else 1
+        elif name in ("mh", "cmh"):
+            cfg.mh = True
+            cfg.mh_mods = tuple(args)
+        elif name == "bd":
+            cfg.mh = True
+            cfg.bd = True
+            cfg.mh_mods = tuple(args)
+        elif name == "homog":
+            cfg.homog = True
+        elif name == "within":
+            cfg.within = args[0]
+            if len(args) > 1:
+                cfg.mwithin = int(args[1])
+        elif name == "mwithin":
+            cfg.mwithin = int(args[0])
+        elif name == "family":
+            cfg.family = True
         elif name == "epi1":
             cfg.epi1 = float(args[0])
         elif name == "epi2":

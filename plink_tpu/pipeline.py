@@ -720,6 +720,14 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.gxe import run_gxe
 
             run_gxe(ds, cfg, log)
+        if cfg.mh:
+            from .commands.cmh import run_cmh
+
+            run_cmh(ds, cfg, log)
+        if cfg.homog:
+            from .commands.cmh import run_homog
+
+            run_homog(ds, cfg, log)
         if cfg.clump:
             from .commands.clump import run_clump
 
