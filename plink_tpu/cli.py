@@ -207,6 +207,7 @@ class Config:
     test_mishap: bool = False
     gxe: int | None = None
     mh: bool = False
+    mh2: bool = False
     bd: bool = False
     mh_mods: tuple = ()
     homog: bool = False
@@ -566,6 +567,8 @@ def parse_args(argv: list[str]) -> Config:
         elif name in ("mh", "cmh"):
             cfg.mh = True
             cfg.mh_mods = tuple(args)
+        elif name == "mh2":
+            cfg.mh2 = True
         elif name == "bd":
             cfg.mh = True
             cfg.bd = True

@@ -81,10 +81,10 @@ def _chiprob(chisq, df):
 
 
 class _CmhData:
-    """Per-dataset cluster/count machinery shared by --mh and
+    """Per-dataset cluster/count machinery shared by --mh, --mh2 and
     --homog."""
 
-    def __init__(self, ds, cfg, flag_name, log):
+    def __init__(self, ds, cfg, flag_name, log, mh2=False):
         si = ds.si
         pc = next(iter(si.phenos.values()), None)
         if pc is None or pc.kind != "cc":
@@ -95,14 +95,15 @@ class _CmhData:
         case = pheno_nm & (pc.data == 1)
         n = ds.raw_sample_ct
         male = ds.male_mask()[:n]
-        # keep clusters with >=1 case and >=1 control
+        # keep clusters with >=1 case and >=1 control (--mh2: any
+        # pheno_nm member suffices, 1.9/plink_assoc.c:10818-10820)
         kept = []
         self.kept_names = []
         for k, nm in enumerate(names):
             mem = (assign == k) & pheno_nm[:n]
             c = int((mem & case[:n]).sum())
             u = int(mem.sum()) - c
-            if c and u:
+            if (c and u) or (mh2 and (c or u)):
                 kept.append(k)
                 self.kept_names.append(nm)
         if len(kept) < 2:
@@ -307,6 +308,104 @@ def run_cmh(ds: Dataset, cfg, log: RunLogger) -> None:
                 else:
                     line += "        NA         NA "
         fh.write(line + "\n")
+    fh.close()
+    log.log(f"Writing report to {out} ... done.")
+
+
+def run_mh2(ds: Dataset, cfg, log: RunLogger) -> None:
+    """--mh2: Cochran-Mantel-Haenszel 2xJx2 test (J = cluster count).
+
+    Behavior reference: cmh2_assoc (1.9/plink_assoc.c:11385-11630):
+    clusters need only one nonmissing-phenotype member; per marker,
+    clusters with zero nonmissing observations are dropped, then
+    Q = d' V^-1 d with d = n0 - u0 over the first J-1 clusters."""
+    data = _CmhData(ds, cfg, "--mh2", log, mh2=True)
+    ctrl_tot = int(data.tot_cts[:, 0].sum())
+    case_tot = int(data.tot_cts[:, 1].sum())
+    if ctrl_tot < 2 or case_tot < 2:
+        raise FlagError(
+            "--mh2 requires at least two cases and two controls.")
+    vi = ds.vi
+
+    from ..ops.pairwise import _unpack_np
+    from ..utils.fmt import dtoa_g
+    from .basic_reports import alt_allele_freqs
+
+    codes = _unpack_np(ds.all_packed())[:, : ds.raw_sample_ct]
+    af = alt_allele_freqs(ds, founders_only=True)
+    a1_is_alt = ~(af > 0.5)
+    inc = np.flatnonzero(ds.variant_mask)
+    chrci = vi.chr_info
+    out = cfg.out + ".cmh2"
+    fh = open(out, "w")
+    fh.write("CHR\tSNP\tCHISQ\tDF\tP\n")
+
+    for v in inc:
+        chrom = int(vi.chrom[v])
+        raw = codes[v]
+        g = raw if a1_is_alt[v] \
+            else np.where(raw == 3, 3, 2 - raw).astype(raw.dtype)
+        cts = data.counts(g, chrom)
+        n0 = []
+        ty_ctrl = []
+        ty_case = []
+        cur_ctrl = cur_case = ctrl_a1 = case_a1 = 0
+        for kk in range(data.K):
+            (ca1, cmiss, ctot), (aa1, amiss, atot) = cts[kk]
+            cc = ctot - cmiss
+            ac = atot - amiss
+            if cc + ac:
+                n0.append(float(ca1 + aa1))
+                ctrl_a1 += ca1
+                case_a1 += aa1
+                cur_ctrl += cc
+                cur_case += ac
+                ty_ctrl.append(float(cc))
+                ty_case.append(float(ac))
+        J = len(n0)
+        line = chrci.name19(chrom) + "\t" + str(vi.vid[v]) + "\t"
+        if (cur_ctrl == 0 and cur_case) \
+                or (cur_case == 0 and cur_ctrl) or J == 1:
+            fh.write(line + "0\t0\tNA\n")
+            continue
+        if cur_ctrl < 2 or cur_case < 2 or J == 0:
+            fh.write(line + "NA\tNA\tNA\n")
+            continue
+        Jm1 = J - 1
+        ctrl_ctd = float(cur_ctrl)
+        case_ctd = float(cur_case)
+        ctrl_umult = float(ctrl_a1) / ctrl_ctd
+        case_umult = float(case_a1) / case_ctd
+        ctrl_vmult = ctrl_umult * (ctrl_ctd - float(ctrl_a1)) \
+            / (ctrl_ctd * (ctrl_ctd - 1))
+        case_vmult = case_umult * (case_ctd - float(case_a1)) \
+            / (case_ctd * (case_ctd - 1))
+        u0 = [ty_ctrl[j] * ctrl_umult + ty_case[j] * case_umult
+              for j in range(Jm1)]
+        V = np.empty((Jm1, Jm1))
+        for j in range(Jm1):
+            cvm = -ty_ctrl[j] * ctrl_vmult
+            avm = -ty_case[j] * case_vmult
+            V[j, j] = (ty_ctrl[j] - ctrl_ctd) * cvm \
+                + (ty_case[j] - case_ctd) * avm
+            for k in range(j + 1, Jm1):
+                V[j, k] = ty_ctrl[k] * cvm + ty_case[k] * avm
+                V[k, j] = V[j, k]
+        try:
+            Vinv = np.linalg.inv(V)
+        except np.linalg.LinAlgError:
+            fh.write(line + "NA\tNA\tNA\n")
+            continue
+        d = [n0[j] - u0[j] for j in range(Jm1)]
+        chisq = 0.0
+        for j in range(Jm1):
+            dxx = 0.0
+            for k in range(Jm1):
+                dxx += Vinv[j, k] * d[k]
+            chisq += dxx * d[j]
+        p = _chiprob(chisq, Jm1)
+        fh.write(line + dtoa_g(chisq) + "\t" + str(Jm1) + "\t"
+                 + dtoa_g(max(p, 0.0)) + "\n")
     fh.close()
     log.log(f"Writing report to {out} ... done.")
 

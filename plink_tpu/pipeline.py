@@ -724,6 +724,12 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.cmh import run_cmh
 
             run_cmh(ds, cfg, log)
+        if cfg.mh2:
+            from .commands.cmh import run_mh2
+
+            if cfg.mh:
+                raise FlagError("--mh2 cannot be used with --mh/--bd.")
+            run_mh2(ds, cfg, log)
         if cfg.homog:
             from .commands.cmh import run_homog
 

@@ -94,6 +94,18 @@ def test_cmh(strat_panel, flags, cl):
 
 
 @pytest.mark.parametrize("cl", ["cl.txt", "cl2.txt"])
+def test_mh2(strat_panel, cl):
+    d = strat_panel
+    tag = "m2_" + cl.split(".")[0]
+    run19(["--bfile", "pb", "--within", cl, "--mh2",
+           "--allow-no-sex", "--out", f"o_{tag}"], str(d))
+    run_tpu(["--bfile", "pb", "--within", cl, "--mh2",
+             "--allow-no-sex", "--out", f"t_{tag}", "--silent"],
+            str(d))
+    _cmp(d, f"o_{tag}.cmh2", f"t_{tag}.cmh2")
+
+
+@pytest.mark.parametrize("cl", ["cl.txt", "cl2.txt"])
 def test_homog(strat_panel, cl):
     d = strat_panel
     tag = cl.split(".")[0]
