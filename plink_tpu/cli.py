@@ -206,6 +206,7 @@ class Config:
     tag_mode2: bool = False
     test_mishap: bool = False
     gxe: int | None = None
+    tucc: tuple | None = None
     mh: bool = False
     mh2: bool = False
     bd: bool = False
@@ -569,6 +570,12 @@ def parse_args(argv: list[str]) -> Config:
             cfg.mh_mods = tuple(args)
         elif name == "mh2":
             cfg.mh2 = True
+        elif name == "tucc":
+            for a in args:
+                if a != "write-bed":
+                    raise FlagError(
+                        f"Invalid --tucc parameter '{a}'.")
+            cfg.tucc = tuple(args)
         elif name == "bd":
             cfg.mh = True
             cfg.bd = True

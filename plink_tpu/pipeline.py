@@ -688,6 +688,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.family import run_tdt
 
             run_tdt(ds, cfg, log)
+        if cfg.tucc is not None:
+            from .commands.tucc import run_tucc
+
+            run_tucc(ds, cfg, log)
         if cfg.fast_epistasis is not None:
             from .commands.epistasis import run_fast_epistasis
 

@@ -111,3 +111,22 @@ def test_tdt_ci(trio_panel):
     run_tpu(["--bfile", "pb", "--tdt", "--ci", "0.95", "--out", "t_ci",
              "--silent"], str(d))
     _cmp(d, "o_ci.tdt", "t_ci.tdt")
+
+
+def test_tucc_write_bed(trio_panel):
+    d = trio_panel
+    run19(["--bfile", "pb", "--tucc", "write-bed", "--allow-no-sex",
+           "--out", "o_tu"], str(d))
+    run_tpu(["--bfile", "pb", "--tucc", "write-bed", "--allow-no-sex",
+             "--out", "t_tu", "--silent"], str(d))
+    for ext in ("fam", "bim", "bed"):
+        _cmp(d, f"o_tu.tucc.{ext}", f"t_tu.tucc.{ext}")
+
+
+def test_tucc_ped(trio_panel):
+    d = trio_panel
+    run19(["--bfile", "pb", "--tucc", "--allow-no-sex",
+           "--out", "o_tp"], str(d))
+    run_tpu(["--bfile", "pb", "--tucc", "--allow-no-sex",
+             "--out", "t_tp", "--silent"], str(d))
+    _cmp(d, "o_tp.tucc.ped", "t_tp.tucc.ped")
