@@ -207,6 +207,7 @@ class Config:
     test_mishap: bool = False
     gxe: int | None = None
     tucc: tuple | None = None
+    make_perm_pheno: int | None = None
     mh: bool = False
     mh2: bool = False
     bd: bool = False
@@ -576,6 +577,8 @@ def parse_args(argv: list[str]) -> Config:
                     raise FlagError(
                         f"Invalid --tucc parameter '{a}'.")
             cfg.tucc = tuple(args)
+        elif name == "make_perm_pheno":
+            cfg.make_perm_pheno = int(args[0])
         elif name == "bd":
             cfg.mh = True
             cfg.bd = True

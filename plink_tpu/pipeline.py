@@ -692,6 +692,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.tucc import run_tucc
 
             run_tucc(ds, cfg, log)
+        if cfg.make_perm_pheno is not None:
+            from .commands.perm_pheno import run_make_perm_pheno
+
+            run_make_perm_pheno(ds, cfg, log)
         if cfg.fast_epistasis is not None:
             from .commands.epistasis import run_fast_epistasis
 

@@ -1,0 +1,103 @@
+"""SFMT19937 + --make-perm-pheno differential tests vs plink 1.9."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+ORACLE19 = os.environ.get("PLINK19_ORACLE", "/tmp/oracle19/plink")
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(ORACLE19), reason="plink 1.9 oracle not built")
+
+
+def run19(args, cwd):
+    subprocess.run([ORACLE19] + args, cwd=cwd, check=True,
+                   capture_output=True)
+
+
+def run_tpu(args, cwd):
+    from plink_tpu.cli import main
+
+    old = os.getcwd()
+    os.chdir(cwd)
+    try:
+        assert main(args) == 0
+    finally:
+        os.chdir(old)
+
+
+@pytest.fixture(scope="module")
+def pp_panel(tmp_path_factory):
+    """150 samples x 40 markers, cc + qt phenos, cluster file."""
+    d = tmp_path_factory.mktemp("pp")
+    rng = np.random.default_rng(3)
+    S, M = 150, 40
+    with open(d / "p.map", "w") as f:
+        for j in range(M):
+            f.write(f"1 snp{j} 0 {100000 + j * 1500}\n")
+    al = {0: "A A", 1: "A B", 2: "B B", 3: "0 0"}
+    with open(d / "p.ped", "w") as f:
+        for i in range(S):
+            g = " ".join(
+                al[rng.binomial(2, 0.4) if rng.random() > 0.03 else 3]
+                for _ in range(M))
+            ph = -9 if i % 17 == 5 else 1 + i % 2
+            f.write(f"F{i} I{i} 0 0 {1 + i % 2} {ph} {g}\n")
+    qt = ["#FID IID QT"]
+    qto = []
+    for i in range(S):
+        v = f"{rng.normal(50, 8):.4f}"
+        qt.append(f"F{i} I{i} {v}")
+        qto.append(f"F{i} I{i} {v}")
+    (d / "qt.phe").write_text("\n".join(qt) + "\n")
+    (d / "qto.phe").write_text("\n".join(qto) + "\n")
+    with open(d / "cl.txt", "w") as f:
+        for i in range(S):
+            if i % 13 == 4:
+                continue
+            f.write(f"F{i} I{i} g{i % 6}\n")
+    run19(["--file", "p", "--make-bed", "--allow-no-sex",
+           "--out", "pb"], str(d))
+    return d
+
+
+def _cmp(d, a, b):
+    assert (d / a).read_bytes() == (d / b).read_bytes(), (a, b)
+
+
+def test_sfmt_stream():
+    """First draws for seed 21 (generated from reference SFMT.c)."""
+    from plink_tpu.stats.sfmt import Sfmt
+
+    s = Sfmt(21)
+    assert [s.genrand_uint32() for _ in range(6)] == [
+        669358906, 918318802, 2041720170, 2085671284,
+        4258283803, 309276207]
+
+
+@pytest.mark.parametrize("extra,threads", [
+    ([], 1), ([], 3), (["--within", "cl.txt"], 1),
+])
+def test_make_perm_pheno_cc(pp_panel, extra, threads):
+    d = pp_panel
+    tag = f"cc{threads}_{len(extra)}"
+    base = ["--bfile", "pb", "--make-perm-pheno", "7", "--seed", "21",
+            "--threads", str(threads), "--allow-no-sex"] + extra
+    run19(base + ["--out", f"o_{tag}"], str(d))
+    run_tpu(base + ["--out", f"t_{tag}", "--silent"], str(d))
+    _cmp(d, f"o_{tag}.pphe", f"t_{tag}.pphe")
+
+
+@pytest.mark.parametrize("extra,threads", [
+    ([], 2), (["--within", "cl.txt"], 2),
+])
+def test_make_perm_pheno_qt(pp_panel, extra, threads):
+    d = pp_panel
+    tag = f"qt{threads}_{len(extra)}"
+    base = ["--bfile", "pb", "--make-perm-pheno", "5", "--seed", "77",
+            "--threads", str(threads), "--allow-no-sex"] + extra
+    run19(base + ["--pheno", "qto.phe", "--out", f"o_{tag}"], str(d))
+    run_tpu(base + ["--pheno", "qt.phe", "--out", f"t_{tag}",
+                    "--silent"], str(d))
+    _cmp(d, f"o_{tag}.pphe", f"t_{tag}.pphe")
