@@ -208,6 +208,7 @@ class Config:
     gxe: int | None = None
     tucc: tuple | None = None
     make_perm_pheno: int | None = None
+    ibs_test: int | None = None
     mh: bool = False
     mh2: bool = False
     bd: bool = False
@@ -579,6 +580,12 @@ def parse_args(argv: list[str]) -> Config:
             cfg.tucc = tuple(args)
         elif name == "make_perm_pheno":
             cfg.make_perm_pheno = int(args[0])
+        elif name == "ibs_test":
+            cfg.ibs_test = int(args[0]) if args else 100000
+            if cfg.ibs_test < 1024:
+                raise FlagError(
+                    f"--ibs-test permutation count '{args[0]}' too "
+                    "small (min 1024).")
         elif name == "bd":
             cfg.mh = True
             cfg.bd = True

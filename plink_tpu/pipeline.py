@@ -696,6 +696,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.perm_pheno import run_make_perm_pheno
 
             run_make_perm_pheno(ds, cfg, log)
+        if cfg.ibs_test is not None:
+            from .commands.ibs_test import run_ibs_test
+
+            run_ibs_test(ds, cfg, log)
         if cfg.fast_epistasis is not None:
             from .commands.epistasis import run_fast_epistasis
 

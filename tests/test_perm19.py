@@ -101,3 +101,19 @@ def test_make_perm_pheno_qt(pp_panel, extra, threads):
     run_tpu(base + ["--pheno", "qt.phe", "--out", f"t_{tag}",
                     "--silent"], str(d))
     _cmp(d, f"o_{tag}.pphe", f"t_{tag}.pphe")
+
+
+def test_ibs_test(pp_panel):
+    d = pp_panel
+    args = ["--bfile", "pb", "--ibs-test", "1024", "--seed", "11",
+            "--threads", "1", "--allow-no-sex"]
+    run19(args + ["--out", "o_ibs"], str(d))
+    run_tpu(args + ["--out", "t_ibs", "--silent"], str(d))
+
+    def block(p):
+        txt = (d / p).read_text().splitlines()
+        i = txt.index("--ibs-test results:")
+        j = next(k for k in range(i, len(txt)) if "T12" in txt[k])
+        return txt[i:j + 1]
+
+    assert block("o_ibs.log") == block("t_ibs.log")
