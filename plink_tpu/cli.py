@@ -209,6 +209,8 @@ class Config:
     tucc: tuple | None = None
     make_perm_pheno: int | None = None
     ibs_test: int | None = None
+    groupdist: tuple | None = None
+    regress_distance: tuple | None = None
     mh: bool = False
     mh2: bool = False
     bd: bool = False
@@ -586,6 +588,21 @@ def parse_args(argv: list[str]) -> Config:
                 raise FlagError(
                     f"--ibs-test permutation count '{args[0]}' too "
                     "small (min 1024).")
+        elif name == "groupdist":
+            it = int(args[0]) if args else 100000
+            if args and it < 2:
+                raise FlagError(
+                    f"Invalid --groupdist jackknife iteration count "
+                    f"'{args[0]}'.")
+            cfg.groupdist = (it, int(args[1]) if len(args) > 1 else 0)
+        elif name == "regress_distance":
+            it = int(args[0]) if args else 100000
+            if args and it < 2:
+                raise FlagError(
+                    f"Invalid --regress-distance jackknife iteration "
+                    f"count '{args[0]}'.")
+            cfg.regress_distance = (
+                it, int(args[1]) if len(args) > 1 else 0)
         elif name == "bd":
             cfg.mh = True
             cfg.bd = True

@@ -700,6 +700,14 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.ibs_test import run_ibs_test
 
             run_ibs_test(ds, cfg, log)
+        if cfg.groupdist is not None:
+            from .commands.groupdist import run_groupdist
+
+            run_groupdist(ds, cfg, log)
+        if cfg.regress_distance is not None:
+            from .commands.groupdist import run_regress_distance
+
+            run_regress_distance(ds, cfg, log)
         if cfg.fast_epistasis is not None:
             from .commands.epistasis import run_fast_epistasis
 

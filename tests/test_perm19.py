@@ -117,3 +117,33 @@ def test_ibs_test(pp_panel):
         return txt[i:j + 1]
 
     assert block("o_ibs.log") == block("t_ibs.log")
+
+
+def _log_block(d, p, start, endpat):
+    txt = (d / p).read_text().splitlines()
+    i = next(k for k, ln in enumerate(txt) if start in ln)
+    j = next(k for k in range(i, len(txt)) if endpat in txt[k])
+    return txt[i:j + 1]
+
+
+def test_groupdist(pp_panel):
+    d = pp_panel
+    args = ["--bfile", "pb", "--groupdist", "1200", "--seed", "21",
+            "--threads", "2", "--allow-no-sex"]
+    run19(args + ["--out", "o_gd"], str(d))
+    run_tpu(args + ["--out", "t_gd", "--silent"], str(d))
+    assert _log_block(d, "o_gd.log", "Setting d=", "AU mean - UU") \
+        == _log_block(d, "t_gd.log", "Setting d=", "AU mean - UU")
+
+
+def test_regress_distance(pp_panel):
+    d = pp_panel
+    args = ["--bfile", "pb", "--regress-distance", "1000", "--seed",
+            "7", "--threads", "1", "--allow-no-sex"]
+    run19(args + ["--pheno", "qto.phe", "--out", "o_rd"], str(d))
+    run_tpu(args + ["--pheno", "qt.phe", "--out", "t_rd", "--silent"],
+            str(d))
+    assert _log_block(d, "o_rd.log", "Phenotype stdev",
+                      "Jackknife s.e. (y") \
+        == _log_block(d, "t_rd.log", "Phenotype stdev",
+                      "Jackknife s.e. (y")
