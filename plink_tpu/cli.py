@@ -260,6 +260,8 @@ class Config:
     rm_dup: str | None = None
     thin: float | None = None
     thin_count: int | None = None
+    thin_indiv: float | None = None
+    thin_indiv_count: int | None = None
     keep_founders: bool = False
     keep_nonfounders: bool = False
     update_sex: str | None = None
@@ -412,6 +414,10 @@ def parse_args(argv: list[str]) -> Config:
             cfg.thin = float(args[0])
         elif name == "thin_count":
             cfg.thin_count = int(args[0])
+        elif name == "thin_indiv":
+            cfg.thin_indiv = float(args[0])
+        elif name == "thin_indiv_count":
+            cfg.thin_indiv_count = int(args[0])
         elif name == "keep_founders":
             cfg.keep_founders = True
         elif name == "keep_nonfounders":

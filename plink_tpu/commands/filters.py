@@ -373,25 +373,90 @@ def rm_dup(ds: Dataset, mode: str, log: RunLogger) -> None:
 
 
 def thin_variants(ds: Dataset, p: float | None, count: int | None,
-                  rng, log: RunLogger) -> None:
-    """--thin / --thin-count: random variant subsampling.  Uses numpy's RNG,
-    so the retained SET differs from plink2's SFMT stream (same sizes)."""
+                  cfg, log: RunLogger) -> None:
+    """--thin / --thin-count: random variant subsampling, bit-exact
+    with 1.9's SFMT stream for a given --seed (random_thin_markers /
+    random_thin_markers_ct, 1.9/plink_filter.c:1024-1095)."""
     import numpy as np
 
+    from ..stats.perm19 import generate_cc_perm, master_sfmt
+
+    sfmt = master_sfmt(cfg)
     inc = np.flatnonzero(ds.variant_mask)
     if count is not None:
-        keep_ct = min(count, inc.size)
-        keep = rng.choice(inc, size=keep_ct, replace=False)
         tag = "--thin-count"
+        if count > inc.size:
+            raise ValueError(
+                "--thin-count parameter exceeds number of remaining "
+                "variants.")
+        if inc.size > 1:
+            removed_mask = generate_cc_perm(
+                inc.size, inc.size - count, sfmt)
+            keep = inc[~removed_mask]
+        elif count == 0 and inc.size:
+            keep = inc[:0]
+        else:
+            keep = inc
+        removed = inc.size - keep.size
     else:
-        keep = inc[rng.random(inc.size) < p]
         tag = "--thin"
-    removed = inc.size - keep.size
+        thresh = int(p * 4294967296.0 + 0.5)
+        keep_flags = np.array(
+            [sfmt.genrand_uint32() < thresh for _ in range(inc.size)])
+        keep = inc[keep_flags]
+        removed = inc.size - keep.size
+        if removed == inc.size:
+            raise ValueError(
+                "All variants removed by --thin.  Try a higher "
+                "probability.")
     mask = np.zeros(ds.raw_variant_ct, dtype=bool)
     mask[keep] = True
     ds.variant_mask &= mask
     ds.invalidate_counts()
-    log.log(f"{tag}: {removed} variants removed ({keep.size} remaining).")
+    log.log(f"{tag}: {removed} variant"
+            f"{'' if removed == 1 else 's'} removed "
+            f"({keep.size} remaining).")
+
+
+def thin_samples(ds: Dataset, p: float | None, count: int | None,
+                 cfg, log: RunLogger) -> None:
+    """--thin-indiv / --thin-indiv-count (random_thin_samples{,_ct},
+    1.9/plink_filter.c:1097-1160)."""
+    import numpy as np
+
+    from ..stats.perm19 import generate_cc_perm, master_sfmt
+
+    sfmt = master_sfmt(cfg)
+    n = ds.raw_sample_ct
+    inc = np.flatnonzero(ds.sample_mask[:n])
+    if count is not None:
+        tag = "--thin-indiv-count"
+        if count > inc.size:
+            raise ValueError(
+                "--thin-indiv-count parameter exceeds number of "
+                "remaining people.")
+        removed_mask = generate_cc_perm(inc.size, inc.size - count,
+                                        sfmt)
+        keep = inc[~removed_mask]
+        removed = inc.size - keep.size
+    else:
+        tag = "--thin-indiv"
+        thresh = int(p * 4294967296.0 + 0.5)
+        keep_flags = np.array(
+            [sfmt.genrand_uint32() < thresh for _ in range(inc.size)])
+        keep = inc[keep_flags]
+        removed = inc.size - keep.size
+        if removed == inc.size:
+            raise ValueError(
+                "All people removed by --thin-indiv. Try a higher "
+                "probability.")
+    mask = np.zeros_like(ds.sample_mask)
+    mask[keep] = True
+    ds.sample_mask &= mask
+    ds.invalidate_counts()
+    noun = "person" if removed == 1 else "people"
+    log.log(f"{tag}: {removed} {noun} removed "
+            f"({keep.size} remaining).")
 
 
 def keep_founders_filter(ds: Dataset, founders: bool, log: RunLogger) -> None:

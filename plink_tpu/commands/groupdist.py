@@ -16,7 +16,8 @@ import math
 import numpy as np
 
 from ..dataset import Dataset
-from ..stats.sfmt import Sfmt, sfmt_thread_array
+from ..stats.perm19 import master_sfmt
+from ..stats.sfmt import sfmt_thread_array
 from ..utils.logging import RunLogger
 
 
@@ -130,9 +131,7 @@ def run_regress_distance(ds: Dataset, cfg, log: RunLogger) -> None:
     if not dd:
         dd = int(math.pow(n, 0.600000000001))
         log.log(f"Setting d={dd} for jackknife.")
-    master = Sfmt((cfg.seed if cfg.seed is not None else
-                   int.from_bytes(__import__("os").urandom(4),
-                                  "little")) & 0xFFFFFFFF)
+    master = master_sfmt(cfg)
     sfmts = sfmt_thread_array(master, thread_ct)
     tots = np.zeros(4)
     for tidx in range(thread_ct):
@@ -301,9 +300,7 @@ def run_groupdist(ds: Dataset, cfg, log: RunLogger) -> None:
         precomp[i, is_case + 1] += dzz
 
     thread_ct = cfg.threads or 1
-    master = Sfmt((cfg.seed if cfg.seed is not None else
-                   int.from_bytes(__import__("os").urandom(4),
-                                  "little")) & 0xFFFFFFFF)
+    master = master_sfmt(cfg)
     sfmts = sfmt_thread_array(master, thread_ct)
     jack_iters = (iters + thread_ct - 1) // thread_ct
     nm_ct = case_ct + ctrl_ct

@@ -18,8 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..dataset import Dataset
-from ..stats.perm19 import generate_cc_perm
-from ..stats.sfmt import Sfmt
+from ..stats.perm19 import generate_cc_perm, master_sfmt
 from ..utils.logging import RunLogger
 
 
@@ -103,9 +102,7 @@ def run_ibs_test(ds: Dataset, cfg, log: RunLogger) -> None:
                 "(minimum 2).")
         return
 
-    master = Sfmt((cfg.seed if cfg.seed is not None else
-                   int.from_bytes(__import__("os").urandom(4),
-                                  "little")) & 0xFFFFFFFF)
+    master = master_sfmt(cfg)
     perms = np.zeros((perm_ct, n_nm), bool)
     perms[0] = case_nm
     for p in range(1, perm_ct):

@@ -14,19 +14,10 @@ import numpy as np
 
 from ..cli import FlagError
 from ..dataset import Dataset
-from ..stats.perm19 import (cc_perm_matrix, qt_perm_matrix,
-                            reindex_clusters_19)
-from ..stats.sfmt import Sfmt
+from ..stats.perm19 import (cc_perm_matrix, master_sfmt,
+                            qt_perm_matrix, reindex_clusters_19)
 from ..utils.fmt import dtoa_g
 from ..utils.logging import RunLogger
-
-
-def _master_sfmt(cfg):
-    if cfg.seed is not None:
-        return Sfmt(cfg.seed & 0xFFFFFFFF)
-    import os
-
-    return Sfmt(int.from_bytes(os.urandom(4), "little"))
 
 
 def run_make_perm_pheno(ds: Dataset, cfg, log: RunLogger) -> None:
@@ -44,7 +35,7 @@ def run_make_perm_pheno(ds: Dataset, cfg, log: RunLogger) -> None:
         raise FlagError(
             "--make-perm-pheno requires phenotype data.")
     threads = min(cfg.threads or 1, perm_ct)
-    master = _master_sfmt(cfg)
+    master = master_sfmt(cfg)
 
     clusters_cc = clusters_qt = None
     if cfg.within or cfg.family:

@@ -497,8 +497,11 @@ def run_pipeline(cfg: Config) -> int:
         if cfg.rm_dup is not None:
             F.rm_dup(ds, cfg.rm_dup, log)
         if cfg.thin is not None or cfg.thin_count is not None:
-            F.thin_variants(ds, cfg.thin, cfg.thin_count,
-                            np.random.default_rng(cfg.seed), log)
+            F.thin_variants(ds, cfg.thin, cfg.thin_count, cfg, log)
+        if cfg.thin_indiv is not None \
+                or cfg.thin_indiv_count is not None:
+            F.thin_samples(ds, cfg.thin_indiv, cfg.thin_indiv_count,
+                           cfg, log)
 
         # ---- counts-based reports and enforcement, in the reference's exact
         # order (plink2.cc:2310-2479): freq -> geno-counts -> missing ->

@@ -20,6 +20,21 @@ import numpy as np
 from .sfmt import Sfmt, sfmt_thread_array
 
 
+def master_sfmt(cfg):
+    """Per-run master generator (g_sfmt): all RNG consumers in a run
+    share one stream, in pipeline order, exactly like the reference."""
+    m = getattr(cfg, "_sfmt_master", None)
+    if m is None:
+        if cfg.seed is not None:
+            m = Sfmt(cfg.seed & 0xFFFFFFFF)
+        else:
+            import os
+
+            m = Sfmt(int.from_bytes(os.urandom(4), "little"))
+        object.__setattr__(cfg, "_sfmt_master", m)
+    return m
+
+
 def _draw(sfmt, tot_quotient, upper_bound):
     while True:
         urand = sfmt.genrand_uint32()

@@ -147,3 +147,24 @@ def test_regress_distance(pp_panel):
                       "Jackknife s.e. (y") \
         == _log_block(d, "t_rd.log", "Phenotype stdev",
                       "Jackknife s.e. (y")
+
+
+@pytest.mark.parametrize("flags", [
+    ["--thin", "0.4"], ["--thin-count", "17"],
+    ["--thin-indiv", "0.6"], ["--thin-indiv-count", "100"],
+])
+def test_thin_sets(pp_panel, flags):
+    """Same kept variant/sample SET as 1.9 under a fixed --seed
+    (formatting of make-bed outputs is plink2-parity by design)."""
+    d = pp_panel
+    base = ["--bfile", "pb", "--seed", "21", "--make-bed",
+            "--allow-no-sex"] + flags
+    run19(base + ["--out", "o_thin"], str(d))
+    run_tpu(base + ["--out", "t_thin", "--silent"], str(d))
+
+    def ids(p, col=2):
+        return [ln.split()[col - 1] for ln in
+                (d / p).read_text().splitlines()]
+
+    assert ids("o_thin.bim") == ids("t_thin.bim")
+    assert ids("o_thin.fam", 1) == ids("t_thin.fam", 1)
