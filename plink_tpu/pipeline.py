@@ -657,7 +657,13 @@ def run_pipeline(cfg: Config) -> int:
             from .commands import assoc19
 
             if cfg.assoc:
-                assoc19.run_assoc(ds, cfg, log)
+                _pc = next(iter(ds.si.phenos.values()), None)
+                if _pc is not None and _pc.kind == "qt":
+                    from .commands.qassoc import run_qassoc
+
+                    run_qassoc(ds, cfg, log)
+                else:
+                    assoc19.run_assoc(ds, cfg, log)
             if cfg.model:
                 assoc19.run_model(ds, cfg, log)
         if cfg.genome:

@@ -132,3 +132,31 @@ def test_cmh_family(strat_panel, tmp_path):
     run19(args + ["--out", "o"], str(tmp_path))
     run_tpu(args + ["--out", "t", "--silent"], str(tmp_path))
     _cmp(tmp_path, "o.cmh", "t.cmh")
+
+
+@pytest.fixture(scope="module")
+def qt_pheno(strat_panel):
+    d = strat_panel
+    rng = np.random.default_rng(5)
+    rows = []
+    for line in open(d / "pb.fam"):
+        t = line.split()
+        rows.append(f"{t[0]} {t[1]} {rng.normal(50, 10):.4f}")
+    (d / "qt.phe").write_text("\n".join(rows) + "\n")
+    (d / "qt_h.phe").write_text("#FID IID QT\n" + "\n".join(rows)
+                                + "\n")
+    return d
+
+
+@pytest.mark.parametrize("mods", [[], ["qt-means", "lin"]])
+def test_qassoc(qt_pheno, mods):
+    d = qt_pheno
+    tag = "qa" + str(len(mods))
+    run19(["--bfile", "pb", "--pheno", "qt.phe", "--assoc"] + mods
+          + ["--allow-no-sex", "--out", f"o_{tag}"], str(d))
+    run_tpu(["--bfile", "pb", "--pheno", "qt_h.phe", "--assoc"] + mods
+            + ["--allow-no-sex", "--out", f"t_{tag}", "--silent"],
+            str(d))
+    _cmp(d, f"o_{tag}.qassoc", f"t_{tag}.qassoc")
+    if mods:
+        _cmp(d, f"o_{tag}.qassoc.means", f"t_{tag}.qassoc.means")
