@@ -211,6 +211,9 @@ class Config:
     ibs_test: int | None = None
     groupdist: tuple | None = None
     regress_distance: tuple | None = None
+    qfam: tuple | None = None
+    aperm: tuple = (6, 1000000, 0.0, 0.0001, 1.0, 0.001)
+    perm_batch_size: int | None = None
     mh: bool = False
     mh2: bool = False
     bd: bool = False
@@ -609,6 +612,29 @@ def parse_args(argv: list[str]) -> Config:
                     f"count '{args[0]}'.")
             cfg.regress_distance = (
                 it, int(args[1]) if len(args) > 1 else 0)
+        elif name == "qfam":
+            cfg.qfam = ("within", tuple(args))
+        elif name == "qfam_parents":
+            cfg.qfam = ("parents", tuple(args))
+        elif name == "qfam_between":
+            cfg.qfam = ("between", tuple(args))
+        elif name == "qfam_total":
+            cfg.qfam = ("total", tuple(args))
+        elif name == "aperm":
+            d = list(cfg.aperm)
+            for k, a in enumerate(args[:6]):
+                d[k] = int(a) if k < 2 else float(a)
+            # reference quirk: the parsed min is incremented
+            # (1.9/plink.c:4454 aperm.min++); the default 6 already
+            # uses that convention
+            d[0] += 1
+            if d[0] >= d[1]:
+                raise FlagError(
+                    "--aperm min permutation count must be smaller "
+                    "than max.")
+            cfg.aperm = tuple(d)
+        elif name == "perm_batch_size":
+            cfg.perm_batch_size = int(args[0])
         elif name == "bd":
             cfg.mh = True
             cfg.bd = True

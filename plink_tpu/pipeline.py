@@ -717,6 +717,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.groupdist import run_regress_distance
 
             run_regress_distance(ds, cfg, log)
+        if cfg.qfam is not None:
+            from .commands.qfam import run_qfam
+
+            run_qfam(ds, cfg, log)
         if cfg.fast_epistasis is not None:
             from .commands.epistasis import run_fast_epistasis
 
