@@ -212,6 +212,7 @@ class Config:
     groupdist: tuple | None = None
     regress_distance: tuple | None = None
     qfam: tuple | None = None
+    dfam: tuple | None = None
     aperm: tuple = (6, 1000000, 0.0, 0.0001, 1.0, 0.001)
     perm_batch_size: int | None = None
     mh: bool = False
@@ -612,6 +613,8 @@ def parse_args(argv: list[str]) -> Config:
                     f"count '{args[0]}'.")
             cfg.regress_distance = (
                 it, int(args[1]) if len(args) > 1 else 0)
+        elif name == "dfam":
+            cfg.dfam = tuple(args)
         elif name == "qfam":
             cfg.qfam = ("within", tuple(args))
         elif name == "qfam_parents":

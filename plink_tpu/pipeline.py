@@ -721,6 +721,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.qfam import run_qfam
 
             run_qfam(ds, cfg, log)
+        if cfg.dfam is not None:
+            from .commands.dfam import run_dfam
+
+            run_dfam(ds, cfg, log)
         if cfg.fast_epistasis is not None:
             from .commands.epistasis import run_fast_epistasis
 

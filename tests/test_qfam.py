@@ -101,3 +101,31 @@ def test_qfam(fam_panel, flag, sfx, mods):
                        "--out", f"t_{tag}", "--silent"], str(d))
     _cmp(d, f"o_{tag}.qfam.{sfx}", f"t_{tag}.qfam.{sfx}")
     _cmp(d, f"o_{tag}.qfam.{sfx}.perm", f"t_{tag}.qfam.{sfx}.perm")
+
+
+def test_dfam(fam_panel):
+    d = fam_panel
+    # dfam needs a cc pheno; derive one from the QT file
+    rows = []
+    for line in open(d / "qt.phe"):
+        t = line.split()
+        rows.append(f"{t[0]} {t[1]} {1 + (float(t[2]) > 10)}")
+    (d / "cc.phe").write_text("\n".join(rows) + "\n")
+    (d / "cc_h.phe").write_text("#FID IID P\n" + "\n".join(rows)
+                                + "\n")
+    run19(["--bfile", "pb", "--pheno", "cc.phe", "--dfam",
+           "--allow-no-sex", "--out", "o_df"], str(d))
+    run_tpu(["--bfile", "pb", "--pheno", "cc_h.phe", "--dfam",
+             "--allow-no-sex", "--out", "t_df", "--silent"], str(d))
+    _cmp(d, "o_df.dfam", "t_df.dfam")
+
+
+def test_dfam_no_unrelateds(fam_panel):
+    d = fam_panel
+    run19(["--bfile", "pb", "--pheno", "cc.phe", "--dfam",
+           "no-unrelateds", "--allow-no-sex", "--out", "o_dn"],
+          str(d))
+    run_tpu(["--bfile", "pb", "--pheno", "cc_h.phe", "--dfam",
+             "no-unrelateds", "--allow-no-sex", "--out", "t_dn",
+             "--silent"], str(d))
+    _cmp(d, "o_dn.dfam", "t_dn.dfam")
