@@ -226,6 +226,109 @@ def _p(chisq, df=1.0):
     return float(np.exp(chisq_logsf(chisq, df)))
 
 
+def assoc_allele_counts(ds: Dataset, case, ctrl, inc, a1_is_alt):
+    """Per-variant A1/A2 allele counts for cases and controls with
+    1.9's sex handling (model_assoc orig pass,
+    1.9/plink_assoc.c:6716-6770): X = nonmale diploid + male haploid
+    (het male missing), Y = males only haploid, other haploid/MT =
+    all-sample haploid.  Returns arrays (da1, da2, du1, du2,
+    set_cts, missing_cts) where set = A2 allele count among all
+    pheno-nm samples and missing follows genovec_set_freq*
+    conventions (needed by the permutation engine)."""
+    from ..ops.pairwise import _unpack_np
+    from ..utils.chrom import MT_CODE, X_CODE, Y_CODE
+
+    nraw = ds.raw_sample_ct
+    codes = _unpack_np(ds.all_packed())[:, :nraw]
+    male = ds.male_mask()[:nraw]
+    vi = ds.vi
+    pheno_nm = case[:nraw] | ctrl[:nraw]
+    casem = case[:nraw]
+    ctrlm = ctrl[:nraw]
+    n_inc = inc.size
+    da1 = np.zeros(n_inc)
+    da2 = np.zeros(n_inc)
+    du1 = np.zeros(n_inc)
+    du2 = np.zeros(n_inc)
+    set_cts = np.zeros(n_inc, np.int64)
+    miss_cts = np.zeros(n_inc, np.int64)
+    male_ct = int((male & pheno_nm).sum())
+    nonmale_ct = int(pheno_nm.sum()) - male_ct
+    for k, v in enumerate(inc):
+        v = int(v)
+        raw = codes[v]
+        # minor(A1) count 0..2, 3 = missing
+        g = raw if a1_is_alt[v] \
+            else np.where(raw == 3, 3, 2 - raw).astype(raw.dtype)
+        chrom = int(vi.chrom[v])
+        is_x = chrom == X_CODE
+        is_y = chrom == Y_CODE
+        hap = ds.vi.chr_info.is_haploid(chrom, 1) and not is_x
+        hap = is_y or chrom == MT_CODE
+        if not (is_x or hap):
+            for mask, a1o, a2o in ((casem, 0, 1), (ctrlm, 2, 3)):
+                gm = g[mask]
+                a1c = int((gm == 1).sum()) + 2 * int((gm == 2).sum())
+                miss = int((gm == 3).sum())
+                tot = 2 * (gm.size - miss)
+                if a1o == 0:
+                    da1[k] = a1c
+                    da2[k] = tot - a1c
+                    miss_case = miss
+                else:
+                    du1[k] = a1c
+                    du2[k] = tot - a1c
+                    miss_ctrl = miss
+            miss_cts[k] = miss_case + miss_ctrl
+            set_cts[k] = int(da2[k] + du2[k])
+        elif is_x:
+            nm_case = casem & ~male
+            nm_ctrl = ctrlm & ~male
+            m_case = casem & male
+            m_ctrl = ctrlm & male
+            tots = []
+            for mask in (nm_case, nm_ctrl):
+                gm = g[mask]
+                a1c = int((gm == 1).sum()) + 2 * int((gm == 2).sum())
+                miss = int((gm == 3).sum())
+                tot = 2 * (gm.size - miss)
+                tots.append((a1c, tot - a1c, miss))
+            mtots = []
+            for mask in (m_case, m_ctrl):
+                gm = g[mask]
+                # haploid: het counts as missing
+                a1c = int((gm == 2).sum())
+                miss = int(((gm == 3) | (gm == 1)).sum())
+                nm = gm.size - miss
+                mtots.append((a1c, nm - a1c, miss))
+            da1[k] = tots[0][0] + mtots[0][0]
+            da2[k] = tots[0][1] + mtots[0][1]
+            du1[k] = tots[1][0] + mtots[1][0]
+            du2[k] = tots[1][1] + mtots[1][1]
+            miss_cts[k] = (2 * (tots[0][2] + tots[1][2])
+                           + mtots[0][2] + mtots[1][2] + male_ct)
+            set_cts[k] = int(da2[k] + du2[k])
+        else:
+            sel_case = (casem & male) if is_y else casem
+            sel_ctrl = (ctrlm & male) if is_y else ctrlm
+            res = []
+            for mask in (sel_case, sel_ctrl):
+                gm = g[mask]
+                a1c = int((gm == 2).sum())
+                miss = int(((gm == 3) | (gm == 1)).sum())
+                nm = gm.size - miss
+                res.append((a1c, nm - a1c, miss))
+            da1[k] = res[0][0]
+            da2[k] = res[0][1]
+            du1[k] = res[1][0]
+            du2[k] = res[1][1]
+            miss_cts[k] = res[0][2] + res[1][2]
+            if is_y:
+                miss_cts[k] += nonmale_ct
+            set_cts[k] = int(da2[k] + du2[k])
+    return da1, da2, du1, du2, set_cts, miss_cts
+
+
 def run_assoc(ds: Dataset, cfg, log: RunLogger) -> None:
     """--assoc: per-variant allelic case/control chi-square (.assoc).
 
@@ -237,41 +340,50 @@ def run_assoc(ds: Dataset, cfg, log: RunLogger) -> None:
     mods = set(cfg.assoc_mods)
     counts_mode = "counts" in mods
     case, ctrl = _cc_masks(ds, cfg.allow_no_sex)
-    ca, cu = _counts(ds, case, ctrl)
     freqs = alt_allele_freqs(ds, founders_only=True)
     a1_is_alt = ~(freqs > 0.5)
     vi = ds.vi
     ci = vi.chr_info
     inc = np.flatnonzero(ds.variant_mask)
+    da1v, da2v, du1v, du2v, _set_cts, _miss_cts = assoc_allele_counts(
+        ds, case, ctrl, inc, a1_is_alt)
     maxsnp = _fw_width(len(str(vi.vid[i])) for i in inc)
     alt1 = vi.alt1()
-    path = cfg.out + ".assoc"
+    fisher = "fisher" in mods or "fisher-midp" in mods
+    midp = "fisher-midp" in mods
+    display_ci = cfg.ci is not None
+    if display_ci:
+        from .cluster import _ltqnorm
+
+        EPS19 = 0.000000000931322574615478515625
+        ci_pct = int(cfg.ci * (100 + EPS19))
+        ci_zt = _ltqnorm(1 - (1 - cfg.ci) / 2)
+    path = cfg.out + (".assoc.fisher" if fisher else ".assoc")
     with open(path, "w") as f:
-        f.write(
-            " CHR " + "SNP".rjust(maxsnp) + "         BP   A1 "
-            + ("     C_A      C_U   A2 " if counts_mode
-               else "     F_A      F_U   A2 ")
-            + "       CHISQ            P           OR \n"
-        )
-        for i in inc:
+        hdr = (" CHR " + "SNP".rjust(maxsnp) + "         BP   A1 "
+               + ("     C_A      C_U   A2 " if counts_mode
+                  else "     F_A      F_U   A2 "))
+        if not fisher:
+            hdr += "       CHISQ "
+        hdr += "           P           OR "
+        if display_ci:
+            if ci_pct >= 10:
+                hdr += (f"          SE          L{ci_pct}"
+                        f"          U{ci_pct} ")
+            else:
+                hdr += (f"          SE           L{ci_pct}"
+                        f"           U{ci_pct} ")
+        f.write(hdr + "\n")
+        for k, i in enumerate(inc):
             flip = not a1_is_alt[i]
             a1 = vi.ref[i] if flip else alt1[i]
             a2 = alt1[i] if flip else vi.ref[i]
-            n_case = ca[i]
-            n_ctrl = cu[i]
-            # allele counts of A1/A2 in cases and controls
-            if flip:
-                da1 = float(n_case[1] + 2 * n_case[0])
-                da2 = float(n_case[1] + 2 * n_case[2])
-                du1 = float(n_ctrl[1] + 2 * n_ctrl[0])
-                du2 = float(n_ctrl[1] + 2 * n_ctrl[2])
-            else:
-                da1 = float(n_case[1] + 2 * n_case[2])
-                da2 = float(n_case[1] + 2 * n_case[0])
-                du1 = float(n_ctrl[1] + 2 * n_ctrl[2])
-                du2 = float(n_ctrl[1] + 2 * n_ctrl[0])
+            da1 = da1v[k]
+            da2 = da2v[k]
+            du1 = du1v[k]
+            du2 = du2v[k]
             row = (
-                _fw(ci.name(int(vi.chrom[i])), 4) + " "
+                _fw(ci.name19(int(vi.chrom[i])), 4) + " "
                 + _fw(vi.vid[i], maxsnp) + " "
                 + _fw(int(vi.pos[i]), 10) + " "
                 + _fw(a1, 4) + " "
@@ -287,8 +399,21 @@ def run_assoc(ds: Dataset, cfg, log: RunLogger) -> None:
             else:
                 row += "      NA"
             row += " " + _fw(a2, 4) + " "
-            chisq = _chisq_2x2(da1, da2, du1, du2)
-            if np.isfinite(chisq):
+            # chi22_eval validity: both allele columns must be nonzero
+            # (1.9/plink_assoc.c:6781); zero rows give chisq 0, p 1
+            if fisher:
+                from ..stats.binom19 import fisher22
+
+                if (da1 + du1) > 0 and (da2 + du2) > 0:
+                    pv = fisher22(int(du2), int(du1), int(da2),
+                                  int(da1), midp)
+                    row += _g4(pv, 12)
+                else:
+                    row += "           1"
+            elif (da1 + du1) > 0 and (da2 + du2) > 0:
+                chisq = _chisq_2x2(da1, da2, du1, du2)
+                if not np.isfinite(chisq):
+                    chisq = 0.0
                 pv = _p(chisq)
                 row += _g4(chisq, 12) + " " + _g4(pv, 12)
             else:
@@ -296,8 +421,22 @@ def run_assoc(ds: Dataset, cfg, log: RunLogger) -> None:
             row += " "
             if du1 * da2 == 0.0:
                 row += "          NA"
+                if display_ci:
+                    row += ("           NA           NA"
+                            "           NA")
             else:
-                row += _g4((da1 * du2) / (du1 * da2), 12)
+                orr = (da1 * du2) / (du1 * da2)
+                row += _g4(orr, 12)
+                if display_ci:
+                    import math
+
+                    lo = math.log(orr)
+                    se = math.sqrt(1 / da1 + 1 / da2
+                                   + 1 / du1 + 1 / du2)
+                    dzz = ci_zt * se
+                    row += (" " + _g4(se, 12) + " "
+                            + _g4(math.exp(lo - dzz), 12) + " "
+                            + _g4(math.exp(lo + dzz), 12))
             f.write(row + " \n")
     log.log(f"--assoc: Results written to {path} .")
 
@@ -335,6 +474,8 @@ def run_model(ds: Dataset, cfg, log: RunLogger) -> None:
     """
     from .basic_reports import alt_allele_freqs
 
+    from ..utils.chrom import MT_CODE, X_CODE
+
     cell_min = cfg.cell if cfg.cell is not None else 5
     case, ctrl = _cc_masks(ds, cfg.allow_no_sex)
     ca, cu = _counts(ds, case, ctrl)
@@ -343,6 +484,20 @@ def run_model(ds: Dataset, cfg, log: RunLogger) -> None:
     vi = ds.vi
     ci = vi.chr_info
     inc = np.flatnonzero(ds.variant_mask)
+    # --model skips haploid/MT chromosomes except X; on X, males are
+    # force-missing (1.9/plink_assoc.c:6693,7330)
+    chrom_inc = vi.chrom[inc]
+    is_x_v = chrom_inc == X_CODE
+    hap_v = np.array([ci.is_haploid(int(c), 1) for c in chrom_inc]) \
+        | (chrom_inc == MT_CODE)
+    inc = inc[~(hap_v & ~is_x_v)]
+    if is_x_v.any():
+        male = ds.male_mask()
+        ca_nm, cu_nm = _counts(ds, case & ~male, ctrl & ~male)
+        x_set = set(int(v) for v in np.flatnonzero(
+            vi.chrom == X_CODE))
+    else:
+        x_set = set()
     maxsnp = _fw_width(len(str(vi.vid[i])) for i in inc)
     alt1 = vi.alt1()
     path = cfg.out + ".model"
@@ -357,14 +512,16 @@ def run_model(ds: Dataset, cfg, log: RunLogger) -> None:
             a1 = vi.ref[i] if flip else alt1[i]
             a2 = alt1[i] if flip else vi.ref[i]
             # genotype classes ordered hom-A1 / het / hom-A2
+            cav = ca_nm[i] if int(i) in x_set else ca[i]
+            cuv = cu_nm[i] if int(i) in x_set else cu[i]
             if flip:
-                r_d = ca[i][[0, 1, 2]].astype(np.float64)
-                s_d = cu[i][[0, 1, 2]].astype(np.float64)
+                r_d = cav[[0, 1, 2]].astype(np.float64)
+                s_d = cuv[[0, 1, 2]].astype(np.float64)
             else:
-                r_d = ca[i][[2, 1, 0]].astype(np.float64)
-                s_d = cu[i][[2, 1, 0]].astype(np.float64)
+                r_d = cav[[2, 1, 0]].astype(np.float64)
+                s_d = cuv[[2, 1, 0]].astype(np.float64)
             meta = (
-                _fw(ci.name(int(vi.chrom[i])), 4) + " "
+                _fw(ci.name19(int(vi.chrom[i])), 4) + " "
                 + _fw(vi.vid[i], maxsnp) + " "
                 + _fw(a1, 4) + " " + _fw(a2, 4) + " "
             )
