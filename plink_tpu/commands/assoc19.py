@@ -13,6 +13,8 @@ ALLELIC/DOM/REC.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from ..dataset import Dataset
@@ -358,6 +360,14 @@ def run_assoc(ds: Dataset, cfg, log: RunLogger) -> None:
         EPS19 = 0.000000000931322574615478515625
         ci_pct = int(cfg.ci * (100 + EPS19))
         ci_zt = _ltqnorm(1 - (1 - cfg.ci) / 2)
+    perm_adapt = "perm" in mods
+    mperm_val = None
+    for m in mods:
+        if m.startswith("mperm="):
+            mperm_val = int(m.split("=", 1)[1])
+    perm_count = "perm-count" in mods
+    orig_chisq_arr = np.full(inc.size, -9.0)
+    orig_pvals_arr = np.full(inc.size, -9.0)
     path = cfg.out + (".assoc.fisher" if fisher else ".assoc")
     with open(path, "w") as f:
         hdr = (" CHR " + "SNP".rjust(maxsnp) + "         BP   A1 "
@@ -407,6 +417,7 @@ def run_assoc(ds: Dataset, cfg, log: RunLogger) -> None:
                 if (da1 + du1) > 0 and (da2 + du2) > 0:
                     pv = fisher22(int(du2), int(du1), int(da2),
                                   int(da1), midp)
+                    orig_pvals_arr[k] = pv
                     row += _g4(pv, 12)
                 else:
                     row += "           1"
@@ -415,6 +426,8 @@ def run_assoc(ds: Dataset, cfg, log: RunLogger) -> None:
                 if not np.isfinite(chisq):
                     chisq = 0.0
                 pv = _p(chisq)
+                orig_chisq_arr[k] = chisq
+                orig_pvals_arr[k] = pv
                 row += _g4(chisq, 12) + " " + _g4(pv, 12)
             else:
                 row += "          NA           NA"
@@ -439,6 +452,223 @@ def run_assoc(ds: Dataset, cfg, log: RunLogger) -> None:
                             + _g4(math.exp(lo + dzz), 12))
             f.write(row + " \n")
     log.log(f"--assoc: Results written to {path} .")
+    if perm_adapt or mperm_val is not None:
+        if mperm_val is not None:
+            raise NotImplementedError(
+                "--assoc mperm is not implemented yet (use perm).")
+        _assoc_perm_engine(
+            ds, cfg, log, fisher, midp, inc, a1_is_alt,
+            orig_chisq_arr, orig_pvals_arr, _set_cts, _miss_cts,
+            case, ctrl, maxsnp, path, perm_adapt, mperm_val,
+            perm_count)
+
+
+def _assoc_perm_engine(ds, cfg, log, fisher, midp, inc, a1_is_alt,
+                       orig_chisq, orig_pvals, set_cts, miss_cts,
+                       case, ctrl, maxsnp, out_base, perm_adapt,
+                       mperm_val, perm_count):
+    """--assoc perm / mperm=N: EMP1 (+EMP2) empirical p-values,
+    byte-identical to assoc_adapt_thread / assoc_maxt_thread
+    (1.9/plink_assoc.c:2287,2471) for a fixed --seed.  Single
+    generation batch (the reference sizes batches by free memory;
+    with default --memory all perms fit in one batch)."""
+    from ..stats.assoc_perm19 import (
+        EPSILON, adaptive_scan, chi22_eval, chi22_get_coeffs,
+        chi22_precomp_val_bounds, fisher22_precomp_pval_bounds,
+        get_precomp_bounds)
+    from ..stats.binom19 import fisher22
+    from ..stats.perm19 import master_sfmt, cc_perm_matrix, \
+        reindex_clusters_19
+    from ..utils.chrom import MT_CODE, X_CODE, Y_CODE
+
+    vi = ds.vi
+    ci = vi.chr_info
+    nraw = ds.raw_sample_ct
+    nm_mask = (case | ctrl)[:nraw]
+    nm_idx = np.flatnonzero(nm_mask)
+    n_nm = nm_idx.size
+    case_nm = case[:nraw][nm_idx]
+    case_ct = int(case_nm.sum())
+    male = ds.male_mask()[:nraw][nm_idx]
+    pheno_nm_ct = n_nm
+    M = inc.size
+    if perm_adapt:
+        ap_min, ap_max, ap_alpha, ap_beta, ap_init, ap_slope = \
+            cfg.aperm
+        perms_total = ap_max
+        from .cluster import _ltqnorm
+
+        ci_zt = _ltqnorm(1 - ap_beta / (2.0 * M))
+        first_adapt_check = int(ap_init) if ap_min < ap_init \
+            else ap_min
+    else:
+        perms_total = mperm_val
+        first_adapt_check = perms_total + 1
+        ap_init = ap_slope = ap_alpha = ci_zt = 0.0
+    precomp_width = 1 + int(math.sqrt(pheno_nm_ct) * 0.05 * 5.65686)
+    thread_ct = min(cfg.threads or 1, perms_total)
+    master = master_sfmt(cfg)
+    clusters = None
+    if cfg.within or cfg.family:
+        from .cmh import load_clusters_19
+
+        _names, assign = load_clusters_19(ds, cfg)
+        members, case_cts, preimage, _s2c = reindex_clusters_19(
+            assign[nm_idx], case_nm)
+        if not members:
+            raise ValueError(
+                "No size 2+ clusters for permutation test.")
+        clusters = (members, case_cts, preimage)
+    perms = cc_perm_matrix(case_nm, perms_total, thread_ct, master,
+                           clusters)          # [P, n_nm] bool
+    permsi = perms.astype(np.int64)
+
+    from ..ops.pairwise import _unpack_np
+
+    codes = _unpack_np(ds.all_packed())[:, :nraw]
+    success2 = np.zeros(M, np.int64)
+    attempt = np.full(M, perms_total, np.int64)
+    for k in range(M):
+        v = int(inc[k])
+        if orig_pvals[k] == -9:
+            attempt[k] = first_adapt_check
+            success2[k] = first_adapt_check
+            continue
+        chrom = int(vi.chrom[v])
+        is_x = chrom == X_CODE
+        is_y = chrom == Y_CODE
+        is_hap = is_y or chrom == MT_CODE
+        raw = codes[v][nm_idx]
+        g = raw if a1_is_alt[v] \
+            else np.where(raw == 3, 3, 2 - raw).astype(raw.dtype)
+        g = g.astype(np.int64)
+        if not (is_x or is_hap):
+            min_ploidy = 2
+            setw = np.choose(np.minimum(g, 3),
+                             [2, 1, 0, 0]).astype(np.int64)
+            missw = (g == 3).astype(np.int64)
+            row1x = 2 * case_ct
+            tot_obs = 2 * (pheno_nm_ct - int(miss_cts[k]))
+            uqq = 2
+        elif is_x:
+            min_ploidy = 1
+            setw = np.where(male, (g == 0).astype(np.int64),
+                            np.choose(np.minimum(g, 3),
+                                      [2, 1, 0, 0]))
+            missw = np.where(
+                male, 1 + ((g == 1) | (g == 3)).astype(np.int64),
+                2 * (g == 3).astype(np.int64))
+            row1x = 2 * case_ct
+            tot_obs = 2 * pheno_nm_ct - int(miss_cts[k])
+            uqq = 1
+        else:
+            min_ploidy = 1
+            if is_y:
+                setw = np.where(male, (g == 0).astype(np.int64), 0)
+                missw = np.where(
+                    male, ((g == 1) | (g == 3)).astype(np.int64), 1)
+            else:
+                setw = (g == 0).astype(np.int64)
+                missw = ((g == 1) | (g == 3)).astype(np.int64)
+            row1x = case_ct
+            tot_obs = pheno_nm_ct - int(miss_cts[k])
+            uqq = 1
+        col1_sum = int(set_cts[k])
+        col2_sum = tot_obs - col1_sum
+        case_set = permsi @ setw          # [P]
+        case_miss = permsi @ missw
+        missing_start, entry_ct = get_precomp_bounds(
+            int(miss_cts[k]), 0, case_ct, pheno_nm_ct,
+            precomp_width, is_x)
+        # per-missing-count bounds
+        tables = {}
+        mjj = missing_start * uqq
+        for e in range(entry_ct):
+            m = missing_start + e
+            if fisher:
+                b, _ = fisher22_precomp_pval_bounds(
+                    orig_pvals[k], midp, row1x - mjj, col1_sum,
+                    tot_obs)
+            else:
+                b, _ = chi22_precomp_val_bounds(
+                    orig_chisq[k], row1x - mjj, col1_sum, tot_obs)
+            tables[m] = b
+            mjj += uqq
+        if fisher:
+            stat_high = orig_pvals[k] * (1.0 + EPSILON)
+            stat_low = orig_pvals[k] * (1.0 - EPSILON)
+        else:
+            stat_high = orig_chisq[k] + EPSILON
+            stat_low = orig_chisq[k] - EPSILON
+        P = perms_total
+        outcomes = np.zeros(P, np.int64)
+        widx = case_miss - missing_start
+        in_win = (widx >= 0) & (widx < precomp_width)
+        for p in np.flatnonzero(in_win):
+            b = tables[int(case_miss[p])]
+            cs = int(case_set[p])
+            if cs < b[0]:
+                outcomes[p] = 2 if cs < b[2] else 1
+            elif cs >= b[1]:
+                outcomes[p] = 2 if cs >= b[3] else 1
+        for p in np.flatnonzero(~in_win):
+            row1 = row1x - int(case_miss[p]) * min_ploidy
+            cs = int(case_set[p])
+            if fisher:
+                dxx = fisher22(cs, row1 - cs, col1_sum - cs,
+                               col2_sum + cs - row1, midp)
+                if dxx < stat_low:
+                    outcomes[p] = 2
+                elif dxx <= stat_high:
+                    outcomes[p] = 1
+            else:
+                dxx = chi22_eval(cs, row1, col1_sum, tot_obs)
+                # reference quirk: the non-precomp chi path never
+                # counts an outcome as 0 (plink_assoc.c:2437-2443)
+                outcomes[p] = 2 if dxx > stat_high else 1
+        if perm_adapt:
+            s2i, stopped, nac = adaptive_scan(
+                outcomes, 0, first_adapt_check, 0, ap_init,
+                ap_slope, ap_alpha, ci_zt, perms_total)
+            success2[k] = s2i
+            if stopped:
+                attempt[k] = nac
+        else:
+            success2[k] = int(outcomes.sum())
+    # report
+    outp = out_base + (".perm" if perm_adapt else ".mperm")
+    fh = open(outp, "w")
+    if perm_adapt:
+        fh.write(" CHR " + "SNP".rjust(maxsnp)
+                 + "         EMP1           NP \n")
+    else:
+        fh.write(" CHR " + "SNP".rjust(maxsnp)
+                 + "         EMP1         EMP2 \n")
+    perms_done = perms_total
+    if perm_adapt:
+        perms_done = 0
+        for k in range(M):
+            if attempt[k] > perms_done:
+                perms_done = int(attempt[k])
+                if perms_done == perms_total:
+                    break
+    log.log(f"{perms_done} "
+            f"{'max(T)' if not perm_adapt else '(adaptive)'} "
+            f"permutation{'' if perms_done == 1 else 's'} complete.")
+    dyy = 1.0 / (perms_total + 1)
+    for k in range(M):
+        v = int(inc[k])
+        line = (ci.name19(int(vi.chrom[v])).rjust(4) + " "
+                + _fw(str(vi.vid[v]), maxsnp) + " ")
+        pval = (int(success2[k]) + 2) / (2 * (int(attempt[k]) + 1))
+        if not perm_count:
+            line += _g4(pval, 12) + " "
+        else:
+            line += _g4(int(success2[k]) * 0.5, 12) + " "
+        line += "  " + str(int(attempt[k])).rjust(10)
+        fh.write(line + " \n")
+    fh.close()
+    log.log(f"Permutation test report written to {outp} .")
 
 
 _MODEL_TESTS = ("GENO", "TREND", "ALLELIC", "DOM", "REC")

@@ -168,3 +168,25 @@ def test_thin_sets(pp_panel, flags):
 
     assert ids("o_thin.bim") == ids("t_thin.bim")
     assert ids("o_thin.fam", 1) == ids("t_thin.fam", 1)
+
+
+@pytest.mark.parametrize("flags", [
+    ["--assoc", "perm"],
+    ["--assoc", "perm", "perm-count", "--threads", "3"],
+    ["--assoc", "fisher", "perm"],
+    ["--assoc", "fisher-midp", "perm"],
+    ["--assoc", "perm", "--within", "cl.txt"],
+])
+def test_assoc_perm(pp_panel, flags):
+    d = pp_panel
+    tag = "ap" + str(abs(hash(tuple(flags))) % 10000)
+    base = ["--bfile", "pb", "--seed", "21", "--allow-no-sex",
+            "--aperm", "10", "300", "0.01", "0.001", "2", "0.002"]
+    if "--threads" not in flags:
+        base += ["--threads", "1"]
+    run19(base + flags + ["--out", f"o_{tag}"], str(d))
+    run_tpu(base + flags + ["--out", f"t_{tag}", "--silent"], str(d))
+    sfx = ".assoc.fisher" if ("fisher" in flags
+                              or "fisher-midp" in flags) else ".assoc"
+    _cmp(d, f"o_{tag}{sfx}", f"t_{tag}{sfx}")
+    _cmp(d, f"o_{tag}{sfx}.perm", f"t_{tag}{sfx}.perm")
