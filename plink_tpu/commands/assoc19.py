@@ -453,9 +453,9 @@ def run_assoc(ds: Dataset, cfg, log: RunLogger) -> None:
             f.write(row + " \n")
     log.log(f"--assoc: Results written to {path} .")
     if perm_adapt or mperm_val is not None:
-        if mperm_val is not None:
+        if mperm_val is not None and fisher:
             raise NotImplementedError(
-                "--assoc mperm is not implemented yet (use perm).")
+                "--assoc fisher mperm is not implemented yet.")
         _assoc_perm_engine(
             ds, cfg, log, fisher, midp, inc, a1_is_alt,
             orig_chisq_arr, orig_pvals_arr, _set_cts, _miss_cts,
@@ -528,11 +528,31 @@ def _assoc_perm_engine(ds, cfg, log, fisher, midp, inc, a1_is_alt,
     codes = _unpack_np(ds.all_packed())[:, :nraw]
     success2 = np.zeros(M, np.int64)
     attempt = np.full(M, perms_total, np.int64)
+    extremes = None
+    maxt_pending = None
+    if not perm_adapt:
+        # block structure: 64 markers, then 960 per block
+        # (MODEL_BLOCKKEEP / MODEL_BLOCKSIZE); cur-extreme refreshed
+        # at each block start
+        extremes = np.zeros(perms_total)
+        maxt_pending = np.zeros(M)
+        bstarts = [0]
+        nxt = 64
+        while nxt < M:
+            bstarts.append(nxt)
+            nxt += 960
+        bstarts.append(M)
+        block_boundary = set(bstarts[:-1])
     for k in range(M):
+        if extremes is not None and k in block_boundary and k:
+            maxt_pending[k:] = float(extremes.min())
         v = int(inc[k])
         if orig_pvals[k] == -9:
-            attempt[k] = first_adapt_check
-            success2[k] = first_adapt_check
+            if perm_adapt:
+                attempt[k] = first_adapt_check
+                success2[k] = first_adapt_check
+            else:
+                success2[k] = perms_total
             continue
         chrom = int(vi.chrom[v])
         is_x = chrom == X_CODE
@@ -604,29 +624,29 @@ def _assoc_perm_engine(ds, cfg, log, fisher, midp, inc, a1_is_alt,
         outcomes = np.zeros(P, np.int64)
         widx = case_miss - missing_start
         in_win = (widx >= 0) & (widx < precomp_width)
-        for p in np.flatnonzero(in_win):
-            b = tables[int(case_miss[p])]
-            cs = int(case_set[p])
-            if cs < b[0]:
-                outcomes[p] = 2 if cs < b[2] else 1
-            elif cs >= b[1]:
-                outcomes[p] = 2 if cs >= b[3] else 1
-        for p in np.flatnonzero(~in_win):
-            row1 = row1x - int(case_miss[p]) * min_ploidy
-            cs = int(case_set[p])
-            if fisher:
-                dxx = fisher22(cs, row1 - cs, col1_sum - cs,
-                               col2_sum + cs - row1, midp)
-                if dxx < stat_low:
-                    outcomes[p] = 2
-                elif dxx <= stat_high:
-                    outcomes[p] = 1
-            else:
-                dxx = chi22_eval(cs, row1, col1_sum, tot_obs)
-                # reference quirk: the non-precomp chi path never
-                # counts an outcome as 0 (plink_assoc.c:2437-2443)
-                outcomes[p] = 2 if dxx > stat_high else 1
         if perm_adapt:
+            for p in np.flatnonzero(in_win):
+                b = tables[int(case_miss[p])]
+                cs = int(case_set[p])
+                if cs < b[0]:
+                    outcomes[p] = 2 if cs < b[2] else 1
+                elif cs >= b[1]:
+                    outcomes[p] = 2 if cs >= b[3] else 1
+            for p in np.flatnonzero(~in_win):
+                row1 = row1x - int(case_miss[p]) * min_ploidy
+                cs = int(case_set[p])
+                if fisher:
+                    dxx = fisher22(cs, row1 - cs, col1_sum - cs,
+                                   col2_sum + cs - row1, midp)
+                    if dxx < stat_low:
+                        outcomes[p] = 2
+                    elif dxx <= stat_high:
+                        outcomes[p] = 1
+                else:
+                    dxx = chi22_eval(cs, row1, col1_sum, tot_obs)
+                    # reference quirk: the non-precomp chi path never
+                    # counts an outcome as 0 (plink_assoc.c:2437-2443)
+                    outcomes[p] = 2 if dxx > stat_high else 1
             s2i, stopped, nac = adaptive_scan(
                 outcomes, 0, first_adapt_check, 0, ap_init,
                 ap_slope, ap_alpha, ci_zt, perms_total)
@@ -634,6 +654,41 @@ def _assoc_perm_engine(ds, cfg, log, fisher, midp, inc, a1_is_alt,
             if stopped:
                 attempt[k] = nac
         else:
+            # maxT (assoc_maxt_thread): bounds vs cur-extreme decide
+            # whether the coefficient-form stat is computed at all
+            cur_ext = maxt_pending[k]
+            mtables = {}
+            mjj = missing_start * uqq
+            for e in range(entry_ct):
+                m = missing_start + e
+                b2, coeffs = chi22_precomp_val_bounds(
+                    cur_ext, row1x - mjj, col1_sum, tot_obs)
+                mtables[m] = (b2[2], b2[3], coeffs)
+                mjj += uqq
+            for p in range(P):
+                cm = int(case_miss[p])
+                cs = int(case_set[p])
+                if 0 <= cm - missing_start < precomp_width:
+                    b = tables[cm]
+                    if cs < b[0]:
+                        outcomes[p] = 2 if cs < b[2] else 1
+                    elif cs >= b[1]:
+                        outcomes[p] = 2 if cs >= b[3] else 1
+                    lo, hi, coeffs = mtables[cm]
+                    if not (lo <= cs < hi):
+                        sval = (float(cs) - coeffs[0])
+                        sval = sval * sval * coeffs[1]
+                        if extremes[p] < sval:
+                            extremes[p] = sval
+                else:
+                    row1 = row1x - cm * min_ploidy
+                    sval = chi22_eval(cs, row1, col1_sum, tot_obs)
+                    if sval > stat_high:
+                        outcomes[p] = 2
+                    elif sval > stat_low:
+                        outcomes[p] = 1
+                    if extremes[p] < sval:
+                        extremes[p] = sval
             success2[k] = int(outcomes.sum())
     # report
     outp = out_base + (".perm" if perm_adapt else ".mperm")
@@ -656,16 +711,36 @@ def _assoc_perm_engine(ds, cfg, log, fisher, midp, inc, a1_is_alt,
             f"{'max(T)' if not perm_adapt else '(adaptive)'} "
             f"permutation{'' if perms_done == 1 else 's'} complete.")
     dyy = 1.0 / (perms_total + 1)
+    dxx_half = 0.5 * dyy
+    if not perm_adapt:
+        sorted_ext = np.sort(extremes)
     for k in range(M):
         v = int(inc[k])
         line = (ci.name19(int(vi.chrom[v])).rjust(4) + " "
                 + _fw(str(vi.vid[v]), maxsnp) + " ")
-        pval = (int(success2[k]) + 2) / (2 * (int(attempt[k]) + 1))
-        if not perm_count:
-            line += _g4(pval, 12) + " "
+        if perm_adapt:
+            pval = (int(success2[k]) + 2) \
+                / (2 * (int(attempt[k]) + 1))
+            if not perm_count:
+                line += _g4(pval, 12) + " "
+            else:
+                line += _g4(int(success2[k]) * 0.5, 12) + " "
+            line += "  " + str(int(attempt[k])).rjust(10)
         else:
-            line += _g4(int(success2[k]) * 0.5, 12) + " "
-        line += "  " + str(int(attempt[k])).rjust(10)
+            pval = (int(success2[k]) + 2) * dxx_half
+            if not perm_count:
+                line += _g4(pval, 12) + " "
+            else:
+                line += _g4(int(success2[k]) * 0.5, 12) + " "
+            from ..stats.assoc_perm19 import EPSILON as _EPS
+
+            gt = int(np.searchsorted(
+                sorted_ext, orig_chisq[k] - _EPS, side="right"))
+            dzz = perms_total - gt + 1
+            if not perm_count:
+                line += _g4(dzz * dyy, 12)
+            else:
+                line += _g4(float(dzz - 1), 12)
         fh.write(line + " \n")
     fh.close()
     log.log(f"Permutation test report written to {outp} .")

@@ -190,3 +190,19 @@ def test_assoc_perm(pp_panel, flags):
                               or "fisher-midp" in flags) else ".assoc"
     _cmp(d, f"o_{tag}{sfx}", f"t_{tag}{sfx}")
     _cmp(d, f"o_{tag}{sfx}.perm", f"t_{tag}{sfx}.perm")
+
+
+@pytest.mark.parametrize("mp,extra", [
+    ("mperm=300", []),
+    ("mperm=900", ["perm-count", "--threads", "2"]),
+])
+def test_assoc_mperm(pp_panel, mp, extra):
+    d = pp_panel
+    tag = "mt" + mp.split("=")[1] + str(len(extra))
+    base = ["--bfile", "pb", "--assoc", mp, "--seed", "21",
+            "--allow-no-sex"] + extra
+    if "--threads" not in extra:
+        base += ["--threads", "1"]
+    run19(base + ["--out", f"o_{tag}"], str(d))
+    run_tpu(base + ["--out", f"t_{tag}", "--silent"], str(d))
+    _cmp(d, f"o_{tag}.assoc.mperm", f"t_{tag}.assoc.mperm")
