@@ -192,15 +192,15 @@ def test_assoc_perm(pp_panel, flags):
     _cmp(d, f"o_{tag}{sfx}.perm", f"t_{tag}{sfx}.perm")
 
 
-@pytest.mark.parametrize("mp,extra", [
-    ("mperm=300", []),
-    ("mperm=900", ["perm-count", "--threads", "2"]),
+@pytest.mark.parametrize("mp,mods,extra", [
+    ("mperm=300", [], []),
+    ("mperm=900", ["perm-count"], ["--threads", "2"]),
 ])
-def test_assoc_mperm(pp_panel, mp, extra):
+def test_assoc_mperm(pp_panel, mp, mods, extra):
     d = pp_panel
     tag = "mt" + mp.split("=")[1] + str(len(extra))
-    base = ["--bfile", "pb", "--assoc", mp, "--seed", "21",
-            "--allow-no-sex"] + extra
+    base = ["--bfile", "pb", "--assoc", mp] + mods \
+        + ["--seed", "21", "--allow-no-sex"] + extra
     if "--threads" not in extra:
         base += ["--threads", "1"]
     run19(base + ["--out", f"o_{tag}"], str(d))
