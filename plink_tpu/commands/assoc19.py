@@ -781,7 +781,12 @@ def run_model(ds: Dataset, cfg, log: RunLogger) -> None:
 
     from ..utils.chrom import MT_CODE, X_CODE
 
-    cell_min = cfg.cell if cfg.cell is not None else 5
+    model_mods = set(getattr(cfg, "model_mods", ()) or ())
+    model_fisher = bool(model_mods
+                        & {"fisher", "fisher-midp"})
+    # fisher drops the cell-count requirement (1.9/plink.c:13273)
+    cell_min = cfg.cell if cfg.cell is not None \
+        else (0 if model_fisher else 5)
     case, ctrl = _cc_masks(ds, cfg.allow_no_sex)
     ca, cu = _counts(ds, case, ctrl)
     freqs = alt_allele_freqs(ds, founders_only=True)
@@ -806,6 +811,7 @@ def run_model(ds: Dataset, cfg, log: RunLogger) -> None:
     maxsnp = _fw_width(len(str(vi.vid[i])) for i in inc)
     alt1 = vi.alt1()
     path = cfg.out + ".model"
+    r_list, s_list, inval_list = [], [], []
     with open(path, "w") as f:
         f.write(
             " CHR " + "SNP".rjust(maxsnp)
@@ -845,9 +851,12 @@ def run_model(ds: Dataset, cfg, log: RunLogger) -> None:
                              "          NA") + "\n"
                 )
 
+            r_list.append(r_d.copy())
+            s_list.append(s_d.copy())
             geno_aff = f"{int(r_d[0])}/{int(r_d[1])}/{int(r_d[2])}"
             geno_un = f"{int(s_d[0])}/{int(s_d[1])}/{int(s_d[2])}"
             ok_cells = min(r_d.min(), s_d.min()) >= cell_min
+            inval_list.append(not ok_cells)
             emit("GENO", geno_aff, geno_un,
                  _pearson(np.array([r_d, s_d])) if ok_cells else np.nan, 2)
             # trend scores by A1 copies: hom-A1 = 2
@@ -871,6 +880,12 @@ def run_model(ds: Dataset, cfg, log: RunLogger) -> None:
                             s_d[1] + s_d[2]) if ok_cells else np.nan, 1)
             f.writelines(rows)
     log.log(f"--model: Results written to {path} .")
+    if "perm" in model_mods or any(
+            m.startswith("mperm") for m in model_mods):
+        from .model_perm import run_model_perm
+
+        run_model_perm(ds, cfg, log, model_mods, inc, a1_is_alt,
+                       r_list, s_list, inval_list, maxsnp, cell_min)
 
 
 def _pearson(table: np.ndarray) -> float:

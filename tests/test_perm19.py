@@ -206,3 +206,28 @@ def test_assoc_mperm(pp_panel, mp, mods, extra):
     run19(base + ["--out", f"o_{tag}"], str(d))
     run_tpu(base + ["--out", f"t_{tag}", "--silent"], str(d))
     _cmp(d, f"o_{tag}.assoc.mperm", f"t_{tag}.assoc.mperm")
+
+
+@pytest.mark.parametrize("mods", [
+    ["perm"],                      # best (chi)
+    ["perm", "dom"],
+    ["perm", "rec"],
+    ["perm", "trend"],
+    ["perm", "gen"],
+    ["fisher", "perm"],            # best (fisher)
+    ["fisher", "perm", "dom"],
+    ["fisher-midp", "perm", "rec"],
+])
+def test_model_perm(pp_panel, mods):
+    d = pp_panel
+    tag = "mo" + str(abs(hash(tuple(mods))) % 100000)
+    base = ["--bfile", "pb", "--model"] + mods \
+        + ["--aperm", "8", "250", "0.02", "0.002", "2", "0.002",
+           "--seed", "11", "--threads", "1", "--allow-no-sex"]
+    run19(base + ["--out", f"o_{tag}"], str(d))
+    run_tpu(base + ["--out", f"t_{tag}", "--silent"], str(d))
+    import glob
+
+    pf = sorted(glob.glob(str(d / f"o_{tag}.model*.perm")))[0]
+    tf = pf.replace(f"o_{tag}", f"t_{tag}")
+    assert open(pf, "rb").read() == open(tf, "rb").read(), pf
