@@ -812,12 +812,21 @@ def run_model(ds: Dataset, cfg, log: RunLogger) -> None:
     alt1 = vi.alt1()
     path = cfg.out + ".model"
     r_list, s_list, inval_list = [], [], []
+    midp = "fisher-midp" in model_mods
+    trendonly = "trend-only" in model_mods
+    if model_fisher and trendonly:
+        raise ValueError("Conflicting --model parameters.")
+    from ..stats.binom19 import fisher22, fisher23
+    from .model_perm import (ca_trend_evalx, chi22_evalx,
+                             chi23_evalx, chiprob_px)
+
     with open(path, "w") as f:
-        f.write(
-            " CHR " + "SNP".rjust(maxsnp)
-            + "   A1   A2     TEST            AFF          UNAFF "
-            + "       CHISQ   DF            P\n"
-        )
+        hdr = (" CHR " + "SNP".rjust(maxsnp)
+               + "   A1   A2     TEST            AFF          UNAFF ")
+        if not model_fisher:
+            hdr += "       CHISQ   DF "
+        hdr += "           P\n"
+        f.write(hdr)
         for i in inc:
             flip = not a1_is_alt[i]
             a1 = vi.ref[i] if flip else alt1[i]
@@ -837,47 +846,93 @@ def run_model(ds: Dataset, cfg, log: RunLogger) -> None:
                 + _fw(a1, 4) + " " + _fw(a2, 4) + " "
             )
             rows = []
-
-            def emit(test, aff, unaff, chisq, df):
-                pv = _p(chisq, df) if np.isfinite(chisq) else np.nan
-                rows.append(
-                    meta + _fw(test, 8) + " " + _fw(aff, 14) + " "
-                    + _fw(unaff, 14) + " "
-                    + (_g4(chisq, 12) if np.isfinite(chisq) else
-                       "          NA")
-                    + " " + (_fw(int(df), 4) if np.isfinite(chisq) else
-                             "  NA")
-                    + " " + (_g4(pv, 12) if np.isfinite(pv) else
-                             "          NA") + "\n"
-                )
-
+            # 1.9 conventions (plink_assoc.c:6880):
+            # uii/ujj/ukk = ctrl homcom/het/homrar,
+            # umm/unn/uoo = case homcom/het/homrar
+            uii, ujj, ukk = int(s_d[2]), int(s_d[1]), int(s_d[0])
+            umm, unn, uoo = int(r_d[2]), int(r_d[1]), int(r_d[0])
             r_list.append(r_d.copy())
             s_list.append(s_d.copy())
-            geno_aff = f"{int(r_d[0])}/{int(r_d[1])}/{int(r_d[2])}"
-            geno_un = f"{int(s_d[0])}/{int(s_d[1])}/{int(s_d[2])}"
             ok_cells = min(r_d.min(), s_d.min()) >= cell_min
             inval_list.append(not ok_cells)
-            emit("GENO", geno_aff, geno_un,
-                 _pearson(np.array([r_d, s_d])) if ok_cells else np.nan, 2)
-            # trend scores by A1 copies: hom-A1 = 2
-            r_cop = r_d[::-1]
-            s_cop = s_d[::-1]
-            emit("TREND", f"{int(2 * r_d[0] + r_d[1])}/"
-                 f"{int(2 * r_d[2] + r_d[1])}",
-                 f"{int(2 * s_d[0] + s_d[1])}/{int(2 * s_d[2] + s_d[1])}",
-                 _trend_chisq(r_cop, s_cop), 1)
-            da1, da2 = 2 * r_d[0] + r_d[1], 2 * r_d[2] + r_d[1]
-            du1, du2 = 2 * s_d[0] + s_d[1], 2 * s_d[2] + s_d[1]
-            emit("ALLELIC", f"{int(da1)}/{int(da2)}",
-                 f"{int(du1)}/{int(du2)}", _chisq_2x2(da1, da2, du1, du2), 1)
-            emit("DOM", f"{int(r_d[0] + r_d[1])}/{int(r_d[2])}",
-                 f"{int(s_d[0] + s_d[1])}/{int(s_d[2])}",
-                 _chisq_2x2(r_d[0] + r_d[1], r_d[2], s_d[0] + s_d[1],
-                            s_d[2]) if ok_cells else np.nan, 1)
-            emit("REC", f"{int(r_d[0])}/{int(r_d[1] + r_d[2])}",
-                 f"{int(s_d[0])}/{int(s_d[1] + s_d[2])}",
-                 _chisq_2x2(r_d[0], r_d[1] + r_d[2], s_d[0],
-                            s_d[1] + s_d[2]) if ok_cells else np.nan, 1)
+            na_tail = ("          NA\n" if model_fisher
+                       else "          NA   NA           NA\n")
+
+            def row(test, aff, unaff, pval, chisq=None, df=None):
+                line = (meta + _fw(test, 8) + " " + _fw(aff, 14)
+                        + " " + _fw(unaff, 14) + " ")
+                if pval < -1:
+                    line += na_tail
+                else:
+                    if not model_fisher:
+                        line += _g4(chisq, 12) + "    " + str(df) \
+                            + " "
+                    line += _g4(max(pval, 0.0), 12) + "\n"
+                rows.append(line)
+
+            if not trendonly:
+                if not ok_cells:
+                    gen_p = -9.0
+                    dvv, upp = -9.0, 0
+                elif model_fisher:
+                    gen_p = fisher23(uii, ujj, ukk, umm, unn, uoo,
+                                     midp)
+                    dvv, upp = 0.0, 0
+                else:
+                    dvv, upp = chi23_evalx(uii, ujj, ukk, umm, unn,
+                                           uoo)
+                    gen_p = chiprob_px(dvv, upp)
+                row("GENO", f"{uoo}/{unn}/{umm}",
+                    f"{ukk}/{ujj}/{uii}", gen_p, dvv, upp)
+            ca_chisq = ca_trend_evalx(
+                umm * 2 + unn, umm + unn + uoo, ujj + unn,
+                uii + umm, uii + ujj + ukk + umm + unn + uoo)
+            ca_p = chiprob_px(ca_chisq, 1)
+            row("TREND", f"{uoo * 2 + unn}/{umm * 2 + unn}",
+                f"{ukk * 2 + ujj}/{uii * 2 + ujj}", ca_p,
+                ca_chisq, 1)
+            if not trendonly:
+                if model_fisher:
+                    mult_p = fisher22(2 * uoo + unn, 2 * umm + unn,
+                                      2 * ukk + ujj, 2 * uii + ujj,
+                                      midp)
+                    dww = 0.0
+                else:
+                    dww = chi22_evalx(
+                        2 * uoo + unn, 2 * (uoo + unn + umm),
+                        2 * (uoo + ukk) + unn + ujj,
+                        2 * (uoo + unn + umm + ukk + ujj + uii))
+                    mult_p = chiprob_px(dww, 1)
+                row("ALLELIC", f"{2 * uoo + unn}/{2 * umm + unn}",
+                    f"{2 * ukk + ujj}/{2 * uii + ujj}", mult_p,
+                    dww, 1)
+                if not ok_cells:
+                    dom_p = -9.0
+                    dww = -9.0
+                elif model_fisher:
+                    dom_p = fisher22(uoo + unn, umm, ukk + ujj, uii,
+                                     midp)
+                else:
+                    dww = chi22_evalx(
+                        uoo + unn, uoo + unn + umm,
+                        uoo + unn + ukk + ujj,
+                        uoo + unn + umm + ukk + ujj + uii)
+                    dom_p = chiprob_px(dww, 1)
+                row("DOM", f"{uoo + unn}/{umm}", f"{ukk + ujj}/{uii}",
+                    dom_p, dww, 1)
+                if not ok_cells:
+                    rec_p = -9.0
+                    dww = -9.0
+                elif model_fisher:
+                    rec_p = fisher22(uoo, unn + umm, ukk, ujj + uii,
+                                     midp)
+                else:
+                    dww = chi22_evalx(
+                        uoo, uoo + unn + umm, uoo + ukk,
+                        uoo + unn + umm + ukk + ujj + uii)
+                    rec_p = chiprob_px(dww, 1)
+                row("REC", f"{uoo}/{unn + umm}", f"{ukk}/{ujj + uii}",
+                    rec_p, dww, 1)
             f.writelines(rows)
     log.log(f"--model: Results written to {path} .")
     if "perm" in model_mods or any(

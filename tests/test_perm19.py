@@ -231,3 +231,17 @@ def test_model_perm(pp_panel, mods):
     pf = sorted(glob.glob(str(d / f"o_{tag}.model*.perm")))[0]
     tf = pf.replace(f"o_{tag}", f"t_{tag}")
     assert open(pf, "rb").read() == open(tf, "rb").read(), pf
+
+
+@pytest.mark.parametrize("mods", [
+    [], ["fisher"], ["fisher-midp"], ["trend-only"],
+])
+def test_model_base(pp_panel, mods):
+    d = pp_panel
+    tag = "mb" + str(len("".join(mods)))
+    run19(["--bfile", "pb", "--model"] + mods
+          + ["--allow-no-sex", "--out", f"o_{tag}"], str(d))
+    run_tpu(["--bfile", "pb", "--model"] + mods
+            + ["--allow-no-sex", "--out", f"t_{tag}", "--silent"],
+            str(d))
+    _cmp(d, f"o_{tag}.model", f"t_{tag}.model")
