@@ -27,7 +27,9 @@ from .assoc19 import _fw, _g4
 def run_test_missing(ds: Dataset, cfg, log: RunLogger) -> None:
     mods = set(cfg.test_missing)
     midp = "midp" in mods
-    for m in mods - {"midp"}:
+    perm_adapt = "perm" in mods
+    perm_count = "perm-count" in mods
+    for m in mods - {"midp", "perm", "perm-count"}:
         if m in ("perm", "perm-count") or m.startswith("mperm"):
             raise FlagError(
                 "--test-missing permutation is not implemented yet.")
@@ -71,6 +73,8 @@ def run_test_missing(ds: Dataset, cfg, log: RunLogger) -> None:
     case_y_recip = 1.0 / case_y if case_y else 0.0
     ctrl_y_recip = 1.0 / ctrl_y if ctrl_y else 0.0
     n = ds.raw_sample_ct
+    perm_rows = []   # (v, chrom, is_y, pval, miss_nm_bits, mct)
+    nm_idx = np.flatnonzero(pheno_nm[:n])
     for v in np.flatnonzero(ds.variant_mask):
         chrom = int(vi.chrom[v])
         is_x = chrom == X_CODE
@@ -107,5 +111,118 @@ def run_test_missing(ds: Dataset, cfg, log: RunLogger) -> None:
                 + _g4(uii * cr, 12) + " " + _g4(ujj * ur, 12) + " "
                 + _g4(max(pval, 0.0), 12))
         fh.write(line + "\n")
+        if perm_adapt:
+            mb = (miss & male[:n]) if is_y else miss
+            perm_rows.append((v, chrom, is_y, pval,
+                              mb[nm_idx].copy(), mct))
     fh.close()
     log.log(f"Writing --test-missing report to {out} ... done.")
+    if perm_adapt:
+        _testmiss_perm(ds, cfg, log, perm_rows, pheno_nm, case,
+                       male, midp, perm_count, maxsnp, out)
+
+
+def _testmiss_perm(ds, cfg, log, perm_rows, pheno_nm, case, male,
+                   midp, perm_count, maxsnp, out_base):
+    """--test-missing perm: adaptive missingness permutation
+    (testmiss_adapt_thread, 1.9/plink_assoc.c:9690).  The non-Y path
+    classifies case-missing counts against a per-marker
+    fisher22_precomp_pval_bounds table; Y markers evaluate fisher22
+    directly with per-permutation male case counts."""
+    from ..stats.assoc_perm19 import (EPSILON, adaptive_scan,
+                                      fisher22_precomp_pval_bounds)
+    from ..stats.perm19 import (cc_perm_matrix, master_sfmt,
+                                reindex_clusters_19)
+    from .cluster import _ltqnorm
+
+    vi = ds.vi
+    ci = vi.chr_info
+    n = ds.raw_sample_ct
+    nm_idx = np.flatnonzero(pheno_nm[:n])
+    n_nm = nm_idx.size
+    case_nm = case[:n][nm_idx]
+    case_ct = int(case_nm.sum())
+    male_nm_bits = male[:n][nm_idx]
+    M = len(perm_rows)
+    ap_min, ap_max, ap_alpha, ap_beta, ap_init, ap_slope = cfg.aperm
+    perms_total = ap_max
+    ci_zt = _ltqnorm(1 - ap_beta / (2.0 * M))
+    first_adapt_check = int(ap_init) if ap_min < ap_init else ap_min
+    thread_ct = min(cfg.threads or 1, perms_total)
+    master = master_sfmt(cfg)
+    clusters = None
+    if cfg.within or cfg.family:
+        from .cmh import load_clusters_19
+
+        _names, assign = load_clusters_19(ds, cfg)
+        members, case_cts, preimage, _ = reindex_clusters_19(
+            assign[nm_idx], case_nm)
+        if not members:
+            raise FlagError(
+                "Error: Degenerate --test-missing invocation (no "
+                "size 2+ clusters).")
+        clusters = (members, case_cts, preimage)
+    perms = cc_perm_matrix(case_nm, perms_total, thread_ct, master,
+                           clusters)
+    permsi = perms.astype(np.int64)
+    male_case_cts = permsi @ male_nm_bits.astype(np.int64)
+
+    success2 = np.zeros(M, np.int64)
+    attempt = np.full(M, perms_total, np.int64)
+    for k, (v, chrom, is_y, pval, mb, mct) in enumerate(perm_rows):
+        mbi = mb.astype(np.int64)
+        miss_case = permsi @ mbi
+        outcomes = np.zeros(perms_total, np.int64)
+        if not is_y:
+            b, _c = fisher22_precomp_pval_bounds(
+                pval, midp, case_ct, mct, n_nm)
+            for p in range(perms_total):
+                mc = int(miss_case[p])
+                if mc < b[0]:
+                    outcomes[p] = 2 if mc < b[2] else 1
+                elif mc >= b[1]:
+                    outcomes[p] = 2 if mc >= b[3] else 1
+        else:
+            stat_high = pval * (1.0 + EPSILON)
+            stat_low = pval * (1.0 - EPSILON)
+            nm_sum = int(male_nm_bits.sum()) - mct
+            for p in range(perms_total):
+                mc = int(miss_case[p])
+                cc = int(male_case_cts[p])
+                dxx = fisher22(mc, cc - mc, mct - mc,
+                               nm_sum + mc - cc, midp)
+                if dxx < stat_low:
+                    outcomes[p] = 2
+                elif dxx <= stat_high:
+                    outcomes[p] = 1
+        s2i, stopped, nac = adaptive_scan(
+            outcomes, 0, first_adapt_check, 0, ap_init, ap_slope,
+            ap_alpha, ci_zt, perms_total)
+        success2[k] = s2i
+        if stopped:
+            attempt[k] = nac
+
+    outp = out_base + ".perm"
+    fh = open(outp, "w")
+    fh.write(" CHR " + "SNP".rjust(maxsnp)
+             + "         EMP1           NP \n")
+    perms_done = 0
+    for k in range(M):
+        if attempt[k] > perms_done:
+            perms_done = int(attempt[k])
+            if perms_done == perms_total:
+                break
+    log.log(f"{perms_done} (adaptive) permutation"
+            f"{'' if perms_done == 1 else 's'} complete.")
+    for k, (v, chrom, is_y, pval, mb, mct) in enumerate(perm_rows):
+        line = (ci.name19(chrom).rjust(4) + " "
+                + _fw(str(vi.vid[v]), maxsnp) + " ")
+        pv = (int(success2[k]) + 2) / (2 * (int(attempt[k]) + 1))
+        if not perm_count:
+            line += _g4(pv, 12) + " "
+        else:
+            line += _g4(int(success2[k]) * 0.5, 12) + " "
+        line += "  " + str(int(attempt[k])).rjust(10)
+        fh.write(line + " \n")
+    fh.close()
+    log.log(f"Permutation test report written to {outp} .")

@@ -245,3 +245,17 @@ def test_model_base(pp_panel, mods):
             + ["--allow-no-sex", "--out", f"t_{tag}", "--silent"],
             str(d))
     _cmp(d, f"o_{tag}.model", f"t_{tag}.model")
+
+
+@pytest.mark.parametrize("mods", [
+    ["perm"], ["perm", "midp", "perm-count"],
+])
+def test_testmiss_perm(pp_panel, mods):
+    d = pp_panel
+    tag = "tm" + str(len(mods))
+    base = ["--bfile", "pb", "--test-missing"] + mods \
+        + ["--aperm", "8", "250", "0.02", "0.002", "2", "0.002",
+           "--seed", "21", "--threads", "1", "--allow-no-sex"]
+    run19(base + ["--out", f"o_{tag}"], str(d))
+    run_tpu(base + ["--out", f"t_{tag}", "--silent"], str(d))
+    _cmp(d, f"o_{tag}.missing.perm", f"t_{tag}.missing.perm")
