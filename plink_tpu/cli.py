@@ -213,6 +213,11 @@ class Config:
     regress_distance: tuple | None = None
     qfam: tuple | None = None
     dfam: tuple | None = None
+    gene_report: tuple | None = None
+    gene_subset: str | None = None
+    gene_list_border: int = 0
+    gene_report_snp_field: str | None = None
+    pfilter: float | None = None
     aperm: tuple = (6, 1000000, 0.0, 0.0001, 1.0, 0.001)
     perm_batch_size: int | None = None
     mh: bool = False
@@ -615,6 +620,17 @@ def parse_args(argv: list[str]) -> Config:
                 it, int(args[1]) if len(args) > 1 else 0)
         elif name == "dfam":
             cfg.dfam = tuple(args)
+        elif name == "gene_report":
+            cfg.gene_report = (args[0], args[1])
+        elif name == "gene_subset":
+            cfg.gene_subset = args[0]
+        elif name == "gene_list_border":
+            # kb -> bp (1.9/plink.c --gene-list-border)
+            cfg.gene_list_border = int(args[0]) * 1000
+        elif name == "gene_report_snp_field":
+            cfg.gene_report_snp_field = args[0]
+        elif name == "pfilter":
+            cfg.pfilter = float(args[0])
         elif name == "qfam":
             cfg.qfam = ("within", tuple(args))
         elif name == "qfam_parents":

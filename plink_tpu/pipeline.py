@@ -334,6 +334,12 @@ def run_pipeline(cfg: Config) -> int:
             run_meta_analysis(cfg, log)
             log.log(f"End of run; total wall-clock {log.elapsed():.2f}s.")
             return 0
+        if cfg.gene_report is not None:
+            from .commands.gene_report import run_gene_report
+
+            run_gene_report(cfg, log)
+            log.log(f"End of run; total wall-clock {log.elapsed():.2f}s.")
+            return 0
         if cfg.adjust_file or cfg.gwas_ssf:
             if cfg.adjust_file:
                 from .commands.adjust import run_adjust_file

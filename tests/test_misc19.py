@@ -179,3 +179,29 @@ def test_gxe(cc_panel):
              "--gxe", "--allow-no-sex", "--out", "tg", "--silent"],
             str(d))
     _cmp(d, "og.qassoc.gxe", "tg.qassoc.gxe")
+
+
+def test_gene_report(cc_panel, tmp_path):
+    d = cc_panel
+    run19(["--bfile", "pb", "--assoc", "--allow-no-sex",
+           "--out", "ga"], str(d))
+    rows = [
+        "1 99000 150000 GENE_A",
+        "1 160000 200000 GENE_A",
+        "1 150000 165000 GENE_A",   # overlapping -> merged
+        "1 250000 260000 geneB",
+        "2 100000 180000 GENE10",
+        "2 150000 300000 GENE2",    # natural order GENE2 < GENE10
+        "23 500000 560000 XG1",
+        "5 1 1000 NOHIT",
+    ]
+    (d / "glist.txt").write_text("\n".join(rows) + "\n")
+    (d / "gsub.txt").write_text("GENE_A\nGENE2\nXG1\n")
+    for extra, tag in ((["--gene-list-border", "20"], "b"),
+                       (["--gene-subset", "gsub.txt",
+                         "--pfilter", "0.5"], "s")):
+        run19(["--gene-report", "ga.assoc", "glist.txt"] + extra
+              + ["--out", f"o_g{tag}"], str(d))
+        run_tpu(["--gene-report", "ga.assoc", "glist.txt"] + extra
+                + ["--out", f"t_g{tag}", "--silent"], str(d))
+        _cmp(d, f"o_g{tag}.range.report", f"t_g{tag}.range.report")
