@@ -217,6 +217,9 @@ class Config:
     gene_subset: str | None = None
     gene_list_border: int = 0
     gene_report_snp_field: str | None = None
+    annotate: tuple | None = None
+    annotate_snp_field: str | None = None
+    border: int = 0
     pfilter: float | None = None
     aperm: tuple = (6, 1000000, 0.0, 0.0001, 1.0, 0.001)
     perm_batch_size: int | None = None
@@ -629,6 +632,69 @@ def parse_args(argv: list[str]) -> Config:
             cfg.gene_list_border = int(args[0]) * 1000
         elif name == "gene_report_snp_field":
             cfg.gene_report_snp_field = args[0]
+        elif name == "annotate":
+            # 1.9/plink.c:4522-4598
+            if not args:
+                raise FlagError("--annotate requires a report file.")
+            files = {}
+            mods = set()
+            for p in args[1:]:
+                eq = p.split("=", 1)
+                if len(eq) == 2 and eq[0] in (
+                        "attrib", "ranges", "filter", "subset",
+                        "snps") and eq[1]:
+                    files[eq[0]] = eq[1]
+                elif p in ("NA", "prune"):
+                    other = "prune" if p == "NA" else "NA"
+                    if other in mods:
+                        raise FlagError(
+                            "--annotate 'NA' and 'prune' cannot be "
+                            "used together.")
+                    mods.add(p)
+                elif p in ("block", "minimal", "distance"):
+                    mods.add(p)
+                else:
+                    raise FlagError(
+                        f"Invalid --annotate parameter '{p}'.")
+            if "block" in mods and ({"NA", "minimal"} & mods):
+                raise FlagError(
+                    "--annotate 'block' cannot be used with 'NA' or "
+                    "'minimal'.")
+            if "attrib" not in files and "ranges" not in files:
+                raise FlagError(
+                    "--annotate must be used with 'attrib' and/or "
+                    "'ranges'.")
+            if "ranges" not in files:
+                if "subset" in files:
+                    raise FlagError(
+                        "--annotate 'subset' modifier must be used "
+                        "with 'ranges'.")
+                for m in ("minimal", "distance"):
+                    if m in mods:
+                        raise FlagError(
+                            f"--annotate '{m}' modifier must be used "
+                            "with 'ranges'.")
+            cfg.annotate = (args[0], files, frozenset(mods))
+        elif name == "annotate_snp_field":
+            if cfg.annotate is None or "attrib" not in cfg.annotate[1]:
+                raise FlagError(
+                    "--annotate-snp-field must be used with "
+                    "--annotate + 'attrib'.")
+            cfg.annotate_snp_field = args[0]
+        elif name == "border":
+            if cfg.annotate is None or "ranges" not in cfg.annotate[1]:
+                raise FlagError(
+                    "--border now must be used with --annotate + "
+                    "'ranges'.")
+            dxx = float(args[0])
+            if dxx < 0:
+                raise FlagError(
+                    f"Invalid --border parameter '{args[0]}'.")
+            # kb -> bp with 1.9's epsilon nudge (plink.c:4990)
+            if dxx > 2147483.646:
+                cfg.border = 0x7ffffffe
+            else:
+                cfg.border = int(dxx * 1000 * (1 + 2.0 ** -44))
         elif name == "pfilter":
             cfg.pfilter = float(args[0])
         elif name == "qfam":

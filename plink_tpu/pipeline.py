@@ -340,6 +340,12 @@ def run_pipeline(cfg: Config) -> int:
             run_gene_report(cfg, log)
             log.log(f"End of run; total wall-clock {log.elapsed():.2f}s.")
             return 0
+        if cfg.annotate is not None:
+            from .commands.annotate import run_annotate
+
+            run_annotate(cfg, log)
+            log.log(f"End of run; total wall-clock {log.elapsed():.2f}s.")
+            return 0
         if cfg.adjust_file or cfg.gwas_ssf:
             if cfg.adjust_file:
                 from .commands.adjust import run_adjust_file

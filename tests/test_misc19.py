@@ -205,3 +205,76 @@ def test_gene_report(cc_panel, tmp_path):
         run_tpu(["--gene-report", "ga.assoc", "glist.txt"] + extra
                 + ["--out", f"t_g{tag}", "--silent"], str(d))
         _cmp(d, f"o_g{tag}.range.report", f"t_g{tag}.range.report")
+
+
+ANNOT_CASES = [
+    ("r1", ["ranges=glist.txt"]),
+    ("r2", ["ranges=glist.txt", "--border", "15"]),
+    ("r3", ["ranges=glist.txt", "distance", "--border", "15"]),
+    ("r4", ["ranges=glist.txt", "subset=gsub.txt", "prune"]),
+    ("r5", ["attrib=attr.txt"]),
+    ("r6", ["attrib=attr.txt", "ranges=glist.txt", "NA"]),
+    ("r7", ["attrib=attr.txt", "ranges=glist.txt", "block"]),
+    ("r8", ["attrib=attr.txt", "ranges=glist.txt", "minimal",
+            "filter=flist.txt"]),
+    ("r9", ["attrib=attr.txt", "snps=snps.txt", "ranges=glist.txt",
+            "distance", "--border", "10"]),
+    ("r10", ["ranges=glist.txt", "block", "--border", "25"]),
+    ("r11", ["attrib=attr.txt", "ranges=glist.txt", "block",
+             "distance", "--border", "25"]),
+    ("r12", ["attrib=attr.txt", "--pfilter", "0.4"]),
+    ("r15", ["ranges=glist.txt", "distance", "prune",
+             "--border", "40"]),
+    ("r16", ["ranges=glist.txt", "subset=gsub.txt", "block",
+             "distance", "filter=flist.txt", "--border", "30",
+             "--pfilter", "0.9"]),
+]
+
+
+@pytest.fixture(scope="module")
+def annot_inputs(cc_panel):
+    d = cc_panel
+    run19(["--bfile", "pb", "--assoc", "--allow-no-sex",
+           "--out", "ga"], str(d))
+    rows = [
+        "1 99000 150000 GENE_A",
+        "1 160000 200000 GENE_A",
+        "1 150000 165000 GENE_A",
+        "1 250000 260000 geneB",
+        "2 100000 180000 GENE10",
+        "2 150000 300000 GENE2",
+        "23 500000 560000 XG1",
+        "5 1 1000 NOHIT",
+    ]
+    (d / "glist.txt").write_text("\n".join(rows) + "\n")
+    (d / "flist.txt").write_text(
+        "1 100000 300000 KEEP1\n2 200000 999999 KEEP2\n")
+    (d / "gsub.txt").write_text("GENE_A\nGENE2\nXG1\n")
+    with open(d / "attr.txt", "w") as f:
+        for j in range(0, 320, 3):
+            ats = []
+            if j % 2 == 0:
+                ats.append(f"tag{j % 7}")
+            if j % 5 == 0:
+                ats.append("rare")
+            if j % 4 == 0:
+                ats.append("LoF10")
+            if j % 4 == 2:
+                ats.append("LoF2")
+            if ats:
+                f.write(f"snp{j} " + " ".join(ats) + "\n")
+    with open(d / "snps.txt", "w") as f:
+        for j in range(0, 320, 2):
+            f.write(f"snp{j}\n")
+    return d
+
+
+@pytest.mark.parametrize("tag,args", ANNOT_CASES,
+                         ids=[c[0] for c in ANNOT_CASES])
+def test_annotate(annot_inputs, tag, args):
+    d = annot_inputs
+    run19(["--annotate", "ga.assoc"] + args + ["--out", f"o_a{tag}"],
+          str(d))
+    run_tpu(["--annotate", "ga.assoc"] + args
+            + ["--out", f"t_a{tag}", "--silent"], str(d))
+    _cmp(d, f"o_a{tag}.annot", f"t_a{tag}.annot")
