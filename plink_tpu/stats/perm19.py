@@ -115,14 +115,18 @@ def cc_perm_matrix(pheno_case, perm_ct, thread_ct, master,
     return out
 
 
-def qt_perm_matrix(pheno_d2, perm_ct, thread_ct, master,
-                   clusters=None):
+def qt_perm_matrix(pheno_d2, perm_ct, thread_ct, master=None,
+                   clusters=None, sfmts=None):
     """generate_qt_perms_smajor_thread (+cluster variant): [n, perm_ct]
     float64 of permuted phenotype values.  clusters: optional
-    (member_arrays, sample_to_cluster) for within-cluster shuffles."""
+    (member_arrays, sample_to_cluster) for within-cluster shuffles.
+    Pass a persistent ``sfmts`` list to continue thread RNG streams
+    across generation batches (QT --assoc); otherwise fresh thread
+    streams are derived from ``master``."""
     n = pheno_d2.size
     thread_ct = min(thread_ct, perm_ct)
-    sfmts = sfmt_thread_array(master, thread_ct)
+    if sfmts is None:
+        sfmts = sfmt_thread_array(master, thread_ct)
     ctcl8 = (perm_ct + 7) // 8
     out = np.zeros((n, perm_ct))
     if clusters is not None:

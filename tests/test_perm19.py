@@ -259,3 +259,31 @@ def test_testmiss_perm(pp_panel, mods):
     run19(base + ["--out", f"o_{tag}"], str(d))
     run_tpu(base + ["--out", f"t_{tag}", "--silent"], str(d))
     _cmp(d, f"o_{tag}.missing.perm", f"t_{tag}.missing.perm")
+
+
+@pytest.mark.parametrize("flags,oflags,ext", [
+    (["--assoc", "perm"], None, "qassoc.perm"),
+    (["--assoc", "perm", "perm-count", "--within", "cl.txt"],
+     None, "qassoc.perm"),
+    (["--assoc", "lin", "perm"], None, "qassoc.perm"),
+    (["--assoc", "mperm=300"], None, "qassoc.mperm"),
+    (["--assoc", "mperm=1200", "--threads", "4"], None,
+     "qassoc.mperm"),
+    (["--assoc", "lin", "mperm=500", "perm-count"], None,
+     "qassoc.mperm"),
+    (["--assoc", "mperm=400", "--within", "cl.txt"], None,
+     "qassoc.mperm"),
+])
+def test_qassoc_perm(pp_panel, flags, oflags, ext):
+    d = pp_panel
+    tag = "qp" + str(abs(hash(tuple(flags))) % 10000)
+    base = ["--bfile", "pb", "--seed", "77", "--allow-no-sex",
+            "--aperm", "10", "400", "0.01", "0.001", "2", "0.002"]
+    if "--threads" not in flags:
+        base += ["--threads", "1"]
+    run19(base + ["--pheno", "qto.phe"] + flags
+          + ["--out", f"o_{tag}"], str(d))
+    run_tpu(base + ["--pheno", "qt.phe"] + flags
+            + ["--out", f"t_{tag}", "--silent"], str(d))
+    _cmp(d, f"o_{tag}.qassoc", f"t_{tag}.qassoc")
+    _cmp(d, f"o_{tag}.{ext}", f"t_{tag}.{ext}")
