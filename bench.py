@@ -1,20 +1,32 @@
 #!/usr/bin/env python3
-"""Benchmark driver: all five BASELINE.json configs.
+"""Benchmark driver: all five BASELINE.json configs, hang-proof.
 
-Prints one JSON line per config; the LAST line is the headline metric
-(--glm logistic/Firth variants/sec at 500k samples):
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints one JSON line per config; the LAST line is always the headline
+metric (--glm logistic/Firth variants/sec at 500k samples):
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "parity": ...}
 
-vs_baseline = plink2 wall-clock / our wall-clock (or our variants/sec
-divided by plink2 variants/sec for the GLM config) on IDENTICAL filesets,
-plink2 running with --threads <nproc>.  plink2 numbers are measured once
-per machine and cached under .bench/ (see .bench/prep_configs.sh); the
-GRM/PCA baseline uses a LAPACK-enabled plink2 build linked against
-scipy's threaded OpenBLAS (the NOLAPACK fallback would understate it).
+Structure (round-3 redesign after BENCH_r02 rc=124 captured nothing):
+  * The orchestrator process never imports jax.  Every config runs in a
+    subprocess (`bench.py --worker <name>`) under its own wall budget, so
+    a hung TPU tunnel can never sink the remaining configs.
+  * A backend preflight (tiny jitted op in a subprocess, hard timeout)
+    runs first; if the TPU backend cannot initialize, the whole bench
+    falls back to JAX_PLATFORMS=cpu and every metric name gains a
+    `_cpu_fallback` suffix so nothing is misrepresented.
+  * The headline GLM config runs FIRST (but its JSON line is printed
+    last), so even a truncated driver window records the one metric that
+    matters.
+  * Synthetic panels and plink2 baselines are generated/measured once
+    and cached under .bench/ — never inside the timed window.
+  * After each timed run the outputs are diffed against the cached
+    plink2 oracle artifacts ("parity": ok/fail/skipped), so TPU numerics
+    are validated, not just timed.
 
-Our timing excludes one warmup pass (JIT compile + tunnel warm); plink2
-has no compile step, so steady-state throughput is the honest comparison
-for production scans where the fileset is large.
+vs_baseline = plink2 wall-clock / our wall-clock (variants/sec ratio for
+the GLM config) on IDENTICAL filesets, plink2 running with --threads
+<nproc>.  Our timing excludes one warmup pass (JIT compile + tunnel
+warm); plink2 has no compile step, so steady-state throughput is the
+honest comparison for production scans where the fileset is large.
 """
 
 import json
@@ -25,6 +37,7 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BENCH_DIR = os.path.join(REPO, ".bench")
+RUNS = os.path.join(BENCH_DIR, "runs")
 ORACLE = os.environ.get("PLINK2_ORACLE", "/tmp/oracle/2.0/build_dynamic/plink2")
 ORACLE_LAPACK = os.environ.get(
     "PLINK2_ORACLE_LAPACK", "/tmp/oracle_lapack/2.0/build_dynamic/plink2"
@@ -34,31 +47,42 @@ GLM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 500_000))
 GLM_VARIANTS = int(os.environ.get("BENCH_VARIANTS", 16384))
 SEED = 42
 
-_plat = os.environ.get("JAX_PLATFORMS", "default").split(",")[0] or "default"
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", os.path.join(BENCH_DIR, f"jaxcache-{_plat}")
-)
+# Wall budgets (seconds).  Overall default 2700s; per-config budgets sized
+# so the GLM headline always lands inside even a tight driver window.
+TOTAL_BUDGET = float(os.environ.get("BENCH_BUDGET", 2700))
+PREFLIGHT_S = float(os.environ.get("BENCH_PREFLIGHT_S", 420))
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _cpu_env(base=None):
+    """Env forcing the CPU backend.  JAX_PLATFORMS alone is NOT enough:
+    the axon sitecustomize calls jax.config.update("jax_platforms",
+    "axon,cpu") which overrides the env var, so we also clear
+    PALLAS_AXON_POOL_IPS to skip that registration entirely."""
+    env = dict(base or os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    return env
+
+
+# --------------------------------------------------------------------------
+# panel / baseline preparation (cached; cheap no-ops when .bench is warm)
+# --------------------------------------------------------------------------
+
 def _gen_panel(prefix, samples, variants, seed, miss="0.02"):
     if os.path.exists(prefix + ".pgen"):
         return
     log(f"bench: generating {samples}x{variants} panel at {prefix} ...")
-    from plink_tpu.cli import parse_args
-    from plink_tpu.commands.dummy import generate_dummy
-    from plink_tpu.utils.logging import RunLogger
-
-    cfg = parse_args(
-        ["--dummy", str(samples), str(variants), miss, "--seed", str(seed),
-         "--out", prefix]
+    env = _cpu_env()
+    code = (
+        "from plink_tpu.cli import main;"
+        f"raise SystemExit(main(['--dummy','{samples}','{variants}','{miss}',"
+        f"'--seed','{seed}','--out','{prefix}','--silent']))"
     )
-    lg = RunLogger(prefix, silent=True)
-    generate_dummy(cfg, lg)
-    lg.close()
+    subprocess.run([sys.executable, "-c", code], env=env, check=True)
 
 
 def _gen_cov(prefix, seed):
@@ -86,23 +110,14 @@ def _gen_cov(prefix, seed):
 def _ensure_toy():
     prefix = os.path.join(BENCH_DIR, "toy")
     if not os.path.exists(prefix + ".pgen"):
-        from plink_tpu.cli import main
-
-        rc = main(["--pedmap", "/root/reference/1.9/toy", "--make-pgen",
-                   "--out", prefix, "--silent"])
-        if rc != 0:
-            raise RuntimeError("toy conversion failed")
+        env = _cpu_env()
+        code = (
+            "from plink_tpu.cli import main;"
+            "raise SystemExit(main(['--pedmap','/root/reference/1.9/toy',"
+            f"'--make-pgen','--out','{prefix}','--silent']))"
+        )
+        subprocess.run([sys.executable, "-c", code], env=env, check=True)
     return prefix
-
-
-def run_ours(argv):
-    from plink_tpu.cli import main
-
-    t0 = time.time()
-    rc = main(argv + ["--silent"])
-    if rc != 0:
-        raise RuntimeError(f"plink_tpu failed rc={rc}: {argv}")
-    return time.time() - t0
 
 
 def _oracle_wall(cache_name, oracle_bin, args):
@@ -127,129 +142,349 @@ def _oracle_wall(cache_name, oracle_bin, args):
     return wall if r.returncode == 0 else None
 
 
-def _emit(metric, value, unit, vs):
+# --------------------------------------------------------------------------
+# parity checks vs cached plink2 oracle artifacts
+# --------------------------------------------------------------------------
+
+def _parity_glm(ours, theirs):
+    """Join on ID; P and OR must agree to 1e-3 relative (f32 device IRLS +
+    f64 host refinement vs plink2's f64; plink2's own glm_compare.py uses
+    comparable tolerances)."""
+    import numpy as np
+
+    def load(path):
+        out = {}
+        with open(path) as f:
+            header = f.readline().rstrip("\n").split("\t")
+            iid = header.index("ID")
+            ip = header.index("P")
+            for line in f:
+                p = line.rstrip("\n").split("\t")
+                out[p[iid]] = p[ip]
+        return out
+
+    a, b = load(ours), load(theirs)
+    if set(a) != set(b):
+        return "fail:ids"
+    bad = 0
+    for k, va in a.items():
+        vb = b[k]
+        if va == "NA" or vb == "NA":
+            bad += (va != vb)
+            continue
+        fa, fb = float(va), float(vb)
+        if abs(fa - fb) > 1e-3 * max(1e-8, abs(fb)) + 1e-9:
+            bad += 1
+    return "ok" if bad == 0 else f"fail:{bad}/{len(a)}"
+
+
+def _parity_text_equal(ours, theirs):
+    with open(ours, "rb") as f1, open(theirs, "rb") as f2:
+        return "ok" if f1.read() == f2.read() else "fail:bytes"
+
+
+def _parity_prune(ours, theirs):
+    sa = set(open(ours).read().split())
+    sb = set(open(theirs).read().split())
+    if sa == sb:
+        return "ok"
+    return f"fail:{len(sa ^ sb)}sym"
+
+
+def _parity_grm(ours, theirs):
+    """Sampled float32 comparison: first 1M + 8 random 1M strides (the full
+    matrices are 5 GB each)."""
+    import numpy as np
+
+    n = os.path.getsize(theirs) // 4
+    if os.path.getsize(ours) != os.path.getsize(theirs):
+        return "fail:size"
+    rng = np.random.default_rng(0)
+    offs = [0] + sorted(rng.integers(0, max(1, n - 1_000_000), 8).tolist())
+    with open(ours, "rb") as f1, open(theirs, "rb") as f2:
+        for off in offs:
+            f1.seek(off * 4)
+            f2.seek(off * 4)
+            a = np.frombuffer(f1.read(4_000_000), np.float32)
+            b = np.frombuffer(f2.read(4_000_000), np.float32)
+            if not np.allclose(a, b, rtol=2e-4, atol=2e-5):
+                return f"fail:off{off}"
+    return "ok"
+
+
+def _parity_pca(ours, theirs):
+    """Sign-aware column comparison à la plink2's pca_compare.py.  approx
+    mode is a randomized algorithm with different RNG streams, so we check
+    per-component |correlation| > 0.98 instead of element equality."""
+    import numpy as np
+
+    def load(path):
+        with open(path) as f:
+            f.readline()
+            return np.array(
+                [[float(x) for x in l.split()[1:]] for l in f], np.float64
+            )
+
+    a, b = load(ours), load(theirs)
+    if a.shape != b.shape:
+        return "fail:shape"
+    bad = 0
+    for j in range(a.shape[1]):
+        c = np.corrcoef(a[:, j], b[:, j])[0, 1]
+        if abs(c) < 0.98:
+            bad += 1
+    return "ok" if bad == 0 else f"fail:{bad}pcs"
+
+
+def _parity(name, out_prefix):
+    try:
+        if name == "glm":
+            oracle = os.path.join(BENCH_DIR, "o_glm.PHENO1.glm.logistic.hybrid")
+            ours = out_prefix + ".PHENO1.glm.logistic.hybrid"
+            if not os.path.exists(oracle):
+                return "skipped:no-oracle"
+            return _parity_glm(ours, oracle)
+        if name == "freq_toy":
+            res = []
+            for ext in (".afreq", ".hardy", ".smiss", ".vmiss"):
+                res.append(_parity_text_equal(
+                    out_prefix + ext, os.path.join(BENCH_DIR, "o_toy" + ext)))
+            return "ok" if all(r == "ok" for r in res) else ";".join(res)
+        if name == "indep_10k":
+            return _parity_prune(
+                out_prefix + ".prune.in",
+                os.path.join(BENCH_DIR, "o_indep.prune.in"))
+        if name == "king_50k":
+            return _parity_text_equal(
+                out_prefix + ".kin0", os.path.join(BENCH_DIR, "o_king.kin0"))
+        if name == "grm_50k":
+            return _parity_grm(
+                out_prefix + ".grm.bin",
+                os.path.join(BENCH_DIR, "o_grm.grm.bin"))
+        if name == "pca_100k":
+            return _parity_pca(
+                out_prefix + ".eigenvec",
+                os.path.join(BENCH_DIR, "o_pca.eigenvec"))
+    except Exception as e:  # parity must never sink a landed timing
+        return f"skipped:{type(e).__name__}"
+    return "skipped"
+
+
+# --------------------------------------------------------------------------
+# worker mode: one config, inside its own process
+# --------------------------------------------------------------------------
+
+def _worker(name):
+    """Run one config (optional warmup + timed); print one JSON line."""
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(BENCH_DIR, "jaxcache-"
+                     + (os.environ.get("JAX_PLATFORMS") or "default")))
+    from plink_tpu.cli import main as cli_main
+
+    spec = _configs()[name]
+    argv, out_prefix, warmup = spec["argv"], spec["out"], spec["warmup"]
+    if warmup:
+        log(f"bench [{name}]: warmup ...")
+        rc = cli_main(list(argv) + ["--out", out_prefix + ".warm", "--silent"])
+        if rc != 0:
+            print(json.dumps({"ok": False, "err": f"warmup rc={rc}"}))
+            return 1
+    log(f"bench [{name}]: timed ...")
+    t0 = time.time()
+    rc = cli_main(list(argv) + ["--out", out_prefix + ".timed", "--silent"])
+    dt = time.time() - t0
+    if rc != 0:
+        print(json.dumps({"ok": False, "err": f"timed rc={rc}"}))
+        return 1
+    print(json.dumps({"ok": True, "timed_s": dt}))
+    return 0
+
+
+def _configs():
+    toy = os.path.join(BENCH_DIR, "toy")
+    p2 = os.path.join(BENCH_DIR, "p10000x32768")
+    p3 = os.path.join(BENCH_DIR, "p50000x32768")
+    p4 = os.path.join(BENCH_DIR, "p100000x32768")
+    p5 = os.path.join(BENCH_DIR, f"p{GLM_SAMPLES}x{GLM_VARIANTS}")
+    cov = p5 + ".cov"
+    return {
+        "glm": {
+            "argv": ["--pfile", p5, "--glm", "hide-covar", "--covar", cov],
+            "out": os.path.join(RUNS, "glm"), "warmup": True, "budget": 1500,
+        },
+        "freq_toy": {
+            "argv": ["--pfile", toy, "--freq", "--missing", "--hardy"],
+            "out": os.path.join(RUNS, "toy"), "warmup": True, "budget": 300,
+        },
+        "indep_10k": {
+            "argv": ["--pfile", p2, "--indep-pairwise", "200", "50", "0.2"],
+            "out": os.path.join(RUNS, "indep"), "warmup": False, "budget": 600,
+        },
+        "king_50k": {
+            "argv": ["--pfile", p3, "--make-king-table",
+                     "--king-table-filter", "0.044"],
+            "out": os.path.join(RUNS, "king"), "warmup": False, "budget": 700,
+        },
+        "grm_50k": {
+            "argv": ["--pfile", p3, "--make-grm-bin"],
+            "out": os.path.join(RUNS, "grm"), "warmup": False, "budget": 700,
+        },
+        "pca_100k": {
+            "argv": ["--pfile", p4, "--pca", "10", "approx", "--seed", "13"],
+            "out": os.path.join(RUNS, "pca"), "warmup": False, "budget": 700,
+        },
+    }
+
+
+# --------------------------------------------------------------------------
+# orchestrator
+# --------------------------------------------------------------------------
+
+def _preflight(env):
+    """Tiny jitted op in a subprocess under a hard timeout.  Returns True
+    iff the default backend initializes and computes."""
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print('devices:', jax.devices());"
+        "x = jnp.ones((128,128), jnp.bfloat16);"
+        "print('preflight-sum', jax.jit(lambda a: (a@a).sum())(x))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], env=env,
+            capture_output=True, timeout=PREFLIGHT_S, text=True,
+        )
+        if r.returncode == 0 and "preflight-sum" in r.stdout:
+            log("bench: backend preflight OK: " + r.stdout.splitlines()[0])
+            return True
+        log(f"bench: preflight failed rc={r.returncode}: "
+            + (r.stderr or "")[-400:])
+        return False
+    except subprocess.TimeoutExpired:
+        log(f"bench: preflight TIMED OUT after {PREFLIGHT_S:.0f}s")
+        return False
+
+
+def _run_config(name, env, deadline):
+    spec = _configs()[name]
+    budget = min(spec["budget"], max(30, deadline - time.time()))
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", name],
+            env=env, capture_output=True, timeout=budget, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        log(f"bench [{name}] TIMED OUT after {budget:.0f}s")
+        return None
+    sys.stderr.write(r.stderr or "")
+    for line in reversed((r.stdout or "").splitlines()):
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if rec.get("ok"):
+            rec["parity"] = _parity(name, spec["out"] + ".timed")
+            log(f"bench [{name}]: {rec['timed_s']:.2f}s parity={rec['parity']}")
+            return rec
+        log(f"bench [{name}] FAILED: {rec.get('err')}")
+        return None
+    log(f"bench [{name}] FAILED rc={r.returncode}: " + (r.stderr or "")[-400:])
+    return None
+
+
+def _emit(metric, value, unit, vs, parity, suffix=""):
     print(json.dumps({
-        "metric": metric,
+        "metric": metric + suffix,
         "value": round(value, 3),
         "unit": unit,
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        "parity": parity,
     }), flush=True)
 
 
-def bench_config(name, metric, our_argv, oracle_name, oracle_bin, oracle_args,
-                 out_prefix, warmup=True):
-    if warmup:
-        log(f"bench [{name}]: warmup ...")
-        run_ours(our_argv + ["--out", out_prefix + ".warm"])
-    log(f"bench [{name}]: timed ...")
-    dt = run_ours(our_argv + ["--out", out_prefix + ".timed"])
-    base = _oracle_wall(oracle_name, oracle_bin, oracle_args)
-    vs = (base / dt) if base else None
-    _emit(metric, dt, "seconds", vs)
-    return dt
-
-
 def main():
-    os.makedirs(BENCH_DIR, exist_ok=True)
-    outd = os.path.join(BENCH_DIR, "runs")
-    os.makedirs(outd, exist_ok=True)
+    if "--worker" in sys.argv:
+        raise SystemExit(_worker(sys.argv[sys.argv.index("--worker") + 1]))
 
-    # config 1: freq/missing/hardy on the 1.9 toy panel
-    try:
-        toy = _ensure_toy()
-        bench_config(
-            "freq_toy", "freq_missing_hardy_toy_wall",
-            ["--pfile", toy, "--freq", "--missing", "--hardy"],
-            "freq_toy", ORACLE,
-            ["--pfile", toy, "--freq", "--missing", "--hardy",
-             "--out", os.path.join(outd, "o_toy")],
-            os.path.join(outd, "toy"),
-        )
-    except Exception as e:  # never let one config sink the headline metric
-        log(f"bench [freq_toy] FAILED: {e}")
+    os.makedirs(RUNS, exist_ok=True)
+    deadline = time.time() + TOTAL_BUDGET
 
-    # config 2: --indep-pairwise at 10k samples
-    try:
-        p2 = os.path.join(BENCH_DIR, "p10000x32768")
-        _gen_panel(p2, 10000, 32768, 52)
-        bench_config(
-            "indep_10k", "indep_pairwise_10000x32768_wall",
-            ["--pfile", p2, "--indep-pairwise", "200", "50", "0.2"],
-            "indep_10k", ORACLE,
-            ["--pfile", p2, "--indep-pairwise", "200", "50", "0.2",
-             "--out", os.path.join(outd, "o_indep")],
-            os.path.join(outd, "indep"),
-        )
-    except Exception as e:
-        log(f"bench [indep_10k] FAILED: {e}")
-
-    # config 3: KING + GRM at 50k samples
-    try:
-        p3 = os.path.join(BENCH_DIR, "p50000x32768")
-        _gen_panel(p3, 50000, 32768, 53)
-        t_king = bench_config(
-            "king_50k", "king_table_50000x32768_wall",
-            ["--pfile", p3, "--make-king-table", "--king-table-filter",
-             "0.044"],
-            "king_50k", ORACLE,
-            ["--pfile", p3, "--make-king-table", "--king-table-filter",
-             "0.044", "--out", os.path.join(outd, "o_king")],
-            os.path.join(outd, "king"), warmup=False,
-        )
-        t_grm = bench_config(
-            "grm_50k", "grm_bin_50000x32768_wall",
-            ["--pfile", p3, "--make-grm-bin"],
-            "grm_50k", ORACLE_LAPACK,
-            ["--pfile", p3, "--make-grm-bin",
-             "--out", os.path.join(outd, "o_grm")],
-            os.path.join(outd, "grm"), warmup=False,
-        )
-    except Exception as e:
-        log(f"bench [king/grm_50k] FAILED: {e}")
-
-    # config 4: --pca approx top-10 at 100k samples
-    try:
-        p4 = os.path.join(BENCH_DIR, "p100000x32768")
-        _gen_panel(p4, 100000, 32768, 54)
-        bench_config(
-            "pca_100k", "pca_approx10_100000x32768_wall",
-            ["--pfile", p4, "--pca", "10", "approx", "--seed", "13"],
-            "pca_100k", ORACLE_LAPACK,
-            ["--pfile", p4, "--pca", "10", "approx",
-             "--out", os.path.join(outd, "o_pca")],
-            os.path.join(outd, "pca"), warmup=False,
-        )
-    except Exception as e:
-        log(f"bench [pca_100k] FAILED: {e}")
-
-    # config 5 (headline, LAST): --glm at 500k samples
+    # Panels + covariates (cached; only regenerated on a cold .bench).
     p5 = os.path.join(BENCH_DIR, f"p{GLM_SAMPLES}x{GLM_VARIANTS}")
     _gen_panel(p5, GLM_SAMPLES, GLM_VARIANTS, SEED)
     cov = _gen_cov(p5, SEED + 1)
-    glm_argv = ["--pfile", p5, "--glm", "hide-covar", "--covar", cov]
-    log("bench [glm_500k]: warmup (compile) ...")
-    run_ours(glm_argv + ["--out", os.path.join(outd, "glm.warm")])
-    log("bench [glm_500k]: timed ...")
-    dt = run_ours(glm_argv + ["--out", os.path.join(outd, "glm.timed")])
-    vps = GLM_VARIANTS / dt
-    base_cache = os.path.join(
-        BENCH_DIR, f"plink2_glm_{GLM_SAMPLES}x{GLM_VARIANTS}.json"
-    )
-    base_vps = None
-    if os.path.exists(base_cache):
-        base_vps = json.load(open(base_cache)).get("variants_per_sec")
-    elif os.path.exists(ORACLE):
-        wall = _oracle_wall(
-            f"glm_{GLM_SAMPLES}x{GLM_VARIANTS}", ORACLE,
-            ["--pfile", p5, "--glm", "hide-covar", "--covar", cov,
-             "--out", os.path.join(outd, "o_glm")],
-        )
-        base_vps = (GLM_VARIANTS / wall) if wall else None
-    _emit(
-        f"glm_logistic_hybrid_variants_per_sec_{GLM_SAMPLES}samples",
-        vps, "variants/sec",
-        (vps / base_vps) if base_vps else None,
-    )
+    toy = _ensure_toy()
+
+    env = dict(os.environ)
+    suffix = ""
+    if not _preflight(env):
+        log("bench: retrying preflight once ...")
+        if not _preflight(env):
+            log("bench: TPU backend unavailable -> JAX_PLATFORMS=cpu fallback")
+            env = _cpu_env(env)
+            suffix = "_cpu_fallback"
+            if not _preflight(env):
+                _emit("backend_unavailable", 0.0, "none", None, "skipped")
+                return
+
+    # Headline config FIRST; its JSON line is printed LAST.
+    rec = _run_config("glm", env, deadline)
+    headline = None
+    if rec:
+        vps = GLM_VARIANTS / rec["timed_s"]
+        base_cache = os.path.join(
+            BENCH_DIR, f"plink2_glm_{GLM_SAMPLES}x{GLM_VARIANTS}.json")
+        base_vps = None
+        if os.path.exists(base_cache):
+            base_vps = json.load(open(base_cache)).get("variants_per_sec")
+        elif os.path.exists(ORACLE):
+            wall = _oracle_wall(
+                f"glm_{GLM_SAMPLES}x{GLM_VARIANTS}", ORACLE,
+                ["--pfile", p5, "--glm", "hide-covar", "--covar", cov,
+                 "--out", os.path.join(BENCH_DIR, "o_glm")])
+            base_vps = (GLM_VARIANTS / wall) if wall else None
+        headline = (
+            f"glm_logistic_hybrid_variants_per_sec_{GLM_SAMPLES}samples",
+            vps, "variants/sec",
+            (vps / base_vps) if base_vps else None, rec["parity"])
+
+    # Breadth configs (skipped past the deadline — headline already landed).
+    breadth = [
+        ("freq_toy", "freq_missing_hardy_toy_wall", ORACLE,
+         ["--pfile", toy, "--freq", "--missing", "--hardy",
+          "--out", os.path.join(BENCH_DIR, "o_toy")]),
+        ("indep_10k", "indep_pairwise_10000x32768_wall", ORACLE,
+         ["--pfile", os.path.join(BENCH_DIR, "p10000x32768"),
+          "--indep-pairwise", "200", "50", "0.2",
+          "--out", os.path.join(BENCH_DIR, "o_indep")]),
+        ("king_50k", "king_table_50000x32768_wall", ORACLE,
+         ["--pfile", os.path.join(BENCH_DIR, "p50000x32768"),
+          "--make-king-table", "--king-table-filter", "0.044",
+          "--out", os.path.join(BENCH_DIR, "o_king")]),
+        ("grm_50k", "grm_bin_50000x32768_wall", ORACLE_LAPACK,
+         ["--pfile", os.path.join(BENCH_DIR, "p50000x32768"),
+          "--make-grm-bin", "--out", os.path.join(BENCH_DIR, "o_grm")]),
+        ("pca_100k", "pca_approx10_100000x32768_wall", ORACLE_LAPACK,
+         ["--pfile", os.path.join(BENCH_DIR, "p100000x32768"),
+          "--pca", "10", "approx", "--out", os.path.join(BENCH_DIR, "o_pca")]),
+    ]
+    for name, metric, obin, oargs in breadth:
+        if time.time() > deadline - 60:
+            log(f"bench [{name}]: skipped (deadline)")
+            continue
+        rec = _run_config(name, env, deadline)
+        if rec:
+            base = _oracle_wall(name, obin, oargs)
+            vs = (base / rec["timed_s"]) if base else None
+            _emit(metric, rec["timed_s"], "seconds", vs, rec["parity"], suffix)
+
+    # Headline line LAST (the driver parses the final JSON line).
+    if headline:
+        m, v, u, vs, par = headline
+        _emit(m, v, u, vs, par, suffix)
+    else:
+        _emit("glm_headline_failed", 0.0, "none", None, "skipped", suffix)
 
 
 if __name__ == "__main__":
