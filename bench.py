@@ -50,7 +50,10 @@ SEED = 42
 # Wall budgets (seconds).  Overall default 2700s; per-config budgets sized
 # so the GLM headline always lands inside even a tight driver window.
 TOTAL_BUDGET = float(os.environ.get("BENCH_BUDGET", 2700))
-PREFLIGHT_S = float(os.environ.get("BENCH_PREFLIGHT_S", 420))
+# a live tunnel answers a tiny jitted op well within 2 minutes (cold
+# compile ~20-40s); a dead one hangs forever, so fail fast: worst case is
+# 3 preflights (axon x2 + cpu fallback) before any timed config runs
+PREFLIGHT_S = float(os.environ.get("BENCH_PREFLIGHT_S", 120))
 
 
 def log(msg):
@@ -239,7 +242,12 @@ def _parity_pca(ours, theirs):
 def _parity(name, out_prefix):
     try:
         if name == "glm":
-            oracle = os.path.join(BENCH_DIR, "o_glm.PHENO1.glm.logistic.hybrid")
+            # the artifact name carries the panel dims so a BENCH_SAMPLES/
+            # BENCH_VARIANTS override never diffs against a different panel
+            oracle = os.path.join(
+                BENCH_DIR,
+                f"o_glm_{GLM_SAMPLES}x{GLM_VARIANTS}"
+                ".PHENO1.glm.logistic.hybrid")
             ours = out_prefix + ".PHENO1.glm.logistic.hybrid"
             if not os.path.exists(oracle):
                 return "skipped:no-oracle"
@@ -442,8 +450,13 @@ def main():
             wall = _oracle_wall(
                 f"glm_{GLM_SAMPLES}x{GLM_VARIANTS}", ORACLE,
                 ["--pfile", p5, "--glm", "hide-covar", "--covar", cov,
-                 "--out", os.path.join(BENCH_DIR, "o_glm")])
+                 "--out", os.path.join(
+                     BENCH_DIR, f"o_glm_{GLM_SAMPLES}x{GLM_VARIANTS}")])
             base_vps = (GLM_VARIANTS / wall) if wall else None
+            if str(rec.get("parity", "")).startswith("skipped"):
+                # the oracle artifact now exists; re-diff the timed output
+                rec["parity"] = _parity("glm", _configs()["glm"]["out"]
+                                        + ".timed")
         headline = (
             f"glm_logistic_hybrid_variants_per_sec_{GLM_SAMPLES}samples",
             vps, "variants/sec",

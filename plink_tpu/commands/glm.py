@@ -252,12 +252,13 @@ _GLM_MODEL_MODS = {"genotypic", "hethom", "dominant", "recessive", "hetonly"}
 _GLM_SUPPORTED_MODS = _GLM_MODEL_MODS | {
     "interaction", "hide-covar", "omit-ref", "sex", "firth", "no-firth",
     "firth-fallback", "allow-no-covars", "intercept", "log10", "aperm",
+    "pheno-ids", "cc-residualize", "firth-residualize", "qt-residualize",
+    "single-prec-cc", "permute-qt-residuals",
     # accepted no-ops, matching the reference's parser
     "perm-count", "no-x-sex", "skip-invalid-pheno",
 }
 _GLM_KNOWN_UNSUPPORTED_MODS = {
-    "pheno-ids", "cc-residualize", "single-prec-cc",
-    "qt-residualize", "zs", "local-omit-last", "local-haps", "local-cats",
+    "zs", "local-omit-last", "local-haps", "local-cats",
 }
 
 
@@ -283,11 +284,13 @@ def _ploidy_groups(ds, cfg, mods, smask, cov_names, cov_data, log):
     - chrY: restricted to nonfemales; skipped when all samples are female.
     - 'dominant'/'recessive'/'hetonly'/'genotypic'/'hethom' exclude
       non-diploid chromosomes entirely.
-    - --xchr-model 0 removes chrX variants; model 1 (male dosage halving)
-      is not implemented yet.
+    - --xchr-model 0 removes chrX variants; model 1 halves male chrX
+      dosages (0..1 coding, PLINK 1.x default; ref GetGenoDosages male
+      halving under !xchr_model_2).
 
     Returns None when a single pass suffices, else a list of
-    (vmask_g, smask_g, cov_names_g, cov_data_g) tuples.
+    (vmask_g, smask_g, cov_names_g, cov_data_g[, gmul_g]) tuples where the
+    optional gmul_g is a raw-sample-indexed genotype multiplier.
     """
     from ..utils.chrom import MT_CODE, X_CODE, Y_CODE
 
@@ -343,10 +346,21 @@ def _ploidy_groups(ds, cfg, mods, smask, cov_names, cov_data, log):
     if has_x:
         if xchr_model == 0:
             log.log("--glm: Excluding chrX variants (--xchr-model 0).")
-        elif xchr_model == 1:
-            raise NotImplementedError(
-                "--xchr-model 1 (male dosage halving) is not supported yet."
-            )
+        elif xchr_model == 1 and male_ct > 0 and not x_fully_diploid:
+            # male chrX dosage halving: dedicated pass with a per-sample
+            # genotype multiplier of 0.5 for males
+            gmul_x = np.where(sex == 1, 0.5, 1.0)
+            if not add_sex:
+                groups.append((vmask & is_x, smask, list(cov_names),
+                               cov_data, gmul_x))
+            else:
+                smask_x = smask & (sex != 0)
+                names_x = list(cov_names) + ["SEX"]
+                data_x = np.concatenate(
+                    [cov_data, sex.astype(np.float64)[:, None]], axis=1
+                )
+                groups.append((vmask & is_x, smask_x, names_x, data_x,
+                               gmul_x))
         elif not add_sex:
             main_mask = main_mask | (vmask & is_x)
         else:
@@ -370,6 +384,53 @@ def _ploidy_groups(ds, cfg, mods, smask, cov_names, cov_data, log):
     if main_mask.any():
         groups.insert(0, (main_mask, smask, list(cov_names), cov_data))
     return groups
+
+
+def _write_pheno_ids(ds, cfg, log, pheno_name, suffix, smask, groups):
+    """--glm 'pheno-ids': write the per-regression sample sets
+    (<out>.<pheno>.<suffix>.id, plus .x.id / .y.id when the chrX/chrY
+    sample sets differ from the main one; ref 2.0/plink2_glm.cc:4219-4241,
+    including the 7 Jan 2017 ".x.id"-not-".id.x" quasi-bugfix)."""
+    from ..utils.chrom import X_CODE, Y_CODE
+    from .king import _ids_header_and_rows, _write_king_id
+
+    si = ds.si
+    use_fid = _ids_header_and_rows(si, np.flatnonzero(smask))
+    base = f"{cfg.out}.{pheno_name}.{suffix}"
+    x_sm = y_sm = None
+    if groups:
+        chrom = ds.vi.chrom
+        for grp in groups:
+            vm, sm = grp[0], grp[1]
+            if not vm.any():
+                continue
+            if (chrom[vm] == X_CODE).all():
+                x_sm = sm
+            elif (chrom[vm] == Y_CODE).all():
+                y_sm = sm
+    _write_king_id(base + ".id", si, np.flatnonzero(smask), use_fid)
+    log.log(f"--glm pheno-ids: IDs written to {base}.id .")
+    if x_sm is not None and not np.array_equal(x_sm, smask):
+        _write_king_id(base + ".x.id", si, np.flatnonzero(x_sm), use_fid)
+    if y_sm is not None and not np.array_equal(y_sm, smask):
+        _write_king_id(base + ".y.id", si, np.flatnonzero(y_sm), use_fid)
+
+
+def _qt_residualize(ydata, smask, cov_data):
+    """qt-residualize: replace the phenotype with its residual after
+    regressing on [intercept | covariates] over the GLM sample set, then
+    clear the covariates (ref FillResidualizedPhenoAndXtY via
+    GlmAllocFillAndTestPhenoCovarsQt, 2.0/plink2_glm_linear.cc:181-210;
+    downstream regressions keep the intercept)."""
+    inc = np.flatnonzero(smask)
+    X = np.concatenate(
+        [np.ones((inc.size, 1)), cov_data[inc].astype(np.float64)], axis=1
+    )
+    yv = ydata[inc].astype(np.float64)
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    y2 = np.array(ydata, dtype=np.float64, copy=True)
+    y2[inc] = yv - X @ beta
+    return y2, [], np.zeros((ydata.shape[0], 0))
 
 
 def _drop_const_covars(smask_g, names_g, data_g):
@@ -401,6 +462,39 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
         raise ValueError(f"Invalid --glm argument '{m_}'.")
     if len(mods & _GLM_MODEL_MODS) > 1 or ("firth" in mods and "no-firth" in mods):
         raise ValueError("Conflicting --glm arguments.")
+    # residualize validation (ref: 2.0/plink2.cc:6775-6800)
+    if {"cc-residualize", "firth-residualize", "qt-residualize"} & mods:
+        if "firth-residualize" in mods and "cc-residualize" in mods:
+            log.log(
+                "Note: 'firth-residualize' is redundant when 'cc-residualize'"
+                " is already specified."
+            )
+            mods.discard("firth-residualize")
+        if "hide-covar" not in mods:
+            raise ValueError(
+                "--glm '{cc,firth,qt}-residualize' requires 'hide-covar' to "
+                "be specified as well."
+            )
+        if "interaction" in mods:
+            raise ValueError(
+                "--glm '{cc,firth,qt}-residualize' cannot be used with "
+                "'interaction'."
+            )
+        if "intercept" in mods:
+            raise ValueError(
+                "--glm '{cc,firth,qt}-residualize' cannot be used with "
+                "'intercept'."
+            )
+        if any(m_.startswith("local-covar=") for m_ in mods):
+            raise ValueError(
+                "--glm '{cc,firth,qt}-residualize' cannot be used with local "
+                "covariates."
+            )
+        if "firth-residualize" in mods and "no-firth" in mods:
+            raise ValueError(
+                "--glm 'firth-residualize' doesn't make sense with "
+                "'no-firth'."
+            )
     hide_covar = "hide-covar" in mods
     omit_ref = "omit-ref" in mods
     perm_adaptive = "aperm" in mods
@@ -415,6 +509,13 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
         raise ValueError(
             "--glm permutation tests currently support the additive model "
             "only."
+        )
+    if "permute-qt-residuals" in mods and (
+        perm_mode is None or "qt-residualize" not in mods
+    ):
+        raise ValueError(
+            "--glm 'permute-qt-residuals' must be used with 'qt-residualize'"
+            " and a permutation test."
         )
     add_sex = "sex" in mods
     always_firth = "firth" in mods
@@ -482,7 +583,13 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                 f"--glm {'Firth' if always_firth else 'logistic'} regression on "
                 f"phenotype '{name}': {case_ct} cases, {nm_ct - case_ct} controls."
             )
+            cc_suffix = "glm.firth" if always_firth else (
+                "glm.logistic" if no_firth else "glm.logistic.hybrid"
+            )
             if ds.has_dosage or local_info is not None:
+                if "pheno-ids" in mods:
+                    _write_pheno_ids(ds, cfg, log, name, cc_suffix, smask,
+                                     None)
                 _glm_dosage(ds, cfg, log, name, ydata, smask, p_names, p_data,
                             a1_is_alt, hide_covar, "cc", always_firth,
                             no_firth, local_info)
@@ -490,6 +597,9 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                 perm_capture = None
                 groups = _ploidy_groups(ds, cfg, mods, smask, p_names,
                                         p_data, log)
+                if "pheno-ids" in mods:
+                    _write_pheno_ids(ds, cfg, log, name, cc_suffix, smask,
+                                     groups)
                 if perm_mode:
                     if not always_firth:
                         raise ValueError(
@@ -519,7 +629,9 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                     add_results: list = []
                     hdr_box: list = []
                     a1_arr = None
-                    for vm_g, sm_g, nm_g, dt_g in groups:
+                    for grp in groups:
+                        vm_g, sm_g, nm_g, dt_g = grp[:4]
+                        gmul_g = grp[4] if len(grp) > 4 else None
                         if not vm_g.any() or not sm_g.any():
                             continue
                         nm_g, dt_g = _drop_const_covars(sm_g, nm_g, dt_g)
@@ -527,7 +639,7 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                             ds, cfg, log, name, ydata, sm_g, nm_g, dt_g,
                             a1_is_alt, hide_covar, always_firth, no_firth,
                             vmask=vm_g, sink=sink, add_results=add_results,
-                            header_out=hdr_box,
+                            header_out=hdr_box, gmul=gmul_g,
                         )
                     suffix = "glm.firth" if always_firth else (
                         "glm.logistic" if no_firth else "glm.logistic.hybrid"
@@ -546,7 +658,17 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                     )
         else:
             log.log(f"--glm linear regression on phenotype '{name}': {nm_ct} samples.")
+            qt_resid = "qt-residualize" in mods
+            if qt_resid and (ds.has_dosage or local_info is not None):
+                # regress covariates out of the phenotype once, then run
+                # covariate-free regressions (ref qt-residualize,
+                # 2.0/plink2_glm_linear.cc:181-210)
+                ydata, p_names, p_data = _qt_residualize(
+                    ydata, smask, p_data)
             if ds.has_dosage or local_info is not None:
+                if "pheno-ids" in mods:
+                    _write_pheno_ids(ds, cfg, log, name, "glm.linear", smask,
+                                     None)
                 _glm_dosage(ds, cfg, log, name, ydata, smask, p_names, p_data,
                             a1_is_alt, hide_covar, "qt", always_firth,
                             no_firth, local_info)
@@ -554,6 +676,9 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                 perm_capture = None
                 groups = _ploidy_groups(ds, cfg, mods, smask, p_names,
                                         p_data, log)
+                if "pheno-ids" in mods:
+                    _write_pheno_ids(ds, cfg, log, name, "glm.linear", smask,
+                                     groups)
                 if perm_mode:
                     if groups is not None:
                         raise NotImplementedError(
@@ -568,8 +693,12 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                         "dof": np.zeros(M_),
                     }
                 if groups is None:
+                    y_run, nm_run, dt_run = ydata, p_names, p_data
+                    if qt_resid:
+                        y_run, nm_run, dt_run = _qt_residualize(
+                            ydata, smask, dt_run)
                     _glm_linear(
-                        ds, cfg, log, name, ydata, smask, p_names, p_data,
+                        ds, cfg, log, name, y_run, smask, nm_run, dt_run,
                         a1_is_alt, hide_covar, perm_capture=perm_capture,
                     )
                 else:
@@ -577,14 +706,24 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                     add_results2: list = []
                     hdr_box2: list = []
                     a1_arr2 = None
-                    for vm_g, sm_g, nm_g, dt_g in groups:
+                    for grp in groups:
+                        vm_g, sm_g, nm_g, dt_g = grp[:4]
+                        gmul_g = grp[4] if len(grp) > 4 else None
                         if not vm_g.any() or not sm_g.any():
                             continue
                         nm_g, dt_g = _drop_const_covars(sm_g, nm_g, dt_g)
+                        y_g = ydata
+                        if qt_resid:
+                            # per sample-set residualization (plink2
+                            # residualizes main/chrX/chrY independently with
+                            # that set's covariates)
+                            y_g, nm_g, dt_g = _qt_residualize(
+                                ydata, sm_g, dt_g)
                         _, _, a1_arr2 = _glm_linear(
-                            ds, cfg, log, name, ydata, sm_g, nm_g, dt_g,
+                            ds, cfg, log, name, y_g, sm_g, nm_g, dt_g,
                             a1_is_alt, hide_covar, vmask=vm_g, sink=sink2,
                             add_results=add_results2, header_out=hdr_box2,
+                            gmul=gmul_g,
                         )
                     path = f"{cfg.out}.{name}.glm.linear"
                     _write_sink(path, hdr_box2[0], sink2, log)
@@ -594,8 +733,12 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                         write_adjusted(ds, cfg, log, name, "glm.linear",
                                        add_results2, a1_arr2)
                 if perm_mode:
+                    y_run, nm_run, dt_run = ydata, p_names, p_data
+                    if qt_resid:
+                        y_run, nm_run, dt_run = _qt_residualize(
+                            ydata, smask, p_data)
                     _glm_linear_perm(
-                        ds, cfg, log, name, ydata, smask, p_names, p_data,
+                        ds, cfg, log, name, y_run, smask, nm_run, dt_run,
                         a1_is_alt, perm_capture, perm_mode, mperm_ct,
                     )
 
@@ -667,7 +810,7 @@ def _geno_predictors(mods: set, cov_names: list[str]):
 def _glm_linear(
     ds, cfg, log, pheno_name, ydata, smask, cov_names, cov_data, a1_is_alt,
     hide_covar, perm_capture=None, vmask=None, sink=None, add_results=None,
-    header_out=None,
+    header_out=None, gmul=None,
 ):
     """Runs one linear-GLM pass over `vmask` (default: all included
     variants) for one sample set / covariate set, appending per-variant
@@ -721,7 +864,10 @@ def _glm_linear(
         (nm_, wa, wr, cj) for nm_, wa, wr, cj in pred_specs
         if wa != (0, 0, 1) or wr != (0, 0, 1)
     ]
-    exact_s_fn = _exact_s_builder(ds, inc, c, geno_desc, a1_is_alt)
+    is_geno = [
+        sp_[1] != (0, 0, 1) or sp_[2] != (0, 0, 1) for sp_ in pred_specs
+    ]
+    exact_s_fn = _exact_s_builder(ds, inc, c, geno_desc, a1_is_alt, gmul)
 
     # shared f64 blocks (role of RegressionNmPrecomp)
     ctc_full = c.T @ c
@@ -772,62 +918,102 @@ def _glm_linear(
             pd.packed, c32, ccfl, y32, cy32, y232
         ).items()
     }
+    # per-sample genotype multiplier (--xchr-model 1 male halving): every
+    # X^T X / X^T y entry with k genotype factors needs s^k-weighted plane
+    # sums, obtained by re-running the SAME kernel with the covariate-side
+    # tensors pre-scaled by s and s^2 (plane * s * c_j c_k == plane *
+    # (s * c_j c_k))
+    powers = {0: sums_all}
+    ctc_p = {0: ctc_full}
+    cty_p = {0: cty_full}
+    if gmul is not None:
+        sm_pad = np.zeros(npad)
+        sm_pad[:n] = gmul[inc]
+        for pw in (1, 2):
+            sk = (sm_pad ** pw).astype(np.float32)
+            ccfl_s = jnp.asarray(
+                np.asarray(ccfl) * sk[:, None])
+            cy_s = jnp.asarray(np.asarray(cy32) * sk[:, None])
+            y2_s = jnp.asarray(np.asarray(y232) * sk)
+            powers[pw] = {
+                kk: np.asarray(vv, dtype=np.float64)
+                for kk, vv in linear_sums_scan_any(
+                    pd.packed, c32, ccfl_s, y32, cy_s, y2_s
+                ).items()
+            }
+            spad64 = sm_pad ** pw
+            ctc_p[pw] = (cp * spad64[:, None]).T @ cp
+            cty_p[pw] = (cp * spad64[:, None]).T @ yp
     for bi in range(pd.nblocks):
         v0 = bi * pd.vb
-        sums = {kk: vv[bi] for kk, vv in sums_all.items()}
         vct = min(pd.vb, M - v0)
         ia = np.array([i for i in range(vct) if vmask[v0 + i]])
         if ia.size == 0:
             continue
         b = len(ia)
-        hcc = sums["hcc"][ia].reshape(b, dc, dc)
-        acc = sums["acc"][ia].reshape(b, dc, dc)
-        mcc = sums["mcc"][ia].reshape(b, dc, dc)
-        vcc = ctc_full[None] - mcc  # valid-plane c_j c_k sums
-        hcy = sums["hcy"][ia]
-        acy = sums["acy"][ia]
-        vcy = cty_full[None] - sums["mcy"][ia]
-        yy_v = yy_full - sums["myy"][ia]
+        plane = {}
+        for pw, sums_pw in powers.items():
+            sums = {kk: vv[bi] for kk, vv in sums_pw.items()}
+            hcc_ = sums["hcc"][ia].reshape(b, dc, dc)
+            acc_ = sums["acc"][ia].reshape(b, dc, dc)
+            mcc_ = sums["mcc"][ia].reshape(b, dc, dc)
+            vcc_ = ctc_p[pw][None] - mcc_  # valid-plane c_j c_k sums
+            hcy_ = sums["hcy"][ia]
+            acy_ = sums["acy"][ia]
+            vcy_ = cty_p[pw][None] - sums["mcy"][ia]
+            plane[pw] = (hcc_, acc_, vcc_, hcy_, acy_, vcy_)
+            if pw == 0:
+                yy_v = yy_full - sums["myy"][ia]
+        vcc = plane[0][2]
         nm = vcc[:, 0, 0]
         flip = ~a1_is_alt[v0 + ia]
 
-        def cross(w1, w2, j1, j2):
+        def cross(w1, w2, j1, j2, pw=0):
+            hcc_, acc_, vcc_, _, _, _ = plane[pw]
             h1, a1_, v1 = w1
             h2, a2_, v2 = w2
             coef_h = h1 * h2 + h1 * v2 + v1 * h2
             coef_a = a1_ * a2_ + a1_ * v2 + v1 * a2_
             coef_v = v1 * v2
             return (
-                coef_h * hcc[:, j1, j2]
-                + coef_a * acc[:, j1, j2]
-                + coef_v * vcc[:, j1, j2]
+                coef_h * hcc_[:, j1, j2]
+                + coef_a * acc_[:, j1, j2]
+                + coef_v * vcc_[:, j1, j2]
             )
 
-        def xy(w, j):
+        def xy(w, j, pw=0):
+            _, _, _, hcy_, acy_, vcy_ = plane[pw]
             h, a_, v = w
-            return h * hcy[:, j] + a_ * acy[:, j] + v * vcy[:, j]
+            return h * hcy_[:, j] + a_ * acy_[:, j] + v * vcy_[:, j]
 
+        scaled = gmul is not None
         xtx = np.zeros((b, d, d))
         xty = np.zeros((b, d))
         for p in range(d):
             _, wa1, wr1, j1 = pred_specs[p]
             for q in range(p, d):
                 _, wa2, wr2, j2 = pred_specs[q]
+                pw = (is_geno[p] + is_geno[q]) if scaled else 0
                 val = np.where(
-                    flip, cross(wr1, wr2, j1, j2), cross(wa1, wa2, j1, j2)
+                    flip, cross(wr1, wr2, j1, j2, pw),
+                    cross(wa1, wa2, j1, j2, pw)
                 )
                 xtx[:, p, q] = val
                 xtx[:, q, p] = val
-            xty[:, p] = np.where(flip, xy(wr1, j1), xy(wa1, j1))
+            pwy = (1 if is_geno[p] else 0) if scaled else 0
+            xty[:, p] = np.where(flip, xy(wr1, j1, pwy), xy(wa1, j1, pwy))
 
-        # A1 dosage sums for A1_FREQ / const-allele detection
+        # A1 dosage sums for A1_FREQ / const-allele detection (one and two
+        # genotype factors respectively -> s / s^2 weighted when scaled)
+        pw1 = 1 if scaled else 0
+        pw2 = 2 if scaled else 0
         g1 = np.where(
-            flip, cross((-1, -2, 2), (0, 0, 1), 0, 0),
-            cross((1, 2, 0), (0, 0, 1), 0, 0),
+            flip, cross((-1, -2, 2), (0, 0, 1), 0, 0, pw1),
+            cross((1, 2, 0), (0, 0, 1), 0, 0, pw1),
         )
         gg1 = np.where(
-            flip, cross((-1, -2, 2), (-1, -2, 2), 0, 0),
-            cross((1, 2, 0), (1, 2, 0), 0, 0),
+            flip, cross((-1, -2, 2), (-1, -2, 2), 0, 0, pw2),
+            cross((1, 2, 0), (1, 2, 0), 0, 0, pw2),
         )
 
         # haploid genotype coding 0..1: scale geno rows/cols of the
@@ -840,11 +1026,23 @@ def _glm_linear(
                 xtx[:, p, :] *= hs_b[:, None]
                 xtx[:, :, p] *= hs_b[:, None]
                 xty[:, p] *= hs_b
+        aobs = rawconst = None
+        if scaled:
+            # xchr-model 1: allele_obs = 2*sum_valid(s) (= 2*nm - nm_male,
+            # ref allele_obs_ct -= nm_male_ct) and raw-genocount const rule
+            # (ref plink2_glm_logistic.cc:1578-1582)
+            aobs = 2.0 * plane[1][2][:, 0, 0]
+            hct_ = plane[0][0][:, 0, 0]
+            act_ = plane[0][1][:, 0, 0]
+            rawconst = (
+                (hct_ >= nm - 0.5) | (act_ >= nm - 0.5)
+                | ((hct_ <= 0.5) & (act_ <= 0.5))
+            )
         _emit_linear_rows(
             sink, ds, v0, ia, nm, g1, gg1, xtx, xty, yy_v, d, tests, hide_covar,
             chrom, provref, a1, omitted, vi, cov_names, add_results,
             pred_specs, geno_idx, joint_name, exact_s_fn, intercept, log10,
-            perm_capture=perm_capture,
+            perm_capture=perm_capture, aobs=aobs, rawconst=rawconst,
         )
     if standalone:
         path = f"{cfg.out}.{pheno_name}.glm.linear"
@@ -913,12 +1111,12 @@ def _collinearity_err(s, nm_i):
     return None, decisive
 
 
-def _exact_s_builder(ds, inc, c, geno_desc, a1_is_alt):
+def _exact_s_builder(ds, inc, c, geno_desc, a1_is_alt, gmul=None):
     """Returns a per-variant callback computing exact f64 X^T X for the
     borderline-collinearity recheck."""
     def exact_s(vidx):
         X, _ = _variant_design_f64(
-            ds, inc, c, geno_desc, bool(a1_is_alt[vidx]), vidx
+            ds, inc, c, geno_desc, bool(a1_is_alt[vidx]), vidx, gmul
         )
         return X.T @ X
     return exact_s
@@ -994,7 +1192,8 @@ def _emit_linear_rows(
     sink, ds, v0, ia, nm, g1, gg1, xtx, xty, yy_v, d, tests, hide_covar,
     chrom, provref, a1, omitted, vi, cov_names, add_results=None,
     pred_specs=None, geno_idx=None, joint_name=None, exact_s_fn=None,
-    intercept=False, log10=False, perm_capture=None,
+    intercept=False, log10=False, perm_capture=None, aobs=None,
+    rawconst=None,
 ):
     from ..stats.distributions import f_logsf
 
@@ -1013,7 +1212,7 @@ def _emit_linear_rows(
         if nm[i] <= d:
             err[i] = "SAMPLE_CT<=PREDICTOR_CT"
             continue
-        if gvar[i] <= 1e-12:
+        if (rawconst[i] if rawconst is not None else gvar[i] <= 1e-12):
             # biallelic const genotype: the reference's check order flags the
             # omitted (major) allele first (plink2_glm_logistic.cc:1966-1969)
             err[i] = "CONST_OMITTED_ALLELE"
@@ -1061,7 +1260,8 @@ def _emit_linear_rows(
                 )
 
     with np.errstate(invalid="ignore"):
-        a1f = np.where(nm > 0, g1 / (2 * np.maximum(nm, 1)), np.nan)
+        denom = aobs if aobs is not None else 2 * np.maximum(nm, 1)
+        a1f = np.where(nm > 0, g1 / np.maximum(denom, 1e-300), np.nan)
     if add_results is not None:
         add_pred = None
         for p, spec in enumerate(pred_specs):
@@ -1128,10 +1328,11 @@ def _pinv_nolapack(m):
     return (u * winv) @ vt
 
 
-def _variant_design_f64(ds, inc, c, kern_preds, alt_is_a1, vidx):
+def _variant_design_f64(ds, inc, c, kern_preds, alt_is_a1, vidx, gmul=None):
     """Host f64 design matrix [nm, d] for one variant: [c | G_1..G_P] with
     plane-combination genotype predictors (flip-resolved; haploid variants
-    scale 0.5 like the device kernels)."""
+    scale 0.5 like the device kernels; `gmul` = optional raw-sample-indexed
+    genotype multiplier, e.g. --xchr-model 1 male halving)."""
     from ..ops.pairwise import _unpack_np
 
     codes = _unpack_np(ds.reader.read_packed(vidx, 1))[0][: ds.raw_sample_ct][inc]
@@ -1140,26 +1341,33 @@ def _variant_design_f64(ds, inc, c, kern_preds, alt_is_a1, vidx):
     ap = (codes == 2).astype(np.float64)
     vp = val.astype(np.float64)
     scale = float(_hap_scale(ds)[vidx])
+    smul = None if gmul is None else gmul[inc].astype(np.float64)
     cols = [c]
     for _nm, wa, wr, cj in kern_preds:
         w = wa if alt_is_a1 else wr
         g = (w[0] * hp + w[1] * ap + w[2] * vp) * scale
+        if smul is not None:
+            g = g * smul
         if cj:
             g = g * c[:, cj]
         cols.append(g[:, None])
     return np.concatenate(cols, axis=1)[val], val
 
 
-def _logistic_f64(X, yv):
+def _logistic_f64(X, yv, offset=None):
     """glm.fit-imitating IRLS in f64, matching LogisticRegressionD
     (2.0/plink2_glm_logistic.cc:2768): init OLS on z = 4.8638...*(y-0.5),
-    converge on |dll| < 1e-8*(0.05+|ll|), maxit 25.  Returns
-    (beta, se, hinv, converged, unfinished) or None on failure."""
+    converge on |dll| < 1e-8*(0.05+|ll|), maxit 25.  `offset` = fixed
+    linear-predictor term (cc-residualize; the init OLS ignores it, the
+    eta evaluation adds it, matching the reference's sample_offsets
+    handling).  Returns (beta, se, hinv, converged, unfinished) or None on
+    failure."""
     z = 4.863891244002886 * (yv - 0.5)
     try:
         b = np.linalg.solve(X.T @ X, X.T @ z)
     except np.linalg.LinAlgError:
         return None
+    off = 0.0 if offset is None else offset
 
     def ll_of(eta):
         with np.errstate(divide="ignore", over="ignore"):
@@ -1168,7 +1376,7 @@ def _logistic_f64(X, yv):
                          -np.logaddexp(0.0, eta)).sum()
             )
 
-    eta = X @ b
+    eta = X @ b + off
     ll_old = ll_of(eta)
     if np.isnan(ll_old):
         return None
@@ -1188,7 +1396,7 @@ def _logistic_f64(X, yv):
             except np.linalg.LinAlgError:
                 return None
             b = b - dco
-            eta = X @ b
+            eta = X @ b + off
             p = 1.0 / (1.0 + np.exp(-eta))
             ll = ll_of(eta)
             if np.isnan(ll):
@@ -1207,7 +1415,7 @@ def _logistic_f64(X, yv):
     return b, se, hinv, conv, unf
 
 
-def _firth_f64(X, yv):
+def _firth_f64(X, yv, offset=None):
     """f64 Firth regression matching FirthRegressionD
     (2.0/plink2_glm_logistic.cc:3049, logistf algorithm); see
     firth_irls_block for the update equations.  Returns
@@ -1217,9 +1425,10 @@ def _firth_f64(X, yv):
     pll_old = 0.0
     delta_max = 0.0
     conv = fail = False
+    off = 0.0 if offset is None else offset
 
     def parts(b):
-        eta = X @ b
+        eta = X @ b + off
         with np.errstate(over="ignore"):
             p = 1.0 / (1.0 + np.exp(-eta))
         v = p * (1.0 - p)
@@ -1320,6 +1529,9 @@ def _glm_logistic(
 
     mods = set(cfg.glm_modifiers)
     interaction = "interaction" in mods
+    resid = ("cc-residualize" in mods) or ("firth-residualize" in mods)
+    cc_resid = "cc-residualize" in mods
+    single_prec = "single-prec-cc" in mods
     geno_preds, joint_name = _geno_predictors(mods, cov_names)
     n_main = len(geno_preds)
 
@@ -1330,6 +1542,29 @@ def _glm_logistic(
     dc = k + 1
     c = np.concatenate([np.ones((n, 1)), cov_data[inc]], axis=1)
     vb = _auto_vb(-(-n // 4) * 4)
+
+    # cc/firth-residualize null-model offsets (ref FillSampleOffsetsD,
+    # 2.0/plink2_glm_logistic.cc:3397-3467): one covariates-only fit, its
+    # linear predictor enters every per-variant regression as a fixed term
+    offs_log = offs_fir = None
+    if resid:
+        if cc_resid and not always_firth:
+            r0 = _logistic_f64(c, y)
+            if r0 is not None and r0[3] and not r0[4]:
+                offs_log = c @ r0[0]
+            elif no_firth:
+                raise ValueError(
+                    "--glm cc-residualize: null logistic regression failed "
+                    "to converge."
+                )
+        if not no_firth:
+            rf = _firth_f64(c, y)
+            if rf is None or not rf[3]:
+                raise ValueError(
+                    "--glm residualize: null Firth regression failed to "
+                    "converge."
+                )
+            offs_fir = c @ rf[0]
 
     # kernel geno predictor list: main effects then GxC interactions; each is
     # (name, plane weights for A1=ALT, weights for A1=REF, covar col to
@@ -1345,7 +1580,7 @@ def _glm_logistic(
     w_alt_arr = np.array([s[1] for s in kern_preds], np.float32)  # [P, 3]
     w_ref_arr = np.array([s[2] for s in kern_preds], np.float32)
 
-    exact_s_fn = _exact_s_builder(ds, inc, c, kern_preds, a1_is_alt)
+    exact_s_fn = _exact_s_builder(ds, inc, c, kern_preds, a1_is_alt, gmul)
 
     if vmask is None:
         vmask = ds.variant_mask
@@ -1357,6 +1592,11 @@ def _glm_logistic(
     pd = PackedDevice(ds, vmask, vb=vb, tile=1 << 30, sample_mask=smask)
     _mark("pack+upload")
     npad = pd.npad
+    sscale = None
+    if gmul is not None:
+        sp_ = np.ones(npad, np.float32)
+        sp_[:n] = gmul[inc]
+        sscale = jnp.asarray(sp_)
     mask = np.zeros(npad, np.float32)
     mask[:n] = 1.0
     cpad = np.zeros((npad, dc), np.float32)
@@ -1424,12 +1664,26 @@ def _glm_logistic(
     )[:, :, None, :]
     gwm_all = np.concatenate([gw_all, add_w_all], axis=2)
 
-    from ..ops.glm import glm_logistic_scan_any
+    from ..ops.glm import glm_logistic_scan_any, glm_resid_scan_any
 
-    outs = glm_logistic_scan_any(
-        pd.packed, jnp.asarray(gw_all), jnp.asarray(gwm_all), c32, cy32,
-        y32, mask_dev, dc, P, covj, always_firth,
+    # resid scan mode: always-firth, or hybrid whose null logistic failed
+    # (plink2 nulls the logistic offsets and every variant falls to Firth)
+    resid_firth_scan = resid and (
+        always_firth or (offs_log is None and not no_firth)
     )
+    if resid:
+        offs_pad = np.zeros(npad, np.float32)
+        offs_pad[:n] = offs_fir if resid_firth_scan else offs_log
+        outs = glm_resid_scan_any(
+            pd.packed, jnp.asarray(gw_all), jnp.asarray(gwm_all), cy32,
+            jnp.asarray(offs_pad), y32, mask_dev, dc, P, resid_firth_scan,
+            sscale,
+        )
+    else:
+        outs = glm_logistic_scan_any(
+            pd.packed, jnp.asarray(gw_all), jnp.asarray(gwm_all), c32, cy32,
+            y32, mask_dev, dc, P, covj, always_firth, sscale,
+        )
     (momy_d, beta_d, se_d, conv_d, fail_d, unf_d, obs_d, invalid_d,
      hinv_d) = outs
     # bulk fetch; the [nb, vb, d, d] covariance tensor stays on device
@@ -1443,6 +1697,34 @@ def _glm_logistic(
     obs_all = np.asarray(obs_d)
     invalid_all = np.asarray(invalid_d)
     hinv_all = np.asarray(hinv_d, dtype=np.float64) if joint_name else None
+    if resid:
+        # residualized results have width P (no intercept/covariates);
+        # expand into the full design layout the emit path expects
+        bf = np.zeros(beta_all.shape[:2] + (d,))
+        bf[..., dc:] = beta_all
+        beta_all = bf
+        sf = np.zeros(se_all.shape[:2] + (d,))
+        sf[..., dc:] = se_all
+        se_all = sf
+        if hinv_all is not None:
+            hf_ = np.zeros(hinv_all.shape[:2] + (d, d))
+            hf_[..., dc:, dc:] = hinv_all
+            hinv_all = hf_
+    xm1 = None
+    if gmul is not None:
+        # --xchr-model 1 allele-observation stats: allele_obs = 2*sum(s),
+        # case_allele_obs = 2*sum(s*y) over valid samples (ref
+        # allele_obs_ct -= nm_male_ct, plink2_glm_logistic.cc:4438-4440),
+        # plus raw het/hom counts for the genocount const-allele rule
+        from ..ops.glm import xm1_stats_scan
+
+        w2 = np.zeros((npad, 2), np.float32)
+        w2[:n, 0] = gmul[inc]
+        w2[:n, 1] = gmul[inc] * y
+        xm1 = tuple(
+            np.asarray(x, dtype=np.float64)
+            for x in xm1_stats_scan(pd.packed, jnp.asarray(w2), mask_dev)
+        )
     _mark("device scan+fetch")
 
     def _invalid_rows(hf, rows):
@@ -1450,7 +1732,14 @@ def _glm_logistic(
         covariance was replaced after the device pass."""
         out = np.zeros(len(rows), bool)
         for k_, i in enumerate(rows):
-            h = hf[i]
+            h = hf[i][dc:, dc:] if resid else hf[i]
+            if resid:
+                dg = np.diag(h)
+                with np.errstate(invalid="ignore"):
+                    out[k_] = bool(
+                        ((dg < 1e-20) | ~np.isfinite(dg)).any()
+                    )
+                continue
             dg = np.diag(h)
             with np.errstate(invalid="ignore"):
                 if ((dg[1:] < 1e-20) | ~np.isfinite(dg[1:])).any():
@@ -1508,24 +1797,51 @@ def _glm_logistic(
 
         def _refine(rows, firth_mode, beta_a, se_a, hfull_a, conv_a, fail_a,
                     unf_a):
+            if single_prec:
+                # 'single-prec-cc': the f32 device results ARE the answer
+                # (ref selects the float32 GlmLogisticThreadF path,
+                # 2.0/plink2_glm_logistic.cc:5306); skip f64 refinement
+                return
             fit = _firth_f64 if firth_mode else _logistic_f64
             for i in rows:
                 vidx = v0 + i
                 X, val = _variant_design_f64(
-                    ds, inc, c, kern_preds, bool(a1_is_alt[vidx]), vidx
+                    ds, inc, c, kern_preds, bool(a1_is_alt[vidx]), vidx, gmul
                 )
-                res = fit(X, y[val])
+                if resid:
+                    Xg = X[:, dc:]
+                    Xg = Xg - Xg.mean(axis=0)
+                    offv = (offs_fir if firth_mode else offs_log)[val]
+                    res = fit(Xg, y[val], offset=offv)
+                else:
+                    res = fit(X, y[val])
                 refined[i] = True
                 if res is None:
                     conv_a[i], fail_a[i], unf_a[i] = False, True, False
                     continue
                 b_, se_, hinv_, cv_, un_ = res
-                beta_a[i] = b_
-                se_a[i] = se_
-                hfull_a[i] = hinv_
+                if resid:
+                    beta_a[i, dc:] = b_
+                    se_a[i, dc:] = se_
+                    hfull_a[i][dc:, dc:] = hinv_
+                else:
+                    beta_a[i] = b_
+                    se_a[i] = se_
+                    hfull_a[i] = hinv_
                 conv_a[i], fail_a[i], unf_a[i] = cv_, False, un_
 
-        if always_firth:
+        sep_allele = None
+        if xm1 is not None:
+            # xchr-model 1: reference semantics for allele obs + const rule
+            aobs = 2.0 * xm1[0][bi]
+            caobs = 2.0 * xm1[1][bi]
+            hct_, act_ = xm1[2][bi], xm1[3][bi]
+            obs_x = obs_all[bi].astype(np.float64)
+            const_x = (
+                (hct_ == obs_x) | (act_ == obs_x)
+                | ((hct_ == 0.0) & (act_ == 0.0))
+            )
+        if always_firth or resid_firth_scan:
             beta = beta_all[bi].copy()
             se = se_all[bi].copy()
             conv = conv_all[bi].copy()
@@ -1535,7 +1851,9 @@ def _glm_logistic(
             used_firth = np.ones(pd.vb, bool)
             obs_f = obs.astype(np.float64)
             with np.errstate(divide="ignore", invalid="ignore"):
-                const = (g_ssq - g_tot * g_tot / np.maximum(obs, 1)) <= 1e-12
+                const = const_x if xm1 is not None else (
+                    (g_ssq - g_tot * g_tot / np.maximum(obs, 1)) <= 1e-12
+                )
             rows = np.flatnonzero(_extreme(beta, se, conv, fail, unf,
                                            in_block & ~const))
             _refine(rows, True, beta, se, hfull, conv, fail, unf)
@@ -1553,10 +1871,30 @@ def _glm_logistic(
             unf = unf_all[bi].copy()
             obs = obs_all[bi]
             with np.errstate(divide="ignore", invalid="ignore"):
-                const = (g_ssq - g_tot * g_tot / np.maximum(obs, 1)) <= 1e-12
-            # separation pre-check: case dosage of A1 == 0 or == total dosage
-            # (ref: plink2_glm_logistic.cc:2224-2236)
-            sep = ((g_case <= 0.0) | (g_case >= g_tot)) & ~const
+                const = const_x if xm1 is not None else (
+                    (g_ssq - g_tot * g_tot / np.maximum(obs, 1)) <= 1e-12
+                )
+            # separation pre-check over BOTH alleles, REF first (ref loop
+            # "Does any genotype column have zero case or zero control
+            # dosage?", plink2_glm_logistic.cc:2224-2236); the reference
+            # reports the separating allele in the errcode
+            nc_ = momy[:, 0, dc]  # case count among valid samples
+            fac_ = 2.0 * hs_pad.reshape(pd.nblocks, pd.vb)[bi]
+            altm = alt_b[bi]
+            if xm1 is not None:
+                tot_aobs, tot_caobs = aobs, caobs
+            else:
+                tot_aobs, tot_caobs = fac_ * obs, fac_ * nc_
+            alt_case = np.where(altm, g_case, tot_caobs - g_case)
+            alt_tot = np.where(altm, g_tot, tot_aobs - g_tot)
+            ref_case = tot_caobs - alt_case
+            ref_tot = tot_aobs - alt_tot
+            sep_refb = (ref_case == 0.0) | (ref_case == ref_tot)
+            sep_altb = (alt_case == 0.0) | (alt_case == alt_tot)
+            sep = (sep_refb | sep_altb) & ~const
+            sep_allele = np.where(
+                sep_refb, 0, np.where(sep_altb, 1, -1))
+            sep_allele = np.where(sep, sep_allele, -1)
             obs_f = obs.astype(np.float64)
             used_firth = np.zeros(pd.vb, bool)
             rows = np.flatnonzero(
@@ -1572,15 +1910,33 @@ def _glm_logistic(
             else:
                 need_firth = (sep | fail) & ~const
                 if need_firth.any():
-                    from ..ops.glm import firth_irls_block
+                    from ..ops.glm import firth_irls_block, resid_irls_block
 
-                    fb, fse, _, fconv, ffail, funf, fobs, fhfull = (
-                        np.asarray(x)
-                        for x in firth_irls_block(
-                            pd.packed[bi], jnp.asarray(gw_all[bi]), c32, y32,
-                            mask_dev, dc, P, covj
+                    if resid:
+                        offs_fp = np.zeros(npad, np.float32)
+                        offs_fp[:n] = offs_fir
+                        fb_r, fse_r, _, fconv, ffail, funf, fobs, fh_r = (
+                            np.asarray(x)
+                            for x in resid_irls_block(
+                                pd.packed[bi], jnp.asarray(gw_all[bi]),
+                                jnp.asarray(offs_fp), y32, mask_dev, P, True,
+                                sscale,
+                            )
                         )
-                    )
+                        fb = np.zeros((pd.vb, d))
+                        fb[:, dc:] = fb_r
+                        fse = np.zeros((pd.vb, d))
+                        fse[:, dc:] = fse_r
+                        fhfull = np.zeros((pd.vb, d, d))
+                        fhfull[:, dc:, dc:] = fh_r
+                    else:
+                        fb, fse, _, fconv, ffail, funf, fobs, fhfull = (
+                            np.asarray(x)
+                            for x in firth_irls_block(
+                                pd.packed[bi], jnp.asarray(gw_all[bi]), c32,
+                                y32, mask_dev, dc, P, covj, sscale
+                            )
+                        )
                     fb = fb.astype(np.float64)
                     fse = fse.astype(np.float64)
                     fhfull = fhfull.astype(np.float64)
@@ -1627,12 +1983,19 @@ def _glm_logistic(
                 )
 
         with np.errstate(divide="ignore", invalid="ignore"):
-            a1f = np.where(obs > 0, g_tot / (2 * np.maximum(obs, 1)), np.nan)
+            if xm1 is not None:
+                # A1_FREQ = a1_dosage / allele_obs_ct with the male-adjusted
+                # denominator (ref line 5753)
+                a1f = np.where(obs > 0, g_tot / np.maximum(aobs, 1e-300),
+                               np.nan)
+            else:
+                a1f = np.where(
+                    obs > 0, g_tot / (2 * np.maximum(obs, 1)), np.nan)
         _emit_logistic_rows(
             sink, v0, ia, beta, se, conv, fail, unf, obs, a1f, const, used_firth,
             firth_col, tests, test_pred, chrom, provref, a1, omitted, vi, d,
             no_firth, add_results, joint_name, fstat, logp_joint, pre_err,
-            invalid, log10, perm_capture=perm_capture,
+            invalid, log10, perm_capture=perm_capture, sep_allele=sep_allele,
         )
     _mark("host postprocess+emit")
     if standalone:
@@ -1667,6 +2030,7 @@ def _emit_logistic_rows(
     firth_col, tests, test_pred, chrom, provref, a1, omitted, vi, d, no_firth,
     add_results=None, joint_name=None, fstat=None, logp_joint=None,
     pre_err=None, invalid=None, log10=False, perm_capture=None,
+    sep_allele=None,
 ):
     with np.errstate(divide="ignore", invalid="ignore"):
         zstat = np.where(se > 0, beta / se, np.nan)
@@ -1696,7 +2060,16 @@ def _emit_logistic_rows(
             firth_str = "N" if firth_col else None
         elif fail[i]:
             bad = True
-            if no_firth:
+            if no_firth and sep_allele is not None:
+                if sep_allele[i] >= 0:
+                    # ref AppendGlmErrstr names the separating allele
+                    # (2.0/plink2_glm_shared.cc:36-48)
+                    errcode = "SEPARATION," + (
+                        "REF" if sep_allele[i] == 0 else f"ALT{sep_allele[i]}"
+                    )
+                else:
+                    errcode = "LOGISTIC_CONVERGE_FAIL"
+            elif no_firth:
                 errcode = "SEPARATION"
             elif used_firth[i]:
                 errcode = "FIRTH_CONVERGE_FAIL"

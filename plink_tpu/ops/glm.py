@@ -138,6 +138,7 @@ def _moments_body(
     dc: int,
     np_: int = 1,
     covj: tuple = (),
+    sscale=None,
 ):
     """Per-variant X^T X over valid samples for the design
     [c | G_1..G_P] -> [vb, d, d].  Feeds the collinearity pre-checks
@@ -159,6 +160,8 @@ def _moments_body(
         * (c[None, :, covj[p]] if covj and covj[p] else 1.0)
         for p in range(P)
     ]
+    if sscale is not None:
+        gcols = [g * sscale[None, :] for g in gcols]
     ccfl = (c[:, :, None] * c[:, None, :]).reshape(n, dc * dc)
     a = lax.dot_general(valid, ccfl, (((1,), (0,)), ((), ())), precision=hi,
                         preferred_element_type=jnp.float32).reshape(vb, dc, dc)
@@ -177,10 +180,12 @@ def _moments_body(
     return h
 
 
-def _plane_cols(packed, gw, c, mask, np_, covj):
+def _plane_cols(packed, gw, c, mask, np_, covj, sscale=None):
     """Decode packed hardcalls into per-variant genotype predictor columns
     G_p = wH*H + wA*A + wV*V (plane linear combinations, flip-resolved per
-    variant on the host) and the per-variant validity mask."""
+    variant on the host) and the per-variant validity mask.  `sscale` is an
+    optional per-sample dosage multiplier (e.g. 0.5 for males under
+    --xchr-model 1, ref GetGenoDosages male halving)."""
     codes = unpack_codes(packed, 0)
     b0f = (codes & 1).astype(jnp.float32)
     b1f = ((codes >> 1) & 1).astype(jnp.float32)
@@ -193,14 +198,19 @@ def _plane_cols(packed, gw, c, mask, np_, covj):
         * (c[None, :, covj[p]] if covj and covj[p] else 1.0)
         for p in range(np_)
     ]
+    if sscale is not None:
+        gcols = [g * sscale[None, :] for g in gcols]
     return gcols, valid
 
 
-def _design_ops(gcols, valid, c, dc):
+def _design_ops(gcols, valid, c, dc, offset=None):
     """Shared X^T-contraction helpers for the design [c | G_1..G_P], where
     the G_p are any dense [vb, n] columns (plane combinations for hardcalls,
     fractional dosages for the dense path).  Every contraction is an MXU
-    matmul over the sample axis."""
+    matmul over the sample axis.  `offset` is an optional fixed per-sample
+    linear-predictor contribution (the cc-residualize null-model eta,
+    ref LogisticRegressionResidualizedD sample_offsets,
+    2.0/plink2_glm_logistic.cc:2939-2984)."""
     vb, n = valid.shape
     P = len(gcols)
     d = dc + P
@@ -235,21 +245,25 @@ def _design_ops(gcols, valid, c, dc):
                             precision=hi, preferred_element_type=jnp.float32)
         for p in range(P):
             e = e + beta[:, dc + p : dc + p + 1] * gcols[p]
+        if offset is not None:
+            e = e + offset[None, :]
         return e * valid
 
     return vb, n, d, ccfl, xtv, hessian, eta_of
 
 
-def _logistic_core(gcols, valid, c, y, dc):
+def _logistic_core(gcols, valid, c, y, dc, offset=None):
     """Batched logistic IRLS, one variant per row, arbitrary genotype model.
 
     Design per variant: [c (dc cols) | G_1..G_P] -> d = dc + P; samples with
     missing genotype are dropped per-variant by zeroing their weights.
+    `offset` = fixed linear-predictor term (cc-residualize).
 
     Returns (beta [vb, d], se [vb, d], loglik [vb], converged, failed,
     unfinished, obs_ct, hinv).
     """
-    vb, n, d, ccfl, xtv, hessian, eta_of = _design_ops(gcols, valid, c, dc)
+    vb, n, d, ccfl, xtv, hessian, eta_of = _design_ops(gcols, valid, c, dc,
+                                                       offset)
     yv = y[None, :] * valid  # [vb, n]
     obs = jnp.sum(valid, axis=1)
 
@@ -329,14 +343,15 @@ def _logistic_body(
     np_: int = 1,  # geno predictor count P
     covj: tuple = (),  # per-predictor covariate column to multiply in
     # (0 = intercept column = no-op); expresses GxC interaction predictors
+    sscale=None,
 ):
     """Plane front-end for _logistic_core: ADD/DOMDEV/DOM/REC/hetonly/
     genotypic all run through the same kernel."""
-    gcols, valid = _plane_cols(packed, gw, c, mask, np_, covj)
+    gcols, valid = _plane_cols(packed, gw, c, mask, np_, covj, sscale)
     return _logistic_core(gcols, valid, c, y, dc)
 
 
-def _firth_core(gcols, valid, c, y, dc):
+def _firth_core(gcols, valid, c, y, dc, offset=None):
     """Batched Firth penalized-likelihood regression, a faithful port of the
     reference's logistf-derived algorithm (FirthRegressionD,
     2.0/plink2_glm_logistic.cc:3049-3185), generalized to arbitrary
@@ -347,7 +362,8 @@ def _firth_core(gcols, valid, c, y, dc):
       step components capped at maxstep=5, convergence when
       delta_max <= 1e-5 AND max|ustar| < 1e-5 AND dloglik < 1e-5 (iter >= 1),
       max 25 iterations; SE from the second-weight covariance inv."""
-    vb, n, d, ccfl, xtv, hessian, eta_of = _design_ops(gcols, valid, c, dc)
+    vb, n, d, ccfl, xtv, hessian, eta_of = _design_ops(gcols, valid, c, dc,
+                                                       offset)
     P = len(gcols)
     hi = lax.Precision.HIGHEST
     yv = y[None, :] * valid
@@ -446,10 +462,29 @@ def _firth_body(
     dc: int,
     np_: int = 1,
     covj: tuple = (),
+    sscale=None,
 ):
     """Plane front-end for _firth_core."""
-    gcols, valid = _plane_cols(packed, gw, c, mask, np_, covj)
+    gcols, valid = _plane_cols(packed, gw, c, mask, np_, covj, sscale)
     return _firth_core(gcols, valid, c, y, dc)
+
+
+def _resid_body(packed, gw, offs, y, mask, np_, firth, sscale=None):
+    """Residualized case/control pass (cc-residualize / firth-residualize,
+    the Mbatchou et al. 2021 shortcut; ref LogisticRegressionResidualizedD /
+    FirthRegressionResidualizedD, 2.0/plink2_glm_logistic.cc:2939,3191):
+    the genotype predictor columns are mean-centered over the per-variant
+    nonmissing set and regressed WITHOUT intercept or covariates, with the
+    prefitted null-model linear predictor entering as a fixed offset."""
+    n = y.shape[0]
+    c0 = jnp.zeros((n, 0), jnp.float32)
+    gcols, valid = _plane_cols(packed, gw, c0, mask, np_, (), sscale)
+    obs = jnp.maximum(jnp.sum(valid, axis=1), 1.0)
+    gcols = [
+        (g - (jnp.sum(g, axis=1) / obs)[:, None]) * valid for g in gcols
+    ]
+    core = _firth_core if firth else _logistic_core
+    return core(gcols, valid, c0, y, 0, offset=offs)
 
 
 # ---------------------------------------------------------------------------
@@ -515,18 +550,19 @@ def dense_qt_block(g, fin, c, y, mask, dc):
 
 
 @partial(jax.jit, static_argnames=("dc", "np_", "covj"))
-def design_moments_block(packed, gw, c, mask, dc, np_=1, covj=()):
-    return _moments_body(packed, gw, c, mask, dc, np_, covj)
+def design_moments_block(packed, gw, c, mask, dc, np_=1, covj=(), sscale=None):
+    return _moments_body(packed, gw, c, mask, dc, np_, covj, sscale)
 
 
 @partial(jax.jit, static_argnames=("dc", "np_", "covj"))
-def logistic_irls_block(packed, gw, c, y, mask, dc, np_=1, covj=()):
-    return _logistic_body(packed, gw, c, y, mask, dc, np_, covj)
+def logistic_irls_block(packed, gw, c, y, mask, dc, np_=1, covj=(),
+                        sscale=None):
+    return _logistic_body(packed, gw, c, y, mask, dc, np_, covj, sscale)
 
 
 @partial(jax.jit, static_argnames=("dc", "np_", "covj"))
-def firth_irls_block(packed, gw, c, y, mask, dc, np_=1, covj=()):
-    return _firth_body(packed, gw, c, y, mask, dc, np_, covj)
+def firth_irls_block(packed, gw, c, y, mask, dc, np_=1, covj=(), sscale=None):
+    return _firth_body(packed, gw, c, y, mask, dc, np_, covj, sscale)
 
 
 def _valid_params_flags(hinv: jax.Array, d: int) -> jax.Array:
@@ -553,6 +589,7 @@ def _glm_scan_body(
     np_: int = 1,
     covj: tuple = (),
     firth: bool = False,
+    sscale=None,
 ):
     """Whole-dataset hybrid-GLM pass in ONE device call.
 
@@ -570,10 +607,11 @@ def _glm_scan_body(
 
     def body(carry, xs):
         pk, gw, gwm = xs
-        momy = _moments_body(pk, gwm, cy, mask, dc + 1, np_ + 1, covj + (0,))
+        momy = _moments_body(pk, gwm, cy, mask, dc + 1, np_ + 1, covj + (0,),
+                             sscale)
         beta, se, ll, conv, fail, unf, obs, hinv = (
             _firth_body if firth else _logistic_body
-        )(pk, gw, c, y, mask, dc, np_, covj)
+        )(pk, gw, c, y, mask, dc, np_, covj, sscale)
         invalid = _valid_params_flags(hinv, d)
         return carry, (momy, beta, se, conv, fail, unf, obs, invalid, hinv)
 
@@ -583,34 +621,102 @@ def _glm_scan_body(
 
 @partial(jax.jit, static_argnames=("dc", "np_", "covj", "firth"))
 def glm_logistic_scan(blocks, gws, gwms, c, cy, y, mask, dc, np_=1, covj=(),
-                      firth=False):
+                      firth=False, sscale=None):
     return _glm_scan_body(blocks, gws, gwms, c, cy, y, mask, dc, np_, covj,
-                          firth)
+                          firth, sscale)
+
+
+def _glm_resid_scan_body(blocks, gws, gwms, cy, offs, y, mask, dc, np_,
+                         firth, sscale=None):
+    """Residualized-GLM whole-dataset pass: the moments matrix keeps the
+    full [1 | covars | y | preds + ADD] design (the host separation /
+    A1-freq statistics are unchanged), while the IRLS itself runs on the
+    mean-centered genotype predictors with the null-model offset."""
+    def body(carry, xs):
+        pk, gw, gwm = xs
+        covj = tuple(0 for _ in range(np_))
+        momy = _moments_body(pk, gwm, cy, mask, dc + 1, np_ + 1, covj + (0,),
+                             sscale)
+        beta, se, ll, conv, fail, unf, obs, hinv = _resid_body(
+            pk, gw, offs, y, mask, np_, firth, sscale)
+        dg = jnp.diagonal(hinv, axis1=1, axis2=2)
+        invalid = ((dg < 1e-20) | ~jnp.isfinite(dg)).any(axis=1)
+        return carry, (momy, beta, se, conv, fail, unf, obs, invalid, hinv)
+
+    _, outs = lax.scan(body, 0, (blocks, gws, gwms))
+    return outs
+
+
+@partial(jax.jit, static_argnames=("dc", "np_", "firth"))
+def glm_resid_scan(blocks, gws, gwms, cy, offs, y, mask, dc, np_=1,
+                   firth=False, sscale=None):
+    return _glm_resid_scan_body(blocks, gws, gwms, cy, offs, y, mask, dc,
+                                np_, firth, sscale)
+
+
+@partial(jax.jit, static_argnames=("np_", "firth"))
+def resid_irls_block(packed, gw, offs, y, mask, np_=1, firth=False,
+                     sscale=None):
+    return _resid_body(packed, gw, offs, y, mask, np_, firth, sscale)
+
+
+@jax.jit
+def xm1_stats_scan(blocks, w, mask):
+    """--xchr-model 1 per-variant allele-observation statistics.
+
+    `w` is [n, 2] with columns (s, s*y) where s is the per-sample dosage
+    multiplier (0.5 for males) and y the case indicator.  Returns, per
+    variant: sum_valid(s), sum_valid(s*y), het count, hom-A1 count.  The
+    first two give allele_obs_ct = 2*sum(s) = 2*nm - nm_male and
+    case_allele_obs_ct (ref allele_obs_ct -= nm_male_ct under
+    is_xchr_model_1, 2.0/plink2_glm_logistic.cc:4438-4440); the counts
+    drive the reference's raw-genocount const-allele rule
+    (plink2_glm_logistic.cc:1578-1582)."""
+    hi = lax.Precision.HIGHEST
+
+    def body(carry, pk):
+        codes = unpack_codes(pk, 0)
+        b0f = (codes & 1).astype(jnp.float32)
+        b1f = ((codes >> 1) & 1).astype(jnp.float32)
+        missp = b0f * b1f
+        valid = (1.0 - missp) * mask[None, :]
+        hpl = (b0f - missp) * valid
+        apl = (b1f - missp) * valid
+        sv = lax.dot_general(valid, w, (((1,), (0,)), ((), ())),
+                             precision=hi,
+                             preferred_element_type=jnp.float32)
+        return carry, (sv[:, 0], sv[:, 1], jnp.sum(hpl, axis=1),
+                       jnp.sum(apl, axis=1))
+
+    _, outs = lax.scan(body, 0, blocks)
+    return outs
 
 
 from functools import lru_cache
 
 
 @lru_cache(maxsize=None)
-def _glm_scan_sharded(mesh, dc, np_, covj, firth):
+def _glm_scan_sharded(mesh, dc, np_, covj, firth, have_sscale):
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.mesh import AXIS
 
-    def local(blocks, gws, gwms, c, cy, y, mask):
+    def local(blocks, gws, gwms, c, cy, y, mask, *rest):
+        ss = rest[0] if have_sscale else None
         return _glm_scan_body(blocks, gws, gwms, c, cy, y, mask, dc, np_,
-                              covj, firth)
+                              covj, firth, ss)
 
+    nin = 7 + (1 if have_sscale else 0)
     return jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P()),
+        in_specs=tuple([P(AXIS)] * 3 + [P()] * (nin - 3)),
         out_specs=tuple([P(AXIS)] * 9), check_rep=False,
     ))
 
 
 def glm_logistic_scan_any(blocks, gws, gwms, c, cy, y, mask, dc, np_=1,
-                          covj=(), firth=False):
+                          covj=(), firth=False, sscale=None):
     """glm_logistic_scan routing block-sharded inputs through shard_map:
     each device runs the scan over its variant-block shard (pure data
     parallelism over the unbounded axis -- P1 of SURVEY.md section 2.6)."""
@@ -619,9 +725,44 @@ def glm_logistic_scan_any(blocks, gws, gwms, c, cy, y, mask, dc, np_=1,
     mesh = sharded_mesh_of(blocks)
     if mesh is None:
         return glm_logistic_scan(blocks, gws, gwms, c, cy, y, mask, dc, np_,
-                                 covj, firth)
-    return _glm_scan_sharded(mesh, dc, np_, covj, firth)(
-        blocks, gws, gwms, c, cy, y, mask
+                                 covj, firth, sscale)
+    extra = () if sscale is None else (sscale,)
+    return _glm_scan_sharded(mesh, dc, np_, covj, firth, sscale is not None)(
+        blocks, gws, gwms, c, cy, y, mask, *extra
+    )
+
+
+@lru_cache(maxsize=None)
+def _glm_resid_scan_sharded(mesh, dc, np_, firth, have_sscale):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import AXIS
+
+    def local(blocks, gws, gwms, cy, offs, y, mask, *rest):
+        ss = rest[0] if have_sscale else None
+        return _glm_resid_scan_body(blocks, gws, gwms, cy, offs, y, mask,
+                                    dc, np_, firth, ss)
+
+    nin = 7 + (1 if have_sscale else 0)
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=tuple([P(AXIS)] * 3 + [P()] * (nin - 3)),
+        out_specs=tuple([P(AXIS)] * 9), check_rep=False,
+    ))
+
+
+def glm_resid_scan_any(blocks, gws, gwms, cy, offs, y, mask, dc, np_=1,
+                       firth=False, sscale=None):
+    from ..parallel.mesh import sharded_mesh_of
+
+    mesh = sharded_mesh_of(blocks)
+    if mesh is None:
+        return glm_resid_scan(blocks, gws, gwms, cy, offs, y, mask, dc, np_,
+                              firth, sscale)
+    extra = () if sscale is None else (sscale,)
+    return _glm_resid_scan_sharded(mesh, dc, np_, firth, sscale is not None)(
+        blocks, gws, gwms, cy, offs, y, mask, *extra
     )
 
 
