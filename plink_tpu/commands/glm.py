@@ -505,10 +505,13 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
     if perm_adaptive and mperm_ct:
         raise ValueError("Conflicting --glm arguments (aperm + mperm).")
     perm_mode = "adaptive" if perm_adaptive else ("maxT" if mperm_ct else None)
-    if perm_mode and (mods & _GLM_MODEL_MODS or "interaction" in mods):
-        raise ValueError(
-            "--glm permutation tests currently support the additive model "
-            "only."
+    if perm_mode and (mods & {"genotypic", "hethom"} or "interaction" in mods):
+        # single-effect models (ADD/DOM/REC/HETONLY) permute on |z| of the
+        # primary test like the reference; the joint-test (-ln p) permstat
+        # for constraint models is not implemented yet
+        raise NotImplementedError(
+            "--glm permutation tests support single-genotype-effect models "
+            "only (additive/dominant/recessive/hetonly)."
         )
     if "permute-qt-residuals" in mods and (
         perm_mode is None or "qt-residualize" not in mods
@@ -606,11 +609,6 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                             "--glm case/control permutation test requires "
                             "'firth' modifier."
                         )
-                    if groups is not None:
-                        raise NotImplementedError(
-                            "--glm permutation with chrX/chrY variants is "
-                            "not supported yet."
-                        )
                     M_ = ds.raw_variant_ct
                     perm_capture = {
                         "valid": np.zeros(M_, bool),
@@ -640,6 +638,7 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                             a1_is_alt, hide_covar, always_firth, no_firth,
                             vmask=vm_g, sink=sink, add_results=add_results,
                             header_out=hdr_box, gmul=gmul_g,
+                            perm_capture=perm_capture,
                         )
                     suffix = "glm.firth" if always_firth else (
                         "glm.logistic" if no_firth else "glm.logistic.hybrid"
@@ -652,9 +651,12 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                         write_adjusted(ds, cfg, log, name, suffix,
                                        add_results, a1_arr)
                 if perm_mode:
+                    gp0 = _geno_predictors(mods, p_names)[0][0]
+                    model_w = (gp0[1], gp0[2]) if gp0[0] != "ADD" else None
                     _glm_firth_perm(
                         ds, cfg, log, name, ydata, smask, p_names, p_data,
                         a1_is_alt, perm_capture, perm_mode, mperm_ct,
+                        groups=groups, model_w=model_w,
                     )
         else:
             log.log(f"--glm linear regression on phenotype '{name}': {nm_ct} samples.")
@@ -680,10 +682,15 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                     _write_pheno_ids(ds, cfg, log, name, "glm.linear", smask,
                                      groups)
                 if perm_mode:
-                    if groups is not None:
-                        raise NotImplementedError(
-                            "--glm permutation with chrX/chrY variants is "
-                            "not supported yet."
+                    if qt_resid and groups is not None:
+                        # ref rejects the permute-qt-residuals combination
+                        # outright (2.0/plink2_glm.cc:2992); we extend the
+                        # guard to qt-residualize since per-group residual
+                        # phenotypes would need per-permutation refits
+                        raise ValueError(
+                            "--glm 'qt-residualize' permutation does not "
+                            "support chrX/chrY unless the samples/"
+                            "covariates are unchanged there."
                         )
                     M_ = ds.raw_variant_ct
                     perm_capture = {
@@ -723,7 +730,7 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                             ds, cfg, log, name, y_g, sm_g, nm_g, dt_g,
                             a1_is_alt, hide_covar, vmask=vm_g, sink=sink2,
                             add_results=add_results2, header_out=hdr_box2,
-                            gmul=gmul_g,
+                            gmul=gmul_g, perm_capture=perm_capture,
                         )
                     path = f"{cfg.out}.{name}.glm.linear"
                     _write_sink(path, hdr_box2[0], sink2, log)
@@ -737,9 +744,12 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                     if qt_resid:
                         y_run, nm_run, dt_run = _qt_residualize(
                             ydata, smask, p_data)
+                    gp0 = _geno_predictors(mods, p_names)[0][0]
+                    model_w = (gp0[1], gp0[2]) if gp0[0] != "ADD" else None
                     _glm_linear_perm(
                         ds, cfg, log, name, y_run, smask, nm_run, dt_run,
                         a1_is_alt, perm_capture, perm_mode, mperm_ct,
+                        groups=groups, model_w=model_w,
                     )
 
 
@@ -2691,8 +2701,79 @@ def _glm_dosage_host(
         write_adjusted(ds, cfg, log, pheno_name, suffix, add_results, a1)
 
 
+def _perm_group_setups(ds, smask, groups, cov_names, cov_data, a1_is_alt,
+                       model_w, capture):
+    """Prepares per-ploidy-group device state for the permutation scans.
+
+    The phenotype is permuted once per permutation over the UNION sample
+    set (ref GlmFirthPerm sample_include_union,
+    2.0/plink2_glm_logistic.cc:6086-6104); each group's regressions subset
+    that permutation via `sel` (positions of the group's samples within
+    the union ordering).  `model_w` = (w_alt, w_ref) plane weights of the
+    single genotype effect (additive by default; DOM/REC/HETONLY perm
+    follows the reference's primary-reported-test permstat)."""
+    import jax.numpy as jnp
+
+    if groups is None:
+        groups = [(ds.variant_mask, smask, cov_names, cov_data)]
+    inc_u = np.flatnonzero(smask)
+    pos_u = np.full(ds.raw_sample_ct, -1, np.int64)
+    pos_u[inc_u] = np.arange(inc_u.size)
+    M = ds.raw_variant_ct
+    valid_all = capture["valid"] & ds.variant_mask
+    test_rows = np.flatnonzero(valid_all)
+    row_pos = np.full(M, -1, np.int64)
+    row_pos[test_rows] = np.arange(test_rows.size)
+    wa, wr = model_w if model_w is not None else (
+        (1.0, 2.0, 0.0), (-1.0, -2.0, 2.0))
+    setups = []
+    for grp in groups:
+        vm_g, sm_g, nm_g, dt_g = grp[:4]
+        gmul_g = grp[4] if len(grp) > 4 else None
+        if not vm_g.any() or not sm_g.any():
+            continue
+        rows_g = np.flatnonzero(valid_all & vm_g)
+        if rows_g.size == 0:
+            continue
+        nm_g, dt_g = _drop_const_covars(sm_g, nm_g, dt_g)
+        inc_g = np.flatnonzero(sm_g)
+        n_g = inc_g.size
+        dc_g = len(nm_g) + 1
+        c_g = np.concatenate([np.ones((n_g, 1)), dt_g[inc_g]], axis=1)
+        vb_g = _auto_vb(-(-n_g // 4) * 4)
+        pd_g = PackedDevice(ds, vm_g, vb=vb_g, tile=1 << 30,
+                            sample_mask=sm_g)
+        npad_g = pd_g.npad
+        mask_g = np.zeros(npad_g, np.float32)
+        mask_g[:n_g] = 1.0
+        cpad = np.zeros((npad_g, dc_g), np.float32)
+        cpad[:n_g] = c_g
+        alt_pad = np.zeros(pd_g.nblocks * pd_g.vb, bool)
+        alt_pad[:M] = a1_is_alt
+        alt_b = alt_pad.reshape(pd_g.nblocks, pd_g.vb)
+        gw = np.where(
+            alt_b[:, :, None, None],
+            np.asarray(wa, np.float32)[None, None, None],
+            np.asarray(wr, np.float32)[None, None, None],
+        ).astype(np.float32)  # [nb, vb, 1, 3]
+        ss = None
+        if gmul_g is not None:
+            sp_ = np.ones(npad_g, np.float32)
+            sp_[:n_g] = gmul_g[inc_g]
+            ss = jnp.asarray(sp_)
+        setups.append({
+            "pd": pd_g, "dc": dc_g, "c32": jnp.asarray(cpad),
+            "mask": jnp.asarray(mask_g), "gw": jnp.asarray(gw),
+            "sscale": ss, "n": n_g, "npad": npad_g,
+            "sel": pos_u[inc_g], "rows": rows_g,
+            "row_pos": row_pos[rows_g],
+        })
+    return setups, test_rows
+
+
 def _glm_linear_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
-                     cov_data, a1_is_alt, capture, perm_mode, mperm_ct):
+                     cov_data, a1_is_alt, capture, perm_mode, mperm_ct,
+                     groups=None, model_w=None):
     """Linear-GLM permutation test (additive model).
 
     TPU-first re-design of GlmLinearPerm (2.0/plink2_glm_linear.cc:4940):
@@ -2717,35 +2798,11 @@ def _glm_linear_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
     inc = np.flatnonzero(smask)
     n = inc.size
     y = ydata[inc].astype(np.float64)
-    k = len(cov_names)
-    dc = k + 1
-    c = np.concatenate([np.ones((n, 1)), cov_data[inc]], axis=1)
-    vb = _auto_vb(-(-n // 4) * 4)
-
-    pd = PackedDevice(ds, ds.variant_mask, vb=vb, tile=1 << 30,
-                      sample_mask=smask)
-    npad = pd.npad
-    mask = np.zeros(npad, np.float32)
-    mask[:n] = 1.0
-    cpad = np.zeros((npad, dc), np.float32)
-    cpad[:n] = c
-    c32 = jnp.asarray(cpad)
-    mask_dev = jnp.asarray(mask)
     M = ds.raw_variant_ct
 
-    # additive plane weights per block
-    alt_pad_all = np.zeros(pd.nblocks * pd.vb, bool)
-    alt_pad_all[:M] = a1_is_alt
-    alt_b = alt_pad_all.reshape(pd.nblocks, pd.vb)
-    gw_all = np.where(
-        alt_b[:, :, None, None],
-        np.array([[[1.0, 2.0, 0.0]]], np.float32),
-        np.array([[[-1.0, -2.0, 2.0]]], np.float32),
-    ).astype(np.float32)  # [nb, vb, 1, 3]
-    gw_dev = jnp.asarray(gw_all)
-
+    setups, test_rows = _perm_group_setups(
+        ds, smask, groups, cov_names, cov_data, a1_is_alt, model_w, capture)
     valid = capture["valid"] & ds.variant_mask
-    test_rows = np.flatnonzero(valid)
     T = test_rows.size
     t_orig = np.abs(capture["t"][test_rows])
     lnp_orig = capture["lnp"][test_rows]
@@ -2781,15 +2838,20 @@ def _glm_linear_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
         if adaptive and state.remaining() == 0:
             break
         Bc = min(B, perms_total - done)
-        Yb = np.empty((npad, Bc), np.float32)
-        Yb[n:] = 0.0
+        Yu = np.empty((n, Bc), np.float32)
         for p in range(Bc):
-            Yb[:n, p] = rng.permutation(ys)
-        t_all = np.asarray(linear_perm_scan(
-            pd.packed, gw_dev, c32, jnp.asarray(Yb), mask_dev, dc, (0,)
-        ))
-        t_flat = t_all.reshape(pd.nblocks * pd.vb, Bc)
-        tp = np.abs(t_flat[test_rows].astype(np.float64))
+            Yu[:, p] = rng.permutation(ys)
+        tp = np.zeros((T, Bc), np.float64)
+        for st in setups:
+            Yb = np.zeros((st["npad"], Bc), np.float32)
+            Yb[:st["n"]] = Yu[st["sel"]]
+            pd_g = st["pd"]
+            t_all = np.asarray(linear_perm_scan(
+                pd_g.packed, st["gw"], st["c32"], jnp.asarray(Yb),
+                st["mask"], st["dc"], (0,), st["sscale"]
+            ))
+            t_flat = t_all.reshape(pd_g.nblocks * pd_g.vb, Bc)
+            tp[st["row_pos"]] = np.abs(t_flat[st["rows"]].astype(np.float64))
         tp = np.nan_to_num(tp, nan=0.0, posinf=np.inf)
         cnt = ((tp > t_orig[:, None]).astype(np.int8) * 2
                + (tp == t_orig[:, None]).astype(np.int8))
@@ -2829,7 +2891,8 @@ def _glm_linear_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
 
 
 def _glm_firth_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
-                    cov_data, a1_is_alt, capture, perm_mode, mperm_ct):
+                    cov_data, a1_is_alt, capture, perm_mode, mperm_ct,
+                    groups=None, model_w=None):
     """Case/control (Firth) permutation test.
 
     Reference: GlmLogisticPerm (2.0/plink2_glm_logistic.cc:6342): permstat
@@ -2851,34 +2914,11 @@ def _glm_firth_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
     inc = np.flatnonzero(smask)
     n = inc.size
     y = ydata[inc].astype(np.float32)
-    k = len(cov_names)
-    dc = k + 1
-    c = np.concatenate([np.ones((n, 1)), cov_data[inc]], axis=1)
-    vb = _auto_vb(-(-n // 4) * 4)
-
-    pd = PackedDevice(ds, ds.variant_mask, vb=vb, tile=1 << 30,
-                      sample_mask=smask)
-    npad = pd.npad
-    mask = np.zeros(npad, np.float32)
-    mask[:n] = 1.0
-    cpad = np.zeros((npad, dc), np.float32)
-    cpad[:n] = c
-    c32 = jnp.asarray(cpad)
-    mask_dev = jnp.asarray(mask)
     M = ds.raw_variant_ct
 
-    alt_pad_all = np.zeros(pd.nblocks * pd.vb, bool)
-    alt_pad_all[:M] = a1_is_alt
-    alt_b = alt_pad_all.reshape(pd.nblocks, pd.vb)
-    gw_all = np.where(
-        alt_b[:, :, None, None],
-        np.array([[[1.0, 2.0, 0.0]]], np.float32),
-        np.array([[[-1.0, -2.0, 2.0]]], np.float32),
-    ).astype(np.float32)
-    gw_dev = jnp.asarray(gw_all)
-
+    setups, test_rows = _perm_group_setups(
+        ds, smask, groups, cov_names, cov_data, a1_is_alt, model_w, capture)
     valid = capture["valid"] & ds.variant_mask
-    test_rows = np.flatnonzero(valid)
     T = test_rows.size
     z_orig = capture["t"][test_rows]  # already |z|
 
@@ -2908,15 +2948,20 @@ def _glm_firth_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
         if adaptive and state.remaining() == 0:
             break
         Bc = min(B, perms_total - done)
-        Yb = np.empty((npad, Bc), np.float32)
-        Yb[n:] = 0.0
+        Yu = np.empty((n, Bc), np.float32)
         for p in range(Bc):
-            Yb[:n, p] = rng.permutation(y)
-        stats = np.asarray(firth_perm_scan(
-            pd.packed, gw_dev, c32, jnp.asarray(Yb), mask_dev, dc, (0,)
-        ))  # [Bc, nb, vb]
-        s_flat = stats.reshape(Bc, pd.nblocks * pd.vb).T[test_rows]
-        sp = s_flat.astype(np.float64)
+            Yu[:, p] = rng.permutation(y)
+        sp = np.full((T, Bc), -1.0, np.float64)
+        for st in setups:
+            Yb = np.zeros((st["npad"], Bc), np.float32)
+            Yb[:st["n"]] = Yu[st["sel"]]
+            pd_g = st["pd"]
+            stats = np.asarray(firth_perm_scan(
+                pd_g.packed, st["gw"], st["c32"], jnp.asarray(Yb),
+                st["mask"], st["dc"], (0,), st["sscale"]
+            ))  # [Bc, nb, vb]
+            s_flat = stats.reshape(Bc, pd_g.nblocks * pd_g.vb).T
+            sp[st["row_pos"]] = s_flat[st["rows"]].astype(np.float64)
         # 0/1 phenotypes make the perm-stat distribution discrete: values
         # exactly equal in the reference's f64 arithmetic land within f32
         # noise here, so near-equality counts as a tie (the reference's

@@ -797,7 +797,7 @@ def linear_sums_scan_any(blocks, c, ccfl, y, cy, y2):
     return _linear_scan_sharded(mesh)(blocks, c, ccfl, y, cy, y2)
 
 
-def _linear_perm_body(pk, gw, c, Y, mask, dc, covj):
+def _linear_perm_body(pk, gw, c, Y, mask, dc, covj, sscale=None):
     """Per-block permutation t-statistics for a single-genotype-predictor
     linear model.
 
@@ -823,6 +823,8 @@ def _linear_perm_body(pk, gw, c, Y, mask, dc, covj):
     g = gw[:, 0, 0:1] * hpl + gw[:, 0, 1:2] * apl + gw[:, 0, 2:3] * valid
     if covj and covj[0]:
         g = g * c[None, :, covj[0]]
+    if sscale is not None:
+        g = g * sscale[None, :]
 
     # X^T X per variant (same math as the moments kernel, P = 1)
     ccfl = (c[:, :, None] * c[:, None, :]).reshape(n, dc * dc)
@@ -858,19 +860,19 @@ def _linear_perm_body(pk, gw, c, Y, mask, dc, covj):
 
 
 @partial(jax.jit, static_argnames=("dc", "covj"))
-def linear_perm_scan(blocks, gws, c, Y, mask, dc, covj=()):
+def linear_perm_scan(blocks, gws, c, Y, mask, dc, covj=(), sscale=None):
     """Whole-dataset permutation t-stats: [nb, vb, B] f32 in one call."""
 
     def body(carry, xs):
         pk, gw = xs
-        return carry, _linear_perm_body(pk, gw, c, Y, mask, dc, covj)
+        return carry, _linear_perm_body(pk, gw, c, Y, mask, dc, covj, sscale)
 
     _, outs = lax.scan(body, 0, (blocks, gws))
     return outs
 
 
 @partial(jax.jit, static_argnames=("dc", "covj"))
-def firth_perm_scan(blocks, gws, c, Y, mask, dc, covj=()):
+def firth_perm_scan(blocks, gws, c, Y, mask, dc, covj=(), sscale=None):
     """Case/control permutation statistics: Firth |z| per (variant, perm).
 
     The reference requires the 'firth' modifier for cc permutation and runs
@@ -886,7 +888,7 @@ def firth_perm_scan(blocks, gws, c, Y, mask, dc, covj=()):
         def per_block(c2, xs):
             pk, gw = xs
             beta, se, _ll, conv, failed, unf, _obs, _hinv = _firth_body(
-                pk, gw, c, yb, mask, dc, 1, covj
+                pk, gw, c, yb, mask, dc, 1, covj, sscale
             )
             bg = beta[:, d - 1]
             sg = se[:, d - 1]

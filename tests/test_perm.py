@@ -132,3 +132,116 @@ def test_cc_perm_requires_firth(perm_panel):
                   "mperm=10", "--out", "x"])
     finally:
         os.chdir(old)
+
+
+@pytest.fixture(scope="module")
+def xperm_panel(tmp_path_factory):
+    """Mixed chr1/chrX panel with both sexes: exercises the per-ploidy-group
+    permutation path (union-sample permutation + per-group regressions, ref
+    GlmFirthPerm sample_include_union, 2.0/plink2_glm_logistic.cc:6086)."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("xperm")
+    run_oracle(["--dummy", "300", "300", "0.02", "--seed", "31",
+                "--out", "base"], str(d))
+    lines = (d / "base.pvar").read_text().splitlines()
+    hdr = [l for l in lines if l.startswith("#")]
+    rows = [l for l in lines if not l.startswith("#")]
+    out = []
+    for i, r in enumerate(rows):
+        t = r.split("\t")
+        t[0] = "1" if i < 200 else "X"
+        t[1] = str(2000 + i)
+        out.append("\t".join(t))
+    (d / "mix.pvar").write_text("\n".join(hdr + out) + "\n")
+    shutil.copy(d / "base.pgen", d / "mix.pgen")
+    pl = (d / "base.psam").read_text().splitlines()
+    si = pl[0].lstrip("#").split("\t").index("SEX")
+    o = [pl[0]]
+    for i, l in enumerate(pl[1:]):
+        t = l.split("\t")
+        t[si] = "1" if i % 2 == 0 else "2"
+        o.append("\t".join(t))
+    (d / "mix.psam").write_text("\n".join(o) + "\n")
+    # qt pheno correlated with one autosomal and one chrX variant
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from plink_tpu.dataset import load_dataset
+    from plink_tpu.ops.pairwise import _unpack_np
+
+    ds = load_dataset(str(d / "mix"))
+    codes = _unpack_np(ds.all_packed())[:, : ds.raw_sample_ct].astype(float)
+    codes[codes == 3] = np.nan
+    rng = np.random.default_rng(7)
+    yq = (np.nan_to_num(codes[11]) * 1.0 + np.nan_to_num(codes[250]) * 0.9
+          + rng.standard_normal(ds.raw_sample_ct))
+    with open(d / "ph.txt", "w") as f:
+        f.write("#IID\tQT\n")
+        for i, iid in enumerate(ds.si.iid):
+            f.write(f"{iid}\t{yq[i]:.6f}\n")
+    return d
+
+
+def _oracle_split_emp(d, N, base_args, suffix):
+    """The oracle SEGFAULTS on a mixed autosome+chrX panel whenever the
+    per-group covariate switch is live in a permutation run (even under
+    --xchr-model 0); 'no-x-sex', autosome-only and X-only runs all work.
+    So the oracle side runs split (--not-chr X, --chr X) — per-group EMPs
+    are statistically comparable since each group regression permutes the
+    same union sample set."""
+    run_oracle(base_args + ["--not-chr", "X", "--out", "oa_"], str(d))
+    run_oracle(base_args + ["--chr", "X", "--out", "obx_"], str(d))
+    e1a, _ = _read_emp(str(d / f"oa_.{suffix}"), "EMP2")
+    e1x, _ = _read_emp(str(d / f"obx_.{suffix}"), "EMP2")
+    return np.concatenate([e1a, e1x])
+
+
+def test_linear_mperm_chrx_groups(xperm_panel):
+    d = xperm_panel
+    N = 600
+    args = ["--pfile", "mix", "--pheno", "ph.txt", "--pheno-name", "QT",
+            "--glm", "allow-no-covars", f"mperm={N}", "--seed", "9"]
+    oe1 = _oracle_split_emp(d, N, args, "QT.glm.linear.mperm")
+    run_tpu(args + ["--out", "tx"], str(d))
+    te1, _ = _read_emp(str(d / "tx.QT.glm.linear.mperm"), "EMP2")
+    assert te1.size == oe1.size == 300
+    floor = 1.0 / (N + 1)
+    # strong signals (one autosomal, one chrX) hit the floor in both
+    # (abs tolerance: the report prints 6 significant digits)
+    assert te1[11] == pytest.approx(floor, abs=1e-8)
+    assert oe1[11] == pytest.approx(floor, abs=1e-8)
+    assert te1[250] == pytest.approx(floor, abs=1e-8)
+    assert oe1[250] == pytest.approx(floor, abs=1e-8)
+    sd = np.sqrt(np.maximum(oe1 * (1 - oe1), 1e-9) / N)
+    frac_ok = np.nanmean(np.abs(oe1 - te1) <= 5 * sd + 8.0 / N)
+    assert frac_ok > 0.97, frac_ok
+
+
+def test_firth_mperm_chrx_groups(xperm_panel):
+    d = xperm_panel
+    N = 300
+    args = ["--pfile", "mix", "--glm", "allow-no-covars", "firth",
+            f"mperm={N}", "--seed", "9"]
+    oe1 = _oracle_split_emp(d, N, args, "PHENO1.glm.firth.mperm")
+    run_tpu(args + ["--out", "txc"], str(d))
+    te1, _ = _read_emp(str(d / "txc.PHENO1.glm.firth.mperm"), "EMP2")
+    assert te1.size == oe1.size == 300
+    sd = np.sqrt(np.maximum(oe1 * (1 - oe1), 1e-9) / N)
+    frac_ok = np.nanmean(np.abs(oe1 - te1) <= 5 * sd + 10.0 / N)
+    assert frac_ok > 0.95, frac_ok
+
+
+def test_linear_mperm_dominant(perm_panel):
+    """DOM-model permutation: permstat is |t| of the DOM main effect."""
+    d = perm_panel
+    N = 500
+    args = ["--pfile", "panel", "--pheno", "ph.txt", "--pheno-name", "QT",
+            "--glm", "allow-no-covars", "dominant", f"mperm={N}",
+            "--seed", "6"]
+    run_oracle(args + ["--out", "od"], str(d))
+    run_tpu(args + ["--out", "td"], str(d))
+    oe1, _ = _read_emp(str(d / "od.QT.glm.linear.mperm"), "EMP2")
+    te1, _ = _read_emp(str(d / "td.QT.glm.linear.mperm"), "EMP2")
+    sd = np.sqrt(np.maximum(oe1 * (1 - oe1), 1e-9) / N)
+    frac_ok = np.nanmean(np.abs(oe1 - te1) <= 5 * sd + 8.0 / N)
+    assert frac_ok > 0.97, frac_ok
