@@ -121,7 +121,12 @@ def _provref_strs(ds: Dataset):
         return "\tPROVISIONAL_REF?", lambda i: "\tY"
     if hdr.provisional_ref is not None:
         pr = hdr.provisional_ref
-        return "\tPROVISIONAL_REF?", lambda i: "\tY" if pr[i] else "\tN"
+        # maybeprovref semantics: the column appears only when at least one
+        # INCLUDED variant has a provisional REF (ref ProvrefCol,
+        # 2.0/plink2_common.h:1549-1561)
+        if bool(pr[ds.variant_mask].any()):
+            return "\tPROVISIONAL_REF?", lambda i: "\tY" if pr[i] else "\tN"
+        return "", lambda i: ""
     if ds.reader.header.mode == 0x01:
         return "\tPROVISIONAL_REF?", lambda i: "\tY"
     return "", lambda i: ""

@@ -600,7 +600,11 @@ def run_fast_epistasis(ds: Dataset, cfg, log: RunLogger) -> None:
             if hp.joint:
                 lor, var, cvar = _joint_effects_stats(
                     [c.astype(np.int64) for c in cts])
-                zsq = lor * lor / (var + cvar)
+                # empty-cell pairs produce var == 0 / nan here; they are
+                # masked by the isfinite() check below, so silence the
+                # divide warnings rather than let them leak per-block
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    zsq = lor * lor / (var + cvar)
                 if hp.cellmin:
                     # per-pair cell minimum (1.9/plink_ld.c:3955-3963)
                     cellok = np.all(cts[0] >= hp.cellmin, axis=1)
@@ -609,13 +613,14 @@ def run_fast_epistasis(ds: Dataset, cfg, log: RunLogger) -> None:
                     zsq = np.where(cellok, zsq, np.nan)
             else:
                 ca = cts[0].astype(np.float64)
-                lor, var = _ueki_stats(ca, hp.no_ueki)
-                if not hp.case_only:
-                    lor2, var2 = _ueki_stats(
-                        cts[1].astype(np.float64), hp.no_ueki)
-                    lor = lor - lor2
-                    var = var + var2
-                zsq = lor * lor / var
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    lor, var = _ueki_stats(ca, hp.no_ueki)
+                    if not hp.case_only:
+                        lor2, var2 = _ueki_stats(
+                            cts[1].astype(np.float64), hp.no_ueki)
+                        lor = lor - lor2
+                        var = var + var2
+                    zsq = lor * lor / var
             ok = np.isfinite(zsq)
             sig = ok & (zsq >= alpha2[0])
             has_store = ok & (zsq >= alpha1[0])

@@ -1,14 +1,15 @@
 """--export: dataset exporters.
 
-Behavior reference: Exportf (2.0/plink2_export.cc:11731).  Currently
-implements the VCF hard-call path (ExportVcf :4700-area): one GT-only
-FORMAT column, codes mapped 0/0, 0/1, 1/1, ./. , header with
-fileformat/fileDate/source/contig/FORMAT lines matching plink2's layout.
-Sample columns are rendered with a numpy byte-LUT (vectorized over the
-whole variant row) instead of a per-genotype inner loop.
+Behavior reference: Exportf (2.0/plink2_export.cc:11731).  Implemented
+formats: VCF/VCF-4.3 (+bgz, +vcf-dosage=, ExportVcf :4700-area), BCF,
+BGEN-1.2/1.3 (+.sample), Oxford gen/sample, ped/tped, A / AD /
+A-transpose raw matrices, compound-genotypes, PHYLIP (+phased),
+ind-major-bed, EIGENSOFT eig/eigt, haps/hapslegend.  Sample columns are
+rendered with numpy byte-LUTs (vectorized over whole variant rows)
+instead of per-genotype inner loops.
 
-Other reference formats (BCF, BGEN, Oxford, ped/tped, A/AD transpose, ...)
-are not implemented yet.
+Still missing vs the reference: structure, bimbam, 23andMe, lgen,
+fastphase (NotImplementedError below keeps the gap honest).
 """
 
 from __future__ import annotations

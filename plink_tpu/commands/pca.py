@@ -145,19 +145,22 @@ def _write_allele_wts(ds, cfg, log, inc, eigvals, eigvecs, pc_ct) -> None:
     vi = ds.vi
     from .basic_reports import _provref_strs
 
-    _, prov_fn = _provref_strs(ds)
+    prov_hdr, prov_fn = _provref_strs(ds)
     alt1 = vi.alt1()
     path = cfg.out + ".eigenvec.allele"
     with open(path, "w") as f:
-        f.write("#CHROM\tID\tREF\tALT\tPROVISIONAL_REF?\tA1"
+        f.write("#CHROM\tID\tREF\tALT" + prov_hdr + "\tA1"
                 + "".join(f"\tPC{k + 1}" for k in range(pc_ct)) + "\n")
         for r, v in enumerate(sel):
-            provs = prov_fn(int(v)).lstrip("\t") or "N"
             meta = (f"{vi.chr_info.name(vi.chrom[v])}\t{vi.vid[v]}\t"
-                    f"{vi.ref[v]}\t{vi.alt[v]}\t{provs}")
-            wrow = w[r] * inv_sqrt
+                    f"{vi.ref[v]}\t{vi.alt[v]}{prov_fn(int(v))}")
+            # biallelic rows carry +/- 0.5 * w / sqrt(lambda) (ref
+            # FlushAlleleWts mult, 2.0/plink2_matrix_calc.cc:5554-5562);
+            # sign convention (oracle-diffed): REF = +0.5 w / sqrt(l),
+            # ALT the negation
+            wrow = 0.5 * w[r] * inv_sqrt
             f.write(meta + f"\t{vi.ref[v]}"
-                    + "".join("\t" + g6(-x) for x in wrow) + "\n")
-            f.write(meta + f"\t{alt1[v]}"
                     + "".join("\t" + g6(x) for x in wrow) + "\n")
+            f.write(meta + f"\t{alt1[v]}"
+                    + "".join("\t" + g6(-x) for x in wrow) + "\n")
     log.log(f"--pca allele-wts: Weights written to {path} .")

@@ -393,14 +393,22 @@ def run_pipeline(cfg: Config) -> int:
             ds.freq_override = fo
             log.log(f"--read-freq: {int(np.isfinite(fo).sum())} frequencies loaded.")
         if cfg.pheno:
-            # --pheno replaces the psam phenotype columns (LoadPsam override)
+            # 2.0 psam input: --pheno APPENDS to the psam phenotype columns;
+            # they are only dropped when --pheno-name/--pheno-col-nums is
+            # also given (ref ignore_psam_phenos, 2.0/plink2.cc:955).
+            # plink1 filesets (.fam/.ped col-6 phenotype): --pheno REPLACES
+            # the fam phenotype (1.9 semantics; the fam column has no name
+            # of its own to coexist under).
             from .commands.glm import _match_rows, _read_table
             from .io.psam import _build_pheno
 
             id_mode, ids, colnames, vals = _read_table(cfg.pheno)
             rows = _match_rows(ds, id_mode, ids)
             n_raw = ds.raw_sample_ct
-            phenos = {}
+            plink1_fam = cfg.pfile is None and cfg.vcf is None \
+                and cfg.bcf is None
+            phenos = {} if (getattr(cfg, "pheno_name", None) or plink1_fam) \
+                else dict(ds.si.phenos)
             for c_, nm_ in enumerate(colnames):
                 col = ["NA"] * n_raw
                 for r_, idx in enumerate(rows):
@@ -515,6 +523,13 @@ def run_pipeline(cfg: Config) -> int:
             F.thin_samples(ds, cfg.thin_indiv, cfg.thin_indiv_count,
                            cfg, log)
 
+        # --pheno-svd replaces the phenotype set before any analysis,
+        # matching the reference's early driver position (plink2.cc:1899)
+        if cfg.pheno_svd:
+            from .commands.pheno_svd import run_pheno_svd
+
+            run_pheno_svd(ds, cfg, log)
+
         # ---- counts-based reports and enforcement, in the reference's exact
         # order (plink2.cc:2310-2479): freq -> geno-counts -> missing ->
         # --geno enforcement -> hardy -> --hwe -> --maf/--mac ----
@@ -548,11 +563,6 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.grm import run_grm_pca
 
             run_grm_pca(ds, cfg, log)
-
-        if cfg.pheno_svd:
-            from .commands.pheno_svd import run_pheno_svd
-
-            run_pheno_svd(ds, cfg, log)
 
         # ---- sample reports ----
         if cfg.het:
