@@ -123,6 +123,21 @@ def _ensure_toy():
     return prefix
 
 
+def _ensure_import_vcf():
+    """BGZF VCF for the import benchmark (10k x 32768 panel, ~600 MB),
+    exported once by the oracle and cached."""
+    path = os.path.join(BENCH_DIR, "imp10k.vcf.gz")
+    if not os.path.exists(path) and os.path.exists(ORACLE):
+        p2 = os.path.join(BENCH_DIR, "p10000x32768")
+        if os.path.exists(p2 + ".pgen"):
+            subprocess.run(
+                [ORACLE, "--pfile", p2, "--export", "vcf", "bgz",
+                 "--out", path[:-7], "--threads", "4"],
+                check=True, capture_output=True, timeout=1800,
+            )
+    return path
+
+
 def _oracle_wall(cache_name, oracle_bin, args):
     """Measured plink2 wall seconds, cached in .bench/oracle_<name>.json."""
     cache = os.path.join(BENCH_DIR, f"oracle_{cache_name}.json")
@@ -273,6 +288,28 @@ def _parity(name, out_prefix):
             return _parity_pca(
                 out_prefix + ".eigenvec",
                 os.path.join(BENCH_DIR, "o_pca.eigenvec"))
+        if name == "vcf_import":
+            # .pvar/.psam must be byte-identical; .pgen bytes legitimately
+            # differ (compressor representation choices), so decode-compare
+            # via our differential-tested reader
+            res = []
+            for ext in (".pvar", ".psam"):
+                res.append(_parity_text_equal(
+                    out_prefix + ext,
+                    os.path.join(BENCH_DIR, "o_vcfimp" + ext)))
+            if any(r != "ok" for r in res):
+                return ";".join(res)
+            import numpy as np
+
+            from plink_tpu.dataset import load_dataset
+
+            a = load_dataset(out_prefix)
+            b = load_dataset(os.path.join(BENCH_DIR, "o_vcfimp"))
+            if a.raw_variant_ct != b.raw_variant_ct:
+                return "fail:variant-ct"
+            pa = a.all_packed()
+            pb = b.all_packed()
+            return "ok" if np.array_equal(pa, pb) else "fail:genotypes"
     except Exception as e:  # parity must never sink a landed timing
         return f"skipped:{type(e).__name__}"
     return "skipped"
@@ -341,6 +378,12 @@ def _configs():
         "pca_100k": {
             "argv": ["--pfile", p4, "--pca", "10", "approx", "--seed", "13"],
             "out": os.path.join(RUNS, "pca"), "warmup": False, "budget": 700,
+        },
+        "vcf_import": {
+            "argv": ["--vcf", os.path.join(BENCH_DIR, "imp10k.vcf.gz"),
+                     "--make-pgen"],
+            "out": os.path.join(RUNS, "vcfimp"), "warmup": False,
+            "budget": 600,
         },
     }
 
@@ -481,11 +524,29 @@ def main():
         ("pca_100k", "pca_approx10_100000x32768_wall", ORACLE_LAPACK,
          ["--pfile", os.path.join(BENCH_DIR, "p100000x32768"),
           "--pca", "10", "approx", "--out", os.path.join(BENCH_DIR, "o_pca")]),
+        ("vcf_import", "vcf_bgzf_import_10000x32768_wall", ORACLE,
+         ["--vcf", os.path.join(BENCH_DIR, "imp10k.vcf.gz"), "--make-pgen",
+          "--out", os.path.join(BENCH_DIR, "o_vcfimp")]),
     ]
+    breadth_panels = {
+        "indep_10k": (os.path.join(BENCH_DIR, "p10000x32768"), 10000, 32768),
+        "king_50k": (os.path.join(BENCH_DIR, "p50000x32768"), 50000, 32768),
+        "grm_50k": (os.path.join(BENCH_DIR, "p50000x32768"), 50000, 32768),
+        "pca_100k": (os.path.join(BENCH_DIR, "p100000x32768"), 100000, 32768),
+    }
     for name, metric, obin, oargs in breadth:
         if time.time() > deadline - 60:
             log(f"bench [{name}]: skipped (deadline)")
             continue
+        # lazy cold-cache panel generation, inside the same deadline guard
+        if name in breadth_panels:
+            pfx, ns_, nv_ = breadth_panels[name]
+            if not os.path.exists(pfx + ".pgen"):
+                _gen_panel(pfx, ns_, nv_, SEED)
+        if name == "vcf_import":
+            if not os.path.exists(_ensure_import_vcf()):
+                log("bench [vcf_import]: skipped (no oracle to export VCF)")
+                continue
         rec = _run_config(name, env, deadline)
         if rec:
             base = _oracle_wall(name, obin, oargs)

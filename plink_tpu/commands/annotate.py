@@ -30,12 +30,11 @@ _natkey = functools.cmp_to_key(
 
 
 def _opent(path):
-    """Text open with transparent gzip (gzopen_read_checked)."""
-    with open(path, "rb") as f:
-        magic = f.read(2)
-    if magic == b"\x1f\x8b":
-        return gzip.open(path, "rt")
-    return open(path)
+    """Text open with transparent gzip/BGZF/zstd (gzopen_read_checked),
+    via the decompress-ahead readers in io/compress.py."""
+    from ..io.compress import open_text_auto
+
+    return open_text_auto(path)
 
 
 def _read_token_file(path, descrip):

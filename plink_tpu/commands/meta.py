@@ -315,11 +315,9 @@ def run_meta_analysis(cfg, log: RunLogger) -> None:
             dicts[8] = order(cfg.meta_a2_field, "A2")
 
     def opener(path):
-        with open(path, "rb") as probe:
-            magic = probe.read(2)
-        if magic == b"\x1f\x8b":
-            return gzip.open(path, "rt")
-        return open(path, "r")
+        from ..io.compress import open_text_auto
+
+        return open_text_auto(path)
 
     # ---- pass 1: validate, report problems, build master list
     master: dict[str, list] = {}  # id -> [chrom, bp, a1, a2, file_ct]

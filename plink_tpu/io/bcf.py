@@ -55,9 +55,15 @@ def _typed_int(v: int) -> bytes:
 
 def read_bcf(path: str, hard_call_threshold: float = 0.1):
     """Returns (vi, si, codes [V, N] uint8)."""
-    import gzip
+    from .compress import BgzfReader, _is_bgzf
 
-    data = gzip.open(path, "rb").read()
+    if _is_bgzf(path):
+        with BgzfReader(path) as rd:
+            data = rd.readall()
+    else:
+        import gzip
+
+        data = gzip.open(path, "rb").read()
     if data[:5] != b"BCF\x02\x02":
         raise ValueError(f"--bcf: {path} is not a BCF2.2 file.")
     l_text = struct.unpack("<I", data[5:9])[0]

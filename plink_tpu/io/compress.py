@@ -1,9 +1,17 @@
-"""Compressed stream helpers: zstd report writers, multithreaded BGZF.
+"""Compressed stream helpers: zstd report writers, multithreaded BGZF
+read/write, decompress-ahead text input.
 
-Role of the reference's compressed-output layer (CompressStreamState,
-2.0/plink2_compress_stream.h:39; mt BGZF, 2.0/include/plink2_bgzf.h:68-80):
-report writers gain 'zs' (.zst) variants, VCF export gains 'bgz', and any
-text input may be plain, gzip/BGZF, or zstd.
+Role of the reference's compressed-I/O layer: CompressStreamState
+(2.0/plink2_compress_stream.h:39) for zstd report output, multithreaded
+BGZF (2.0/include/plink2_bgzf.h:68-80, BgzfRawMtDecompressStream) for
+parallel block inflate, and the TextStream decompress-ahead reader
+(2.0/include/plink2_text.h:30-100) that keeps a thread inflating ahead of
+the parser ("can reduce runtime by up to 50%", plink2_text.h:43-47).
+
+TPU-native design note: CPython's zlib and zstandard both release the GIL
+during (de)compression, so the reference's pthread worker pools map onto
+ThreadPoolExecutor with real parallelism; no C++ shim is needed for this
+layer.
 """
 
 from __future__ import annotations
@@ -13,21 +21,201 @@ import gzip
 import io
 import os
 import struct
+import threading
 import zlib
 
 
+def _is_bgzf(path: str) -> bool:
+    """BGZF = gzip with FEXTRA and a 'BC' subfield carrying BSIZE
+    (2.0/include/plink2_bgzf.h:37-45)."""
+    with open(path, "rb") as f:
+        hdr = f.read(18)
+    if len(hdr) < 18 or hdr[:4] != b"\x1f\x8b\x08\x04":
+        return False
+    xlen = struct.unpack("<H", hdr[10:12])[0]
+    with open(path, "rb") as f:
+        f.seek(12)
+        extra = f.read(xlen)
+    pos = 0
+    while pos + 4 <= len(extra):
+        si1, si2, slen = extra[pos], extra[pos + 1], struct.unpack(
+            "<H", extra[pos + 2:pos + 4])[0]
+        if si1 == 0x42 and si2 == 0x43 and slen == 2:
+            return True
+        pos += 4 + slen
+    return False
+
+
+def _inflate_block(block: bytes) -> bytes:
+    """Inflate one complete BGZF block (header+deflate+crc/isize)."""
+    xlen = struct.unpack("<H", block[10:12])[0]
+    return zlib.decompress(block[12 + xlen:-8], -15)
+
+
+class BgzfReader(io.RawIOBase):
+    """Multithreaded BGZF reader (role of BgzfRawMtDecompressStream,
+    2.0/include/plink2_bgzf.cc:241): a scanner walks the BSIZE-chained
+    block headers while a thread pool inflates a window of blocks ahead of
+    consumption.  zlib releases the GIL during inflate, so the pool gives
+    real parallelism."""
+
+    def __init__(self, path: str, threads: int | None = None,
+                 window: int | None = None):
+        self._f = open(path, "rb", buffering=1 << 20)
+        nthr = threads or min(8, os.cpu_count() or 1)
+        self._pool = _fut.ThreadPoolExecutor(max_workers=nthr)
+        self._window = window or (4 * nthr)
+        self._pending: list = []
+        self._eof = False
+        self._leftover = b""
+
+    def _scan_one(self):
+        """Read the next raw block off the file; None at EOF."""
+        hdr = self._f.read(18)
+        if len(hdr) < 18:
+            return None
+        if hdr[:4] != b"\x1f\x8b\x08\x04":
+            raise ValueError("corrupt BGZF block header")
+        xlen = struct.unpack("<H", hdr[10:12])[0]
+        extra = hdr[12:18]
+        if xlen > 6:
+            extra += self._f.read(xlen - 6)
+        # find BSIZE in the extra subfields (usually first)
+        bsize = None
+        pos = 0
+        while pos + 4 <= len(extra):
+            si1, si2, slen = extra[pos], extra[pos + 1], struct.unpack(
+                "<H", extra[pos + 2:pos + 4])[0]
+            if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                bsize = struct.unpack("<H", extra[pos + 4:pos + 6])[0] + 1
+                break
+            pos += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF block missing BSIZE")
+        rest = self._f.read(bsize - 12 - xlen)
+        return hdr[:12] + extra + rest
+
+    def _fill(self):
+        while not self._eof and len(self._pending) < self._window:
+            block = self._scan_one()
+            if block is None:
+                self._eof = True
+                break
+            self._pending.append(self._pool.submit(_inflate_block, block))
+
+    def readable(self):
+        return True
+
+    def readinto(self, b):
+        want = len(b)
+        got = 0
+        mv = memoryview(b)
+        while got < want:
+            if self._leftover:
+                n = min(want - got, len(self._leftover))
+                mv[got:got + n] = self._leftover[:n]
+                self._leftover = self._leftover[n:]
+                got += n
+                continue
+            self._fill()
+            if not self._pending:
+                break
+            self._leftover = self._pending.pop(0).result()
+        return got
+
+    def close(self):
+        if not self.closed:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._f.close()
+        super().close()
+
+
+class ReadAheadRaw(io.RawIOBase):
+    """Decompress-ahead wrapper for serial streams (plain gzip / zstd):
+    a background thread keeps pulling decompressed chunks into a bounded
+    queue so parsing and inflation overlap (role of the reference's
+    TextStream reader thread, 2.0/include/plink2_text.h:30-100)."""
+
+    def __init__(self, raw, chunk: int = 1 << 20, depth: int = 8):
+        import queue
+
+        self._raw = raw
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._leftover = b""
+        self._done = False
+        self._exc = None
+
+        def worker():
+            try:
+                while True:
+                    data = raw.read(chunk)
+                    if not data:
+                        break
+                    self._q.put(data)
+            except Exception as e:  # surfaced on the consumer side
+                self._exc = e
+            finally:
+                self._q.put(b"")
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def readable(self):
+        return True
+
+    def readinto(self, b):
+        want = len(b)
+        got = 0
+        mv = memoryview(b)
+        while got < want:
+            if self._leftover:
+                n = min(want - got, len(self._leftover))
+                mv[got:got + n] = self._leftover[:n]
+                self._leftover = self._leftover[n:]
+                got += n
+                continue
+            if self._done:
+                break
+            data = self._q.get()
+            if not data:
+                self._done = True
+                if self._exc is not None:
+                    raise self._exc
+                break
+            self._leftover = data
+        return got
+
+    def close(self):
+        if not self.closed:
+            try:
+                self._raw.close()
+            except Exception:
+                pass
+        super().close()
+
+
 def open_text_auto(path: str):
-    """Open a text file that may be plain, gzip/BGZF, or zstd."""
+    """Open a text file that may be plain, gzip/BGZF, or zstd.
+
+    BGZF inputs get the multithreaded block-parallel reader; plain-gzip
+    and zstd get a decompress-ahead thread (serial formats can't be
+    block-parallelized, matching the reference's split,
+    plink2_bgzf.h:46-60)."""
     with open(path, "rb") as probe:
         magic = probe.read(4)
     if magic[:2] == b"\x1f\x8b":
-        return gzip.open(path, "rt")
+        if _is_bgzf(path):
+            return io.TextIOWrapper(
+                io.BufferedReader(BgzfReader(path), 1 << 20))
+        return io.TextIOWrapper(
+            io.BufferedReader(ReadAheadRaw(gzip.open(path, "rb")), 1 << 20))
     if magic == b"\x28\xb5\x2f\xfd":
         import zstandard
 
         fh = open(path, "rb")
         reader = zstandard.ZstdDecompressor().stream_reader(fh)
-        return io.TextIOWrapper(reader)
+        return io.TextIOWrapper(
+            io.BufferedReader(ReadAheadRaw(reader), 1 << 20))
     return open(path, "rt")
 
 

@@ -117,8 +117,71 @@ class PgenWriter:
     def append_codes(self, codes: np.ndarray) -> None:
         """Append one or more variants given unpacked uint8 codes [*, N]."""
         codes = np.atleast_2d(np.asarray(codes, dtype=np.uint8))
+        if codes.shape[0] >= 8:
+            from ..native import get_lib
+
+            lib = get_lib()
+            if lib is not None and hasattr(lib, "pgen_encode_rows"):
+                self._append_batch_native(lib, np.ascontiguousarray(codes))
+                return
         for row in codes:
             self._append_one(row)
+
+    def _append_batch_native(self, lib, codes: np.ndarray) -> None:
+        """Batch hardcall encode through the native mirror of _append_one
+        (byte-identical; see native/pgen_decode.cc pgen_encode_rows)."""
+        import ctypes
+
+        B, N = codes.shape
+        if self._written + B > self.variant_ct:
+            raise ValueError("more variants appended than declared")
+        nb = (N + 3) // 4
+        ld = np.zeros(N, np.uint8)
+        ld_valid = np.zeros(1, np.int64)
+        if self._ld_base is not None:
+            ld[:] = self._ld_base
+            ld_valid[0] = 1
+        chunk = max(1, min(B, (1 << 26) // max(nb, 1)))
+        r0 = 0
+        while r0 < B:
+            r1 = min(B, r0 + chunk)
+            nb_rows = r1 - r0
+            out = np.empty(nb_rows * nb + 64, np.uint8)
+            offs = np.zeros(nb_rows + 1, np.int64)
+            vts = np.zeros(nb_rows, np.uint8)
+            nbytes = lib.pgen_encode_rows(
+                codes[r0:r1].ctypes.data_as(ctypes.c_void_p), nb_rows, N,
+                self._written, 1 if self.use_ld else 0,
+                ld.ctypes.data_as(ctypes.c_void_p),
+                ld_valid.ctypes.data_as(ctypes.c_void_p),
+                out.ctypes.data_as(ctypes.c_void_p), out.size,
+                offs.ctypes.data_as(ctypes.c_void_p),
+                vts.ctypes.data_as(ctypes.c_void_p),
+            )
+            if nbytes < 0:
+                # capacity miss (can't happen: chosen body <= dense size);
+                # scalar fallback keeps correctness anyway
+                for row in codes[r0:r1]:
+                    self._append_one(row)
+                r0 = r1
+                continue
+            lens = np.diff(offs)
+            if int(lens.max(initial=0)) >= (1 << (8 * self._len_bytes)):
+                raise ValueError(
+                    f"record body ({int(lens.max())} B) exceeds length-field "
+                    f"capacity ({self._len_bytes} B); writer mis-sized "
+                    f"(max_body={self._max_body})")
+            base = self._f.tell()
+            for i in range(nb_rows):
+                if ((self._written + i) & (_VBLOCK - 1)) == 0:
+                    self._block_offsets.append(base + int(offs[i]))
+            self._f.write(out[:nbytes].tobytes())
+            self._vrtypes.extend(int(v) for v in vts)
+            self._rec_lens.extend(int(x) for x in lens)
+            self._written += nb_rows
+            r0 = r1
+        if ld_valid[0]:
+            self._ld_base = ld
 
     def append_codes_multiallelic(
         self, row: np.ndarray, ids01, a01, ids10, lo10, hi10,
@@ -216,6 +279,10 @@ class PgenWriter:
 
     def append_packed(self, packed: np.ndarray) -> None:
         packed = np.atleast_2d(np.asarray(packed, dtype=np.uint8))
+        if packed.shape[0] >= 8:
+            # vectorized unpack + native batch encode
+            self.append_codes(pack.unpack2(packed, self.sample_ct))
+            return
         for row in packed:
             self._append_one(pack.unpack2(row, self.sample_ct))
 

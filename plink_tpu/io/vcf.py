@@ -41,11 +41,10 @@ DEFAULT_IMPORT_HARD_CALL_THRESH = 16384 // 10
 
 
 def _open_text(path: str):
-    with open(path, "rb") as probe:
-        magic = probe.read(2)
-    if magic == b"\x1f\x8b":
-        return gzip.open(path, "rt")
-    return open(path, "r")
+    """mt-BGZF / decompress-ahead reader (see io/compress.py)."""
+    from .compress import open_text_auto
+
+    return open_text_auto(path)
 
 
 def _parse_gt(tok: str, halfcall: int = 2) -> int:
@@ -262,6 +261,77 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
     qual_filter = (min_gq is not None) or (min_dp is not None) or (
         max_dp is not None
     )
+    # hot-loop acceleration: batch the raw GT regions (everything after the
+    # 9th tab, NOT tokenized in Python) through the threaded C++ scanner
+    # (native vcf_parse_gt_rows, role of the reference's
+    # VcfGenoToPgenThread GT loop, 2.0/plink2_import.cc:1712+)
+    use_fast = dosage_field is None and not qual_filter
+    nlib = None
+    if use_fast:
+        from ..native import get_lib
+
+        nlib = get_lib()
+    batch_t9: list[str] = []
+    batch_rowidx: list[int] = []
+    nthr = min(8, os.cpu_count() or 1)
+
+    def _flush_batch():
+        import ctypes
+
+        if not batch_t9:
+            return
+        nb = len(batch_t9)
+        ns_ = len(sample_ids)
+        bs = [s.encode() for s in batch_t9]
+        offs = np.zeros(nb + 1, np.int64)
+        for i, b_ in enumerate(bs):
+            offs[i + 1] = offs[i] + len(b_) + 1
+        buf = b"\n".join(bs) + b"\n"
+        out = np.empty((nb, ns_), np.uint8)
+        status = np.zeros(nb, np.uint8)
+        if with_phase:
+            pha = np.zeros((nb, ns_), np.uint8)
+            swp = np.zeros((nb, ns_), np.uint8)
+            pha_p = pha.ctypes.data_as(ctypes.c_void_p)
+            swp_p = swp.ctypes.data_as(ctypes.c_void_p)
+        else:
+            pha = swp = None
+            pha_p = swp_p = None
+        nlib.vcf_parse_gt_rows(
+            buf, offs.ctypes.data_as(ctypes.c_void_p), nb, ns_,
+            halfcall_mode, out.ctypes.data_as(ctypes.c_void_p),
+            status.ctypes.data_as(ctypes.c_void_p), pha_p, swp_p, nthr,
+        )
+        for i in range(nb):
+            ri = batch_rowidx[i]
+            if status[i] == 0:
+                rows[ri] = out[i]
+                if with_phase:
+                    phase_rows[ri] = (pha[i].astype(bool),
+                                      swp[i].astype(bool))
+            else:
+                # odd row (or half-call in 'error' mode): the scalar parser
+                # reproduces exact behavior including the ValueError
+                toks_ = batch_t9[i].split("\t")
+                rows[ri] = np.fromiter(
+                    (_parse_gt(g, halfcall_mode) for g in toks_),
+                    dtype=np.uint8, count=len(toks_),
+                )
+                if with_phase:
+                    pp = np.zeros(len(toks_), bool)
+                    pi = np.zeros(len(toks_), bool)
+                    for s_i, g in enumerate(toks_):
+                        gt = g.split(":", 1)[0]
+                        if "|" in gt:
+                            a = gt.split("|")
+                            if (a[0] in ("0", "1") and a[1] in ("0", "1")
+                                    and a[0] != a[1]):
+                                pp[s_i] = True
+                                pi[s_i] = a[0] == "1"
+                    phase_rows[ri] = (pp, pi)
+        batch_t9.clear()
+        batch_rowidx.clear()
+
     with _open_text(path) as f:
         for line in f:
             line = line.rstrip("\n")
@@ -277,7 +347,7 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
                 toks = line.split("\t")
                 sample_ids = toks[9:]
                 continue
-            t = line.split("\t")
+            t = line.split("\t", 9)
             if len(t) < 10:
                 raise ValueError(f"VCF data line with <10 columns: {line[:80]}")
             fmt = t[8].split(":")
@@ -292,10 +362,10 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
             quals.append(None if t[5] == "." else t[5])
             filts.append(None if t[6] == "." else t[6])
             infos.append(None if t[7] == "." else t[7])
-            ns = len(t) - 9
             is_ma = "," in t[4]
             if is_ma and gt_exists:
-                codes, patches = _parse_gt_ma_row(t[9:], halfcall_mode)
+                codes, patches = _parse_gt_ma_row(t[9].split("\t"),
+                                                  halfcall_mode)
                 rows.append(codes)
                 ma_rows[len(rows) - 1] = patches
                 if dosage_field is not None:
@@ -305,9 +375,20 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
                 if with_phase:
                     phase_rows.append(None)
                 continue
+            if use_fast and nlib is not None and sample_ids:
+                rows.append(None)
+                if with_phase:
+                    phase_rows.append(None)
+                batch_rowidx.append(len(rows) - 1)
+                batch_t9.append(t[9])
+                if len(batch_t9) >= 4096:
+                    _flush_batch()
+                continue
+            toks9 = t[9].split("\t")
+            ns = len(toks9)
             if dosage_field is None and not qual_filter:
                 rows.append(np.fromiter(
-                    (_parse_gt(g, halfcall_mode) for g in t[9:]),
+                    (_parse_gt(g, halfcall_mode) for g in toks9),
                     dtype=np.uint8, count=ns,
                 ))
             else:
@@ -324,7 +405,7 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
                     want_hds and "HDS" in fmt) else None
                 geno = np.full(ns, 3, np.uint8)
                 dids, dvals = [], []
-                for s_i, g in enumerate(t[9:]):
+                for s_i, g in enumerate(toks9):
                     parts = g.split(":")
                     if gq_idx is not None and len(parts) > gq_idx:
                         try:
@@ -374,7 +455,7 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
             if with_phase:
                 pp = np.zeros(ns, bool)
                 pi = np.zeros(ns, bool)
-                for s_i, g in enumerate(t[9:]):
+                for s_i, g in enumerate(toks9):
                     gt = g.split(":", 1)[0]
                     if "|" in gt:
                         a = gt.split("|")
@@ -382,6 +463,7 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
                             pp[s_i] = True
                             pi[s_i] = a[0] == "1"  # "1|0" = swapped
                 phase_rows.append((pp, pi))
+        _flush_batch()
     M, N = len(rows), len(sample_ids)
     codes = (
         np.vstack(rows) if rows else np.zeros((0, N), dtype=np.uint8)

@@ -88,5 +88,32 @@ def get_lib():
         lib.bed_to_pgen_bytes.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.vcf_parse_gt_rows.restype = ctypes.c_int
+        lib.vcf_parse_gt_rows.argtypes = [
+            ctypes.c_char_p,  # buf
+            ctypes.c_void_p,  # offs
+            ctypes.c_int64,  # n_rows
+            ctypes.c_int64,  # n_samples
+            ctypes.c_int,  # halfcall
+            ctypes.c_void_p,  # out
+            ctypes.c_void_p,  # status
+            ctypes.c_void_p,  # phased (nullable)
+            ctypes.c_void_p,  # swap (nullable)
+            ctypes.c_int,  # nthreads
+        ]
+        lib.pgen_encode_rows.restype = ctypes.c_int64
+        lib.pgen_encode_rows.argtypes = [
+            ctypes.c_void_p,  # rows
+            ctypes.c_int64,  # n_rows
+            ctypes.c_int64,  # N
+            ctypes.c_int64,  # written0
+            ctypes.c_int,  # use_ld
+            ctypes.c_void_p,  # ld_base
+            ctypes.c_void_p,  # ld_valid
+            ctypes.c_void_p,  # out
+            ctypes.c_int64,  # out_cap
+            ctypes.c_void_p,  # offs
+            ctypes.c_void_p,  # vrtypes
+        ]
         _lib = lib
         return _lib

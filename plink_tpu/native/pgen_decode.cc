@@ -272,3 +272,401 @@ extern "C" int pgen_decode_block_mt(const uint8_t* buf, const int64_t* rel,
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// VCF GT-region parser: the import hot loop.
+//
+// Mirrors the role of the reference's VcfGenoToPgenThread GT scanner
+// (2.0/plink2_import.cc:1712+): biallelic hardcall GT fields -> pgen codes
+// 0/1/2 (ALT-allele count) and 3 (missing), with the VcfHalfCall modes.
+// One call parses a batch of rows; rows the fast scanner cannot commit to
+// (multi-digit corner cases are handled inline; genuinely odd rows get
+// status=1) are re-parsed by the Python fallback.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// parse one sample field starting at p (exclusive end at lim); the field
+// ends at '\t' or lim; subfields after ':' are skipped.
+// returns the pgen code; sets *bad on malformed content; *phased/*swap
+// report biallelic phased-het state ("0|1" / "1|0", the only hardcall
+// phase the pgen track stores).
+inline uint8_t parse_gt_field(const char*& p, const char* lim, int halfcall,
+                              bool* bad, bool* err_halfcall, uint8_t* phased,
+                              uint8_t* swap) {
+  int alleles[4];
+  int n_alleles = 0;
+  int n_slots = 0;
+  bool half = false;
+  char sep = 0;
+  *phased = 0;
+  *swap = 0;
+  for (;;) {
+    // one allele slot
+    if (p >= lim || *p == '\t') {
+      // empty trailing slot ("0/")
+      ++n_slots;
+      half = true;
+      break;
+    }
+    char c = *p;
+    if (c == '.') {
+      ++n_slots;
+      half = true;
+      ++p;
+    } else if (c >= '0' && c <= '9') {
+      int v = 0;
+      while (p < lim && *p >= '0' && *p <= '9') {
+        v = v * 10 + (*p - '0');
+        ++p;
+      }
+      ++n_slots;
+      if (n_alleles < 4) alleles[n_alleles++] = v;
+    } else {
+      *bad = true;
+      // skip to field end
+      while (p < lim && *p != '\t') ++p;
+      if (p < lim) ++p;
+      return 3;
+    }
+    if (p < lim && (*p == '/' || *p == '|')) {
+      if (!sep) sep = *p;
+      ++p;
+      continue;
+    }
+    break;
+  }
+  // skip subfields to field end
+  while (p < lim && *p != '\t') ++p;
+  if (p < lim) ++p;
+
+  // phased biallelic het: "0|1" / "1|0" (io/vcf.py phase block semantics)
+  if (sep == '|' && n_slots == 2 && n_alleles == 2 && !half &&
+      alleles[0] <= 1 && alleles[1] <= 1 && alleles[0] != alleles[1]) {
+    *phased = 1;
+    *swap = alleles[0] == 1;
+  }
+
+  // decision tree identical to io/vcf.py _parse_gt
+  if (half && n_alleles > 0 && n_slots > 1) {
+    for (int i = 0; i < n_alleles; ++i) {
+      if (alleles[i] > 1) return 3;
+    }
+    if (halfcall == 3) {
+      *err_halfcall = true;
+      return 3;
+    }
+    if (halfcall == 2) return 3;
+    return static_cast<uint8_t>(alleles[0] << halfcall);
+  }
+  if (n_alleles == 0) return 3;
+  for (int i = 0; i < n_alleles; ++i) {
+    if (alleles[i] > 1) return 3;
+  }
+  if (n_alleles == 1) return alleles[0] == 1 ? 2 : 0;
+  return static_cast<uint8_t>(alleles[0] + alleles[1]);
+}
+
+int parse_gt_rows_range(const char* buf, const int64_t* offs, int64_t r0,
+                        int64_t r1, int64_t n_samples, int halfcall,
+                        uint8_t* out, uint8_t* status, uint8_t* phased,
+                        uint8_t* swap) {
+  for (int64_t r = r0; r < r1; ++r) {
+    const char* p = buf + offs[r];
+    const char* lim = buf + offs[r + 1];
+    // rows are '\n'-terminated in the batch buffer
+    if (lim > p && lim[-1] == '\n') --lim;
+    uint8_t* row = out + r * n_samples;
+    uint8_t* prow = phased ? phased + r * n_samples : nullptr;
+    uint8_t* srow = swap ? swap + r * n_samples : nullptr;
+    bool bad = false;
+    bool err_half = false;
+    uint8_t ph, sw;
+    int64_t s = 0;
+    for (; s < n_samples && p <= lim; ++s) {
+      row[s] = parse_gt_field(p, lim, halfcall, &bad, &err_half, &ph, &sw);
+      if (prow) {
+        prow[s] = ph;
+        srow[s] = sw;
+      }
+    }
+    if (bad || err_half || s != n_samples || p < lim) {
+      status[r] = err_half ? 2 : 1;
+    } else {
+      status[r] = 0;
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" int vcf_parse_gt_rows(const char* buf, const int64_t* offs,
+                                 int64_t n_rows, int64_t n_samples,
+                                 int halfcall, uint8_t* out, uint8_t* status,
+                                 uint8_t* phased, uint8_t* swap,
+                                 int nthreads) {
+  if (nthreads <= 1 || n_rows < 64) {
+    return parse_gt_rows_range(buf, offs, 0, n_rows, n_samples, halfcall,
+                               out, status, phased, swap);
+  }
+  int T = nthreads;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < T; ++t) {
+    int64_t r0 = n_rows * t / T;
+    int64_t r1 = n_rows * (t + 1) / T;
+    threads.emplace_back(parse_gt_rows_range, buf, offs, r0, r1, n_samples,
+                         halfcall, out, status, phased, swap);
+  }
+  for (auto& th : threads) th.join();
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// pgen hardcall row encoder: native mirror of io/pgen_write.py _append_one.
+//
+// Byte-for-byte identical to the Python writer (which is differential-tested
+// against plink2): same candidate order (dense, difflist 4/6/7, 1-bit,
+// LD type 2), same cost heuristics, same difflist layout
+// (pgen_spec.tex:354-421).  The Python writer remains the reference
+// implementation / fallback.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline int varint_len(uint64_t v) {
+  int n = 1;
+  while (v >= 0x80) {
+    v >>= 7;
+    ++n;
+  }
+  return n;
+}
+
+inline void put_varint(std::vector<uint8_t>& out, uint64_t v) {
+  while (v >= 0x80) {
+    out.push_back(static_cast<uint8_t>(v) | 0x80);
+    v >>= 7;
+  }
+  out.push_back(static_cast<uint8_t>(v));
+}
+
+inline int64_t difflist_cost(int64_t n_entries, int64_t sample_ct) {
+  if (n_entries == 0) return 1;
+  int64_t G = (n_entries + 63) / 64;
+  int64_t width = sample_ct <= 256 ? 1
+                  : sample_ct <= 65536 ? 2
+                  : sample_ct <= (1LL << 24) ? 3 : 4;
+  return 3 + G * width + (G - 1) + (n_entries + 3) / 4 + 2 * (n_entries - G);
+}
+
+// encode a difflist over the given sample ids (with genotype values) into
+// out; ids must be ascending.
+void encode_difflist_cc(const uint32_t* ids, const uint8_t* vals, int64_t L,
+                        int64_t sample_ct, std::vector<uint8_t>& out) {
+  put_varint(out, static_cast<uint64_t>(L));
+  if (L == 0) return;
+  int64_t G = (L + 63) / 64;
+  int width = sample_id_width(sample_ct);
+  // leaders
+  for (int64_t g = 0; g < G; ++g) {
+    uint32_t v = ids[g * 64];
+    for (int k = 0; k < width; ++k) out.push_back((v >> (8 * k)) & 0xFF);
+  }
+  // per-group payload sizes (G-1 bytes, minus-63 biased)
+  if (G > 1) {
+    for (int64_t g = 0; g + 1 < G; ++g) {
+      int64_t bytes = 0;
+      for (int64_t i = g * 64 + 1; i < (g + 1) * 64; ++i) {
+        bytes += varint_len(ids[i] - ids[i - 1]);
+      }
+      out.push_back(static_cast<uint8_t>(bytes - 63));
+    }
+  }
+  // packed genotype values
+  if (vals) {
+    int64_t gbytes = (L + 3) / 4;
+    size_t base = out.size();
+    out.resize(base + gbytes, 0);
+    for (int64_t i = 0; i < L; ++i) {
+      out[base + (i >> 2)] |= static_cast<uint8_t>(vals[i] << ((i & 3) * 2));
+    }
+  }
+  // delta varints (non-leader positions)
+  for (int64_t i = 1; i < L; ++i) {
+    if (i % 64 == 0) continue;
+    put_varint(out, ids[i] - ids[i - 1]);
+  }
+}
+
+// encode one row; appends the chosen body to out and returns the vrtype.
+int encode_row_cc(const uint8_t* row, int64_t N, const uint8_t* ld_base,
+                  int use_ld, int at_block_start,
+                  std::vector<uint8_t>& scratch_ids,
+                  std::vector<uint8_t>& out_body) {
+  int64_t counts[4] = {0, 0, 0, 0};
+  for (int64_t i = 0; i < N; ++i) ++counts[row[i]];
+
+  struct Cand {
+    int64_t cost;
+    int vrtype;
+    std::vector<uint8_t> body;
+  };
+  std::vector<Cand> cands;
+
+  // dense 2-bit
+  {
+    Cand c;
+    c.vrtype = 0;
+    int64_t nb = (N + 3) / 4;
+    c.body.assign(nb, 0);
+    for (int64_t i = 0; i < N; ++i) {
+      c.body[i >> 2] |= static_cast<uint8_t>(row[i] << ((i & 3) * 2));
+    }
+    c.cost = nb;
+    cands.push_back(std::move(c));
+  }
+  int64_t dense_len = cands[0].cost;
+
+  std::vector<uint32_t> ids;
+  std::vector<uint8_t> vals;
+  ids.reserve(256);
+  vals.reserve(256);
+
+  // difflist-only types 4/6/7 (all-but-one-category)
+  const int dl_types[3] = {4, 6, 7};
+  const int dl_cats[3] = {0, 2, 3};
+  for (int t = 0; t < 3; ++t) {
+    int64_t n_out = N - counts[dl_cats[t]];
+    if (difflist_cost(n_out, N) < dense_len) {
+      ids.clear();
+      vals.clear();
+      for (int64_t i = 0; i < N; ++i) {
+        if (row[i] != dl_cats[t]) {
+          ids.push_back(static_cast<uint32_t>(i));
+          vals.push_back(row[i]);
+        }
+      }
+      Cand c;
+      c.vrtype = dl_types[t];
+      encode_difflist_cc(ids.data(), vals.data(),
+                         static_cast<int64_t>(ids.size()), N, c.body);
+      c.cost = static_cast<int64_t>(c.body.size());
+      cands.push_back(std::move(c));
+    }
+  }
+
+  // 1-bit (two most common categories; stable descending count order)
+  {
+    int order[4] = {0, 1, 2, 3};
+    // stable sort by count descending (insertion sort over 4 elems)
+    for (int i = 1; i < 4; ++i) {
+      int key = order[i];
+      int j = i - 1;
+      while (j >= 0 && counts[order[j]] < counts[key]) {
+        order[j + 1] = order[j];
+        --j;
+      }
+      order[j + 1] = key;
+    }
+    int64_t rare_ct = counts[order[2]] + counts[order[3]];
+    int64_t onebit_cost = 1 + (N + 7) / 8 + difflist_cost(rare_ct, N);
+    if (onebit_cost < dense_len) {
+      int a = order[0] < order[1] ? order[0] : order[1];
+      int b = order[0] < order[1] ? order[1] : order[0];
+      static const int code_map[4][4] = {
+          {0, 1, 2, 3}, {0, 0, 5, 6}, {0, 0, 0, 9}, {0, 0, 0, 0}};
+      int code = code_map[a][b];
+      Cand c;
+      c.vrtype = 1;
+      c.body.push_back(static_cast<uint8_t>(code));
+      int64_t bitbytes = (N + 7) / 8;
+      size_t base = c.body.size();
+      c.body.resize(base + bitbytes, 0);
+      ids.clear();
+      vals.clear();
+      for (int64_t i = 0; i < N; ++i) {
+        uint8_t v = row[i];
+        if (v == b) {
+          c.body[base + (i >> 3)] |= static_cast<uint8_t>(1u << (i & 7));
+        } else if (v != a) {
+          ids.push_back(static_cast<uint32_t>(i));
+          vals.push_back(v);
+        }
+      }
+      encode_difflist_cc(ids.data(), vals.data(),
+                         static_cast<int64_t>(ids.size()), N, c.body);
+      c.cost = static_cast<int64_t>(c.body.size());
+      cands.push_back(std::move(c));
+    }
+  }
+
+  // LD-compressed type 2
+  if (use_ld && ld_base && !at_block_start) {
+    int64_t diff_ct = 0;
+    for (int64_t i = 0; i < N; ++i) diff_ct += row[i] != ld_base[i];
+    int64_t best = cands[0].cost;
+    for (const auto& c : cands) {
+      if (c.cost < best) best = c.cost;
+    }
+    if (difflist_cost(diff_ct, N) < best) {
+      ids.clear();
+      vals.clear();
+      for (int64_t i = 0; i < N; ++i) {
+        if (row[i] != ld_base[i]) {
+          ids.push_back(static_cast<uint32_t>(i));
+          vals.push_back(row[i]);
+        }
+      }
+      Cand c;
+      c.vrtype = 2;
+      encode_difflist_cc(ids.data(), vals.data(),
+                         static_cast<int64_t>(ids.size()), N, c.body);
+      c.cost = static_cast<int64_t>(c.body.size());
+      cands.push_back(std::move(c));
+    }
+  }
+
+  // first-minimum selection (Python min() semantics)
+  size_t pick = 0;
+  for (size_t i = 1; i < cands.size(); ++i) {
+    if (cands[i].cost < cands[pick].cost) pick = i;
+  }
+  out_body = std::move(cands[pick].body);
+  (void)scratch_ids;
+  return cands[pick].vrtype;
+}
+
+}  // namespace
+
+// Encode a batch of rows (LD chain handled internally).
+// rows: [n_rows, N]; written0: global index of the first row (block-start
+// detection); ld_base: in/out [N] with ld_valid in/out flag.
+// out: byte buffer of capacity out_cap; offs[n_rows+1] body offsets;
+// vrtypes[n_rows].  Returns bytes written, or -1 if out_cap is too small.
+extern "C" int64_t pgen_encode_rows(const uint8_t* rows, int64_t n_rows,
+                                    int64_t N, int64_t written0, int use_ld,
+                                    uint8_t* ld_base, int64_t* ld_valid,
+                                    uint8_t* out, int64_t out_cap,
+                                    int64_t* offs, uint8_t* vrtypes) {
+  std::vector<uint8_t> scratch;
+  std::vector<uint8_t> body;
+  int64_t pos = 0;
+  offs[0] = 0;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const uint8_t* row = rows + r * N;
+    int at_start = ((written0 + r) & 0xFFFF) == 0;
+    int vt = encode_row_cc(row, N, *ld_valid ? ld_base : nullptr, use_ld,
+                           at_start, scratch, body);
+    if (pos + static_cast<int64_t>(body.size()) > out_cap) return -1;
+    std::memcpy(out + pos, body.data(), body.size());
+    pos += static_cast<int64_t>(body.size());
+    offs[r + 1] = pos;
+    vrtypes[r] = static_cast<uint8_t>(vt);
+    if (vt != 2 && vt != 3) {
+      std::memcpy(ld_base, row, N);
+      *ld_valid = 1;
+    }
+  }
+  return pos;
+}
