@@ -551,6 +551,11 @@ def main():
         if rec:
             base = _oracle_wall(name, obin, oargs)
             vs = (base / rec["timed_s"]) if base else None
+            if str(rec.get("parity", "")).startswith("skipped"):
+                # oracle artifacts may have just been generated by
+                # _oracle_wall above: re-diff the timed outputs
+                rec["parity"] = _parity(name, _configs()[name]["out"]
+                                        + ".timed")
             _emit(metric, rec["timed_s"], "seconds", vs, rec["parity"], suffix)
 
     # Headline line LAST (the driver parses the final JSON line).

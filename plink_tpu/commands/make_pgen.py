@@ -52,6 +52,10 @@ def make_pgen(ds: Dataset, out_prefix: str, log: RunLogger, fmt: str = "pgen") -
 
     hdr = ds.reader.header
     trusted = (not hdr.all_provisional) and hdr.provisional_ref is None and hdr.mode != 0x01
+    # per-variant provisional-REF flags carry through (explicit nonref
+    # track, fmt provref code 3), subsetted to the surviving variants
+    nonref = (hdr.provisional_ref[variant_idx]
+              if hdr.provisional_ref is not None else None)
     ma_any = bool(
         hdr.mode not in (0x01,)
         and (hdr.vrtypes[variant_idx] & 0x08).any()
@@ -60,6 +64,7 @@ def make_pgen(ds: Dataset, out_prefix: str, log: RunLogger, fmt: str = "pgen") -
         # multiallelic variants present: rewrite dense rows + aux track 1
         # with sample-index remapping
         with PgenWriter(out_prefix + ".pgen", N, V, trusted_ref=trusted,
+                    nonref_flags=nonref,
                         with_multiallelic=True) as w:
             from ..ops.pairwise import _unpack_np
 
@@ -90,6 +95,7 @@ def make_pgen(ds: Dataset, out_prefix: str, log: RunLogger, fmt: str = "pgen") -
         return
     if ds.has_phase and not ds.has_dosage:
         with PgenWriter(out_prefix + ".pgen", N, V, trusted_ref=trusted,
+                    nonref_flags=nonref,
                         with_phase=True) as w:
             from ..ops.pairwise import _unpack_np
 
@@ -108,6 +114,7 @@ def make_pgen(ds: Dataset, out_prefix: str, log: RunLogger, fmt: str = "pgen") -
     if ds.has_dosage:
         # preserve dosage tracks (bitarray representation per variant)
         with PgenWriter(out_prefix + ".pgen", N, V, trusted_ref=trusted,
+                    nonref_flags=nonref,
                         with_dosage=True) as w:
             from ..ops.pairwise import _unpack_np
 
@@ -133,7 +140,8 @@ def make_pgen(ds: Dataset, out_prefix: str, log: RunLogger, fmt: str = "pgen") -
         write_psam(out_prefix + ".psam", ds.si, ds.sample_mask)
         log.log(f"--make-pgen: {out_prefix}.pgen + .pvar + .psam written ({V} variants, {N} samples).")
         return
-    with PgenWriter(out_prefix + ".pgen", N, V, trusted_ref=trusted) as w:
+    with PgenWriter(out_prefix + ".pgen", N, V, trusted_ref=trusted,
+                    nonref_flags=nonref) as w:
         for vstart, packed in ds.iter_packed_blocks():
             vsel = variant_idx[(variant_idx >= vstart) & (variant_idx < vstart + packed.shape[0])]
             if vsel.size == 0:

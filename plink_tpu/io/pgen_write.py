@@ -53,12 +53,23 @@ class PgenWriter:
         with_dosage: bool = False,
         with_phase: bool = False,
         with_multiallelic: bool = False,
+        nonref_flags: "np.ndarray | None" = None,
     ):
         self.path = path
         self.sample_ct = sample_ct
         self.variant_ct = variant_ct
         self.use_ld = use_ld
         self._trusted_ref = trusted_ref
+        # explicit per-variant provisional-REF flags (fmt provref code 3);
+        # used by the VCF importer when ##INFO PR is a Flag key (ref
+        # info_pr_exists -> nonref_flags, 2.0/plink2_import.cc:3097-3300)
+        self._nonref_flags = (
+            None if nonref_flags is None
+            else np.asarray(nonref_flags, dtype=bool)
+        )
+        if self._nonref_flags is not None \
+                and self._nonref_flags.size != variant_ct:
+            raise ValueError("nonref_flags length != variant_ct")
         self._with_dosage = with_dosage
         self._with_phase = with_phase
         self._with_multiallelic = with_multiallelic
@@ -100,6 +111,8 @@ class PgenWriter:
             vct = min(_VBLOCK, variant_ct - (b << 16))
             header_size += (vct if self._vr8 else (vct + 1) // 2) \
                 + self._len_bytes * vct
+            if self._nonref_flags is not None:
+                header_size += (vct + 7) // 8
         self._data_start = header_size
         self._f.write(b"\x00" * header_size)
 
@@ -346,7 +359,11 @@ class PgenWriter:
         # 4-bit vrtypes, fixed len_bytes, no allele counts, provisional-ref "all"
         # (matching plink2's default when converting PLINK1 data; callers with
         # trusted REF should flip to 0x40 via trusted_ref=True in the future).
-        fmt = (self._len_bytes - 1) | (0x40 if self._trusted_ref else 0x80)
+        if self._nonref_flags is not None:
+            fmt = (self._len_bytes - 1) | 0xC0  # explicit nonref track
+        else:
+            fmt = (self._len_bytes - 1) | (
+                0x40 if self._trusted_ref else 0x80)
         if self._vr8:
             fmt |= 4  # 8-bit vrtype storage
         f.write(bytes([fmt]))
@@ -369,6 +386,10 @@ class PgenWriter:
             for k in range(self._len_bytes):
                 lraw[:, k] = (lens >> np.uint64(8 * k)).astype(np.uint8)
             f.write(lraw.tobytes())
+            if self._nonref_flags is not None:
+                bits = self._nonref_flags[vstart : vstart + vct]
+                f.write(np.packbits(bits.astype(np.uint8),
+                                    bitorder="little").tobytes())
         assert f.tell() == self._data_start, "header size mismatch"
         f.close()
 

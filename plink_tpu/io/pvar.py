@@ -28,6 +28,9 @@ class VariantInfo:
     info: np.ndarray | None = None
     header_lines: list[str] = field(default_factory=list)
     chr_info: ChrInfo = field(default_factory=ChrInfo)
+    # importer-filled provisional-REF flags (VCF ##INFO PR Flag key,
+    # ref info_pr_exists -> pgen nonref_flags, 2.0/plink2_import.cc:3097)
+    nonref: np.ndarray | None = None
 
     @property
     def variant_ct(self) -> int:

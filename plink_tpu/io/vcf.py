@@ -247,6 +247,8 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
     )
     rows = []
     ma_rows: dict = {}
+    info_pr_exists = False
+    nonref_list: list[bool] = []
     dosage_rows: list = []
     phase_rows: list = []
     sample_ids: list[str] = []
@@ -342,6 +344,12 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
                 # reference's converter
                 if line.startswith("##contig="):
                     header_lines.append(line)
+                elif line.startswith("##INFO=<ID=PR,"):
+                    # provisional-REF Flag key: converted to pgen
+                    # nonref_flags, not kept as INFO (ref info_pr_exists,
+                    # 2.0/plink2_import.cc:3012-3024)
+                    if "Type=Flag" in line:
+                        info_pr_exists = True
                 continue
             if line.startswith("#CHROM"):
                 toks = line.split("\t")
@@ -361,7 +369,16 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
             alts.append(t[4])
             quals.append(None if t[5] == "." else t[5])
             filts.append(None if t[6] == "." else t[6])
-            infos.append(None if t[7] == "." else t[7])
+            inf = t[7]
+            if info_pr_exists:
+                toks_i = inf.split(";") if inf != "." else []
+                if "PR" in toks_i:
+                    nonref_list.append(True)
+                    toks_i = [x for x in toks_i if x != "PR"]
+                    inf = ";".join(toks_i) if toks_i else "."
+                else:
+                    nonref_list.append(False)
+            infos.append(None if inf == "." else inf)
             is_ma = "," in t[4]
             if is_ma and gt_exists:
                 codes, patches = _parse_gt_ma_row(t[9].split("\t"),
@@ -479,6 +496,7 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
         info=np.array(infos, dtype=object),
         header_lines=header_lines,
         chr_info=ci,
+        nonref=np.array(nonref_list, bool) if info_pr_exists else None,
     )
     # sample IDs: plink2 splits FID_IID on '_' with --id-delim; default is
     # double-id off -> IID only (#IID psam)

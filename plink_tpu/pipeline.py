@@ -117,7 +117,7 @@ def _import_vcf(path: str, out_prefix: str, log: RunLogger,
                 "supported yet; biallelic-split the VCF first."
             )
         with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
-                        trusted_ref=True, with_dosage=True) as w:
+                        trusted_ref=True, nonref_flags=vi.nonref, with_dosage=True) as w:
             for r, dr in zip(codes, dosage_rows):
                 if dr is None:
                     w.append_codes_with_dosage(
@@ -137,7 +137,8 @@ def _import_vcf(path: str, out_prefix: str, log: RunLogger,
         if ma_rows:
             acs = [len(str(a).split(",")) + 1 for a in vi.alt]
             with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
-                            trusted_ref=True, with_multiallelic=True) as w:
+                            trusted_ref=True, nonref_flags=vi.nonref,
+                            with_multiallelic=True) as w:
                 z = np.zeros(0, np.int64)
                 for r_i, r in enumerate(codes):
                     p = ma_rows.get(r_i)
@@ -147,13 +148,14 @@ def _import_vcf(path: str, out_prefix: str, log: RunLogger,
                         w.append_codes_multiallelic(r, *p, acs[r_i])
         elif any_phase:
             with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
-                            trusted_ref=True, with_phase=True) as w:
+                            trusted_ref=True, nonref_flags=vi.nonref,
+                            with_phase=True) as w:
                 for r, pr in zip(codes, phase_rows):
                     pp, pi = pr
                     w.append_codes_with_phase(r, pp, pi)
         else:
             with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
-                            trusted_ref=True) as w:
+                            trusted_ref=True, nonref_flags=vi.nonref) as w:
                 w.append_codes(codes)
     write_pvar(tmp + ".pvar", vi)
     write_psam(tmp + ".psam", si)
