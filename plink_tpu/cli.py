@@ -206,6 +206,8 @@ class Config:
     tag_mode2: bool = False
     test_mishap: bool = False
     gxe: int | None = None
+    lasso: tuple | None = None
+    lasso_select_covars: tuple | None = None
     tucc: tuple | None = None
     make_perm_pheno: int | None = None
     ibs_test: int | None = None
@@ -587,6 +589,12 @@ def parse_args(argv: list[str]) -> Config:
             cfg.test_mishap = True
         elif name == "gxe":
             cfg.gxe = int(args[0]) if args else 1
+        elif name == "lasso":
+            if not args:
+                raise FlagError("--lasso requires a heritability estimate.")
+            cfg.lasso = tuple(args)
+        elif name == "lasso_select_covars":
+            cfg.lasso_select_covars = tuple(args)
         elif name in ("mh", "cmh"):
             cfg.mh = True
             cfg.mh_mods = tuple(args)

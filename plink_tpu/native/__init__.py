@@ -101,6 +101,17 @@ def get_lib():
             ctypes.c_void_p,  # swap (nullable)
             ctypes.c_int,  # nthreads
         ]
+        lib.lasso_cd_lambda.restype = ctypes.c_int64
+        lib.lasso_cd_lambda.argtypes = [
+            ctypes.c_void_p,  # X
+            ctypes.c_int64,  # C
+            ctypes.c_int64,  # n
+            ctypes.c_double,  # lambda
+            ctypes.c_int64,  # unpen_ct
+            ctypes.c_void_p,  # y
+            ctypes.c_void_p,  # xhat
+            ctypes.c_void_p,  # residuals
+        ]
         lib.pgen_encode_rows.restype = ctypes.c_int64
         lib.pgen_encode_rows.argtypes = [
             ctypes.c_void_p,  # rows

@@ -10,6 +10,7 @@
 // Build: g++ -O3 -shared -fPIC -o libpgen_decode.so pgen_decode.cc
 
 #include <array>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -669,4 +670,70 @@ extern "C" int64_t pgen_encode_rows(const uint8_t* rows, int64_t n_rows,
     }
   }
   return pos;
+}
+
+// ---------------------------------------------------------------------------
+// --lasso coordinate-descent inner loop (one lambda): faithful mirror of the
+// reference's per-lambda solve (1.9/plink_lasso.c:295-362 lasso_bigmem main
+// loop) including the active-set removal, the error criterion
+// (lambda*sum|xhat| + rss, relative delta < 1e-4), and f64 operation order.
+// X is column-standardized [C, n] row-major (one column of the design per
+// row here); unpen_ct = leading unpenalized covariate count.
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t lasso_cd_lambda(const double* X, int64_t C, int64_t n,
+                                   double lambda, int64_t unpen_ct,
+                                   const double* y, double* xhat,
+                                   double* residuals) {
+  // residuals = y - X^T xhat
+  std::memcpy(residuals, y, n * sizeof(double));
+  for (int64_t j = 0; j < C; ++j) {
+    const double w = -xhat[j];
+    if (w == 0.0) continue;
+    const double* xj = X + j * n;
+    for (int64_t i = 0; i < n; ++i) residuals[i] += xj[i] * w;
+  }
+  std::vector<uint8_t> active(C, 1);
+  int64_t nz = C;
+  int64_t iter = 0;
+  double err_last = 0.0, err_cur = 0.0;
+  for (;;) {
+    for (int64_t j = 0; j < C; ++j) {
+      if (!active[j]) continue;
+      const double* xj = X + j * n;
+      const double xjold = xhat[j];
+      double v = xjold;
+      for (int64_t i = 0; i < n; ++i) v += xj[i] * residuals[i];
+      if (j >= unpen_ct) {
+        if (v > 0.0) {
+          v = v - lambda > 0.0 ? v - lambda : 0.0;
+        } else {
+          v = v + lambda < 0.0 ? v + lambda : 0.0;
+        }
+      }
+      xhat[j] = v;
+      if (v == 0.0) {
+        active[j] = 0;
+        --nz;
+      }
+      const double d = v - xjold;
+      if (d != 0.0) {
+        for (int64_t i = 0; i < n; ++i) residuals[i] -= xj[i] * d;
+      }
+    }
+    err_last = err_cur;
+    err_cur = 0.0;
+    for (int64_t j = 0; j < C; ++j) {
+      if (active[j]) err_cur += std::fabs(xhat[j]);
+    }
+    err_cur *= lambda;
+    for (int64_t i = 0; i < n; ++i) err_cur += residuals[i] * residuals[i];
+    if (iter++) {
+      const double lo = err_last < err_cur ? err_last : err_cur;
+      const double hi = err_last < err_cur ? err_cur : err_last;
+      if ((1.0 - lo / hi) < 0.0001 || err_cur != err_cur) {
+        return iter;
+      }
+    }
+  }
 }

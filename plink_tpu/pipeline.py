@@ -781,6 +781,10 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.gxe import run_gxe
 
             run_gxe(ds, cfg, log)
+        if cfg.lasso is not None:
+            from .commands.lasso import run_lasso
+
+            run_lasso(ds, cfg, log)
         if cfg.mh:
             from .commands.cmh import run_cmh
 
