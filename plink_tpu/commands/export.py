@@ -31,10 +31,11 @@ def run_export(ds: Dataset, cfg, log: RunLogger) -> None:
     for fmt in fmts:
         fl = fmt.lower()
         if fl in ("vcf", "vcf-4.3"):
-            ds_mode = any(
-                a.startswith("vcf-dosage=") for a in fmts
-            )
-            _export_vcf(ds, cfg, log, with_ds=ds_mode)
+            ds_mode = None
+            for a in fmts:
+                if a.startswith("vcf-dosage="):
+                    ds_mode = a.split("=", 1)[1]
+            _export_vcf(ds, cfg, log, dosage_mode=ds_mode)
         elif fmt.startswith("vcf-dosage=") or fl == "bgz":
             continue
         elif fmt == "A":
@@ -230,13 +231,82 @@ def _dosage_decimal(rem: int) -> str:
     return s
 
 
+def _five_dec_32768(v: int) -> str:
+    """Raw 5-decimal banker's rendering of v/32768 (the shared fallback of
+    PrintDdosageDecimal / PrintHdsPair, 2.0/plink2_common.cc:265)."""
+    five = (3125 * v + 512) // 1024 - (1 if (v % 2048) == 512 else 0)
+    first = five // 10000
+    last4 = five - first * 10000
+    s = "0." + str(first)
+    if last4:
+        s += str(last4).zfill(4).rstrip("0")
+    return s
+
+
+def _print_hap_nonint(v: int) -> str:
+    """Haploid dosage v/32768 in [0,1]: shortest representation that
+    round-trips within ((v-0.5)/32768, (v+0.5)/32768)
+    (PrintHaploidNonintDosage -> PrintDdosageDecimal,
+    2.0/plink2_common.cc:234)."""
+    if not (v & 32767):
+        return "1" if v == 32768 else "0"
+    range_top = v * 1250 + 625
+    if (range_top % 4096) < 1250:
+        return "0." + str(range_top // 4096).zfill(4).rstrip("0")
+    return _five_dec_32768(v)
+
+
+def _fmt_x10k(v: int) -> str:
+    if v == 10000:
+        return "1"
+    if v == 0:
+        return "0"
+    return "0." + str(v).zfill(4).rstrip("0")
+
+
+def _print_hds_pair(dosage_int: int, delta: int) -> str:
+    """Left,right haplotype dosages with minimum decimal places such that
+    sum and difference round-trip (PrintHdsPair,
+    2.0/plink2_export.cc:3830)."""
+    sum_top = (dosage_int * 2 + 1) * 625
+    diffp1_top = (delta * 2 + 32769) * 625
+    if (sum_top % 2048) < 1250 and (diffp1_top % 20480) < 1250 and \
+            (sum_top & 2048) == (diffp1_top & 2048):
+        sum_x10k = sum_top // 2048
+        diff_x10k = diffp1_top // 2048 - 10000
+        return (_fmt_x10k((sum_x10k + diff_x10k) // 2) + ","
+                + _fmt_x10k((sum_x10k - diff_x10k) // 2))
+
+    def _side(v):
+        if not (v & 32767):
+            return "1" if v == 32768 else "0"
+        return _five_dec_32768(v)
+
+    return _side(dosage_int + delta) + "," + _side(dosage_int - delta)
+
+
 def _print_small_dosage(val: int) -> str:
     """DS value in 16384ths (PrintSmallDosage, 2.0/plink2_common.h:444)."""
     whole, rem = divmod(int(val), 16384)
     return str(whole) + (_dosage_decimal(rem) if rem else "")
 
 
-def _export_vcf(ds: Dataset, cfg, log: RunLogger, with_ds: bool = False) -> None:
+def _export_vcf(ds: Dataset, cfg, log: RunLogger,
+                dosage_mode: str | None = None) -> None:
+    """dosage_mode: None / DS / DS-force / HDS / HDS-force (ExportVcf
+    vcf_mode handling, 2.0/plink2_export.cc:4104-4133)."""
+    with_ds = dosage_mode is not None
+    write_hds = with_ds and dosage_mode.startswith("HDS")
+    hds_force = dosage_mode == "HDS-force"
+    ds_force = dosage_mode in ("DS-force", "HDS-force")
+    if with_ds and not ds_force and not ds.has_dosage:
+        log.log(
+            "Warning: No dosage data present.  "
+            + ("DS and HDS fields" if write_hds else "DS field")
+            + " will not be exported."
+        )
+        with_ds = write_hds = False
+        dosage_mode = None
     vi = ds.vi
     si = ds.si
     inc_s = np.flatnonzero(ds.sample_mask)
@@ -276,6 +346,11 @@ def _export_vcf(ds: Dataset, cfg, log: RunLogger, with_ds: bool = False) -> None
         if with_ds:
             hdr += ('##FORMAT=<ID=DS,Number=A,Type=Float,Description='
                     '"Estimated Alternate Allele Dosage : [P(0/1)+2*P(1/1)]">\n')
+        if write_hds:
+            # HDS ploidy intentionally does NOT match GT ploidy in the
+            # haploid case (ExportVcf, 2.0/plink2_export.cc:4366-4368)
+            hdr += ('##FORMAT=<ID=HDS,Number=.,Type=Float,Description='
+                    '"Estimated Haploid Alternate Allele Dosage ">\n')
         cols = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
         ids = [
             (f"{si.fid[i]}_{si.iid[i]}" if use_fid else str(si.iid[i]))
@@ -294,7 +369,9 @@ def _export_vcf(ds: Dataset, cfg, log: RunLogger, with_ds: bool = False) -> None
             if not sel:
                 continue
             codes = _unpack_np(packed[sel])[:, : ds.raw_sample_ct][:, inc_s]
-            if phased_ds:
+            if phased_ds and with_ds:
+                pass  # unified GT:DS[:HDS] renderer below handles phase
+            elif phased_ds:
                 # per-sample running prev_phased state (initially phased):
                 # hets print '|' iff phased and update the state; hom/missing
                 # separators follow the current state (plink2's VCF exporter
@@ -339,13 +416,13 @@ def _export_vcf(ds: Dataset, cfg, log: RunLogger, with_ds: bool = False) -> None
                 inf = "." if info is None or info[i] is None else str(info[i])
                 if any_prov and prov_fn(int(i)).lstrip("\t") == "Y":
                     inf = "PR" if inf == "." else inf + ";PR"
-                fmt_col = "GT:DS" if with_ds else "GT"
-                meta = (
-                    f"{ci.name(int(vi.chrom[i]))}\t{vi.pos[i]}\t{vi.vid[i]}\t"
-                    f"{vi.ref[i]}\t{vi.alt[i]}\t{q}\t{fl}\t{inf}\t{fmt_col}"
-                )
-                f.write(meta.encode())
                 if not with_ds:
+                    meta = (
+                        f"{ci.name(int(vi.chrom[i]))}\t{vi.pos[i]}\t"
+                        f"{vi.vid[i]}\t{vi.ref[i]}\t{vi.alt[i]}\t{q}\t{fl}\t"
+                        f"{inf}\tGT"
+                    )
+                    f.write(meta.encode())
                     if r in ma_rows_gt:
                         f.write(ma_rows_gt[r].encode())
                     elif phased_ds:
@@ -359,13 +436,81 @@ def _export_vcf(ds: Dataset, cfg, log: RunLogger, with_ds: bool = False) -> None
                 if aux.dosage_ids is not None:
                     for sid, val in zip(aux.dosage_ids, aux.dosage_vals):
                         ds_of[int(sid)] = int(val)
-                gts = gt_bytes[r].tobytes().decode().split("\t")[1:]
+                dp_of = {}
+                if aux.dphase_ids is not None:
+                    for sid, dv in zip(aux.dphase_ids, aux.dphase_delta):
+                        dp_of[int(sid)] = int(dv)
+                if phased_ds:
+                    pp_full, pi_full = ds.phase_row(int(i))
+                    pps, pis = pp_full[inc_s], pi_full[inc_s]
+                else:
+                    pps = pis = np.zeros(len(inc_s), bool)
+                # per-variant FORMAT column (ExportVcf,
+                # 2.0/plink2_export.cc:4990-4999)
+                has_ds_col = bool(ds_of) or ds_force
+                hds_here = False
+                if write_hds and has_ds_col:
+                    hds_here = hds_force or bool(dp_of) or (
+                        bool(ds_of) and any(
+                            pps[col] and int(s_raw) in ds_of
+                            for col, s_raw in enumerate(inc_s)
+                        )
+                    )
+                fmt_col = "GT" + (":DS" if has_ds_col else "") + (
+                    ":HDS" if hds_here else "")
+                meta = (
+                    f"{ci.name(int(vi.chrom[i]))}\t{vi.pos[i]}\t{vi.vid[i]}\t"
+                    f"{vi.ref[i]}\t{vi.alt[i]}\t{q}\t{fl}\t{inf}\t{fmt_col}"
+                )
+                f.write(meta.encode())
+                c = codes[r]
+                # variants with neither hardcall-phase nor dphase use the
+                # unphased writer: '/' separators, prev_phased untouched
+                # (ExportVcf some_phased branch, 2.0/plink2_export.cc:4764+)
+                some_phased = bool(pps.any()) or bool(dp_of)
                 row = []
                 for col, s_raw in enumerate(inc_s):
-                    cell = gts[col]
+                    g = int(c[col])
+                    if some_phased:
+                        if g == 1:
+                            _vcf_prev_phased[col] = pps[col]
+                        sep = "|" if _vcf_prev_phased[col] else "/"
+                    else:
+                        sep = "/"
+                    if g == 0:
+                        cell = "0" + sep + "0"
+                    elif g == 2:
+                        cell = "1" + sep + "1"
+                    elif g == 3:
+                        cell = "." + sep + "."
+                    elif some_phased and pps[col]:
+                        cell = "1|0" if pis[col] else "0|1"
+                    else:
+                        cell = "0/1"
                     dv = ds_of.get(int(s_raw))
                     if dv is not None:
                         cell += ":" + _print_small_dosage(dv)
+                        if write_hds:
+                            if pps[col] or int(s_raw) in dp_of:
+                                delta = dp_of.get(int(s_raw))
+                                if delta is None:
+                                    # implicit: hardcall-phase + homdist
+                                    delta = (32768 - dv if dv > 16384
+                                             else dv)
+                                    if not pis[col]:
+                                        delta = -delta
+                                cell += ":" + _print_hds_pair(dv, delta)
+                            elif hds_force:
+                                h = _print_hap_nonint(dv)
+                                cell += ":" + h + "," + h
+                    elif ds_force:
+                        cell += ":" + "012."[g]
+                        if hds_force:
+                            if g == 1 and pps[col]:
+                                cell += ":1,0" if pis[col] else ":0,1"
+                            else:
+                                cell += (":0,0", ":0.5,0.5", ":1,1",
+                                         ":.,.")[g]
                     row.append(cell)
                 f.write(("\t" + "\t".join(row) + "\n").encode())
     log.log(

@@ -112,29 +112,43 @@ def make_pgen(ds: Dataset, out_prefix: str, log: RunLogger, fmt: str = "pgen") -
         log.log(f"--make-pgen: {out_prefix}.pgen + .pvar + .psam written ({V} variants, {N} samples).")
         return
     if ds.has_dosage:
-        # preserve dosage tracks (bitarray representation per variant)
+        # preserve dosage tracks (bitarray representation per variant),
+        # plus hardcall-phase and explicit-dphase tracks when present
+        with_ph = ds.has_phase
         with PgenWriter(out_prefix + ".pgen", N, V, trusted_ref=trusted,
                     nonref_flags=nonref,
-                        with_dosage=True) as w:
+                        with_dosage=True, with_phase=with_ph) as w:
             from ..ops.pairwise import _unpack_np
 
             old_to_new = np.full(ds.raw_sample_ct, -1, np.int64)
             old_to_new[sample_idx] = np.arange(N)
+            z16 = np.zeros(0, "<u2")
+            zid = np.zeros(0, np.uint32)
             for v in variant_idx:
                 row = _unpack_np(ds.reader.read_packed(int(v), 1))[0][
                     : ds.raw_sample_ct
                 ][sample_idx]
                 aux = ds.reader.read_dosage(int(v))
                 if aux.dosage_ids is None or aux.dosage_ids.size == 0:
-                    w.append_codes_with_dosage(
-                        row, np.zeros(0, np.uint32), np.zeros(0, "<u2")
-                    )
+                    dids, dvals = zid, z16
+                else:
+                    keep = old_to_new[aux.dosage_ids] >= 0
+                    dids = old_to_new[aux.dosage_ids[keep]].astype(np.uint32)
+                    dvals = aux.dosage_vals[keep]
+                if not with_ph:
+                    w.append_codes_with_dosage(row, dids, dvals)
                     continue
-                keep = old_to_new[aux.dosage_ids] >= 0
-                w.append_codes_with_dosage(
-                    row,
-                    old_to_new[aux.dosage_ids[keep]].astype(np.uint32),
-                    aux.dosage_vals[keep],
+                pp, pi = ds.phase_row(int(v))
+                if aux.dphase_ids is not None and aux.dphase_ids.size:
+                    keep = old_to_new[aux.dphase_ids] >= 0
+                    dpids = old_to_new[
+                        aux.dphase_ids[keep]].astype(np.uint32)
+                    dpdeltas = aux.dphase_delta[keep]
+                else:
+                    dpids, dpdeltas = None, None
+                w.append_codes_with_phase(
+                    row, pp[sample_idx], pi[sample_idx],
+                    dids, dvals, dpids, dpdeltas,
                 )
         write_pvar(out_prefix + ".pvar", ds.vi, ds.variant_mask)
         write_psam(out_prefix + ".psam", ds.si, ds.sample_mask)

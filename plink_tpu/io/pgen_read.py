@@ -152,6 +152,8 @@ class VariantAux:
     dosage_vals: np.ndarray | None = None  # uint16, 0..32768 (65535 = missing)
     phasepresent: np.ndarray | None = None  # bool over het calls (in sample order)
     phaseinfo: np.ndarray | None = None  # bool over phased het calls (1 = swapped)
+    dphase_ids: np.ndarray | None = None  # sample indices with explicit dphase
+    dphase_delta: np.ndarray | None = None  # int16, 16384*(left - right hap dosage)
 
 
 class PgenReader:
@@ -346,7 +348,16 @@ class PgenReader:
         elif main in (2, 3, 4, 6, 7):
             _, _, o = decode_difflist(buf, o, N, True)
         if vrtype & VRTYPE_MULTIALLELIC:
-            raise NotImplementedError("multiallelic dosage decode not yet supported")
+            # True multiallelic dosage (aux tracks #5-6) is unfinalized in
+            # the spec (pgen_spec.tex:621-630) and unimplemented by the
+            # reference as well (pgenlib_read.cc:9150 "true multiallelic
+            # dosages not yet supported by PgrGetMD()"; pgenlib_write.cc:317
+            # "todo: multiallelic dosage").  Matching that surface exactly:
+            # refuse rather than guess at a format.
+            raise NotImplementedError(
+                "multiallelic dosage/phase decode not supported (the pgen "
+                "spec leaves aux tracks #5-6 unfinalized; plink2's own "
+                "PgrGetMD() has the same limitation)")
         if vrtype & VRTYPE_HPHASE:
             # Skip phase track: need het count.
             codes = pack.unpack2(self.read_packed(vidx, 1)[0], N)
@@ -374,9 +385,11 @@ class PgenReader:
         if dbits == 0x20:  # difflist of dosage sample IDs
             sids, _, o = decode_difflist(buf, o, N, False)
             vals = buf[o : o + 2 * sids.size].view("<u2")
+            o += 2 * sids.size
             aux.dosage_ids, aux.dosage_vals = sids, vals.copy()
         elif dbits == 0x40:  # dense: every sample
             vals = buf[o : o + 2 * N].view("<u2")
+            o += 2 * N
             aux.dosage_ids = np.arange(N, dtype=np.uint32)
             aux.dosage_vals = vals.copy()
         elif dbits == 0x60:  # bitarray + values
@@ -385,7 +398,27 @@ class PgenReader:
             o += nbytes
             ids = np.flatnonzero(present).astype(np.uint32)
             vals = buf[o : o + 2 * ids.size].view("<u2")
+            o += 2 * ids.size
             aux.dosage_ids, aux.dosage_vals = ids, vals.copy()
+        if vrtype & VRTYPE_DPHASE:
+            # Explicit dosage-phase, aux tracks #7-8 (pgen_spec.tex:650-671):
+            # int16 = 16384 * (left-hap ALT dosage - right-hap ALT dosage).
+            if dbits == 0x40:
+                # dense: one int16 per sample, -32768 = no dphase; no track #7
+                dvals = buf[o : o + 2 * N].view("<i2")
+                ids = np.flatnonzero(dvals != -32768).astype(np.uint32)
+                aux.dphase_ids = ids
+                aux.dphase_delta = dvals[ids].copy()
+            else:
+                # track #7: bitarray over the D entries of track #4
+                D = 0 if aux.dosage_ids is None else int(aux.dosage_ids.size)
+                nbytes = (D + 7) // 8
+                sel = np.unpackbits(
+                    buf[o : o + nbytes], bitorder="little")[:D].astype(bool)
+                o += nbytes
+                k = int(sel.sum())
+                aux.dphase_ids = aux.dosage_ids[sel].astype(np.uint32)
+                aux.dphase_delta = buf[o : o + 2 * k].view("<i2").copy()
         return aux
 
     # -- multiallelic hardcalls --------------------------------------------

@@ -98,8 +98,11 @@ class PgenWriter:
                            + 6 * sample_ct)
         if with_dosage:
             # dense hardcalls (+ phase track if enabled) + presence bitarray
-            # + 2 bytes/sample dosage values
+            # + 2 bytes/sample dosage values; when phase is also enabled the
+            # explicit-dphase tracks #7-8 add a D-bit bitarray + int16s
             dosage_extra = (sample_ct + 7) // 8 + 2 * sample_ct
+            if with_phase:
+                dosage_extra += (sample_ct + 7) // 8 + 2 * sample_ct
             max_body = max(max_body, max_body + dosage_extra)
         self._max_body = max_body
         self._len_bytes = (1 if max_body < (1 << 8) else
@@ -244,12 +247,18 @@ class PgenWriter:
     def append_codes_with_phase(
         self, row: np.ndarray, phasepresent: np.ndarray,
         phaseinfo: np.ndarray, dosage_ids=None, dosage_vals=None,
+        dphase_ids=None, dphase_deltas=None,
     ) -> None:
         """Append one variant with a hardcall-phase track (vrtype 0x10,
         pgenlib_misc.h:1004): explicit phasepresent form (first track bit 1,
         then het_ct presence bits, then one phaseinfo bit per phased het;
         1 = swapped "1|0").  phasepresent/phaseinfo are [N] bool, only het
-        positions consulted."""
+        positions consulted.
+
+        With dphase_ids/dphase_deltas (explicit dosage-phase, must be a
+        subset of dosage_ids), also writes aux tracks #7-8
+        (pgen_spec.tex:650-671): a bitarray over the dosage entries plus
+        int16 deltas = 16384 * (left - right haplotype ALT dosage)."""
         if not self._with_phase:
             raise ValueError("writer not opened with with_phase=True")
         row = np.asarray(row, dtype=np.uint8)
@@ -281,11 +290,24 @@ class PgenWriter:
                 ).tobytes()
         if dosage_ids is not None and self._with_dosage:
             vrtype |= 0x60
+            dids = np.asarray(dosage_ids, dtype=np.int64)
             present = np.zeros(N, np.uint8)
-            present[np.asarray(dosage_ids, dtype=np.int64)] = 1
+            present[dids] = 1
             body += np.packbits(present, bitorder="little").tobytes()
-            order = np.argsort(np.asarray(dosage_ids, dtype=np.int64))
+            order = np.argsort(dids)
             body += np.asarray(dosage_vals, dtype="<u2")[order].tobytes()
+            if dphase_ids is not None and len(np.asarray(dphase_ids)):
+                vrtype |= 0x80
+                dpids = np.asarray(dphase_ids, dtype=np.int64)
+                # track #7: D-bit bitarray in ascending-dosage-id order
+                sorted_dids = dids[order]
+                sel = np.isin(sorted_dids, dpids)
+                body += np.packbits(
+                    sel.astype(np.uint8), bitorder="little").tobytes()
+                # track #8: int16 deltas in the same ascending order
+                dorder = np.argsort(dpids)
+                body += np.asarray(
+                    dphase_deltas, dtype="<i2")[dorder].tobytes()
         self._push_record(vrtype, body)
         self._ld_base = row.copy()
         self._written += 1

@@ -149,11 +149,12 @@ def _parse_gt_ma_row(tokens, halfcall: int):
 
 
 def _parse_dosage(parts, ds_idx, hds_idx, is_haploid, is_gp, certainty):
-    """Returns (status, dosage_int) with status 'ok'/'missing'/'fm'
-    (force-missing via --import-dosage-certainty).
+    """Returns (status, dosage_int, dphase_delta, hds_valid) with status
+    'ok'/'missing'/'fm' (force-missing via --import-dosage-certainty).
 
     Mirrors ParseVcfBiallelicHds/Dosage/Gp (2.0/plink2_import.cc:932-1110);
-    dosage_int is on the 16384-per-allele-copy scale."""
+    dosage_int is on the 16384-per-allele-copy scale; dphase_delta is
+    16384 * (left - right haplotype dosage) when HDS carried two values."""
     if hds_idx is not None and len(parts) > hds_idx:
         tok = parts[hds_idx]
         if tok and tok[0] != "?" and not (
@@ -161,7 +162,7 @@ def _parse_dosage(parts, ds_idx, hds_idx, is_haploid, is_gp, certainty):
         ):
             vals = tok.split(",")
             if len(vals) > 2:
-                return "fm", 0  # polyploid -> force-missing
+                return "fm", 0, 0, 0  # polyploid -> force-missing
             d1 = float(vals[0])
             if not 0.0 <= d1 <= 1.0:
                 raise ValueError(f"invalid HDS value {tok!r}")
@@ -169,8 +170,8 @@ def _parse_dosage(parts, ds_idx, hds_idx, is_haploid, is_gp, certainty):
                 if certainty != 0.0 and (1.0 - d1 <= certainty) and (
                     d1 <= certainty
                 ):
-                    return "fm", 0
-                return "ok", int(d1 * 32768 + 0.5)
+                    return "fm", 0, 0, 1
+                return "ok", int(d1 * 32768 + 0.5), 0, 1
             d2 = float(vals[1])
             if not 0.0 <= d2 <= 1.0:
                 raise ValueError(f"invalid HDS value {tok!r}")
@@ -178,17 +179,20 @@ def _parse_dosage(parts, ds_idx, hds_idx, is_haploid, is_gp, certainty):
             if certainty != 0.0:
                 dist = abs(1.0 - s)
                 if (1.0 - dist <= certainty) and (dist <= certainty):
-                    return "fm", 0
-            return "ok", int(s * 16384 + 0.5)
+                    return "fm", 0, 0, 1
+            # delta forced through nonnegative space: int() truncates
+            # toward zero (ParseVcfBiallelicHds, 2.0/plink2_import.cc:1095)
+            delta = int((1.0 + d1 - d2) * 16384 + 0.5) - 16384
+            return "ok", int(s * 16384 + 0.5), delta, 1
         if ds_idx is None:
-            return "missing", 0
+            return "missing", 0, 0, 0
     if ds_idx is None or len(parts) <= ds_idx:
-        return "missing", 0
+        return "missing", 0, 0, 0
     tok = parts[ds_idx]
     if not tok or tok[0] == "?" or (
         tok[0] == "." and (len(tok) < 2 or not tok[1].isdigit())
     ):
-        return "missing", 0
+        return "missing", 0, 0, 0
     if is_gp:
         vals = [float(x) for x in tok.split(",")]
         if any(not 0.0 <= v <= 1.0 for v in vals[: 3 if not is_haploid else 2]):
@@ -199,7 +203,7 @@ def _parse_dosage(parts, ds_idx, hds_idx, is_haploid, is_gp, certainty):
             p0, p1 = vals[0], vals[1]
             denom = p0 + p1
             if denom <= 2 * certainty and p0 <= certainty and p1 <= certainty:
-                return "fm", 0
+                return "fm", 0, 0, 0
             ds = 2 * p1 / denom
         else:
             if len(vals) < 3:
@@ -208,7 +212,7 @@ def _parse_dosage(parts, ds_idx, hds_idx, is_haploid, is_gp, certainty):
             denom = p0 + p1 + p2
             if denom <= 3 * certainty and p0 <= certainty and \
                     p1 <= certainty and p2 <= certainty:
-                return "fm", 0
+                return "fm", 0, 0, 0
             ds = (p1 + 2 * p2) / denom
     else:
         ds = float(tok.split(",", 1)[0])
@@ -218,15 +222,15 @@ def _parse_dosage(parts, ds_idx, hds_idx, is_haploid, is_gp, certainty):
             if certainty != 0.0 and (1.0 - ds <= certainty) and (
                 ds <= certainty
             ):
-                return "fm", 0
+                return "fm", 0, 0, 0
             ds *= 2
         elif certainty != 0.0:
             dist = abs(1.0 - ds)
             if (1.0 - dist <= certainty) and (dist <= certainty):
-                return "fm", 0
+                return "fm", 0, 0, 0
         if ds > 2.0:
             raise ValueError(f"invalid DS value {tok!r} (> 2.0)")
-    return "ok", int(ds * 16384 + 0.5)
+    return "ok", int(ds * 16384 + 0.5), 0, 0
 
 
 def read_vcf(path: str, chr_info: ChrInfo | None = None,
@@ -386,9 +390,7 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
                 rows.append(codes)
                 ma_rows[len(rows) - 1] = patches
                 if dosage_field is not None:
-                    dosage_rows.append(
-                        (np.zeros(0, np.uint32), np.zeros(0, "<u2"))
-                    )
+                    dosage_rows.append(None)
                 if with_phase:
                     phase_rows.append(None)
                 continue
@@ -422,6 +424,13 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
                     want_hds and "HDS" in fmt) else None
                 geno = np.full(ns, 3, np.uint8)
                 dids, dvals = [], []
+                dpids, dpdeltas = [], []
+                pp_d = np.zeros(ns, bool)
+                pi_d = np.zeros(ns, bool)
+                # dphase erase threshold is stricter by a quarter-dosage
+                # (VcfConvertPhasedBiallelicDosageLine,
+                # 2.0/plink2_import.cc:1235)
+                dphase_erase_halfdist = erase_halfdist + 8192
                 for s_i, g in enumerate(toks9):
                     parts = g.split(":")
                     if gq_idx is not None and len(parts) > gq_idx:
@@ -444,30 +453,106 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
                         len(gt) < 2 or gt[1] not in "/|"
                     )
                     if dosage_field is not None:
-                        st, dosage_int = _parse_dosage(
+                        st, dosage_int, delta, hds_valid = _parse_dosage(
                             parts, ds_idx, hds_idx, is_hap, is_gp, certainty
                         )
                     else:
-                        st = "missing"
+                        st, dosage_int, delta, hds_valid = "missing", 0, 0, 0
                     if st == "fm":
                         continue  # force-missing: GT ignored
+                    if st == "ok" and hds_valid:
+                        # HDS present: hardcall + phase derived purely from
+                        # the (possibly phased) dosage; GT is skipped
+                        # (goto geno_done, 2.0/plink2_import.cc:1284-1312 +
+                        # ApplyHardCallThreshPhased, plink2_data.cc:3377)
+                        hd1 = abs(dosage_int + delta - 16384)
+                        hd2 = abs(dosage_int - delta - 16384)
+                        if hd1 < dphase_erase_halfdist or \
+                                hd2 < dphase_erase_halfdist:
+                            dids.append(s_i)
+                            dvals.append(dosage_int)
+                            halfdist = abs((dosage_int & 16383) - 8192)
+                            g_code = 3 if halfdist < hc_halfdist else (
+                                (dosage_int + 8192) >> 14
+                            )
+                            if delta != 0:
+                                keep_dphase = True
+                                if g_code == 1 and abs(delta) > 8192:
+                                    pp_d[s_i] = True
+                                    pi_d[s_i] = delta > 0
+                                    if abs(delta) == dosage_int or \
+                                            abs(delta) + dosage_int == 32768:
+                                        # maximal delta: hardcall-phase
+                                        # already encodes it (implicit form)
+                                        keep_dphase = False
+                                if keep_dphase:
+                                    dpids.append(s_i)
+                                    dpdeltas.append(delta)
+                        else:
+                            # both haplotype dosages are (near-)integer:
+                            # synthesize hardcall, keep phase on hets
+                            g_code = (dosage_int + 8192) >> 14
+                            if g_code == 1:
+                                pp_d[s_i] = True
+                                pi_d[s_i] = delta > 0
+                        geno[s_i] = g_code
+                        continue
                     g_code = _parse_gt(gt, halfcall_mode) if gt_exists else 3
+                    gt_phased_het = (
+                        gt_exists and g_code == 1 and "|" in gt
+                    )
                     if st == "ok":
                         halfdist = abs((dosage_int & 16383) - 8192)
                         if halfdist < erase_halfdist:
                             dids.append(s_i)
                             dvals.append(dosage_int)
-                            g_code = 3 if halfdist < hc_halfdist else (
+                            new_g = 3 if halfdist < hc_halfdist else (
                                 (dosage_int + 8192) >> 14
                             )
+                            if gt_phased_het:
+                                if new_g == 1:
+                                    pp_d[s_i] = True
+                                    pi_d[s_i] = gt[0] == "1"
+                                else:
+                                    # het hardcall overridden by the dosage:
+                                    # GT phase becomes an explicit dphase
+                                    # (ApplyHardCallThreshPhased,
+                                    # plink2_data.cc:3436-3448)
+                                    homdist = (
+                                        32768 - dosage_int
+                                        if dosage_int > 16384 else dosage_int
+                                    )
+                                    dpids.append(s_i)
+                                    dpdeltas.append(
+                                        homdist if gt[0] == "1" else -homdist
+                                    )
+                            g_code = new_g
                         else:
-                            g_code = (dosage_int + 8192) >> 14
+                            new_g = (dosage_int + 8192) >> 14
+                            if gt_phased_het:
+                                if new_g != 1:
+                                    pass  # hardcall-phase no longer applies
+                                else:
+                                    pp_d[s_i] = True
+                                    pi_d[s_i] = gt[0] == "1"
+                                    if halfdist * 2 < dphase_erase_halfdist:
+                                        # implicit phased-dosage edge case
+                                        # (e.g. 0|0.99): store dosage anyway
+                                        dids.append(s_i)
+                                        dvals.append(dosage_int)
+                            g_code = new_g
+                    elif gt_phased_het:
+                        pp_d[s_i] = True
+                        pi_d[s_i] = gt[0] == "1"
                     geno[s_i] = g_code
                 rows.append(geno)
                 if dosage_field is not None:
                     dosage_rows.append(
-                        (np.array(dids, np.uint32), np.array(dvals, "<u2"))
-                        if dids else None
+                        (np.array(dids, np.uint32), np.array(dvals, "<u2"),
+                         np.array(dpids, np.uint32),
+                         np.array(dpdeltas, "<i2"),
+                         pp_d, pi_d)
+                        if (dids or pp_d.any()) else None
                     )
             if with_phase:
                 pp = np.zeros(ns, bool)

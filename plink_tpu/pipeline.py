@@ -116,12 +116,26 @@ def _import_vcf(path: str, out_prefix: str, log: RunLogger,
                 "--vcf dosage import with multiallelic variants is not "
                 "supported yet; biallelic-split the VCF first."
             )
+        # dosage rows are 6-tuples (dosage_ids, dosage_vals, dphase_ids,
+        # dphase_deltas, phasepresent[N], phaseinfo[N]); HDS import (and
+        # DS + phased-GT interplay) can produce hardcall-phase and explicit
+        # dphase tracks alongside the dosages
+        any_aux_phase = any(
+            dr is not None and (dr[4].any() or dr[2].size)
+            for dr in dosage_rows
+        )
         with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
-                        trusted_ref=True, nonref_flags=vi.nonref, with_dosage=True) as w:
+                        trusted_ref=True, nonref_flags=vi.nonref,
+                        with_dosage=True,
+                        with_phase=any_aux_phase) as w:
+            z16 = np.zeros(0, "<u2")
+            zid = np.zeros(0, np.uint32)
             for r, dr in zip(codes, dosage_rows):
                 if dr is None:
-                    w.append_codes_with_dosage(
-                        r, np.zeros(0, np.uint32), np.zeros(0, "<u2")
+                    w.append_codes_with_dosage(r, zid, z16)
+                elif any_aux_phase:
+                    w.append_codes_with_phase(
+                        r, dr[4], dr[5], dr[0], dr[1], dr[2], dr[3]
                     )
                 else:
                     w.append_codes_with_dosage(r, dr[0], dr[1])
