@@ -233,6 +233,25 @@ class Config:
     within: str | None = None
     mwithin: int | None = None
     family: bool = False
+    # 1.9 set subsystem (--set/--make-set + set test)
+    set_file: str | None = None
+    make_set: str | None = None
+    set_names_list: tuple = ()
+    subset_file: str | None = None
+    make_set_border: int = 0
+    make_set_collapse_group: bool = False
+    complement_sets: bool = False
+    set_collapse_all: str | None = None
+    make_set_complement_all: str | None = None
+    gene_all: bool = False
+    gene_list: tuple = ()
+    write_set: bool = False
+    set_table: bool = False
+    set_r2: float = 0.5
+    set_r2_write: bool = False
+    set_p: float = 0.05
+    set_max: int = 5
+    set_test_lambda: float = 0.0
     epi1: float | None = None
     epi2: float | None = None
     epi_gap: float | None = None
@@ -734,6 +753,71 @@ def parse_args(argv: list[str]) -> Config:
             cfg.mh_mods = tuple(args)
         elif name == "homog":
             cfg.homog = True
+        elif name == "set":
+            cfg.set_file = args[0]
+        elif name == "make_set":
+            cfg.make_set = args[0]
+        elif name == "set_names":
+            cfg.set_names_list = tuple(args)
+        elif name == "subset":
+            cfg.subset_file = args[0]
+        elif name == "make_set_border" or name == "border":
+            # kb -> bp with the reference's epsilon guard
+            # (1.9/plink.c:9289-9293)
+            v = float(args[0])
+            cfg.make_set_border = (
+                2147483646 if v > 2147483.646
+                else int(v * 1000 * (1 + 2.0 ** -44)))
+        elif name == "make_set_collapse_group":
+            cfg.make_set_collapse_group = True
+        elif name == "complement_sets":
+            cfg.complement_sets = True
+        elif name == "set_collapse_all":
+            cfg.set_collapse_all = args[0]
+        elif name == "make_set_complement_all":
+            cfg.make_set_complement_all = args[0]
+        elif name == "make_set_complement_group":
+            cfg.make_set_collapse_group = True
+            cfg.complement_sets = True
+        elif name == "gene_all":
+            cfg.gene_all = True
+        elif name == "gene":
+            cfg.gene_list = tuple(args)
+        elif name == "write_set":
+            cfg.write_set = True
+        elif name == "set_table":
+            cfg.set_table = True
+        elif name == "set_r2":
+            rest = list(args)
+            if rest and rest[0] == "write":
+                cfg.set_r2_write = True
+                rest = rest[1:]
+            if rest:
+                if rest[-1] == "write":
+                    cfg.set_r2_write = True
+                    rest = rest[:-1]
+            if rest:
+                v = float(rest[0])
+                if v < 0.0:
+                    raise FlagError(
+                        f"Invalid --set-r2 parameter '{rest[0]}'.")
+                if v > 0.0:
+                    cfg.set_r2 = v
+                else:
+                    cfg.set_max = 1
+        elif name == "set_p":
+            v = float(args[0])
+            if not 0.0 < v <= 1.0:
+                raise FlagError(f"Invalid --set-p parameter '{args[0]}'.")
+            cfg.set_p = v
+        elif name == "set_max":
+            cfg.set_max = int(args[0])
+        elif name == "set_test_lambda":
+            v = float(args[0])
+            if v < 1:
+                cfg.set_test_lambda = 1.0
+            else:
+                cfg.set_test_lambda = v
         elif name == "within":
             cfg.within = args[0]
             if len(args) > 1:

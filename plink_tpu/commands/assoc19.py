@@ -347,9 +347,29 @@ def run_assoc(ds: Dataset, cfg, log: RunLogger) -> None:
     vi = ds.vi
     ci = vi.chr_info
     inc = np.flatnonzero(ds.variant_mask)
+    maxsnp = _fw_width(len(str(vi.vid[i])) for i in inc)
+    set_info_mid = None
+    if "set-test" in mods:
+        # the single-marker phase is narrowed to the union of all sets
+        # (extract_set_union_unfiltered call, 1.9/plink_assoc.c:6168);
+        # setdefs are remapped to this "mid" index space
+        if getattr(ds, "set_info", None) is None:
+            raise ValueError(
+                "--assoc set-test requires --set/--make-set.")
+        from .sets import SetInfo
+
+        si0 = ds.set_info
+        union = sorted({int(m) for sd in si0.setdefs for m in sd})
+        remap = {m: k for k, m in enumerate(union)}
+        inc = inc[np.array(union, np.int64)]
+        set_info_mid = SetInfo(
+            si0.names,
+            [np.array([remap[int(m)] for m in sd], np.int64)
+             for sd in si0.setdefs],
+            si0.set_r2, si0.set_p, si0.set_max, si0.set_test_lambda,
+            si0.r2_write)
     da1v, da2v, du1v, du2v, _set_cts, _miss_cts = assoc_allele_counts(
         ds, case, ctrl, inc, a1_is_alt)
-    maxsnp = _fw_width(len(str(vi.vid[i])) for i in inc)
     alt1 = vi.alt1()
     fisher = "fisher" in mods or "fisher-midp" in mods
     midp = "fisher-midp" in mods
@@ -452,6 +472,22 @@ def run_assoc(ds: Dataset, cfg, log: RunLogger) -> None:
                             + _g4(math.exp(lo + dzz), 12))
             f.write(row + " \n")
     log.log(f"--assoc: Results written to {path} .")
+    if "set-test" in mods:
+        if fisher:
+            # matches the reference constraint ("Set test does not support
+            # Fisher stats", 1.9/plink_assoc.c:6336)
+            raise ValueError(
+                "--assoc set-test cannot be used with Fisher stats.")
+        if not (perm_adapt or mperm_val is not None):
+            raise ValueError(
+                "--assoc set-test requires 'perm' or 'mperm=N'.")
+        from .sets import run_assoc_set_test
+
+        run_assoc_set_test(
+            ds, cfg, log, set_info_mid, orig_chisq_arr, inc, a1_is_alt,
+            _set_cts, _miss_cts, case, ctrl, path, perm_adapt,
+            mperm_val, perm_count)
+        return
     if perm_adapt or mperm_val is not None:
         if mperm_val is not None and fisher:
             raise NotImplementedError(

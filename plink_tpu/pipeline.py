@@ -570,6 +570,17 @@ def run_pipeline(cfg: Config) -> int:
             F.maf_filter(ds, log, cfg.maf, cfg.max_maf, cfg.mac, cfg.max_mac,
                          nonfounders=cfg.nonfounders)
 
+        # ---- 1.9 set definitions (--set/--make-set): after all QC
+        # filters, may itself narrow the variant set via --gene/--gene-all
+        # (define_sets call position, 1.9/plink.c filter pipeline) ----
+        ds.set_info = None
+        if cfg.set_file or cfg.make_set:
+            from .commands.sets import define_sets, run_write_set
+
+            ds.set_info = define_sets(ds, cfg, log)
+            if ds.set_info is not None and (cfg.write_set or cfg.set_table):
+                run_write_set(ds, ds.set_info, cfg, log)
+
         # ---- relationship / matrix commands ----
         if cfg.make_king or cfg.make_king_table or cfg.king_cutoff is not None:
             from .commands.king import run_king
