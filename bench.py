@@ -150,8 +150,16 @@ def _oracle_wall(cache_name, oracle_bin, args):
     log(f"bench: measuring plink2 baseline {cache_name} (one-time) ...")
     ncpu = os.cpu_count() or 1
     t0 = time.time()
+    # size the arena to most of host RAM (the 50k-sample GRM alone needs a
+    # 20 GB allocation; plink2 refuses under a 12 GB cap)
+    try:
+        mem_mb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") \
+            // (1024 * 1024)
+    except (ValueError, OSError):
+        mem_mb = 16000
     r = subprocess.run(
-        [oracle_bin] + args + ["--threads", str(ncpu), "--memory", "12000"],
+        [oracle_bin] + args
+        + ["--threads", str(ncpu), "--memory", str(max(12000, mem_mb - 8000))],
         capture_output=True,
     )
     wall = time.time() - t0

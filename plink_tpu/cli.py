@@ -252,6 +252,10 @@ class Config:
     set_p: float = 0.05
     set_max: int = 5
     set_test_lambda: float = 0.0
+    # 1.9 --dosage
+    dosage: tuple | None = None
+    fam: str | None = None
+    map: str | None = None
     epi1: float | None = None
     epi2: float | None = None
     epi_gap: float | None = None
@@ -753,6 +757,12 @@ def parse_args(argv: list[str]) -> Config:
             cfg.mh_mods = tuple(args)
         elif name == "homog":
             cfg.homog = True
+        elif name == "dosage":
+            cfg.dosage = tuple(args)
+        elif name == "fam":
+            cfg.fam = args[0]
+        elif name == "map":
+            cfg.map = args[0]
         elif name == "set":
             cfg.set_file = args[0]
         elif name == "make_set":

@@ -344,6 +344,12 @@ def run_pipeline(cfg: Config) -> int:
         np.random.seed(cfg.seed)
     try:
         # file-only commands that need no genotype input
+        if cfg.dosage is not None:
+            from .commands.dosage19 import run_dosage
+
+            run_dosage(cfg, log)
+            log.log(f"End of run; total wall-clock {log.elapsed():.2f}s.")
+            return 0
         if cfg.meta_analysis:
             from .commands.meta import run_meta_analysis
 

@@ -1,0 +1,136 @@
+"""1.9 --dosage association differential tests: cc logistic (bit-exact
+float IRLS), qt linear, format=1/2/3, skip columns, noheader, map,
+case-control-freqs, sex covariate, occur mode."""
+
+import gzip
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+ORACLE19 = os.environ.get("PLINK19_ORACLE", "/tmp/oracle19/plink")
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(ORACLE19), reason="plink 1.9 oracle not built")
+
+
+def run19(args, cwd):
+    subprocess.run([ORACLE19] + args, cwd=cwd, check=True,
+                   capture_output=True)
+
+
+def run_tpu(args, cwd):
+    from plink_tpu.cli import main
+
+    old = os.getcwd()
+    os.chdir(cwd)
+    try:
+        assert main(args) == 0
+    finally:
+        os.chdir(old)
+
+
+def _cmp(d, a, b):
+    assert (d / a).read_bytes() == (d / b).read_bytes(), (a, b)
+
+
+@pytest.fixture(scope="module")
+def panel(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dos19")
+    rng = np.random.default_rng(19)
+    S, M = 170, 30
+    with open(d / "d.fam", "w") as f:
+        for i in range(S):
+            ph = -9 if i % 23 == 7 else 1 + i % 2
+            f.write(f"F{i} I{i} 0 0 {1 + (i % 3 == 0)} {ph}\n")
+    with open(d / "d.map", "w") as f:
+        for j in range(M):
+            f.write(f"{1 + (j >= 20)} snp{j} 0 {10000 + j * 777}\n")
+    qt = ["F%d I%d %.4f" % (i, i, rng.normal(3, 1.2)) for i in range(S)]
+    (d / "qt.phe").write_text("\n".join(qt) + "\n")
+    # format=2 dosage file (P(hom A1), P(het)); header with shuffled,
+    # partial sample set
+    order = rng.permutation(S)[: S - 9]
+    hdr = "SNP A1 A2 " + " ".join(f"F{i} I{i}" for i in order)
+    lines2 = [hdr]
+    lines1 = ["SNP A1 A2 " + " ".join(f"F{i} I{i}" for i in order)]
+    for j in range(M):
+        p_a1 = rng.random() * 0.8 + 0.1
+        cells2, cells1 = [], []
+        for i in order:
+            ph = rng.random(2)
+            phom = round(p_a1 * ph[0], 3)
+            phet = round(min(1.0 - phom, ph[1] * 0.5), 3)
+            cells2.append(f"{phom} {phet}")
+            cells1.append(f"{round(2 * phom + phet, 3)}")
+        lines2.append(f"snp{j} A B " + " ".join(cells2))
+        lines1.append(f"snp{j} A B " + " ".join(cells1))
+    (d / "dose2.txt").write_text("\n".join(lines2) + "\n")
+    (d / "dose1.txt").write_text("\n".join(lines1) + "\n")
+    with gzip.open(d / "dose2.txt.gz", "wt") as f:
+        f.write("\n".join(lines2) + "\n")
+    return d
+
+
+def test_dosage_cc_logistic(panel):
+    d = panel
+    args = ["--dosage", "dose2.txt", "--fam", "d.fam", "--map", "d.map",
+            "--allow-no-sex"]
+    run19(args + ["--out", "o_cc"], str(d))
+    run_tpu(args + ["--out", "t_cc", "--silent"], str(d))
+    _cmp(d, "o_cc.assoc.dosage", "t_cc.assoc.dosage")
+
+
+def test_dosage_cc_nomap(panel):
+    d = panel
+    args = ["--dosage", "dose2.txt", "--fam", "d.fam", "--allow-no-sex"]
+    run19(args + ["--out", "o_nm"], str(d))
+    run_tpu(args + ["--out", "t_nm", "--silent"], str(d))
+    _cmp(d, "o_nm.assoc.dosage", "t_nm.assoc.dosage")
+
+
+def test_dosage_format1_dose1_gz(panel):
+    d = panel
+    args = ["--dosage", "dose1.txt", "format=1", "dose1", "--fam",
+            "d.fam", "--map", "d.map", "--allow-no-sex"]
+    run19(args + ["--out", "o_f1"], str(d))
+    run_tpu(args + ["--out", "t_f1", "--silent"], str(d))
+    _cmp(d, "o_f1.assoc.dosage", "t_f1.assoc.dosage")
+    # gzip-compressed input
+    args = ["--dosage", "dose2.txt.gz", "--fam", "d.fam",
+            "--allow-no-sex"]
+    run19(args + ["--out", "o_gz"], str(d))
+    run_tpu(args + ["--out", "t_gz", "--silent"], str(d))
+    _cmp(d, "o_gz.assoc.dosage", "t_gz.assoc.dosage")
+
+
+def test_dosage_qt_linear(panel):
+    d = panel
+    args = ["--dosage", "dose2.txt", "--fam", "d.fam", "--map", "d.map",
+            "--pheno", "qt.phe", "--allow-no-sex"]
+    run19(args + ["--out", "o_qt"], str(d))
+    run_tpu(args + ["--out", "t_qt", "--silent"], str(d))
+    _cmp(d, "o_qt.assoc.dosage", "t_qt.assoc.dosage")
+
+
+def test_dosage_freqcc_and_sex(panel):
+    d = panel
+    args = ["--dosage", "dose2.txt", "case-control-freqs", "--fam",
+            "d.fam", "--map", "d.map", "--allow-no-sex"]
+    run19(args + ["--out", "o_fc"], str(d))
+    run_tpu(args + ["--out", "t_fc", "--silent"], str(d))
+    _cmp(d, "o_fc.assoc.dosage", "t_fc.assoc.dosage")
+    args = ["--dosage", "dose2.txt", "sex", "--fam", "d.fam",
+            "--allow-no-sex"]
+    run19(args + ["--out", "o_sx"], str(d))
+    run_tpu(args + ["--out", "t_sx", "--silent"], str(d))
+    _cmp(d, "o_sx.assoc.dosage", "t_sx.assoc.dosage")
+
+
+def test_dosage_occur(panel):
+    d = panel
+    args = ["--dosage", "dose2.txt", "occur", "--fam", "d.fam",
+            "--allow-no-sex"]
+    run19(args + ["--out", "o_oc"], str(d))
+    run_tpu(args + ["--out", "t_oc", "--silent"], str(d))
+    _cmp(d, "o_oc.occur.dosage", "t_oc.occur.dosage")
