@@ -181,17 +181,53 @@ def pval_str(p: float) -> str:
     return dtoa_g(float(p))
 
 
+# exact binary64 constants from the reference (2.0/include/plink2_float.h)
+_KLN10 = 2.3025850929940457
+_KRECIP_LN10 = 0.43429448190325176
+
+
 def logp_to_str(logp: float) -> str:
-    """Format exp(logp) the way the reference's lntoa_g does: stays nonzero
-    below DBL_MIN by switching to mantissa x 10^-exp notation."""
+    """Format exp(logp) the way the reference's lntoa_g
+    (2.0/include/plink2_string.cc:2876) does: stays nonzero below DBL_MIN
+    by switching to mantissa x 10^-exp notation, distinguishing 1e-325
+    from 1e-1000000 (2.0/README.md:96-100).
+
+    The in-range branch (where exp() doesn't underflow) matches the
+    reference through dtoa_g of the exponentiated value and is covered by
+    the GLM/adjust byte-parity suites; the extreme branch reproduces
+    lntoa_g's fma/truncation/banker-rounding sequence exactly."""
     if logp != logp:
         return "NA"
     log10p = logp / np.log(10.0)
     if log10p > -300:
         return dtoa_g(float(np.exp(logp)))
-    e = int(np.floor(log10p))
-    mant = 10.0 ** (log10p - e)
-    return f"{dtoa_g(mant)}e{e:+03d}"
+    if logp < 0x7FFFFFFB * -_KLN10:
+        # exponent would overflow int32 (lntoa_g guard)
+        return "0"
+    # xp10 = (int32)fma(ln, 1/ln10, 5.000001349509205e-7/ln10), truncation
+    # toward zero; 80-bit long-double emulation of the fma is exact to
+    # 2^-64 relative, far inside the +5e-7 guard band
+    ld = np.longdouble
+    xp10 = int(ld(logp) * ld(_KRECIP_LN10)
+               + ld(5.000001349509205e-7) * ld(_KRECIP_LN10))
+    mant = float(np.exp(np.float64(ld(xp10) * ld(-_KLN10) + ld(logp))))
+    if mant < 0.99999949999999:
+        mant *= 10
+        xp10 -= 1
+    elif mant > 9.9999949999999:
+        mant *= 0.1
+        xp10 += 1
+    # BankerRoundD5 + qrtoa_1p5 (plink2_string.cc:2273,2930)
+    dxx = mant * 100000
+    rem = int(dxx)
+    rem += int((dxx - float(rem)) + (0.500000005 if rem & 1
+                                     else 0.499999995))
+    q, r = rem // 100000, rem % 100000
+    s = _qrtoa_1p5(q, r)
+    if xp10 < 0:
+        return s + ("e-0" + str(-xp10) if xp10 > -10
+                    else "e-" + str(-xp10))
+    return s + ("e+0" + str(xp10) if xp10 < 10 else "e+" + str(xp10))
 
 
 def _float_round(f) -> int:
