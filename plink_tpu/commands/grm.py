@@ -21,10 +21,173 @@ from __future__ import annotations
 import numpy as np
 
 from ..dataset import Dataset
-from ..ops.pairwise import PackedDevice, grm_coefs, grm_tile_any, iter_lower_tiles
+from ..ops.pairwise import (
+    PackedDevice,
+    grm_chunk_any,
+    grm_coefs,
+    grm_tile_any,
+    iter_lower_tiles,
+    sample_miss_counts_any,
+    )
 from ..utils.fmt import g6
 from ..utils.logging import RunLogger
 from .basic_reports import alt_allele_freqs
+
+
+def _grm_setup(ds: Dataset, cfg, tile: int):
+    """Shared PackedDevice + per-code normed-dosage coefficients."""
+    import jax.numpy as jnp
+
+    freqs = alt_allele_freqs(ds, founders_only=not cfg.nonfounders)
+    vmask = ds.variant_mask.copy()
+    pd = PackedDevice(ds, vmask, tile=tile)
+    coefs = grm_coefs(
+        freqs, np.zeros(len(freqs), dtype=bool), vmask
+    )  # genome-wide is_haploid only (ref :4694); humans => diploid everywhere
+    npadv = pd.nblocks * pd.vb
+    cpad = np.zeros((npadv, 3), dtype=np.float32)
+    cpad[: coefs.shape[0]] = coefs
+    coef_blocks = np.asarray(cpad).reshape(pd.nblocks, pd.vb, 3)
+    coef_dev = jnp.asarray(coef_blocks)
+    return pd, coef_dev
+
+
+def _stream_grm_bin(ds: Dataset, cfg, log: RunLogger, tile: int = 2048) -> None:
+    """--make-grm-bin without materializing the N x N matrix anywhere.
+
+    The device streams [tile, chunk] output chunks (f32 GRM ratio + u8
+    joint-missing delta = 5 bytes/pair over the wire); a writer thread
+    reconstructs the .grm.N.bin counts and appends the row-major lower
+    triangle while the next chunks are still in flight.  Matches the old
+    in-memory path byte-for-byte (same f32-HIGHEST block sums, f64 carry,
+    f64 division).
+    """
+    import queue
+    import threading
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax.numpy as jnp
+
+    import os
+    import time as _time
+
+    _t0 = _time.time()
+    _dbg = os.environ.get("PLINK_TPU_TIMING")
+
+    def _tlog(msg):
+        if _dbg:
+            print(f"[grm +{_time.time()-_t0:7.2f}s] {msg}", file=__import__("sys").stderr)
+
+    pd, coef_dev = _grm_setup(ds, cfg, tile)
+    _tlog("setup done")
+    n, s = pd.n, pd.tile
+    c = min(4 * s, pd.npad) if pd.npad > s else s
+    miss_dev = sample_miss_counts_any(pd.packed, pd.vmask)
+    mv = pd.variant_ct
+    mv_dev = jnp.asarray(float(mv), jnp.float64)
+    m_host = np.asarray(miss_dev)[:n].astype(np.int32)
+
+    err: list[BaseException] = []
+    writeq: queue.Queue = queue.Queue(maxsize=2)
+
+    def _writer():
+        try:
+            with open(cfg.out + ".grm.bin", "wb") as fb, \
+                    open(cfg.out + ".grm.N.bin", "wb") as fn:
+                while True:
+                    item = writeq.get()
+                    if item is None:
+                        return
+                    r0, parts = item
+                    rmax = min(r0 + s, n)
+                    rows, cols = rmax - r0, rmax  # row i needs cols 0..i
+                    g = np.empty((rows, cols), np.float32)
+                    jm = np.empty((rows, cols), np.int32)
+                    for a0, ga, ja in parts:  # overlaps rewrite same values
+                        hi = min(a0 + c, cols)
+                        g[:, a0:hi] = ga[:rows, : hi - a0]
+                        jm[:, a0:hi] = ja[:rows, : hi - a0]
+                    nm = (
+                        mv - m_host[r0:rmax, None] - m_host[None, :cols] + jm
+                    ).astype(np.float32)
+                    total = (r0 + 1 + rmax) * rows // 2
+                    gflat = np.empty(total, np.float32)
+                    nflat = np.empty(total, np.float32)
+                    off = 0
+                    for i in range(rows):
+                        ln = r0 + i + 1
+                        gflat[off : off + ln] = g[i, :ln]
+                        nflat[off : off + ln] = nm[i, :ln]
+                        off += ln
+                    fb.write(gflat.tobytes())
+                    fn.write(nflat.tobytes())
+        except BaseException as e:  # surface in the main thread
+            err.append(e)
+
+    wt = threading.Thread(target=_writer, daemon=True)
+    wt.start()
+
+    # chunk grid: anchors every c columns, the last anchor pulled back so a
+    # fixed-width window stays in bounds (multiple-of-4 for packed bytes)
+    chunks = []
+    last_anchor = {}
+    for r0 in range(0, pd.npad, s):
+        if r0 >= n:
+            break
+        rmax = min(r0 + s, n)
+        anchors = sorted({min(a, pd.npad - c) for a in range(0, rmax, c)})
+        for a0 in anchors:
+            chunks.append((r0, a0))
+        last_anchor[r0] = anchors[-1]
+
+    pending: deque = deque()
+    strip: dict[int, list] = {}
+    # D2H is the bottleneck on tunnel-attached TPUs; concurrent fetches of
+    # the in-flight chunks recover ~1.5x bandwidth vs serial np.asarray
+    fetch_pool = ThreadPoolExecutor(max_workers=4)
+
+    def _drain_one():
+        r0, a0, fg, fj, fjmax = pending.popleft()
+        g, jm, jmax = fg.result(), fj.result(), fjmax.result()
+        _tlog(f"drained ({r0},{a0})")
+        if int(jmax) > 255:
+            # u8 overflow (pathological missingness): recompute in u16
+            g, jm, _ = grm_chunk_any(
+                pd.packed, coef_dev, pd.vmask, miss_dev, mv_dev,
+                r0, a0, s, c, jm16=True)
+            g, jm = np.asarray(g), np.asarray(jm)
+        strip.setdefault(r0, []).append((a0, g, jm))
+        if a0 == last_anchor[r0]:
+            if err:
+                raise err[0]
+            writeq.put((r0, strip.pop(r0)))
+
+    for r0, a0 in chunks:
+        g, jm, jmax = grm_chunk_any(
+            pd.packed, coef_dev, pd.vmask, miss_dev, mv_dev, r0, a0, s, c)
+        _tlog(f"dispatched ({r0},{a0})")
+        pending.append((
+            r0, a0,
+            fetch_pool.submit(np.asarray, g),
+            fetch_pool.submit(np.asarray, jm),
+            fetch_pool.submit(np.asarray, jmax),
+        ))
+        if len(pending) >= 6:
+            _drain_one()
+    while pending:
+        _drain_one()
+    writeq.put(None)
+    wt.join()
+    fetch_pool.shutdown()
+    if err:
+        raise err[0]
+    _write_id_file(cfg.out + ".grm.id", ds.si, np.flatnonzero(ds.sample_mask))
+    log.log(f"{ds.variant_ct} variants used in GRM computation.")
+    log.log(
+        f"--make-grm-bin: GRM written to {cfg.out}.grm.bin + "
+        f"{cfg.out}.grm.N.bin + {cfg.out}.grm.id ."
+    )
 
 
 def _grm_matrix(ds: Dataset, cfg, log: RunLogger, tile: int = 2048):
@@ -88,8 +251,17 @@ def _write_id_file(path: str, si, inc) -> None:
 def run_grm_pca(ds: Dataset, cfg, log: RunLogger) -> None:
     inc = np.flatnonzero(ds.sample_mask)
     n = inc.size
-    want_grm_out = cfg.make_grm_bin or cfg.make_grm_list or cfg.make_rel
     want_exact_pca = cfg.pca is not None and not cfg.pca_approx
+    needs_matrix = cfg.make_grm_list or cfg.make_rel or want_exact_pca
+    if cfg.make_grm_bin and not needs_matrix:
+        # streaming path: nothing else needs the resident N x N matrix
+        _stream_grm_bin(ds, cfg, log)
+        if cfg.pca is not None:
+            from .pca import run_pca
+
+            run_pca(ds, cfg, log, grm=None)
+        return
+    want_grm_out = cfg.make_grm_bin or cfg.make_grm_list or cfg.make_rel
     grm = None
     if want_grm_out or want_exact_pca:
         grm, nm, _ = _grm_matrix(ds, cfg, log)

@@ -280,6 +280,104 @@ def grm_tile(
 
 
 # ---------------------------------------------------------------------------
+# streaming GRM chunks: everything derivable is computed ON DEVICE so the
+# device->host transfer per pair is 5 bytes (f32 ratio + u8 joint-missing
+# delta) instead of the 12+ bytes of the naive (f32 numerator, i32 count)
+# fetch.  On tunnel-attached TPUs (~40 MB/s D2H) the transfer IS the GRM
+# wall-clock, so bytes-per-pair is the figure of merit.
+#   nm_ij = Mv - m_i - m_j + jm_ij   (jm = joint-missing count, E[jm] =
+#   Mv * miss_rate^2 -- single digits at real missingness, so it fits u8;
+#   the kernel returns max(jm) and the caller refetches in u16 on overflow)
+# ref: CalcGrm / CalcMissingMatrix / denominators
+# (2.0/plink2_matrix_calc.cc:4555,4404,4769-4781).
+# ---------------------------------------------------------------------------
+
+
+def _miss_plane(pk_slice, vmc):
+    codes = unpack_codes(pk_slice, 0)
+    b0 = (codes & 1).astype(jnp.int8)
+    b1 = ((codes >> 1) & 1).astype(jnp.int8)
+    return (b0 & b1) * vmc
+
+
+def _grm_chunk_local(packed, coef, vmask, row0, col0, s: int, c: int):
+    """Scan over variant blocks: (f64 [s,c] weighted-sum accumulator,
+    i32 [s,c] joint-missing counts)."""
+
+    def normed(pk_slice, cf):
+        codes = unpack_codes(pk_slice, 0)
+        b0 = (codes & 1).astype(jnp.float32)
+        b1 = ((codes >> 1) & 1).astype(jnp.float32)
+        miss = b0 * b1
+        r = 1.0 - b0 - b1 + miss
+        h = b0 - miss
+        a = b1 - miss
+        return r * cf[:, 0:1] + h * cf[:, 1:2] + a * cf[:, 2:3]
+
+    def body(carry, xs):
+        acc, jm = carry
+        pk, cf, vm = xs
+        vmc = vm[:, None]
+        pr = lax.dynamic_slice_in_dim(pk, row0 // 4, s // 4, axis=1)
+        pc = lax.dynamic_slice_in_dim(pk, col0 // 4, c // 4, axis=1)
+        acc = acc + lax.dot_general(
+            normed(pr, cf), normed(pc, cf),
+            (((0,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.float64)
+        jm = jm + lax.dot_general(
+            _miss_plane(pr, vmc), _miss_plane(pc, vmc),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        )
+        return (acc, jm), None
+
+    (acc, jm), _ = lax.scan(
+        body,
+        (jnp.zeros((s, c), jnp.float64), jnp.zeros((s, c), jnp.int32)),
+        (packed, coef, vmask),
+    )
+    return acc, jm
+
+
+def _grm_chunk_finish(acc, jm, miss_cts, mv, row0, col0, s: int, c: int,
+                      jm16: bool):
+    m_r = lax.dynamic_slice_in_dim(miss_cts, row0, s).astype(jnp.float64)
+    m_c = lax.dynamic_slice_in_dim(miss_cts, col0, c).astype(jnp.float64)
+    nm = (mv.astype(jnp.float64) - m_r[:, None] - m_c[None, :]) \
+        + jm.astype(jnp.float64)
+    g = (acc / nm).astype(jnp.float32)
+    jm_out = jm.astype(jnp.uint16 if jm16 else jnp.uint8)
+    return g, jm_out, jm.max()
+
+
+@partial(jax.jit, static_argnames=("s", "c", "jm16"))
+def grm_chunk(packed, coef, vmask, miss_cts, mv, row0, col0,
+              s: int, c: int, jm16: bool = False):
+    """One [s, c] GRM output chunk with the division done on device.
+
+    Returns (grm f32 [s, c], jm u8|u16 [s, c], jm_max i32).  The caller
+    reconstructs the .grm.N.bin counts as Mv - m_i - m_j + jm on the host.
+    """
+    acc, jm = _grm_chunk_local(packed, coef, vmask, row0, col0, s, c)
+    return _grm_chunk_finish(acc, jm, miss_cts, mv, row0, col0, s, c, jm16)
+
+
+@jax.jit
+def sample_miss_counts(packed, vmask):
+    """Per-sample missing-genotype counts [npad] int32 over masked variants."""
+
+    def body(acc, xs):
+        pk, vm = xs
+        blk = _miss_plane(pk, vm[:, None]).sum(0, dtype=jnp.int32)
+        return acc + blk, None
+
+    acc0 = jnp.zeros((packed.shape[2] * 4,), jnp.int32)
+    acc, _ = lax.scan(body, acc0, (packed, vmask))
+    return acc
+
+
+# ---------------------------------------------------------------------------
 # mesh-sharded dispatchers: when the packed block tensor is sharded over the
 # variant-block axis (PackedDevice on a >1-device mesh), the contraction
 # over variants runs per-device and the partial Grams psum over ICI --
@@ -349,6 +447,66 @@ def grm_tile_any(packed, coef, vmask, row0, col0, s: int, t: int,
         packed, coef, vmask,
         jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32),
     )
+
+
+@lru_cache(maxsize=None)
+def _grm_chunk_sharded(mesh, s, c, jm16):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import AXIS
+
+    def local(pk, cf, vm, miss_cts, mv, row0, col0):
+        acc, jm = _grm_chunk_local(pk, cf, vm, row0, col0, s, c)
+        acc = lax.psum(acc, AXIS)
+        jm = lax.psum(jm, AXIS)
+        return _grm_chunk_finish(acc, jm, miss_cts, mv, row0, col0, s, c, jm16)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()), check_rep=False,
+    ))
+
+
+def grm_chunk_any(packed, coef, vmask, miss_cts, mv, row0, col0,
+                  s: int, c: int, jm16: bool = False):
+    """grm_chunk that routes block-sharded inputs through shard_map."""
+    from ..parallel.mesh import sharded_mesh_of
+
+    mesh = sharded_mesh_of(packed)
+    if mesh is None:
+        return grm_chunk(packed, coef, vmask, miss_cts, mv, row0, col0,
+                         s, c, jm16)
+    return _grm_chunk_sharded(mesh, s, c, jm16)(
+        packed, coef, vmask, miss_cts, mv,
+        jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32),
+    )
+
+
+@lru_cache(maxsize=None)
+def _miss_counts_sharded(mesh):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import AXIS
+
+    def local(pk, vm):
+        return lax.psum(sample_miss_counts(pk, vm), AXIS)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+        out_specs=P(), check_rep=False,
+    ))
+
+
+def sample_miss_counts_any(packed, vmask):
+    from ..parallel.mesh import sharded_mesh_of
+
+    mesh = sharded_mesh_of(packed)
+    if mesh is None:
+        return sample_miss_counts(packed, vmask)
+    return _miss_counts_sharded(mesh)(packed, vmask)
 
 
 def grm_coefs(
@@ -431,14 +589,12 @@ class PackedDevice:
         dp = None
         if mesh is None and not compact:
             dp = getattr(ds, "device_all_packed", lambda: None)()
-        if dp is not None and dp.shape[1] <= nb_bytes:
-            # device-side reshape of the dataset's resident copy: pad the
-            # variant axis to nblocks*vb and the byte axis to npad/4, no
-            # extra host->device transfer
-            pad_v = self.nblocks * vb - M
-            pad_b = nb_bytes - dp.shape[1]
-            dpad = jnp.pad(dp, ((0, pad_v), (0, pad_b)))
-            self.packed = dpad.reshape(self.nblocks, vb, nb_bytes)
+        if dp is not None and dp.shape[1] == nb_bytes \
+                and self.nblocks * vb == M:
+            # device-side reshape of the dataset's resident copy -- only when
+            # NO padding is needed: padding/relayout of unaligned uint8 on a
+            # tunnel-attached TPU measured ~100x slower than re-uploading
+            self.packed = dp.reshape(self.nblocks, vb, nb_bytes)
         else:
             blocks = np.zeros((self.nblocks, vb, nb_bytes), dtype=np.uint8)
             for bi, (v0, packed) in enumerate(ds.iter_packed_blocks(block_size=vb)):
