@@ -110,6 +110,22 @@ def _gen_cov(prefix, seed):
     return cov
 
 
+def _gen_structured_panel(prefix, samples, variants, seed):
+    """Panel with 10 planted structure axes for the PCA config: --dummy
+    panels have no eigengap, so per-component comparison of two randomized
+    SVDs is meaningless on them (BENCH_r03's pca parity=fail:10pcs was a
+    methodology artifact, not a numerical divergence)."""
+    if os.path.exists(prefix + ".pgen"):
+        return
+    log(f"bench: generating structured {samples}x{variants} panel ...")
+    env = _cpu_env()
+    subprocess.run(
+        [sys.executable, "-m", "plink_tpu.testgen", prefix, str(samples),
+         str(variants), "--k", "10", "--seed", str(seed)],
+        env=env, check=True, cwd=REPO,
+    )
+
+
 def _ensure_toy():
     prefix = os.path.join(BENCH_DIR, "toy")
     if not os.path.exists(prefix + ".pgen"):
@@ -238,10 +254,14 @@ def _parity_grm(ours, theirs):
     return "ok"
 
 
-def _parity_pca(ours, theirs):
-    """Sign-aware column comparison à la plink2's pca_compare.py.  approx
-    mode is a randomized algorithm with different RNG streams, so we check
-    per-component |correlation| > 0.98 instead of element equality."""
+def _parity_pca(ours, ours_val, theirs, theirs_val):
+    """Sign-aware column comparison à la plink2's pca_compare.py, plus an
+    eigenvalue check.  approx mode is a randomized algorithm with different
+    RNG streams, so per-component |correlation| > 0.98 + eigenvalues to 1%
+    is the equality notion; the panel has PLANTED structure (10 separated
+    spikes, plink_tpu/testgen.py) so the top-10 subspace is identifiable
+    and this comparison is meaningful -- unlike on an i.i.d. --dummy panel
+    whose bulk spectrum has no eigengap."""
     import numpy as np
 
     def load(path):
@@ -259,7 +279,12 @@ def _parity_pca(ours, theirs):
         c = np.corrcoef(a[:, j], b[:, j])[0, 1]
         if abs(c) < 0.98:
             bad += 1
-    return "ok" if bad == 0 else f"fail:{bad}pcs"
+    va = np.array([float(x) for x in open(ours_val)])
+    vb = np.array([float(x) for x in open(theirs_val)])
+    nval = int(np.sum(np.abs(va - vb) > 0.01 * np.abs(vb)))
+    if bad == 0 and nval == 0:
+        return "ok"
+    return f"fail:{bad}pcs,{nval}vals"
 
 
 def _parity(name, out_prefix):
@@ -295,7 +320,9 @@ def _parity(name, out_prefix):
         if name == "pca_100k":
             return _parity_pca(
                 out_prefix + ".eigenvec",
-                os.path.join(BENCH_DIR, "o_pca.eigenvec"))
+                out_prefix + ".eigenval",
+                os.path.join(BENCH_DIR, "o_pcas.eigenvec"),
+                os.path.join(BENCH_DIR, "o_pcas.eigenval"))
         if name == "vcf_import":
             # .pvar/.psam must be byte-identical; .pgen bytes legitimately
             # differ (compressor representation choices), so decode-compare
@@ -358,7 +385,7 @@ def _configs():
     toy = os.path.join(BENCH_DIR, "toy")
     p2 = os.path.join(BENCH_DIR, "p10000x32768")
     p3 = os.path.join(BENCH_DIR, "p50000x32768")
-    p4 = os.path.join(BENCH_DIR, "p100000x32768")
+    p4 = os.path.join(BENCH_DIR, "p100000x32768s")  # structured (planted PCs)
     p5 = os.path.join(BENCH_DIR, f"p{GLM_SAMPLES}x{GLM_VARIANTS}")
     cov = p5 + ".cov"
     return {
@@ -372,12 +399,12 @@ def _configs():
         },
         "indep_10k": {
             "argv": ["--pfile", p2, "--indep-pairwise", "200", "50", "0.2"],
-            "out": os.path.join(RUNS, "indep"), "warmup": False, "budget": 600,
+            "out": os.path.join(RUNS, "indep"), "warmup": True, "budget": 600,
         },
         "king_50k": {
             "argv": ["--pfile", p3, "--make-king-table",
                      "--king-table-filter", "0.044"],
-            "out": os.path.join(RUNS, "king"), "warmup": False, "budget": 700,
+            "out": os.path.join(RUNS, "king"), "warmup": True, "budget": 700,
         },
         "grm_50k": {
             "argv": ["--pfile", p3, "--make-grm-bin"],
@@ -385,12 +412,12 @@ def _configs():
         },
         "pca_100k": {
             "argv": ["--pfile", p4, "--pca", "10", "approx", "--seed", "13"],
-            "out": os.path.join(RUNS, "pca"), "warmup": False, "budget": 700,
+            "out": os.path.join(RUNS, "pca"), "warmup": True, "budget": 900,
         },
         "vcf_import": {
             "argv": ["--vcf", os.path.join(BENCH_DIR, "imp10k.vcf.gz"),
                      "--make-pgen"],
-            "out": os.path.join(RUNS, "vcfimp"), "warmup": False,
+            "out": os.path.join(RUNS, "vcfimp"), "warmup": True,
             "budget": 600,
         },
     }
@@ -530,8 +557,8 @@ def main():
          ["--pfile", os.path.join(BENCH_DIR, "p50000x32768"),
           "--make-grm-bin", "--out", os.path.join(BENCH_DIR, "o_grm")]),
         ("pca_100k", "pca_approx10_100000x32768_wall", ORACLE_LAPACK,
-         ["--pfile", os.path.join(BENCH_DIR, "p100000x32768"),
-          "--pca", "10", "approx", "--out", os.path.join(BENCH_DIR, "o_pca")]),
+         ["--pfile", os.path.join(BENCH_DIR, "p100000x32768s"),
+          "--pca", "10", "approx", "--out", os.path.join(BENCH_DIR, "o_pcas")]),
         ("vcf_import", "vcf_bgzf_import_10000x32768_wall", ORACLE,
          ["--vcf", os.path.join(BENCH_DIR, "imp10k.vcf.gz"), "--make-pgen",
           "--out", os.path.join(BENCH_DIR, "o_vcfimp")]),
@@ -540,7 +567,7 @@ def main():
         "indep_10k": (os.path.join(BENCH_DIR, "p10000x32768"), 10000, 32768),
         "king_50k": (os.path.join(BENCH_DIR, "p50000x32768"), 50000, 32768),
         "grm_50k": (os.path.join(BENCH_DIR, "p50000x32768"), 50000, 32768),
-        "pca_100k": (os.path.join(BENCH_DIR, "p100000x32768"), 100000, 32768),
+        "pca_100k": (os.path.join(BENCH_DIR, "p100000x32768s"), 100000, 32768),
     }
     for name, metric, obin, oargs in breadth:
         if time.time() > deadline - 60:
@@ -550,7 +577,10 @@ def main():
         if name in breadth_panels:
             pfx, ns_, nv_ = breadth_panels[name]
             if not os.path.exists(pfx + ".pgen"):
-                _gen_panel(pfx, ns_, nv_, SEED)
+                if name == "pca_100k":
+                    _gen_structured_panel(pfx, ns_, nv_, 7)
+                else:
+                    _gen_panel(pfx, ns_, nv_, SEED)
         if name == "vcf_import":
             if not os.path.exists(_ensure_import_vcf()):
                 log("bench [vcf_import]: skipped (no oracle to export VCF)")

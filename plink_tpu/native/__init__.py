@@ -126,5 +126,19 @@ def get_lib():
             ctypes.c_void_p,  # offs
             ctypes.c_void_p,  # vrtypes
         ]
+        lib.ld_prune_walk.restype = None
+        lib.ld_prune_walk.argtypes = [
+            ctypes.c_void_p,  # exceeds [n, width+1] uint8
+            ctypes.c_void_p,  # mono [n] uint8
+            ctypes.c_void_p,  # majf [n] f64
+            ctypes.c_void_p,  # bps [n] int64
+            ctypes.c_int64,  # n
+            ctypes.c_int64,  # width
+            ctypes.c_int64,  # ws
+            ctypes.c_int,  # is_kb
+            ctypes.c_int64,  # step
+            ctypes.c_double,  # eps
+            ctypes.c_void_p,  # removed [n] uint8 out
+        ]
         _lib = lib
         return _lib

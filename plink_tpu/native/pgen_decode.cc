@@ -737,3 +737,96 @@ extern "C" int64_t lasso_cd_lambda(const double* X, int64_t C, int64_t n,
     }
   }
 }
+
+// ---------------------------------------------------------------------------
+// --indep-pairwise greedy window walk (ref: IndepPairwiseThread,
+// 2.0/plink2_ld.cc:801-1116).  The banded r^2-vs-threshold DECISIONS are
+// precomputed on the TPU (ops/ld.py::_ld_band_bits_scan); this walk
+// consumes the bit band.  exceeds layout: [n][width+1] uint8, entry [i][d]
+// for pair (i, i+d).  Semantics mirror commands/ld.py::_prune_subcontig
+// exactly (reverse second scan, removed seconds still prune earlier
+// partners, (1+2^-44) major-frequency tie-break, LdPruneNextWindow advance
+// in both ct and kb modes).
+extern "C" void ld_prune_walk(
+    const uint8_t* exceeds, const uint8_t* mono, const double* majf,
+    const int64_t* bps, int64_t n, int64_t width, int64_t ws, int is_kb,
+    int64_t step, double eps, uint8_t* removed) {
+  const int64_t W = width + 1;
+  std::vector<int64_t> window;
+  std::vector<uint8_t> cur_removed;
+  window.reserve(2 * (size_t)ws + 4);
+  cur_removed.reserve(2 * (size_t)ws + 4);
+  int64_t winpos_split = 0;
+  int64_t start = 0;
+  int64_t next_end;
+  if (is_kb) {
+    int64_t end_bp_thresh = bps[0] + ws;
+    int64_t first_len = 1;
+    while (first_len < n && bps[first_len] <= end_bp_thresh) ++first_len;
+    next_end = first_len;
+  } else {
+    next_end = ws < n ? ws : n;
+  }
+  int64_t cur = 0;
+  while (cur < n) {
+    int64_t i = cur;
+    if (mono[i]) {
+      cur_removed.push_back(1);
+      removed[i] = 1;
+    } else {
+      cur_removed.push_back(0);
+    }
+    window.push_back(i);
+    ++cur;
+    if (cur != next_end) continue;
+    // ---- process window pairs (default reverse-scan order) ----
+    const int64_t stop = winpos_split ? winpos_split : 1;
+    const int64_t wlen = (int64_t)window.size();
+    for (int64_t second = wlen - 1; second >= stop; --second) {
+      // the reference does NOT skip a removed 'second' here
+      // (plink2_ld.cc:1043-1049): it still prunes earlier partners
+      const int64_t s_loc = window[second];
+      for (int64_t fp = second - 1; fp >= 0; --fp) {
+        if (cur_removed[fp]) continue;
+        const int64_t f_loc = window[fp];
+        if (!exceeds[f_loc * W + (s_loc - f_loc)]) continue;
+        if (majf[f_loc] <= majf[s_loc] * eps) {
+          cur_removed[second] = 1;
+          removed[s_loc] = 1;
+          break;
+        }
+        cur_removed[fp] = 1;
+        removed[f_loc] = 1;
+      }
+    }
+    // ---- advance window (ref LdPruneNextWindow) ----
+    if (next_end == n) break;
+    int64_t new_start;
+    if (is_kb) {
+      new_start = start;
+      const int64_t min_bp = bps[next_end] - ws;
+      for (;;) {
+        ++new_start;
+        if (bps[new_start] >= min_bp) break;
+      }
+      const int64_t end_thresh = bps[new_start] + ws;
+      int64_t ne = next_end;
+      while (ne < n && bps[ne] <= end_thresh) ++ne;
+      next_end = ne;
+    } else {
+      new_start = start + step;
+      next_end = new_start + ws < n ? new_start + ws : n;
+    }
+    size_t out = 0;
+    for (size_t wp = 0; wp < window.size(); ++wp) {
+      if (cur_removed[wp] || window[wp] < new_start) continue;
+      window[out] = window[wp];
+      cur_removed[out] = 0;
+      ++out;
+    }
+    window.resize(out);
+    cur_removed.resize(out);
+    winpos_split = (int64_t)out;
+    start = new_start;
+  }
+}

@@ -27,7 +27,7 @@ from .planes import unpack_codes
 
 
 def _planes_rav(packed: jax.Array, smask: jax.Array) -> jax.Array:
-    """packed [C, NB] -> [3C', no wait [C, 3*npad]] int8 planes (R | A | V),
+    """packed [C, NB] -> [3C, npad] int8 planes (R rows | A rows | V rows),
     sample-masked."""
     codes = unpack_codes(packed, 0)
     b0 = (codes & 1).astype(jnp.int8)
@@ -37,21 +37,15 @@ def _planes_rav(packed: jax.Array, smask: jax.Array) -> jax.Array:
     a = b1 - miss
     v = 1 - miss
     m = smask[None, :]
-    return jnp.concatenate([r * m, a * m, v * m], axis=1)
+    return jnp.concatenate([r * m, a * m, v * m], axis=0)
 
 
 @jax.jit
 def ld_gram_pair(pka: jax.Array, pkb: jax.Array, smask: jax.Array) -> jax.Array:
     """[3Ca, 3Cb] int32 Gram of RAV planes between two variant chunks,
     contracting the sample axis."""
-    p = _planes_rav(pka, smask)
-    q = _planes_rav(pkb, smask)
-    ca = pka.shape[0]
-    cb = pkb.shape[0]
-    npad = smask.shape[0]
-    # planes are concatenated along the sample axis -> reshape to [3, C, n]
-    p3 = p.reshape(ca, 3, npad).transpose(1, 0, 2).reshape(3 * ca, npad)
-    q3 = q.reshape(cb, 3, npad).transpose(1, 0, 2).reshape(3 * cb, npad)
+    p3 = _planes_rav(pka, smask)
+    q3 = _planes_rav(pkb, smask)
     return lax.dot_general(
         p3, q3, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
     )
@@ -91,11 +85,8 @@ def _ld_band_scan(blocks: jax.Array, nxt: jax.Array, smask: jax.Array,
 
     def body(carry, xs):
         pa, pb = xs
-        p = _planes_rav(pa, smask)
-        q = _planes_rav(pb, smask)
-        npad = smask.shape[0]
-        p3 = p.reshape(c, 3, npad).transpose(1, 0, 2).reshape(3 * c, npad)
-        q3 = q.reshape(c, 3, npad).transpose(1, 0, 2).reshape(3 * c, npad)
+        p3 = _planes_rav(pa, smask)
+        q3 = _planes_rav(pb, smask)
         g_self = lax.dot_general(
             p3, p3, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
         )
@@ -130,6 +121,113 @@ def _ld_band_scan(blocks: jax.Array, nxt: jax.Array, smask: jax.Array,
 
     _, outs = lax.scan(body, 0, (blocks, nxt))
     return outs
+
+
+@partial(jax.jit, static_argnames=("width",))
+def _ld_band_bits_scan(blocks: jax.Array, nxt: jax.Array, smask: jax.Array,
+                       r2t: jax.Array, width: int):
+    """Like _ld_band_scan, but the r^2-vs-threshold DECISION is made on
+    device: only [nc, c, width+1] uint8 exceeds-bits (+ three per-variant
+    count vectors) cross the wire -- 24x fewer bytes than the six int32
+    bands, which dominates --indep-pairwise wall-clock on tunnel-attached
+    TPUs.  cov/var products stay exact in f64 (counts < 2^26)."""
+    c = blocks.shape[1]
+
+    def body(carry, xs):
+        pa, pb = xs
+        p3 = _planes_rav(pa, smask)
+        q3 = _planes_rav(pb, smask)
+        g_self = lax.dot_general(
+            p3, p3, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        g_cross = lax.dot_general(
+            p3, q3, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        ii = jnp.arange(c)[:, None]
+        dd = jnp.arange(width + 1)[None, :]
+        jidx = jnp.minimum(ii + dd, 2 * c - 1)  # [c, width+1]
+
+        def band(a, b):
+            m_self = lax.dynamic_slice(g_self, (a * c, b * c), (c, c))
+            m_cross = lax.dynamic_slice(g_cross, (a * c, b * c), (c, c))
+            mcat = jnp.concatenate([m_self, m_cross], axis=1)  # [c, 2c]
+            return jnp.take_along_axis(mcat, jidx, axis=1).astype(jnp.float64)
+
+        rr, ra, rv = band(0, 0), band(0, 1), band(0, 2)
+        ar, aa, av = band(1, 0), band(1, 1), band(1, 2)
+        vr, va, vv = band(2, 0), band(2, 1), band(2, 2)
+        dot = rr - ra - ar + aa
+        s_i, q_i = rv - av, rv + av
+        s_j, q_j = vr - va, vr + va
+        cov = dot * vv - s_i * s_j
+        var1 = q_i * vv - s_i * s_i
+        var2 = q_j * vv - s_j * s_j
+        exceeds = (cov * cov > r2t * var1 * var2).astype(jnp.uint8)
+        nm1 = vv[:, 0].astype(jnp.int32)
+        homref1 = rv[:, 0].astype(jnp.int32)
+        homalt1 = av[:, 0].astype(jnp.int32)
+        return carry, (exceeds, nm1, homref1, homalt1)
+
+    _, outs = lax.scan(body, 0, (blocks, nxt))
+    return outs
+
+
+class LdBitsBand:
+    """Banded r^2-exceeds-threshold DECISIONS for one subcontig: entry
+    [i, d] is 1 iff cov^2 > r2t * var1 * var2 for the pair (i, i+d)
+    (strict >, matching the reference's zero-common-observation guard).
+    The threshold compare runs on device; see _ld_band_bits_scan."""
+
+    def __init__(self, packed_rows, smask: np.ndarray, width: int,
+                 r2t: float, chunk: int | None = None, n: int | None = None,
+                 block_cache: dict | None = None, cache_key=None):
+        """packed_rows: uint8 [n, NB] array OR a zero-arg callable returning
+        one (called only on a block-cache miss, so repeat invocations skip
+        the host read + upload entirely)."""
+        if n is None:
+            n = packed_rows.shape[0]
+        self.n = n
+        self.width = min(width, max(n - 1, 0))
+        c = max(chunk or 512, self.width, 1)
+        c = min(c, max(n, 1))
+        nc = max(1, -(-n // c))
+        blocks = None
+        full_key = None
+        if block_cache is not None and cache_key is not None:
+            full_key = (cache_key, nc, c)
+            blocks = block_cache.get(full_key)
+        if blocks is None:
+            pr = packed_rows() if callable(packed_rows) else packed_rows
+            pad_rows = nc * c - n
+            if pad_rows:
+                pr = np.concatenate(
+                    [pr, np.zeros((pad_rows, pr.shape[1]), np.uint8)]
+                )
+            blocks = jnp.asarray(pr.reshape(nc, c, pr.shape[1]))
+            if full_key is not None:
+                if len(block_cache) > 8:  # bound HBM held by the cache
+                    block_cache.clear()
+                block_cache[full_key] = blocks
+        nxt = jnp.concatenate(
+            [blocks[1:], jnp.zeros_like(blocks[:1])], axis=0
+        )
+        sm = jnp.asarray(np.asarray(smask, dtype=np.int8))
+        exceeds, nm1, homref1, homalt1 = _ld_band_bits_scan(
+            blocks, nxt, sm, jnp.asarray(r2t, jnp.float64), self.width
+        )
+        ex = np.asarray(exceeds).reshape(nc * c, self.width + 1)[:n]
+        ii = np.arange(n)[:, None]
+        dd = np.arange(self.width + 1)[None, :]
+        ex = ex.copy()
+        ex[ii + dd >= n] = 0  # padding-row pairs are garbage
+        ex[:, 0] = 0
+        self.exceeds = ex
+        self.nm1 = np.asarray(nm1, np.int64).reshape(nc * c)[:n]
+        self.homref1 = np.asarray(homref1, np.int64).reshape(nc * c)[:n]
+        self.homalt1 = np.asarray(homalt1, np.int64).reshape(nc * c)[:n]
+
+    def r2_exceeds_vec(self, firsts: np.ndarray, second: int, thresh=None):
+        return self.exceeds[firsts, second - firsts].astype(bool)
 
 
 class LdJointBand:
