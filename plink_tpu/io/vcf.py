@@ -277,8 +277,9 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
         from ..native import get_lib
 
         nlib = get_lib()
-    batch_t9: list[str] = []
+    batch_t9: list[bytes] = []
     batch_rowidx: list[int] = []
+    spans: list = []  # (row0, [nb, N] uint8) contiguous fast-path blocks
     nthr = min(8, os.cpu_count() or 1)
 
     def _flush_batch():
@@ -288,11 +289,10 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
             return
         nb = len(batch_t9)
         ns_ = len(sample_ids)
-        bs = [s.encode() for s in batch_t9]
         offs = np.zeros(nb + 1, np.int64)
-        for i, b_ in enumerate(bs):
+        for i, b_ in enumerate(batch_t9):
             offs[i + 1] = offs[i] + len(b_) + 1
-        buf = b"\n".join(bs) + b"\n"
+        buf = b"\n".join(batch_t9) + b"\n"
         out = np.empty((nb, ns_), np.uint8)
         status = np.zeros(nb, np.uint8)
         if with_phase:
@@ -308,6 +308,13 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
             halfcall_mode, out.ctypes.data_as(ctypes.c_void_p),
             status.ctypes.data_as(ctypes.c_void_p), pha_p, swp_p, nthr,
         )
+        if (not with_phase and not status.any()
+                and batch_rowidx[-1] - batch_rowidx[0] == nb - 1):
+            # contiguous clean batch: final assembly is one memcpy
+            spans.append((batch_rowidx[0], out))
+            batch_t9.clear()
+            batch_rowidx.clear()
+            return
         for i in range(nb):
             ri = batch_rowidx[i]
             if status[i] == 0:
@@ -318,7 +325,7 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
             else:
                 # odd row (or half-call in 'error' mode): the scalar parser
                 # reproduces exact behavior including the ValueError
-                toks_ = batch_t9[i].split("\t")
+                toks_ = batch_t9[i].decode().split("\t")
                 rows[ri] = np.fromiter(
                     (_parse_gt(g, halfcall_mode) for g in toks_),
                     dtype=np.uint8, count=len(toks_),
@@ -338,42 +345,44 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
         batch_t9.clear()
         batch_rowidx.clear()
 
-    with _open_text(path) as f:
-        for line in f:
-            line = line.rstrip("\n")
-            if not line:
+    from .compress import open_binary_auto
+
+    with open_binary_auto(path) as f:
+        for bline in f:
+            bline = bline.rstrip(b"\n")
+            if not bline:
                 continue
-            if line.startswith("##"):
+            if bline.startswith(b"##"):
                 # carry contig lines through to the .pvar header like the
                 # reference's converter
-                if line.startswith("##contig="):
-                    header_lines.append(line)
-                elif line.startswith("##INFO=<ID=PR,"):
+                if bline.startswith(b"##contig="):
+                    header_lines.append(bline.decode())
+                elif bline.startswith(b"##INFO=<ID=PR,"):
                     # provisional-REF Flag key: converted to pgen
                     # nonref_flags, not kept as INFO (ref info_pr_exists,
                     # 2.0/plink2_import.cc:3012-3024)
-                    if "Type=Flag" in line:
+                    if b"Type=Flag" in bline:
                         info_pr_exists = True
                 continue
-            if line.startswith("#CHROM"):
-                toks = line.split("\t")
+            if bline.startswith(b"#CHROM"):
+                toks = bline.decode().split("\t")
                 sample_ids = toks[9:]
                 continue
-            t = line.split("\t", 9)
+            t = bline.split(b"\t", 9)
             if len(t) < 10:
-                raise ValueError(f"VCF data line with <10 columns: {line[:80]}")
-            fmt = t[8].split(":")
-            gt_exists = fmt[0] == "GT"
+                raise ValueError(
+                    f"VCF data line with <10 columns: {bline[:80].decode(errors='replace')}")
+            gt_exists = t[8] == b"GT" or t[8].startswith(b"GT:")
             if not gt_exists and dosage_field is None:
                 raise ValueError("VCF FORMAT must lead with GT")
-            chroms.append(ci.code(t[0]))
+            chroms.append(ci.code(t[0].decode()))
             poss.append(int(t[1]))
-            vids.append(t[2])
-            refs.append(t[3])
-            alts.append(t[4])
-            quals.append(None if t[5] == "." else t[5])
-            filts.append(None if t[6] == "." else t[6])
-            inf = t[7]
+            vids.append(t[2].decode())
+            refs.append(t[3].decode())
+            alts.append(t[4].decode())
+            quals.append(None if t[5] == b"." else t[5].decode())
+            filts.append(None if t[6] == b"." else t[6].decode())
+            inf = t[7].decode()
             if info_pr_exists:
                 toks_i = inf.split(";") if inf != "." else []
                 if "PR" in toks_i:
@@ -383,9 +392,9 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
                 else:
                     nonref_list.append(False)
             infos.append(None if inf == "." else inf)
-            is_ma = "," in t[4]
+            is_ma = b"," in t[4]
             if is_ma and gt_exists:
-                codes, patches = _parse_gt_ma_row(t[9].split("\t"),
+                codes, patches = _parse_gt_ma_row(t[9].decode().split("\t"),
                                                   halfcall_mode)
                 rows.append(codes)
                 ma_rows[len(rows) - 1] = patches
@@ -403,7 +412,8 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
                 if len(batch_t9) >= 4096:
                     _flush_batch()
                 continue
-            toks9 = t[9].split("\t")
+            fmt = t[8].decode().split(":")
+            toks9 = t[9].decode().split("\t")
             ns = len(toks9)
             if dosage_field is None and not qual_filter:
                 rows.append(np.fromiter(
@@ -567,9 +577,12 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
                 phase_rows.append((pp, pi))
         _flush_batch()
     M, N = len(rows), len(sample_ids)
-    codes = (
-        np.vstack(rows) if rows else np.zeros((0, N), dtype=np.uint8)
-    )
+    codes = np.empty((M, N), dtype=np.uint8)
+    for r0, blk in spans:
+        codes[r0 : r0 + blk.shape[0]] = blk
+    for ri, r in enumerate(rows):
+        if r is not None:
+            codes[ri] = r
     vi = VariantInfo(
         chrom=np.array(chroms, dtype=np.int16),
         pos=np.array(poss, dtype=np.int32),
