@@ -82,8 +82,50 @@ def _load_covars(ds: Dataset, cfg, log: RunLogger):
     else:
         raise ValueError(f"{cfg.covar}: header must start with #FID/#IID")
     colnames = toks_hdr[id_cols:]
-    flat = body.split()
     ncol = len(toks_hdr)
+    # tab-rectangular fast path: pandas C-engine parse (a 500k x 12 .cov
+    # costs ~3.5s through the token-split path, ~0.3s here)
+    first_nl = body.find("\n")
+    if "\t" in hdr_line and first_nl > 0 \
+            and body[:first_nl].count("\t") == ncol - 1:
+        try:
+            import io as _io
+
+            import pandas as pd
+
+            df = pd.read_csv(
+                _io.StringIO(body), sep="\t", header=None,
+                names=list(range(ncol)),
+                dtype={i: (str if i < id_cols else np.float64)
+                       for i in range(ncol)},
+            )
+            if id_cols == 2:
+                ids = (df[0].astype(str) + "\t"
+                       + df[1].astype(str)).to_numpy(dtype=object)
+            else:
+                ids = df[0].to_numpy(dtype=object)
+            numeric_all = df.iloc[:, id_cols:].to_numpy(dtype=np.float64)
+            numeric_all[numeric_all == -9.0] = np.nan
+            rows = _match_rows(ds, id_mode, ids)
+            if cfg.covar_name:
+                sel = [colnames.index(n) for n in cfg.covar_name]
+                names = list(cfg.covar_name)
+            else:
+                sel = list(range(len(colnames)))
+                names = colnames
+            n = ds.raw_sample_ct
+            data = np.full((n, len(sel)), np.nan)
+            ok = rows >= 0
+            data[rows[ok]] = numeric_all[np.flatnonzero(ok)[:, None], sel]
+            nonmiss = ~np.isnan(data).any(axis=1)
+            log.log(
+                f"{len(names)} covariate{'s' if len(names) != 1 else ''} "
+                f"loaded from {cfg.covar}."
+            )
+            return names, np.nan_to_num(data), nonmiss
+        except (ValueError, TypeError):
+            pass  # odd tokens: fall through to the tolerant parsers
+    flat = body.split()
     if len(flat) % ncol:
         # ragged file: fall back to the row-wise parser
         id_mode, ids, colnames, vals = _read_table(cfg.covar)

@@ -154,7 +154,7 @@ def _moments_body(
     vb, n = valid.shape
     P = np_
     d = dc + P
-    hi = lax.Precision.HIGHEST
+    hi = lax.Precision.HIGH
     gcols = [
         (gw[:, p, 0:1] * hpl + gw[:, p, 1:2] * apl + gw[:, p, 2:3] * valid)
         * (c[None, :, covj[p]] if covj and covj[p] else 1.0)
@@ -214,7 +214,10 @@ def _design_ops(gcols, valid, c, dc, offset=None):
     vb, n = valid.shape
     P = len(gcols)
     d = dc + P
-    hi = lax.Precision.HIGHEST
+    # bf16x3 ("HIGH") keeps ~f32-equivalent product accuracy at half the
+    # MXU passes of HIGHEST; the flagged-variant f64 host refinement pass
+    # still backstops any variant near a reporting threshold
+    hi = lax.Precision.HIGH
     ccfl = (c[:, :, None] * c[:, None, :]).reshape(n, dc * dc)
 
     def xtv(w):  # X^T w for every variant: [vb, n] -> [vb, d]

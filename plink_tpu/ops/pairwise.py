@@ -589,12 +589,15 @@ class PackedDevice:
         dp = None
         if mesh is None and not compact:
             dp = getattr(ds, "device_all_packed", lambda: None)()
-        if dp is not None and dp.shape[1] == nb_bytes \
-                and self.nblocks * vb == M:
-            # device-side reshape of the dataset's resident copy -- only when
-            # NO padding is needed: padding/relayout of unaligned uint8 on a
-            # tunnel-attached TPU measured ~100x slower than re-uploading
-            self.packed = dp.reshape(self.nblocks, vb, nb_bytes)
+        if dp is not None and dp.shape[1] == nb_bytes:
+            # device-side reshape of the dataset's resident copy.  Padding
+            # the MAJOR (variant) axis is cheap; padding the byte axis is
+            # NOT (relayout of unaligned uint8 on a tunnel-attached TPU
+            # measured ~100x slower than re-uploading), hence the exact
+            # nb_bytes match requirement.
+            pad_v = self.nblocks * vb - M
+            dpad = jnp.pad(dp, ((0, pad_v), (0, 0))) if pad_v else dp
+            self.packed = dpad.reshape(self.nblocks, vb, nb_bytes)
         else:
             blocks = np.zeros((self.nblocks, vb, nb_bytes), dtype=np.uint8)
             for bi, (v0, packed) in enumerate(ds.iter_packed_blocks(block_size=vb)):
