@@ -29,6 +29,16 @@ def _group_counts(ds: Dataset, founders_only: bool) -> dict[str, np.ndarray]:
 
     base = ds.sample_mask & (ds.founder_mask if founders_only else True)
     masks = [base, base & ds.male_mask(), base & ds.female_mask()]
+    if ds.raw_variant_ct * ds.raw_sample_ct <= 1 << 22:
+        # tiny panel: one tunnel round trip costs more than the whole count
+        from ..ops.counts import _np_counts_masked
+
+        pk = ds.all_packed()
+        if pk is not None:
+            padm = [np.pad(m.astype(np.float32),
+                           (0, pk.shape[1] * 4 - m.size)) for m in masks]
+            cat = [_np_counts_masked(pk, m) for m in padm]
+            return {"all": cat[0], "male": cat[1], "female": cat[2]}
     # one scan over the device-resident block tensor = one dispatch + one
     # fetch for the whole file (per-block round trips dominate on a
     # tunnel-attached TPU)

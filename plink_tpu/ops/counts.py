@@ -22,6 +22,31 @@ import numpy as np
 from .planes import unpack_codes
 
 
+# Below this many genotypes the tunnel round trip (~40 ms on networked
+# TPU attachments) dwarfs the count itself: use host numpy instead.
+HOST_SMALL_GENOTYPES = 1 << 22
+
+
+def _unpack_np(packed: np.ndarray) -> np.ndarray:
+    """uint8 [V, NB] -> codes [V, NB*4] on host (small panels only)."""
+    v, nb = packed.shape
+    out = np.empty((v, nb, 4), dtype=np.uint8)
+    for k in range(4):
+        out[:, :, k] = (packed >> (2 * k)) & 3
+    return out.reshape(v, nb * 4)
+
+
+def _np_counts_masked(packed: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Host counts [V, 4] (homref, het, homalt, missing) over mask>0 cols."""
+    codes = _unpack_np(packed)
+    m = np.asarray(mask) > 0
+    cm = codes[:, : m.size][:, m]
+    out = np.empty((packed.shape[0], 4), np.int64)
+    for c in range(4):
+        out[:, c] = (cm == c).sum(axis=1)
+    return out
+
+
 @partial(jax.jit, static_argnames=("npad",))
 def _geno_counts_masked(packed: jax.Array, mask: jax.Array, npad: int) -> jax.Array:
     """packed uint8 [V, NB], mask f32 [npad] (0/1) -> int32 counts [V, 4].
@@ -261,13 +286,21 @@ class GenoCounter:
         self.sample_ct = sample_ct
         self.npad = ((sample_ct + 3) // 4) * 4
         mask = np.ones(sample_ct, dtype=np.float32) if sample_mask is None else sample_mask
-        self._mask = jnp.asarray(_pad_mask(mask, self.npad))
+        self._mask_np = _pad_mask(mask, self.npad)
+        self._mask = None  # device copy, created on first device-path block
         self.n_samples = int(mask.sum())
         self._per_variant: list[np.ndarray] = []
 
     def add_block(self, packed: np.ndarray) -> np.ndarray:
-        counts = _geno_counts_masked(jnp.asarray(packed), self._mask, self.npad)
-        arr = np.asarray(counts)
+        if packed.size * 4 <= HOST_SMALL_GENOTYPES \
+                and isinstance(packed, np.ndarray):
+            arr = _np_counts_masked(packed, self._mask_np)
+        else:
+            if self._mask is None:
+                self._mask = jnp.asarray(self._mask_np)
+            counts = _geno_counts_masked(
+                jnp.asarray(packed), self._mask, self.npad)
+            arr = np.asarray(counts)
         self._per_variant.append(arr)
         return arr
 
@@ -292,6 +325,10 @@ def sample_missing_counts(
     npad = ((sample_ct + 3) // 4) * 4
     V = packed.shape[0]
     vm = np.ones(V, dtype=np.float32) if vmask is None else vmask.astype(np.float32)
+    if packed.size * 4 <= HOST_SMALL_GENOTYPES and isinstance(packed, np.ndarray):
+        codes = _unpack_np(packed)
+        miss = (codes == 3) * (vm[:, None] > 0)
+        return miss.sum(axis=0)[:sample_ct].astype(np.int64)
     out = _sample_miss_counts(jnp.asarray(packed), jnp.asarray(vm), npad)
     return np.asarray(out)[:sample_ct].astype(np.int64)
 
