@@ -162,6 +162,9 @@ class Config:
     mendel: bool = False
     assoc: bool = False
     assoc_mods: tuple = ()
+    linear19: tuple | None = None
+    logistic19: tuple | None = None
+    xchr_model_set: bool = False
     model: bool = False
     model_mods: tuple = ()
     allow_no_sex: bool = False
@@ -526,6 +529,25 @@ def parse_args(argv: list[str]) -> Config:
         elif name == "assoc":
             cfg.assoc = True
             cfg.assoc_mods = tuple(args)
+        elif name in ("linear", "logistic"):
+            allowed = {
+                "perm", "perm-count", "genotypic", "hethom", "dominant",
+                "recessive", "no-x-sex", "hide-covar", "sex", "interaction",
+                "beta", "standard-beta", "intercept", "no-snp", "set-test",
+            }
+            for a in args:
+                if not (a in allowed or a.startswith("mperm=")):
+                    raise FlagError(f"Invalid --{name} parameter '{a}'.")
+            if name == "linear":
+                if "beta" in args:
+                    raise FlagError(
+                        "--linear 'beta' modifier is --logistic-only.")
+                cfg.linear19 = tuple(args)
+            else:
+                if "standard-beta" in args:
+                    raise FlagError(
+                        "--logistic 'standard-beta' modifier is --linear-only.")
+                cfg.logistic19 = tuple(args)
         elif name == "model":
             cfg.model = True
             cfg.model_mods = tuple(args)
@@ -933,6 +955,7 @@ def parse_args(argv: list[str]) -> Config:
             cfg.new_id_max_allele_len = (ml, mode)
         elif name == "xchr_model":
             cfg.xchr_model = int(args[0])
+            cfg.xchr_model_set = True
         elif name == "aperm":
             # --aperm min [max [alpha [beta [init_interval [slope]]]]]
             dflt = [6, 1000000, 0.0, 0.0001, 1.0, 0.001 * (1 + 2 ** -44)]

@@ -1,0 +1,669 @@
+"""PLINK 1.9 --linear / --logistic: .assoc.linear / .assoc.logistic reports.
+
+Behavior reference: glm_linear_assoc / glm_logistic_assoc
+(1.9/plink_glm.c:4363,5897) with the shared machinery in glm_common_init
+(:3555), glm_fill_design (:1820), glm_linear (:482), glm_logistic (:1690),
+glm_check_vif (:409) and linear_hypothesis_chisq (1.9/plink_stats.c:2164).
+
+Byte-identical output contract:
+- header " CHR %{maxsnp}s         BP   A1       TEST    NMISS       BETA "
+  (+ SE/L*/U* with --ci) + "        STAT            P " (:4945,:6430);
+- per-parameter rows (INTERCEPT skipped unless 'intercept'), fixed widths
+  via dtoa_g_wxp4 (TEST fw10, NMISS w8, BETA/OR w10, STAT/P w12);
+- linear: coefficients from LAPACK dgels, SE^2 = diag(inv(X'X)) * sigma,
+  STAT = t, P = calc_tprob(t, n - p); logistic: the float IRLS
+  (stats/glm19f.py, a bit-exact port) with SE from the Cholesky-solved
+  covariance, STAT = z, P = chiprob(z^2, 1);
+- genotypic/hethom add the DOMDEV/HET row and the GENO_2DF joint Wald test;
+- chrX male coding follows --xchr-model (default 1: male dosage halved),
+  haploid chromosomes use 0/0/1 A1-hom coding with het->missing
+  (haploid_fix, 1.9/plink_common.h:2658).
+
+Adaptive (.perm, EMP1) and max(T) (.mperm, EMP1/EMP2) permutation tests
+ride the bit-exact SFMT generators in stats/perm19.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..dataset import Dataset
+from ..utils.logging import RunLogger
+from .assoc19 import _fw, _g4
+from .basic_reports import alt_allele_freqs
+from .homozyg import _fw_width
+from .qassoc import calc_tprob
+
+
+def _flag_error(msg):
+    from ..cli import FlagError
+
+    return FlagError(msg)
+
+F = np.float32
+
+
+def _exp(x: float) -> float:
+    """C exp(): overflows to inf instead of raising."""
+    try:
+        return math.exp(x)
+    except OverflowError:
+        return math.inf
+
+
+def _p_chisq(x, df=1.0):
+    from ..stats.distributions import chisq_logsf
+
+    if not np.isfinite(x) or x < 0:
+        return -9.0
+    return float(np.exp(chisq_logsf(float(x), float(df))))
+
+
+def _invert_matrix(m: np.ndarray) -> np.ndarray | None:
+    """LAPACK dgetrf+dgetri, mirroring the reference's invert_matrix."""
+    from scipy.linalg.lapack import dgetrf, dgetri
+
+    lu, piv, info = dgetrf(m)
+    if info != 0:
+        return None
+    inv, info = dgetri(lu, piv)
+    if info != 0:
+        return None
+    return inv
+
+
+def _glm_check_vif(vif_thresh: float, X: np.ndarray) -> bool:
+    """glm_check_vif (1.9/plink_glm.c:409): True = FAIL.  X is the
+    cov-major design [p, n] (row 0 = intercept)."""
+    p, n = X.shape
+    if p < 2:
+        return False
+    nm1 = p - 1
+    means = X[1:].sum(axis=1) / n
+    # covariance-ish matrix with the reference's exact op order
+    g = np.empty((nm1, nm1))
+    for i in range(nm1):
+        for j in range(i, nm1):
+            dxx = float(X[1 + i] @ X[1 + j])
+            dxx -= means[i] * n * means[j]
+            g[i, j] = dxx / (n - 1)
+    d = np.diagonal(g).copy()
+    if (d == 0).any() or not np.isfinite(d).all():
+        return True
+    isd = 1.0 / np.sqrt(d)
+    for i in range(1, nm1):
+        for j in range(i):
+            dxx = g[j, i] * isd[i] * isd[j]
+            if dxx > 0.999:
+                return True
+            g[i, j] = dxx
+            g[j, i] = dxx
+    for i in range(nm1):
+        g[i, i] = 1.0
+    inv = _invert_matrix(g)
+    if inv is None:
+        return True
+    return bool((np.diagonal(inv) > vif_thresh).any())
+
+
+def _linear_hypothesis_chisq(H: np.ndarray, coef: np.ndarray,
+                             S: np.ndarray) -> float | None:
+    """linear_hypothesis_chisq (1.9/plink_stats.c:2164): Wald chi-square
+    for H beta = 0 given scaled covariance S."""
+    hb = H @ coef
+    inner = H @ S @ H.T
+    inv = _invert_matrix(inner)
+    if inv is None:
+        return None
+    return float(hb @ inv @ hb)
+
+
+def _glm_linear_fit(X: np.ndarray, y: np.ndarray, constraints=None,
+                    y_rss=None):
+    """glm_linear single-permutation core (1.9/plink_glm.c:482).
+
+    X cov-major [p, n] f64 (intercept first), y [n] f64.  Returns
+    (coef [p], se2 [p], joint_chisq|None) or None on failure; se2[0] is the
+    intercept's (reported only with 'intercept'/--ci)."""
+    from scipy.linalg.lapack import dgels
+
+    p, n = X.shape
+    s0 = _invert_matrix(X @ X.T)
+    if s0 is None:
+        return None
+    diag = np.diagonal(s0)
+    sq = np.sqrt(diag)
+    # validParameters() part 1: pairwise near-collinearity (signed compare)
+    for i in range(1, p):
+        dxx = 0.99999 * sq[i]
+        for j in range(i):
+            if s0[i, j] > dxx * sq[j]:
+                return None
+    min_sigma = diag[1:].min() if p > 1 else diag[0]
+    if min_sigma <= 0:
+        return None
+    min_sigma = 1e-20 / min_sigma
+    _, cf, info = dgels(X.T, y.reshape(-1, 1))
+    if info != 0:
+        return None
+    coef = cf[:p, 0].copy()
+    resid = (y if y_rss is None else y_rss) - X.T @ coef
+    rss = float(resid @ resid)
+    sigma = rss / (n - p)
+    if sigma < min_sigma:
+        return None
+    se2 = diag * sigma
+    joint = None
+    if constraints is not None:
+        joint = _linear_hypothesis_chisq(constraints, coef, s0 * sigma)
+        if joint is None:
+            joint = -9.0
+    # the 'intercept' display SE reads a REUSED buffer slot: without a joint
+    # test it holds unscaled S0[1][1] (glm_linear copies diag entries 1..p-1
+    # into param_2d_buf2 starting at [0]; the writer at :5254 takes
+    # sqrt(param_2d_buf2[0]) with no sigma); with a joint test the buffer
+    # holds the full sigma-scaled S, so [0] = S0[0][0]*sigma
+    icept_disp_var = (diag[1] if constraints is None and p > 1
+                      else se2[0])
+    return coef, se2, joint, icept_disp_var
+
+
+def _logistic_fit(X32: np.ndarray, y32: np.ndarray, constraints=None):
+    """glm_logistic single-permutation core; X32 [p, n4] f32 cov-major."""
+    from ..stats.glm19f import glm_logistic_full
+
+    res = glm_logistic_full(X32, y32)
+    if res is None:
+        return None
+    coef, S = res
+    se2 = np.diagonal(S).astype(np.float64)
+    joint = None
+    if constraints is not None:
+        j = _linear_hypothesis_chisq(
+            constraints, coef.astype(np.float64), S.astype(np.float64))
+        joint = F(j) if j is not None else -9.0
+    return coef.astype(np.float64), se2, joint, float(se2[0])
+
+
+def _hh_fix_cnt(cnt: np.ndarray, is_x: bool, is_y: bool, haploid: bool,
+                male: np.ndarray) -> np.ndarray:
+    """haploid_fix on A1-count codes (3 = missing).  X: male hets ->
+    missing; Y: nonmale -> missing; other haploid/MT: hets -> missing."""
+    if is_x:
+        cnt = np.where(male & (cnt == 1), 3, cnt)
+    elif is_y:
+        cnt = np.where(~male, 3, cnt)
+    elif haploid:
+        cnt = np.where(cnt == 1, 3, cnt)
+    return cnt
+
+
+def _build_design(cnt_nm, male_nm, covars_nm, sex_col, model, gen_or_hh,
+                  male_x_01, is_nonx_haploid, include_sex, dtype):
+    """glm_fill_design (1.9/plink_glm.c:1820): cov-major design over
+    nonmissing samples.  cnt_nm = A1 counts (0/1/2)."""
+    nm = cnt_nm.size
+    cols = [np.ones(nm, dtype)]
+    # main-effect coding priority mirrors glm_fill_design exactly:
+    # DOMINANT -> 0/1/1 (even on haploid chromosomes); additive/genotypic
+    # on a diploid-capable chromosome -> 0/1/2 (male X >> 1 under
+    # --xchr-model 1); everything else (hethom/recessive/non-X haploid)
+    # -> 0/0/1 A1-hom indicator
+    if model == "dominant":
+        g = (cnt_nm >= 1).astype(dtype)
+    elif model not in ("hethom", "recessive") and not is_nonx_haploid:
+        if male_x_01:
+            g = np.where(male_nm, cnt_nm >> 1, cnt_nm).astype(dtype)
+        else:
+            g = cnt_nm.astype(dtype)
+    else:
+        g = (cnt_nm == 2).astype(dtype)
+    cols.append(g)
+    if gen_or_hh and not is_nonx_haploid:
+        cols.append((cnt_nm == 1).astype(dtype))  # DOMDEV / HET
+    for k in range(covars_nm.shape[1]):
+        cols.append(covars_nm[:, k].astype(dtype))
+    if include_sex:
+        cols.append(sex_col.astype(dtype))
+    return np.ascontiguousarray(np.stack(cols))
+
+
+def _standardize(X: np.ndarray) -> np.ndarray:
+    """standard-beta design standardization (glm_fill_design tail)."""
+    p, n = X.shape
+    for i in range(1, p):
+        col = X[i]
+        s = float(col.sum())
+        ssq = float(col @ col)
+        mean = s / n
+        sd = math.sqrt((ssq - s * mean) / (n - 1))
+        if sd == 0:
+            X[i] = 0.0
+        else:
+            X[i] = (col - mean) * (1.0 / sd)
+    return X
+
+
+def run_glm19(ds: Dataset, cfg, log: RunLogger, linear: bool) -> None:
+    raw_mods = cfg.linear19 if linear else cfg.logistic19
+    mods = set()
+    mperm_val = None
+    for m in raw_mods:
+        if m.startswith("mperm="):
+            mperm_val = int(m.split("=", 1)[1])
+        else:
+            mods.add(m)
+    flagname = "--linear" if linear else "--logistic"
+    for bad in ("interaction", "no-snp", "set-test"):
+        if bad in mods:
+            raise _flag_error(f"{flagname} '{bad}' modifier is not implemented yet.")
+    if cfg.condition or cfg.condition_list:
+        raise _flag_error(f"{flagname}: --condition is not implemented yet.")
+    genotypic = "genotypic" in mods
+    hethom = "hethom" in mods
+    dominant = "dominant" in mods
+    recessive = "recessive" in mods
+    gen_or_hh = genotypic or hethom
+    model = ("genotypic" if genotypic else "hethom" if hethom
+             else "dominant" if dominant else "recessive" if recessive
+             else "add")
+    hide_covar = "hide-covar" in mods
+    report_odds = (not linear) and ("beta" not in mods)
+    standard_beta = linear and ("standard-beta" in mods)
+    show_intercept = "intercept" in mods
+    sex_everywhere = "sex" in mods
+    no_x_sex = "no-x-sex" in mods
+    do_perm = "perm" in mods
+    perm_count = "perm-count" in mods
+    mperm = mperm_val
+    do_perms = do_perm or mperm is not None
+    # plink 1.9's default --xchr-model is 1 (male dosage 0..1); the Config
+    # default of 2 belongs to the 2.0 --glm personality.  Genotype-model
+    # modifiers force model 0 (1.9/plink.c:8070-8091) -- nonautosomal
+    # variants are excluded -- unless an explicit --xchr-model overrides.
+    if getattr(cfg, "xchr_model_set", False):
+        xchr_model = cfg.xchr_model
+    elif genotypic or hethom or dominant or recessive:
+        xchr_model = 0
+    else:
+        xchr_model = 1
+
+    # phenotype
+    pheno_name = None
+    pc = None
+    for nm_, col in ds.si.phenos.items():
+        pc = col
+        pheno_name = nm_
+        break
+    if pc is None:
+        raise _flag_error(f"{flagname} requires a loaded phenotype.")
+    if linear and pc.kind != "qt":
+        raise _flag_error("--linear without --all-pheno requires a scalar phenotype.")
+    if (not linear) and pc.kind != "cc":
+        raise _flag_error("--logistic without --all-pheno requires a case/control phenotype.")
+
+    from .glm import _load_covars
+
+    covar_names, covar_data, covar_nm = _load_covars(ds, cfg, log)
+
+    pheno_nm = np.asarray(pc.nonmiss, bool)
+    load_mask = ds.sample_mask & pheno_nm & covar_nm
+
+    sex = ds.si.sex
+    x_present = bool((ds.vi.chrom[ds.variant_mask]
+                      == ds.vi.chr_info.x_code()).any()) \
+        if hasattr(ds.vi.chr_info, "x_code") else True
+    ci_x = _chrom_codes(ds)
+    x_present = bool((ds.vi.chrom[ds.variant_mask] == ci_x["x"]).any())
+    variation_in_sex = False
+    if not (no_x_sex or (not sex_everywhere and not x_present)):
+        sexed = load_mask & (sex != 0)
+        msk = sex[sexed] == 1
+        if msk.size and msk.any() and (~msk).any():
+            variation_in_sex = True
+        if variation_in_sex and sex_everywhere:
+            load_mask = load_mask & (sex != 0)
+        elif not variation_in_sex and sex_everywhere:
+            log.log(f"Warning: Ignoring {flagname} 'sex' modifier since sex "
+                    "is invariant.")
+            sex_everywhere = False
+    np_sex = 1 if (variation_in_sex and not sex_everywhere) else 0
+
+    inc = np.flatnonzero(load_mask)
+    n_valid = inc.size
+    male = sex[inc] == 1
+    sex_col_full = male.astype(np.float64)
+
+    if linear:
+        yfull = np.asarray(pc.data, np.float64)[inc]
+        psum = pssq = 0.0
+        for v_ in yfull:  # sequential adds, matching the reference
+            psum += v_
+            pssq += v_ * v_
+        if pssq * n_valid == psum * psum:
+            raise _flag_error("--linear phenotype is constant.")
+        if standard_beta:
+            # standardize ONCE globally; per-variant missing subsets then
+            # re-standardize the standardized values with base sums
+            # (0, n-1) exactly (1.9/plink_glm.c:4680-4689,5163-5186)
+            mean = psum / n_valid
+            mult = math.sqrt((n_valid - 1) / (pssq - psum * mean))
+            yfull = (yfull - mean) * mult
+            psum, pssq = 0.0, float(n_valid - 1)
+    else:
+        # cc phenotypes store 0=control, 1=case
+        yfull = np.asarray(pc.data, np.float64)[inc]
+        case_ct = int(yfull.sum())
+        if case_ct == 0 or case_ct == n_valid:
+            raise _flag_error(
+                "--logistic requires both cases and controls.")
+    covars = covar_data[inc]
+    ncov = covars.shape[1]
+
+    # A1 = minor allele (founder frequencies, set at load in the reference)
+    freqs = alt_allele_freqs(ds, founders_only=True)
+    with np.errstate(invalid="ignore"):
+        a1_is_alt = ~(freqs > 0.5)
+
+    vmask = ds.variant_mask.copy()
+    if xchr_model == 0:
+        nonauto = ~ds.vi.chr_info.is_autosomal(ds.vi.chrom)
+        excl = int((vmask & nonauto).sum())
+        if excl:
+            log.log(
+                f"Excluding {excl} nonautosomal variant"
+                f"{'s' if excl != 1 else ''} from {flagname} analysis "
+                "(--xchr-model 0).")
+        vmask &= ~nonauto
+    vidx = np.flatnonzero(vmask)
+    if vidx.size == 0:
+        raise _flag_error(f"No variants remaining for {flagname} analysis.")
+    vi = ds.vi
+    maxsnp = _fw_width(len(str(vi.vid[i])) for i in vidx)
+
+    # parameter names
+    main_name = ("REC" if recessive else "DOM" if dominant
+                 else "HOM" if hethom else "ADD")
+    domdev_name = "HET" if hethom else "DOMDEV"
+    constraint_max = 2 if gen_or_hh else 0
+    joint_name_prefix = "GENO_"
+
+    out_path = cfg.out + (".assoc.linear" if linear else ".assoc.logistic")
+    ci_size = cfg.ci
+    display_ci = ci_size is not None
+    if display_ci:
+        from .cluster import _ltqnorm
+
+        ci_zt = _ltqnorm(1 - (1 - ci_size) / 2)
+    hdr = (" CHR " + _fw("SNP", maxsnp) + "         BP   A1       TEST"
+           + "    NMISS       " + ("  OR" if report_odds else "BETA") + " ")
+    if display_ci:
+        pct = int(ci_size * (100 + 1e-8))
+        if pct >= 10:
+            hdr += f"      SE      L{pct}      U{pct} "
+        else:
+            hdr += f"      SE       L{pct}       U{pct} "
+    hdr += "        STAT            P \n"
+
+    pfilter = cfg.pfilter if cfg.pfilter is not None else 2.0
+    output_min_p = getattr(cfg, "output_min_p", 0.0) or 0.0
+    vif_thresh = getattr(cfg, "vif", None) or 50.0
+
+    # per-variant main pass
+    codes_cache = _CodesReader(ds, inc)
+    rows_out = []
+    orig_stats = np.full(vidx.size, -9.0)  # |t| / z^2 / joint chisq
+    orig_pvals = np.full(vidx.size, -9.0)
+    tcnt = np.zeros(vidx.size, np.int64)
+    nm_cts = np.zeros(vidx.size, np.int64)
+    regression_skip = np.zeros(vidx.size, bool)
+    chrom_of = vi.chrom[vidx]
+    ci = ds.vi.chr_info
+
+    perm_design: list = []  # per-variant (X, extra) kept when do_perms
+
+    for mi, v in enumerate(vidx):
+        chrom = int(chrom_of[mi])
+        is_x = chrom == ci_x["x"]
+        is_y = chrom == ci_x["y"]
+        is_mt = chrom == ci_x["mt"]
+        haploid = bool(ci.is_haploid(chrom, 1)) or is_mt
+        min_ploidy_1 = haploid
+        is_nonx_haploid = min_ploidy_1 and not is_x
+        male_x_01 = is_x and xchr_model != 2
+        include_sex = sex_everywhere or (is_x and np_sex)
+
+        cnt = codes_cache.a1_counts(int(v), bool(a1_is_alt[v]))
+        if min_ploidy_1:
+            cnt = _hh_fix_cnt(cnt, is_x, is_y, haploid, male)
+        nmiss_mask = cnt == 3
+        nm_sel = ~nmiss_mask
+        cur_n = int(nm_sel.sum())
+        missing_ct = n_valid - cur_n
+        nm_cts[mi] = cur_n
+
+        use_domdev = gen_or_hh and not is_nonx_haploid
+        p_ct = 2 + (1 if use_domdev else 0) + ncov + (1 if include_sex else 0)
+        cur_constraint = constraint_max if (use_domdev and constraint_max) else 0
+
+        test_names = ["INTERCEPT", main_name]
+        if use_domdev:
+            test_names.append(domdev_name)
+        test_names += list(covar_names)
+        if include_sex:
+            test_names.append("SEX")
+
+        prefix = (
+            _fw(ci.name19(chrom), 4) + " " + _fw(str(vi.vid[v]), maxsnp)
+            + " " + _fw(int(vi.pos[v]), 10) + " "
+            + _fw(str(vi.alt[v]) if a1_is_alt[v] else str(vi.ref[v]), 4) + " "
+        )
+
+        fail = missing_ct >= n_valid - 1 or cur_n <= p_ct
+        X = None
+        if not fail:
+            cnt_nm = cnt[nm_sel]
+            male_nm = male[nm_sel]
+            X = _build_design(
+                cnt_nm, male_nm, covars[nm_sel], sex_col_full[nm_sel],
+                model, use_domdev, male_x_01, is_nonx_haploid, include_sex,
+                np.float64,
+            )
+            if standard_beta:
+                X = _standardize(X)
+            H = None
+            if cur_constraint:
+                H = np.zeros((cur_constraint, p_ct))
+                H[0, 1] = 1.0
+                H[1, 2] = 1.0
+            if linear:
+                if _glm_check_vif(vif_thresh, X):
+                    fail = True
+                else:
+                    y = yfull[nm_sel]
+                    y_rss = None
+                    if standard_beta and missing_ct:
+                        s_, q_ = psum, pssq
+                        for v_ in yfull[nmiss_mask]:
+                            s_ -= v_
+                            q_ -= v_ * v_
+                        dzz = s_ / cur_n
+                        dyy = math.sqrt((cur_n - 1) / (q_ - s_ * dzz))
+                        y = (y - dzz) * dyy
+                        # the in-regression RSS restandardization walks only
+                        # ceil(cur_n/32) words of the missing mask
+                        # (1.9/plink_glm.c:578-592 loop bound quirk), so
+                        # missing samples past that boundary are not
+                        # subtracted there -- reproduce for byte parity
+                        bound = min(((cur_n + 31) // 32) * 32, n_valid)
+                        s2, q2 = psum, pssq
+                        for i_ in np.flatnonzero(nmiss_mask):
+                            if i_ < bound:
+                                v_ = yfull[i_]
+                                s2 -= v_
+                                q2 -= v_ * v_
+                        dzz2 = s2 / cur_n
+                        dyy2 = math.sqrt((cur_n - 1) / (q2 - s2 * dzz2))
+                        y_rss = (yfull[nm_sel] - dzz2) * dyy2
+                    res = _glm_linear_fit(X, y, H, y_rss=y_rss)
+                    fail = res is None
+            else:
+                n4 = (cur_n + 3) & ~3
+                X32 = np.zeros((p_ct, n4), F)
+                X32[:, :cur_n] = X.astype(F)
+                y32 = np.zeros(n4, F)
+                y32[:cur_n] = yfull[nm_sel].astype(F)
+                res = _logistic_fit(X32, y32, H)
+                fail = res is None
+
+        if not fail:
+            coef, se2, joint, icept_var = res
+            param_end = p_ct if not hide_covar else (3 if use_domdev else 2)
+            for pi in range(1, p_ct):
+                beta = float(coef[pi])
+                se = math.sqrt(float(se2[pi])) if linear else math.sqrt(
+                    float(se2[pi]))
+                zval = beta / se
+                if linear:
+                    pval = calc_tprob(zval, cur_n - p_ct)
+                else:
+                    pval = _p_chisq(zval * zval, 1.0)
+                if pi == 1 and not cur_constraint:
+                    orig_stats[mi] = abs(zval) if linear else zval * zval
+                    orig_pvals[mi] = pval
+                    if linear:
+                        tcnt[mi] = cur_n - p_ct
+                if pi < param_end and (
+                        pfilter == 2.0 or (0.0 <= pval <= pfilter)):
+                    row = (prefix + _fw(test_names[pi], 10) + " "
+                           + _fw(cur_n, 8) + " ")
+                    disp = _exp(beta) if report_odds else beta
+                    row += _g4(disp, 10) + " "
+                    if display_ci:
+                        dyy = ci_zt * se
+                        row += _g4(se, 8) + " "
+                        if report_odds:
+                            row += _g4(_exp(beta - dyy), 8) + " "
+                            row += _g4(_exp(beta + dyy), 8) + " "
+                        else:
+                            row += _g4(beta - dyy, 8) + " "
+                            row += _g4(beta + dyy, 8) + " "
+                    row += _g4(zval, 12) + " "
+                    row += _g4(max(pval, output_min_p), 12) + "\n"
+                    rows_out.append(row)
+            if show_intercept:
+                beta0 = float(coef[0])
+                row = prefix + " INTERCEPT " + _fw(cur_n, 8) + " "
+                disp = _exp(beta0) if report_odds else beta0
+                row += _g4(disp, 10) + " "
+                if display_ci:
+                    se0 = math.sqrt(float(icept_var))
+                    dyy = ci_zt * se0
+                    row += _g4(se0, 8) + " "
+                    if report_odds:
+                        row += _g4(_exp(beta0 - dyy), 8) + " "
+                        row += _g4(_exp(beta0 + dyy), 8) + " "
+                    else:
+                        row += _g4(beta0 - dyy, 8) + " "
+                        row += _g4(beta0 + dyy, 8) + " "
+                row += "          NA           NA\n"
+                rows_out.append(row)
+            if cur_constraint:
+                # a joint-test failure stores -9 and still prints (STAT -9,
+                # P max(-9, output_min_p)) -- see the writer at :5265-5285
+                jstat = float(joint) if joint is not None else -9.0
+                orig_stats[mi] = jstat
+                pval = _p_chisq(jstat, cur_constraint)
+                orig_pvals[mi] = pval
+                if pfilter == 2.0 or (0.0 <= pval <= pfilter):
+                    row = (prefix
+                           + _fw(f"{joint_name_prefix}{cur_constraint}DF", 10)
+                           + " " + _fw(cur_n, 8) + "         NA ")
+                    if display_ci:
+                        row += "      NA       NA       NA "
+                    row += _g4(jstat, 12) + " "
+                    row += _g4(max(pval, output_min_p), 12) + "\n"
+                    rows_out.append(row)
+        else:
+            regression_skip[mi] = True
+            if pfilter == 2.0:
+                param_end = p_ct if not hide_covar else (3 if use_domdev else 2)
+                cur_ctx = p_ct + (1 if cur_constraint else 0)
+                for pi in range(1, cur_ctx):
+                    if not (pi < param_end or pi == p_ct):
+                        continue
+                    tname = (test_names[pi] if pi != p_ct
+                             else f"{joint_name_prefix}{cur_constraint}DF")
+                    row = (prefix + _fw(tname, 10) + " " + _fw(cur_n, 8)
+                           + "         NA ")
+                    if display_ci:
+                        row += "      NA       NA       NA "
+                    row += "          NA           NA\n"
+                    rows_out.append(row)
+
+        if do_perms and not fail:
+            perm_design.append((mi, X, cnt))
+        elif do_perms:
+            perm_design.append((mi, None, cnt))
+
+    with open(out_path, "w") as f:
+        f.write(hdr)
+        f.writelines(rows_out)
+    log.log(
+        f"Writing {'linear' if linear else 'logistic'} model association "
+        f"results to {out_path} ... done."
+    )
+
+    if do_perms:
+        _run_perms(
+            ds, cfg, log, linear, out_path, vidx, nm_cts, orig_stats,
+            orig_pvals, tcnt, regression_skip, perm_design, yfull, maxsnp,
+            mperm, perm_count, standard_beta, bool(constraint_max),
+        )
+
+
+def _chrom_codes(ds):
+    ci = ds.vi.chr_info
+    return {
+        "x": ci.code("X"),
+        "y": ci.code("Y"),
+        "mt": ci.code("MT"),
+    }
+
+
+class _CodesReader:
+    """Per-variant A1-count codes over the valid-sample subset."""
+
+    def __init__(self, ds, inc):
+        self.ds = ds
+        self.inc = inc
+        self._block = None
+        self._block_v0 = -1
+        self._bs = 4096
+
+    def a1_counts(self, v: int, a1_is_alt: bool) -> np.ndarray:
+        if self._block is None or not (
+                self._block_v0 <= v < self._block_v0 + self._bs):
+            v0 = (v // self._bs) * self._bs
+            vct = min(self._bs, self.ds.raw_variant_ct - v0)
+            pk = self.ds.reader.read_packed(v0, vct)
+            from ..ops.pairwise import _unpack_np
+
+            self._block = _unpack_np(pk)[:, self.inc]
+            self._block_v0 = v0
+        codes = self._block[v - self._block_v0]
+        if a1_is_alt:
+            return codes
+        out = codes.copy()
+        out[codes == 0] = 2
+        out[codes == 2] = 0
+        return out
+
+
+def _run_perms(ds, cfg, log, linear, out_path, vidx, nm_cts, orig_stats,
+               orig_pvals, tcnt, regression_skip, perm_design, yfull,
+               maxsnp, mperm, perm_count, standard_beta, has_joint):
+    raise _flag_error(
+        "--linear/--logistic permutation tests are not implemented yet.")

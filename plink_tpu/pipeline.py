@@ -708,6 +708,13 @@ def run_pipeline(cfg: Config) -> int:
             from .commands.glm import run_glm
 
             run_glm(ds, cfg, log)
+        if cfg.linear19 is not None or cfg.logistic19 is not None:
+            from .commands.glm19 import run_glm19
+
+            if cfg.linear19 is not None:
+                run_glm19(ds, cfg, log, linear=True)
+            if cfg.logistic19 is not None:
+                run_glm19(ds, cfg, log, linear=False)
         if cfg.assoc or cfg.model:
             from .commands import assoc19
 

@@ -81,40 +81,14 @@ def logistic_regression_f(X: np.ndarray, y: np.ndarray):
     iteration = 0
     while True:
         iteration += 1
-        # P[i] = sum_j coef[j] * X[j][i]   (mult_tmatrix_nxd_vect_d,
-        # row_ct < 4 path: sequential f32 adds in j order)
-        pp = (X[0] * coef[0]).astype(F)
-        for j in range(1, p):
-            pp = (pp + (X[j] * coef[j]).astype(F)).astype(F)
+        # P[i] = sum_j coef[j] * X[j][i]   (mult_tmatrix_nxd_vect_d)
+        pp = _mult_tmatrix(X, coef, p)
         # logistic_sse
         pp = (F(1.0) / (fmath_exp((-pp).astype(F)) + F(1.0))).astype(F)
         # compute_v_and_p_minus_y
         vv = (pp * (F(1.0) - pp).astype(F)).astype(F)
         pp = (pp - y).astype(F)
-        # compute_hessian (row_ct = p in {2,3}; the triple-product helpers
-        # all multiply as a * (b * v) with b = the "bv" operand)
-        hh = np.zeros((p, p), F)
-        if p == 2:
-            av = (X[0] * vv).astype(F)
-            bv = (X[1] * vv).astype(F)
-            hh[0, 0] = _lane_dot((X[0] * av).astype(F))
-            hh[1, 0] = _lane_dot((X[0] * bv).astype(F))
-            hh[1, 1] = _lane_dot((X[1] * bv).astype(F))
-        elif p == 3:
-            # case 0: two_plus_one(b=X0, a1=X1, a2=X2)
-            bv = (X[0] * vv).astype(F)
-            hh[0, 0] = _lane_dot((X[0] * bv).astype(F))
-            hh[1, 0] = _lane_dot((X[1] * bv).astype(F))
-            hh[2, 0] = _lane_dot((X[2] * bv).astype(F))
-            # fall-through case 2: two_diag(a=X1, b=X2)
-            av = (X[1] * vv).astype(F)
-            bv = (X[2] * vv).astype(F)
-            hh[1, 1] = _lane_dot((X[1] * av).astype(F))
-            hh[2, 1] = _lane_dot((X[1] * bv).astype(F))
-            hh[2, 2] = _lane_dot((X[2] * bv).astype(F))
-        else:
-            raise NotImplementedError(
-                "float logistic currently ported for param_ct <= 3")
+        hh = _compute_hessian(X, vv, p)
         # grad = X @ pp  (mult_matrix_dxn_vect_n)
         grad = np.array([_lane_dot((X[j] * pp).astype(F))
                          for j in range(p)], F)
@@ -146,6 +120,104 @@ def logistic_regression_f(X: np.ndarray, y: np.ndarray):
             return coef, ll
 
 
+
+
+def _mult_tmatrix(X: np.ndarray, coef: np.ndarray, p: int) -> np.ndarray:
+    """mult_tmatrix_nxd_vect_d (1.9/plink_glm.c:1040): eta = X^T coef with
+    the SSE 4-row blocked f32 add order."""
+    if p < 4:
+        # zeroed dest + the switch(row_ct % 4) tail
+        dest = np.zeros(X.shape[1], F)
+        r = 0
+        if p % 4 == 3:
+            r1 = (X[0] * coef[0]).astype(F)
+            r2 = (X[1] * coef[1]).astype(F)
+            r3 = (X[2] * coef[2]).astype(F)
+            return ((r1 + r2).astype(F) + (r3 + dest).astype(F)).astype(F)
+        if p % 4 == 2:
+            r1 = (X[0] * coef[0]).astype(F)
+            r2 = (X[1] * coef[1]).astype(F)
+            return ((r1 + r2).astype(F) + dest).astype(F)
+        return ((X[0] * coef[0]).astype(F) + dest).astype(F)
+    # first full 4-block (no dest add), then += blocks while r < p-3
+    r1 = (X[0] * coef[0]).astype(F)
+    r2 = (X[1] * coef[1]).astype(F)
+    r3 = (X[2] * coef[2]).astype(F)
+    r4 = (X[3] * coef[3]).astype(F)
+    dest = ((r1 + r2).astype(F) + (r3 + r4).astype(F)).astype(F)
+    r = 4
+    while r < p - 3:
+        r1 = (X[r] * coef[r]).astype(F)
+        r2 = (X[r + 1] * coef[r + 1]).astype(F)
+        r3 = (X[r + 2] * coef[r + 2]).astype(F)
+        r4 = (X[r + 3] * coef[r + 3]).astype(F)
+        dest = (((r1 + r2).astype(F) + (r3 + r4).astype(F)).astype(F)
+                + dest).astype(F)
+        r += 4
+    tail = p % 4
+    if tail == 3:
+        r1 = (X[r] * coef[r]).astype(F)
+        r2 = (X[r + 1] * coef[r + 1]).astype(F)
+        r3 = (X[r + 2] * coef[r + 2]).astype(F)
+        dest = ((r1 + r2).astype(F) + (r3 + dest).astype(F)).astype(F)
+    elif tail == 2:
+        r1 = (X[r] * coef[r]).astype(F)
+        r2 = (X[r + 1] * coef[r + 1]).astype(F)
+        dest = ((r1 + r2).astype(F) + dest).astype(F)
+    elif tail == 1:
+        dest = ((X[r] * coef[r]).astype(F) + dest).astype(F)
+    return dest
+
+
+def _compute_hessian(X: np.ndarray, vv: np.ndarray, p: int) -> np.ndarray:
+    """compute_hessian (1.9/plink_glm.c:1473): lower triangle of
+    X V X^T via the SSE triple-product helpers' exact f32 lane order."""
+    hh = np.zeros((p, p), F)
+
+    def two_diag(a, b, out):
+        av = (a * vv).astype(F)
+        bv = (b * vv).astype(F)
+        out[0] = _lane_dot((a * av).astype(F))
+        out[1] = _lane_dot((a * bv).astype(F))
+        out[2] = _lane_dot((b * bv).astype(F))
+
+    def two_plus_one(bb, a1, a2, out):
+        bv = (bb * vv).astype(F)
+        out[0] = _lane_dot((bb * bv).astype(F))
+        out[1] = _lane_dot((a1 * bv).astype(F))
+        out[2] = _lane_dot((a2 * bv).astype(F))
+
+    def three(bb, a1, a2, a3, out):
+        bv = (bb * vv).astype(F)
+        out[0] = _lane_dot((a1 * bv).astype(F))
+        out[1] = _lane_dot((a2 * bv).astype(F))
+        out[2] = _lane_dot((a3 * bv).astype(F))
+
+    buf = np.zeros(3, F)
+    if p > 3:
+        r = 0
+        while r < p - 3:
+            two_diag(X[r], X[r + 1], buf)
+            hh[r, r], hh[r + 1, r], hh[r + 1, r + 1] = buf
+            two_plus_one(X[r + 2], X[r + 1], X[r], buf)
+            hh[r + 2, r + 2], hh[r + 2, r + 1], hh[r + 2, r] = buf
+            for r2 in range(r + 3, p):
+                three(X[r2], X[r], X[r + 1], X[r + 2], buf)
+                hh[r2, r], hh[r2, r + 1], hh[r2, r + 2] = buf
+            r += 3
+    m = p % 3
+    if m == 0:
+        two_plus_one(X[p - 3], X[p - 2], X[p - 1], buf)
+        hh[p - 3, p - 3], hh[p - 2, p - 3], hh[p - 1, p - 3] = buf
+    if m in (0, 2):
+        two_diag(X[p - 2], X[p - 1], buf)
+        hh[p - 2, p - 2], hh[p - 1, p - 2], hh[p - 1, p - 1] = buf
+    else:  # m == 1
+        # triple_product: (a*b) then *c
+        hh[p - 1, p - 1] = _lane_dot(
+            ((X[p - 1] * X[p - 1]).astype(F) * vv).astype(F))
+    return hh
+
 def _cholesky(aa: np.ndarray, ll: np.ndarray, d: int) -> None:
     """cholesky_decomposition (1.9/plink_glm.c): float accumulations,
     double sqrt/reciprocal narrowed back to float."""
@@ -159,7 +231,10 @@ def _cholesky(aa: np.ndarray, ll: np.ndarray, d: int) -> None:
         else:
             fyy = F(1e-6)
         ll[r, r] = fyy
-        fyy = F(1.0 / float(fyy))
+        # C: double 1.0 / float -> inf on a zero diagonal (the NaN then
+        # propagates and the regression reports failure); Python float
+        # division would raise instead
+        fyy = F(np.inf) if fyy == 0.0 else F(1.0 / float(fyy))
         for r2 in range(r + 1, d):
             fxx = aa[r2, r]
             for c in range(r):
@@ -237,6 +312,40 @@ def glm_logistic_dosage(dosages: np.ndarray, y01: np.ndarray,
     z = beta / se
     pval = float(np.exp(chisq_logsf(z * z, 1.0)))
     return beta, se, pval
+
+
+def glm_logistic_full(X: np.ndarray, y: np.ndarray):
+    """glm_logistic single-permutation core (1.9/plink_glm.c:1690): float
+    IRLS + covariance extraction for EVERY parameter.
+
+    X: float32 cov-major [p, n4] design (n4 = n rounded up to 4, padding
+    zeroed); y: float32 [n4] 0/1 phenotype (padding zeroed).
+    Returns (coef f32 [p], S f32 [p, p]) or None on regression failure /
+    validParameters() rejection, matching the reference op-for-op."""
+    p = X.shape[0]
+    res = logistic_regression_f(X, y)
+    if res is None:
+        return None
+    coef, ll = res
+    S = np.zeros((p, p), F)
+    for j in range(p):
+        e = np.zeros(p, F)
+        e[j] = F(1.0)
+        S[j] = _solve(ll, e, p)
+    # validParameters() (plink_glm.c:1761-1779)
+    diag_sqrt = np.zeros(p, F)
+    for j in range(1, p):
+        fxx = S[j, j]
+        if fxx < F(1e-20) or not np.isfinite(fxx):
+            return None
+        diag_sqrt[j] = np.sqrt(fxx)
+    diag_sqrt[0] = np.sqrt(S[0, 0])
+    for j in range(1, p):
+        fxx = F(F(0.99999) * diag_sqrt[j])
+        for k in range(j):
+            if S[j, k] > F(fxx * diag_sqrt[k]):
+                return None
+    return coef, S
 
 
 def glm_linear_dosage(dosages: np.ndarray, pheno: np.ndarray,

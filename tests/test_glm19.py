@@ -1,0 +1,100 @@
+"""PLINK 1.9 --linear/--logistic parity: byte-diffed vs a local plink 1.9."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+ORACLE2 = os.environ.get("PLINK2_ORACLE", "/tmp/oracle/2.0/build_dynamic/plink2")
+ORACLE19 = os.environ.get("PLINK19_ORACLE", "/tmp/oracle19/plink")
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(ORACLE19) and os.path.exists(ORACLE2)),
+    reason="plink 1.9 oracle not built",
+)
+
+
+def run19(args, cwd):
+    subprocess.run([ORACLE19] + args, cwd=cwd, check=True, capture_output=True)
+
+
+def run_tpu(args, cwd):
+    from plink_tpu.cli import main
+
+    old = os.getcwd()
+    os.chdir(cwd)
+    try:
+        assert main(args) == 0
+    finally:
+        os.chdir(old)
+
+
+@pytest.fixture(scope="module")
+def panels(tmp_path_factory):
+    d = tmp_path_factory.mktemp("glm19")
+    for tag, seed, extra in (("pb", 33, []), ("qb", 34, ["scalar-pheno"])):
+        subprocess.run(
+            [ORACLE2, "--dummy", "150", "300", "0.05"] + extra
+            + ["--seed", str(seed), "--out", f"pp{tag}"],
+            cwd=d, check=True, capture_output=True)
+        subprocess.run(
+            [ORACLE2, "--pfile", f"pp{tag}", "--make-bed", "--out", tag],
+            cwd=d, check=True, capture_output=True)
+        # mixed chromosomes in sorted blocks: 1, 22, X, Y, MT
+        lines = (d / f"{tag}.bim").read_text().splitlines()
+        out = []
+        for i, l in enumerate(lines):
+            t = l.split("\t")
+            t[0] = ("1" if i < 180 else "22" if i < 230 else "23" if i < 270
+                    else "24" if i < 285 else "26")
+            out.append("\t".join(t))
+        (d / f"{tag}.bim").write_text("\n".join(out) + "\n")
+    rng = np.random.default_rng(11)
+    fam = [l.split() for l in (d / "pb.fam").read_text().splitlines()]
+    with open(d / "cv.txt", "w") as f:
+        f.write("FID IID C1 C2\n")
+        for r in fam:
+            f.write(f"{r[0]} {r[1]} {rng.standard_normal():.4f} "
+                    f"{rng.standard_normal():.4f}\n")
+    return d
+
+
+CASES = [
+    ("logistic", "pb", []),
+    ("logistic", "pb", ["--covar", "cv.txt"]),
+    ("logistic hide-covar", "pb", ["--covar", "cv.txt"]),
+    ("logistic beta", "pb", []),
+    ("logistic dominant", "pb", []),
+    ("logistic recessive", "pb", []),
+    ("logistic genotypic", "pb", []),
+    ("logistic hethom", "pb", []),
+    ("logistic sex", "pb", []),
+    ("logistic", "pb", ["--ci", "0.95"]),
+    ("linear", "qb", []),
+    ("linear", "qb", ["--covar", "cv.txt"]),
+    ("linear standard-beta", "qb", []),
+    ("linear standard-beta", "qb", ["--covar", "cv.txt"]),
+    ("linear genotypic", "qb", []),
+    ("linear hethom", "qb", []),
+    ("linear dominant", "qb", []),
+    ("linear intercept", "qb", ["--ci", "0.9"]),
+    ("linear sex", "qb", []),
+    ("linear", "qb", ["--xchr-model", "2"]),
+    ("linear", "qb", ["--xchr-model", "0"]),
+]
+
+
+@pytest.mark.parametrize("flagspec,panel,extra", CASES)
+def test_glm19_parity(panels, flagspec, panel, extra):
+    d = panels
+    toks = flagspec.split()
+    flag, mods = toks[0], toks[1:]
+    ext = ".assoc." + flag
+    tag = (flagspec + "_" + "_".join(extra)).replace(" ", "_") \
+        .replace("--", "").replace(".", "")
+    args = ["--bfile", panel, f"--{flag}"] + mods + extra + ["--allow-no-sex"]
+    run19(args + ["--out", f"o_{tag}"], str(d))
+    run_tpu(args + ["--out", f"t_{tag}", "--silent"], str(d))
+    a = (d / f"o_{tag}{ext}").read_bytes()
+    b = (d / f"t_{tag}{ext}").read_bytes()
+    assert a == b, f"{tag}: report differs"
