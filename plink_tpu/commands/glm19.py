@@ -368,6 +368,7 @@ def run_glm19(ds: Dataset, cfg, log: RunLogger, linear: bool) -> None:
         a1_is_alt = ~(freqs > 0.5)
 
     vmask = ds.variant_mask.copy()
+    vidx_orig = np.flatnonzero(vmask)  # pre---xchr-model-0 set (perm report)
     if xchr_model == 0:
         nonauto = ~ds.vi.chr_info.is_autosomal(ds.vi.chrom)
         excl = int((vmask & nonauto).sum())
@@ -621,6 +622,7 @@ def run_glm19(ds: Dataset, cfg, log: RunLogger, linear: bool) -> None:
             ds, cfg, log, linear, out_path, vidx, nm_cts, orig_stats,
             orig_pvals, tcnt, regression_skip, perm_design, yfull, maxsnp,
             mperm, perm_count, standard_beta, bool(constraint_max),
+            vidx_orig,
         )
 
 
@@ -664,6 +666,316 @@ class _CodesReader:
 
 def _run_perms(ds, cfg, log, linear, out_path, vidx, nm_cts, orig_stats,
                orig_pvals, tcnt, regression_skip, perm_design, yfull,
-               maxsnp, mperm, perm_count, standard_beta, has_joint):
-    raise _flag_error(
-        "--linear/--logistic permutation tests are not implemented yet.")
+               maxsnp, mperm, perm_count, standard_beta, has_joint,
+               vidx_orig=None):
+    """Adaptive (.perm) / max(T) (.mperm) permutation engine.
+
+    Behavior reference: glm_linear_adapt/maxt_thread and
+    glm_logistic_adapt/maxt_thread (1.9/plink_glm.c:2736,3087,2933,3261)
+    plus the pass/batch driver in glm_*_assoc (first-batch halving,
+    thread-capped SFMT stream assignment) and the EMP writer (:5505-5580).
+    Linear permutes the (pre-standardized) phenotype perm-major
+    (qt_perm_pmajor); logistic permutes case bits (cc_perm_matrix); both
+    continue persistent per-thread SFMT streams across batches."""
+    from scipy.linalg.lapack import dgels
+
+    from ..stats.assoc_perm19 import EPSILON
+    from ..stats.glm19f import glm_logistic_full
+    from ..stats.perm19 import cc_perm_matrix, master_sfmt, qt_perm_pmajor
+    from ..stats.sfmt import sfmt_thread_array
+    from .cluster import _ltqnorm
+
+    vi = ds.vi
+    ci = vi.chr_info
+    M = vidx.size
+    perm_adapt = mperm is None
+    if perm_adapt:
+        ap_min, ap_max, ap_alpha, ap_beta, ap_init, ap_slope = cfg.aperm
+        perms_total = ap_max
+        ci_zt = _ltqnorm(1 - ap_beta / (2.0 * M))
+        first_adapt_check = int(ap_init) if ap_min < ap_init else ap_min
+    else:
+        perms_total = mperm
+        first_adapt_check = perms_total + 1
+        ap_init = ap_slope = ap_alpha = ci_zt = 0.0
+
+    batch = cfg.perm_batch_size or 512
+    if batch > perms_total:
+        batch = perms_total
+    max_thread_ct = cfg.threads or 1
+    if linear:
+        # glm_linear_assoc:4788: cap = clamp(batch/16, 1, 16)
+        uii = max(1, min(batch // 16, 16))
+    else:
+        # glm_logistic_assoc:6303: cap = min(batch, 16)
+        uii = min(batch, 16)
+    if max_thread_ct > uii:
+        max_thread_ct = uii
+    master = master_sfmt(cfg)
+    sfmts = sfmt_thread_array(master, max_thread_ct)
+    pfilter = cfg.pfilter if cfg.pfilter is not None else 2.0
+
+    success2 = np.zeros(M, np.int64)
+    attempt = np.zeros(M, np.int64)
+    stopped = regression_skip.copy()
+    extremes = np.zeros(perms_total) if not perm_adapt else None
+    fails_maxt = np.zeros(M, np.int64)
+
+    design = {mi: (X, cnt) for mi, X, cnt in perm_design}
+    psum_b, pssq_b = (0.0, float(yfull.size - 1)) if standard_beta \
+        else (0.0, 0.0)
+    n_valid = yfull.size
+
+    done = 0
+    pass_idx = 0
+    fac = first_adapt_check
+    while done < perms_total:
+        if perm_adapt and pass_idx:
+            while fac <= done:
+                fac += int(ap_init + fac * ap_slope)
+        vec_ct = batch
+        if perm_adapt and done < batch:
+            ulii = batch
+            uljj = max(64, 2 * max(int(ap_init), ap_min))
+            while ulii >= (uljj << pass_idx):
+                ulii >>= 1
+            vec_ct = ulii - done
+        vec_ct = min(vec_ct, perms_total - done)
+        if linear:
+            gthreads = max_thread_ct if vec_ct >= 16 * max_thread_ct \
+                else max(vec_ct // 16, 1)
+            perm_p = qt_perm_pmajor(yfull, vec_ct, gthreads, sfmts)
+        else:
+            gthreads = min(max_thread_ct, vec_ct)
+            perm_p = cc_perm_matrix(
+                yfull.astype(bool), vec_ct, gthreads, master, sfmts=sfmts)
+
+        for mi in range(M):
+            if stopped[mi]:
+                continue
+            X, cnt = design[mi]
+            nmiss_mask = cnt == 3
+            nm_sel = ~nmiss_mask
+            cur_n = int(nm_sel.sum())
+            missing_ct = n_valid - cur_n
+            p = X.shape[0]
+            if linear:
+                dxx_arr, fail_arr = _linear_perm_stats(
+                    X, perm_p, nm_sel, nmiss_mask, cur_n, missing_ct,
+                    standard_beta, psum_b, pssq_b, has_joint, dgels)
+            else:
+                dxx_arr, fail_arr = _logistic_perm_stats(
+                    X, perm_p, nm_sel, cur_n, has_joint, glm_logistic_full)
+            # success / adaptive-stop walk (exact reference semantics)
+            stat_high = orig_stats[mi] + EPSILON
+            stat_low = orig_stats[mi] - EPSILON
+            s2start = int(success2[mi])
+            attempts = int(attempt[mi])
+            s2incr = 0
+            cur_fail = 0
+            next_check = fac
+            jumped = False
+            for pidx in range(vec_ct):
+                if not fail_arr[pidx]:
+                    dxx = dxx_arr[pidx]
+                    if dxx > stat_high:
+                        s2incr += 2
+                    elif dxx > stat_low:
+                        s2incr += 1
+                    elif has_joint and dxx == -9:
+                        cur_fail += 1
+                    if extremes is not None:
+                        if extremes[done + pidx] < dxx:
+                            extremes[done + pidx] = dxx
+                else:
+                    cur_fail += 1
+                if pidx + 1 == next_check - done:
+                    if s2start + s2incr:
+                        cur_attempts = attempts + pidx + 1 - cur_fail
+                        pv = (s2start + s2incr + 2) / (2.0 * (cur_attempts + 1))
+                        d_ = ci_zt * math.sqrt(pv * (1 - pv) / cur_attempts)
+                        if (pv - d_ > ap_alpha) or (pv + d_ < ap_alpha):
+                            stopped[mi] = True
+                            attempt[mi] = cur_attempts
+                            jumped = True
+                            break
+                    next_check += int(ap_init + next_check * ap_slope)
+            success2[mi] = s2start + s2incr
+            if not jumped:
+                attempt[mi] = attempts + vec_ct - cur_fail
+            if extremes is not None:
+                fails_maxt[mi] += cur_fail
+        done += vec_ct
+        pass_idx += 1
+        if perm_adapt and stopped.all():
+            break
+
+    perms_done = done
+    if perm_adapt:
+        perms_done = int(attempt.max(initial=0))
+        if perms_done > perms_total:
+            perms_done = perms_total
+    log.log(
+        f"{perms_done} {'(adaptive)' if perm_adapt else 'max(T)'} "
+        f"permutation{'s' if perms_done != 1 else ''} complete."
+    )
+
+    if not perm_adapt:
+        attempt = perms_total - fails_maxt
+        extremes_sorted = np.sort(extremes)
+    out2 = out_path + (".perm" if perm_adapt else ".mperm")
+    with open(out2, "w") as f:
+        if perm_adapt:
+            f.write(" CHR " + _fw("SNP", maxsnp) + "         EMP1           NP \n")
+        else:
+            f.write(" CHR " + _fw("SNP", maxsnp) + "         EMP1         EMP2 \n")
+        analyzed = {int(v): mi for mi, v in enumerate(vidx)}
+        if vidx_orig is None:
+            vidx_orig = vidx
+        for v in (int(x) for x in vidx_orig):
+            mi = analyzed.get(v)
+            if mi is None:
+                # --xchr-model 0 exclusions still get perm-report rows in
+                # the reference (zero counters); we print the stable
+                # pattern (adaptive: EMP1=1 NP=0; max(T): 1 1) without
+                # replicating its out-of-bounds array reads
+                row = (_fw(ci.name19(int(vi.chrom[v])), 4) + " "
+                       + _fw(str(vi.vid[v]), maxsnp) + " ")
+                if 1.0 > pfilter:
+                    continue
+                if perm_adapt:
+                    row += _g4(1.0, 12) + "   " + _fw(0, 10) + " \n"
+                else:
+                    row += _g4(1.0, 12) + " " + _g4(1.0, 12) + " \n"
+                f.write(row)
+                continue
+            pv = (success2[mi] + 2) / (2.0 * (attempt[mi] + 1))
+            if pv > pfilter:
+                continue
+            row = (_fw(ci.name19(int(vi.chrom[v])), 4) + " "
+                   + _fw(str(vi.vid[v]), maxsnp) + " ")
+            if orig_stats[mi] == -9:
+                row += "          NA           NA \n"
+            else:
+                if not perm_count:
+                    row += _g4(pv, 12) + " "
+                else:
+                    row += _g4(success2[mi] * 0.5, 12) + " "
+                if perm_adapt:
+                    row += "  " + _fw(int(attempt[mi]), 10) + " \n"
+                else:
+                    ngt = int((extremes_sorted
+                               > orig_stats[mi] - EPSILON).sum())
+                    dzz = ngt + 1
+                    if not perm_count:
+                        row += _g4(dzz / (perms_total + 1.0), 12) + " \n"
+                    else:
+                        row += _g4(float(dzz - 1), 12) + " \n"
+            f.write(row)
+    log.log(f"Permutation test report written to {out2} .")
+
+
+def _linear_perm_stats(X, perm_p, nm_sel, nmiss_mask, cur_n, missing_ct,
+                       standard_beta, psum_b, pssq_b, has_joint, dgels):
+    """Per-permutation |t| (or joint chisq) for one marker, vectorized over
+    permutations with the reference's sequential accumulation orders
+    (np.cumsum is an ordered f64 scan)."""
+    p = X.shape[0]
+    vec_ct = perm_p.shape[0]
+    fail = np.zeros(vec_ct, bool)
+    s0 = _invert_matrix(X @ X.T)
+    if s0 is None:
+        return np.full(vec_ct, -9.0), np.ones(vec_ct, bool)
+    diag = np.diagonal(s0)
+    min_sigma = diag[1:].min() if p > 1 else diag[0]
+    if min_sigma <= 0:
+        return np.full(vec_ct, -9.0), np.ones(vec_ct, bool)
+    min_sigma = 1e-20 / min_sigma
+    B = np.ascontiguousarray(perm_p[:, nm_sel].T)  # [cur_n, vec]
+    if standard_beta and missing_ct:
+        s = np.cumsum(B, axis=0)[-1]
+        q = np.cumsum(B * B, axis=0)[-1]
+        dzz = s / cur_n
+        dyy = np.sqrt((cur_n - 1) / (q - s * dzz))
+        B = (B - dzz) * dyy
+    _, cf, info = dgels(X.T.copy(), B)
+    if info != 0:
+        return np.full(vec_ct, -9.0), np.ones(vec_ct, bool)
+    coef = cf[:p]  # [p, vec]
+    pred = np.zeros((cur_n, vec_ct))
+    Xs = X.T  # sample-major
+    for j in range(p):
+        pred = pred + Xs[:, j : j + 1] * coef[j : j + 1]
+    if standard_beta and missing_ct:
+        # truncated-word restandardization quirk (see run_glm19)
+        bound = min(((cur_n + 31) // 32) * 32, perm_p.shape[1])
+        mm = np.flatnonzero(nmiss_mask)
+        s2 = np.full(vec_ct, psum_b)
+        q2 = np.full(vec_ct, pssq_b)
+        for i_ in mm:
+            if i_ < bound:
+                v_ = perm_p[:, i_]
+                s2 = s2 - v_
+                q2 = q2 - v_ * v_
+        dzz2 = s2 / cur_n
+        dyy2 = np.sqrt((cur_n - 1) / (q2 - s2 * dzz2))
+        yr = (perm_p[:, nm_sel].T - dzz2) * dyy2
+    else:
+        yr = perm_p[:, nm_sel].T
+    resid = pred - yr
+    rss = np.cumsum(resid * resid, axis=0)[-1]
+    sigma = rss / (cur_n - p)
+    fail = sigma < min_sigma
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if not has_joint:
+            se = np.sqrt(diag[1] * sigma)
+            dxx = np.abs(coef[1] / se)
+        else:
+            dxx = np.empty(vec_ct)
+            H = np.zeros((2, p))
+            H[0, 1] = 1.0
+            H[1, 2] = 1.0
+            for pidx in range(vec_ct):
+                if fail[pidx]:
+                    dxx[pidx] = -9.0
+                    continue
+                j = _linear_hypothesis_chisq(
+                    H, coef[:, pidx], s0 * sigma[pidx])
+                dxx[pidx] = j if j is not None else -9.0
+    dxx = np.where(fail, -9.0, dxx)
+    return dxx, fail
+
+
+def _logistic_perm_stats(X, perm_p, nm_sel, cur_n, has_joint,
+                         glm_logistic_full):
+    """Per-permutation z^2 (or joint chisq) for one marker: the float IRLS
+    runs per permutation, matching glm_logistic's batch loop."""
+    vec_ct = perm_p.shape[0]
+    p = X.shape[0]
+    n4 = (cur_n + 3) & ~3
+    X32 = np.zeros((p, n4), F)
+    X32[:, :cur_n] = X.astype(F)
+    dxx = np.full(vec_ct, -9.0)
+    fail = np.zeros(vec_ct, bool)
+    H = None
+    if has_joint:
+        H = np.zeros((2, p))
+        H[0, 1] = 1.0
+        H[1, 2] = 1.0
+    y32 = np.zeros(n4, F)
+    for pidx in range(vec_ct):
+        y32[:cur_n] = perm_p[pidx, nm_sel].astype(F)
+        res = glm_logistic_full(X32, y32)
+        if res is None:
+            fail[pidx] = True
+            continue
+        coef, S = res
+        if not has_joint:
+            d_ = float(coef[1])
+            d_ = d_ * d_
+            dxx[pidx] = d_ / float(S[1, 1])
+        else:
+            j = _linear_hypothesis_chisq(
+                H, coef.astype(np.float64), S.astype(np.float64))
+            dxx[pidx] = F(j) if j is not None else -9.0
+    return dxx, fail

@@ -92,15 +92,19 @@ def generate_cc_cluster_perm(tot_ct, preimage, clusters, case_cts,
 
 
 def cc_perm_matrix(pheno_case, perm_ct, thread_ct, master,
-                   clusters=None):
+                   clusters=None, sfmts=None):
     """All --make-perm-pheno style case/control permutations:
     [perm_ct, n] bool.  pheno_case: bool array over pheno-nonmissing
     samples in filtered order.  clusters: optional
-    (member_arrays, case_cts, preimage) from reindex_clusters_19."""
+    (member_arrays, case_cts, preimage) from reindex_clusters_19.
+    Pass a persistent ``sfmts`` list (sized to the max thread count) to
+    continue thread RNG streams across generation batches (--linear/
+    --logistic multi-pass permutation)."""
     n = pheno_case.size
     case_ct = int(pheno_case.sum())
     thread_ct = min(thread_ct, perm_ct)
-    sfmts = sfmt_thread_array(master, thread_ct)
+    if sfmts is None:
+        sfmts = sfmt_thread_array(master, thread_ct)
     out = np.zeros((perm_ct, n), bool)
     for tidx in range(thread_ct):
         pidx = (tidx * perm_ct) // thread_ct
@@ -200,3 +204,38 @@ def reindex_clusters_19(assign_nm, case_nm=None):
         for mem, cct in zip(kept_members, case_cts):
             preimage[mem] = not (cct * 2 < mem.size)
     return kept_members, case_cts, preimage, sample_to_cluster
+
+
+def qt_perm_pmajor(pheno_d2, perm_ct, thread_ct, sfmts):
+    """generate_qt_perms_pmajor_thread (1.9/plink_perm.c:489): [perm_ct, n]
+    float64 permutation-major QT phenotype permutations.
+
+    Per-permutation Fisher-Yates with the precompute_mods rejection
+    sampler (lbound = 2^32 mod (i+1), plink_common.h:2737) -- a DIFFERENT
+    RNG consumption pattern from the sample-major generator used by
+    --assoc.  Thread p-ranges split on CACHELINE_INT32(=16) boundaries;
+    ``sfmts`` must be the persistent per-thread stream array."""
+    n = pheno_d2.size
+    out = np.empty((perm_ct, n))
+    ctcl = (perm_ct + 15) // 16
+    lbound = np.array(
+        [0x100000000 % (i + 1) for i in range(1, n)], np.uint32)
+    for tidx in range(thread_ct):
+        pmin = 16 * ((tidx * ctcl) // thread_ct)
+        pmax = 16 * (((tidx + 1) * ctcl) // thread_ct)
+        if tidx + 1 == thread_ct:
+            pmax = perm_ct
+        sf = sfmts[tidx]
+        for p in range(pmin, pmax):
+            row = out[p]
+            row[0] = pheno_d2[0]
+            for i in range(1, n):
+                lb = int(lbound[i - 1])
+                while True:
+                    urand = sf.genrand_uint32()
+                    if urand >= lb:
+                        break
+                urand %= i + 1
+                row[i] = row[urand]
+                row[urand] = pheno_d2[i]
+    return out

@@ -32,7 +32,8 @@ def run_tpu(args, cwd):
 @pytest.fixture(scope="module")
 def panels(tmp_path_factory):
     d = tmp_path_factory.mktemp("glm19")
-    for tag, seed, extra in (("pb", 33, []), ("qb", 34, ["scalar-pheno"])):
+    for tag, seed, extra in (("pb", 33, []), ("qb", 34, ["scalar-pheno"]),
+                             ("pa", 35, [])):
         subprocess.run(
             [ORACLE2, "--dummy", "150", "300", "0.05"] + extra
             + ["--seed", str(seed), "--out", f"pp{tag}"],
@@ -40,6 +41,8 @@ def panels(tmp_path_factory):
         subprocess.run(
             [ORACLE2, "--pfile", f"pp{tag}", "--make-bed", "--out", tag],
             cwd=d, check=True, capture_output=True)
+        if tag == "pa":
+            continue  # pa stays all-autosomal (genotypic perm fixture)
         # mixed chromosomes in sorted blocks: 1, 22, X, Y, MT
         lines = (d / f"{tag}.bim").read_text().splitlines()
         out = []
@@ -82,6 +85,42 @@ CASES = [
     ("linear", "qb", ["--xchr-model", "2"]),
     ("linear", "qb", ["--xchr-model", "0"]),
 ]
+
+
+PERM_CASES = [
+    ("linear mperm=50", "qb", ".assoc.linear.mperm", ["--threads", "4"]),
+    ("linear perm", "qb", ".assoc.linear.perm",
+     ["--aperm", "5", "60", "0", "0.0001", "1", "0.001", "--threads", "4"]),
+    ("linear standard-beta mperm=40", "qb", ".assoc.linear.mperm",
+     ["--threads", "2"]),
+    ("logistic mperm=50", "pb", ".assoc.logistic.mperm", ["--threads", "4"]),
+    ("logistic perm", "pb", ".assoc.logistic.perm",
+     ["--aperm", "5", "60", "0", "0.0001", "1", "0.001", "--threads", "4"]),
+    # genotypic forces --xchr-model 0; the reference's perm report rows
+    # for the excluded nonautosomal variants come from out-of-bounds array
+    # reads (nondeterministic garbage), so the genotypic perm fixture is
+    # all-autosomal
+    ("logistic genotypic perm", "pa", ".assoc.logistic.perm",
+     ["--aperm", "5", "50", "0", "0.0001", "1", "0.001", "--threads", "1"]),
+    ("linear perm perm-count", "qb", ".assoc.linear.perm",
+     ["--aperm", "5", "40", "0", "0.0001", "1", "0.001", "--threads", "2"]),
+]
+
+
+@pytest.mark.parametrize("flagspec,panel,ext,extra", PERM_CASES)
+def test_glm19_perm_parity(panels, flagspec, panel, ext, extra):
+    d = panels
+    toks = flagspec.split()
+    flag, mods = toks[0], toks[1:]
+    tag = (flagspec + "_" + "_".join(extra)).replace(" ", "_") \
+        .replace("--", "").replace(".", "").replace("=", "")
+    args = (["--bfile", panel, f"--{flag}"] + mods
+            + ["--seed", "77", "--allow-no-sex"] + extra)
+    run19(args + ["--out", f"o_{tag}"], str(d))
+    run_tpu(args + ["--out", f"t_{tag}", "--silent"], str(d))
+    a = (d / f"o_{tag}{ext}").read_bytes()
+    b = (d / f"t_{tag}{ext}").read_bytes()
+    assert a == b, f"{tag}: perm report differs"
 
 
 @pytest.mark.parametrize("flagspec,panel,extra", CASES)
