@@ -489,9 +489,6 @@ def run_assoc(ds: Dataset, cfg, log: RunLogger) -> None:
             mperm_val, perm_count)
         return
     if perm_adapt or mperm_val is not None:
-        if mperm_val is not None and fisher:
-            raise NotImplementedError(
-                "--assoc fisher mperm is not implemented yet.")
         _assoc_perm_engine(
             ds, cfg, log, fisher, midp, inc, a1_is_alt,
             orig_chisq_arr, orig_pvals_arr, _set_cts, _miss_cts,
@@ -569,9 +566,10 @@ def _assoc_perm_engine(ds, cfg, log, fisher, midp, inc, a1_is_alt,
     if not perm_adapt:
         # block structure: 64 markers, then 960 per block
         # (MODEL_BLOCKKEEP / MODEL_BLOCKSIZE); cur-extreme refreshed
-        # at each block start
-        extremes = np.zeros(perms_total)
-        maxt_pending = np.zeros(M)
+        # at each block start.  Fisher extremes track the MINIMUM p-value
+        # and start at 1.0 (model_assoc init, 1.9/plink_assoc.c:6178-6183)
+        extremes = np.ones(perms_total) if fisher else np.zeros(perms_total)
+        maxt_pending = np.ones(M) if fisher else np.zeros(M)
         bstarts = [0]
         nxt = 64
         while nxt < M:
@@ -581,7 +579,8 @@ def _assoc_perm_engine(ds, cfg, log, fisher, midp, inc, a1_is_alt,
         block_boundary = set(bstarts[:-1])
     for k in range(M):
         if extremes is not None and k in block_boundary and k:
-            maxt_pending[k:] = float(extremes.min())
+            maxt_pending[k:] = float(
+                extremes.max() if fisher else extremes.min())
         v = int(inc[k])
         if orig_pvals[k] == -9:
             if perm_adapt:
@@ -689,6 +688,52 @@ def _assoc_perm_engine(ds, cfg, log, fisher, midp, inc, a1_is_alt,
             success2[k] = s2i
             if stopped:
                 attempt[k] = nac
+        elif fisher:
+            # maxT fisher (assoc_maxt_thread model_fisher branch,
+            # 1.9/plink_assoc.c:2684-2712): extremes are minima of the
+            # exact p-values.  In-window extreme updates go through
+            # fisher22_tail_pval continuing from the cur-extreme reference
+            # pair, exactly like the thread, so the stored doubles match
+            # bit-for-bit.
+            from ..stats.assoc_perm19 import fisher22_tail_pval
+
+            cur_ext = maxt_pending[k]
+            mtables = {}
+            mjj = missing_start * uqq
+            for e in range(entry_ct):
+                m = missing_start + e
+                b2, tp = fisher22_precomp_pval_bounds(
+                    cur_ext, midp, row1x - mjj, col1_sum, tot_obs)
+                mtables[m] = (b2[2], b2[3] - b2[2], tp)
+                mjj += uqq
+            for p in range(P):
+                cm = int(case_miss[p])
+                cs = int(case_set[p])
+                row1 = row1x - cm * min_ploidy
+                if 0 <= cm - missing_start < precomp_width:
+                    b = tables[cm]
+                    if cs < b[0]:
+                        outcomes[p] = 2 if cs < b[2] else 1
+                    elif cs >= b[1]:
+                        outcomes[p] = 2 if cs >= b[3] else 1
+                    ukk, width, tp = mtables[cm]
+                    if tp is not None and not (0 <= cs - ukk < width):
+                        sval = fisher22_tail_pval(
+                            ukk, row1 - ukk, col1_sum - ukk,
+                            col2_sum + ukk - row1, width - 1,
+                            tp[0], tp[1], midp, cs)
+                        if extremes[p] > sval:
+                            extremes[p] = sval
+                else:
+                    sval = fisher22(cs, row1 - cs, col1_sum - cs,
+                                    col2_sum + cs - row1, midp)
+                    if sval < stat_low:
+                        outcomes[p] = 2
+                    elif sval <= stat_high:
+                        outcomes[p] = 1
+                    if extremes[p] > sval:
+                        extremes[p] = sval
+            success2[k] = int(outcomes.sum())
         else:
             # maxT (assoc_maxt_thread): bounds vs cur-extreme decide
             # whether the coefficient-form stat is computed at all
@@ -770,9 +815,14 @@ def _assoc_perm_engine(ds, cfg, log, fisher, midp, inc, a1_is_alt,
                 line += _g4(int(success2[k]) * 0.5, 12) + " "
             from ..stats.assoc_perm19 import EPSILON as _EPS
 
-            gt = int(np.searchsorted(
-                sorted_ext, orig_chisq[k] - _EPS, side="right"))
-            dzz = perms_total - gt + 1
+            if fisher:
+                dzz = int(np.searchsorted(
+                    sorted_ext, orig_pvals[k] * (1.0 + _EPS),
+                    side="right")) + 1
+            else:
+                gt = int(np.searchsorted(
+                    sorted_ext, orig_chisq[k] - _EPS, side="right"))
+                dzz = perms_total - gt + 1
             if not perm_count:
                 line += _g4(dzz * dyy, 12)
             else:

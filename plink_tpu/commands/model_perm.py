@@ -4,10 +4,12 @@ Behavior reference: model_adapt_domrec/trend/gen/best_thread
 (1.9/plink_assoc.c:3701-5165), precomp fills (:7205-7380),
 ca_trend_eval(x) / chi23_eval (1.9/plink_stats.c:2047,1940).
 
-Supported: dom / rec / trend / gen (chi + Fisher-22 modes) and best
-(Fisher mode; chi-mode best needs cdflib's inverse_chiprob and uses an
-analytic inverse instead — boundary ties within ~1e-8 relative may
-differ).  max(T) model permutation is not implemented yet.
+Supported: dom / rec / trend / gen (chi + Fisher modes) and best, in
+both adaptive (.perm) and max(T) (mperm=N, .mperm EMP1/EMP2) modes;
+max(T) 'best' is not implemented yet.  The max(T) in-window extreme
+updates use the reference's coefficient/tail-continuation forms
+(model_maxt_* threads, 1.9/plink_assoc.c:4390-5160) so the stored
+doubles match bit-for-bit.
 """
 
 from __future__ import annotations
@@ -18,7 +20,7 @@ import numpy as np
 
 from ..stats.assoc_perm19 import (
     EPSILON, adaptive_scan, chi22_eval, chi22_precomp_val_bounds,
-    fisher22_precomp_pval_bounds, get_precomp_bounds)
+    fisher22_precomp_pval_bounds, fisher22_tail_pval, get_precomp_bounds)
 from ..stats.binom19 import fisher22
 from ..stats.distributions import chisq_logsf
 from ..stats.perm19 import cc_perm_matrix, master_sfmt, \
@@ -186,9 +188,11 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
     fisher = "fisher" in mods or "fisher-midp" in mods
     midp = "fisher-midp" in mods
     perm_count = "perm-count" in mods
-    if "mperm" in " ".join(mods):
-        raise NotImplementedError(
-            "--model mperm is not implemented yet (use perm).")
+    mperm_val = None
+    for m_ in mods:
+        if m_.startswith("mperm="):
+            mperm_val = int(m_.split("=", 1)[1])
+    perm_adapt = mperm_val is None
     if "trend" in mods and "trend-only" not in mods:
         test = "trend"
     elif "dom" in mods:
@@ -201,10 +205,10 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
         test = "trend"
     else:
         test = "best"
-    if test == "gen" and fisher:
+    if test == "best" and not perm_adapt:
         raise NotImplementedError(
-            "--model gen fisher perm is not implemented yet "
-            "(fisher23 port pending).")
+            "--model mperm is not implemented for the 'best' test yet "
+            "(use --model-dom/-rec/-trend/-gen or perm).")
     vi = ds.vi
     ci = vi.chr_info
     from ..utils.chrom import X_CODE
@@ -222,11 +226,16 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
     male = ds.male_mask()[:nraw][nm_idx]
     M = inc.size
     ap_min, ap_max, ap_alpha, ap_beta, ap_init, ap_slope = cfg.aperm
-    perms_total = ap_max
     from .cluster import _ltqnorm
 
-    ci_zt = _ltqnorm(1 - ap_beta / (2.0 * M))
-    first_adapt_check = int(ap_init) if ap_min < ap_init else ap_min
+    if perm_adapt:
+        perms_total = ap_max
+        ci_zt = _ltqnorm(1 - ap_beta / (2.0 * M))
+        first_adapt_check = int(ap_init) if ap_min < ap_init else ap_min
+    else:
+        perms_total = mperm_val
+        first_adapt_check = perms_total + 1
+        ap_init = ap_slope = ap_alpha = ci_zt = 0.0
     precomp_width = 1 + int(math.sqrt(n_nm) * 0.05 * 5.65686)
     thread_ct = min(cfg.threads or 1, perms_total)
     master = master_sfmt(cfg)
@@ -249,8 +258,23 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
     success2 = np.zeros(M, np.int64)
     attempt = np.full(M, perms_total, np.int64)
     valid = np.ones(M, bool)
+    orig_stat_arr = np.full(M, -9.0)
+    extremes = None
+    if not perm_adapt:
+        extremes = np.ones(perms_total) if fisher \
+            else np.zeros(perms_total)
+        maxt_pending = np.ones(M) if fisher else np.zeros(M)
+        bstarts = [0]
+        nxt = 64
+        while nxt < M:
+            bstarts.append(nxt)
+            nxt += 960
+        block_boundary = set(bstarts)
 
     for k in range(M):
+        if extremes is not None and k in block_boundary and k:
+            maxt_pending[k:] = float(
+                extremes.max() if fisher else extremes.min())
         v = int(inc[k])
         r_d = r_all[k]
         s_d = s_all[k]
@@ -307,6 +331,12 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
         elif test == "gen":
             if is_invalid:
                 orig_pval = -9.0
+            elif fisher:
+                from ..stats.binom19 import fisher23 as _f23
+
+                orig_pval = _f23(
+                    case_homcom_o, case_het_o, case_homrar_o,
+                    ctrl_homcom, ctrl_het, ctrl_homrar, midp)
             else:
                 dvv, upp = chi23_evalx(
                     ctrl_homcom, ctrl_het, ctrl_homrar,
@@ -355,15 +385,17 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
                 or ((not fisher) and orig_chisq == -9) \
                 or (test == "trend" and orig_pval == -9):
             valid[k] = False
-            attempt[k] = inv_attempt
-            success2[k] = inv_attempt
+            attempt[k] = inv_attempt if perm_adapt else 0
+            success2[k] = inv_attempt if perm_adapt else 0
             continue
         if fisher:
             stat_high = orig_pval * (1.0 + EPSILON)
             stat_low = orig_pval * (1.0 - EPSILON)
+            orig_stat_arr[k] = orig_pval
         else:
             stat_high = orig_chisq + EPSILON
             stat_low = orig_chisq - EPSILON
+            orig_stat_arr[k] = orig_chisq
         # ---- per-perm class counts ----
         raw = codes[v][nm_idx]
         g = raw if a1_is_alt[v] \
@@ -383,11 +415,16 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
         outcomes = np.zeros(P, np.int64)
         if test == "trend":
             tables = {}
+            mtables = {}
             ujj = case_ct - missing_start
             for e in range(entry_ct):
                 b, _c = ca_trend_precomp_val_bounds(
                     orig_chisq, ujj, het_ct, homcom_ct, tot_obs)
                 tables[missing_start + e] = b
+                if not perm_adapt:
+                    b2, c2 = ca_trend_precomp_val_bounds(
+                        maxt_pending[k], ujj, het_ct, homcom_ct, tot_obs)
+                    mtables[missing_start + e] = (b2[2], b2[3] - b2[2], c2)
                 ujj -= 1
             case_com = 2 * case_homcom + case_het
             for p in range(P):
@@ -400,6 +437,13 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
                         outcomes[p] = 2 if m11 < b[2] else 1
                     elif m11 >= b[1]:
                         outcomes[p] = 2 if m11 >= b[3] else 1
+                    if not perm_adapt:
+                        ukk, width, c2 = mtables[cm]
+                        if not (0 <= m11 - ukk < width):
+                            sval = float(m11) - c2[0]
+                            sval = sval * sval * c2[1]
+                            if extremes[p] < sval:
+                                extremes[p] = sval
                 else:
                     dxx = ca_trend_eval(m11, case_ct - cm, het_ct,
                                         homcom_ct, tot_obs)
@@ -407,18 +451,31 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
                         outcomes[p] = 2
                     elif dxx > stat_low:
                         outcomes[p] = 1
+                    if not perm_adapt and extremes[p] < dxx:
+                        extremes[p] = dxx
         elif test in ("dom", "rec"):
             col1 = homcom_ct if test == "dom" else homrar_ct
             col2 = tot_obs - col1
             tables = {}
+            mtables = {}
             ujj = case_ct - missing_start
             for e in range(entry_ct):
                 if fisher:
                     b, _c = fisher22_precomp_pval_bounds(
                         orig_pval, midp, ujj, col1, tot_obs)
+                    if not perm_adapt:
+                        b2, tp = fisher22_precomp_pval_bounds(
+                            maxt_pending[k], midp, ujj, col1, tot_obs)
+                        mtables[missing_start + e] = (
+                            b2[2], b2[3] - b2[2], tp)
                 else:
                     b, _c = chi22_precomp_val_bounds(
                         orig_chisq, ujj, col1, tot_obs)
+                    if not perm_adapt:
+                        b2, c2 = chi22_precomp_val_bounds(
+                            maxt_pending[k], ujj, col1, tot_obs)
+                        mtables[missing_start + e] = (
+                            b2[2], b2[3] - b2[2], c2)
                 tables[missing_start + e] = b
                 ujj -= 1
             if test == "dom":
@@ -435,6 +492,23 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
                         outcomes[p] = 2 if m11 < b[2] else 1
                     elif m11 >= b[1]:
                         outcomes[p] = 2 if m11 >= b[3] else 1
+                    if not perm_adapt:
+                        ukk, width, cc = mtables[cm]
+                        if not (0 <= m11 - ukk < width):
+                            if fisher:
+                                if cc is not None:
+                                    uii = case_ct - cm
+                                    sval = fisher22_tail_pval(
+                                        ukk, uii - ukk, col1 - ukk,
+                                        col2 + ukk - uii, width - 1,
+                                        cc[0], cc[1], midp, m11)
+                                    if extremes[p] > sval:
+                                        extremes[p] = sval
+                            else:
+                                sval = float(m11) - cc[0]
+                                sval = sval * sval * cc[1]
+                                if extremes[p] < sval:
+                                    extremes[p] = sval
                 else:
                     uii = case_ct - cm
                     if fisher:
@@ -444,17 +518,35 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
                             outcomes[p] = 2
                         elif dxx <= stat_high:
                             outcomes[p] = 1
+                        if not perm_adapt and extremes[p] > dxx:
+                            extremes[p] = dxx
                     else:
                         dxx = chi22_eval(m11, uii, col1, tot_obs)
                         if dxx > stat_high:
                             outcomes[p] = 2
                         elif dxx > stat_low:
                             outcomes[p] = 1
+                        if not perm_adapt and extremes[p] < dxx:
+                            extremes[p] = dxx
         elif test == "gen":
+            from ..stats.binom19 import fisher23
+
             for p in range(P):
                 cm = int(case_miss[p])
                 chom = int(case_homcom[p])
                 chet = int(case_het[p])
+                if fisher:
+                    crar = case_ct - cm - chom - chet
+                    dxx = fisher23(chom, chet, crar,
+                                   homcom_ct - chom, het_ct - chet,
+                                   homrar_ct - crar, midp)
+                    if dxx < stat_low:
+                        outcomes[p] = 2
+                    elif dxx <= stat_high:
+                        outcomes[p] = 1
+                    if extremes is not None and extremes[p] > dxx:
+                        extremes[p] = dxx
+                    continue
                 if het_ct:
                     if homcom_ct:
                         dxx = chi23_eval(chom, chet, case_ct - cm,
@@ -469,6 +561,8 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
                     outcomes[p] = 2
                 elif dxx > stat_low:
                     outcomes[p] = 1
+                if extremes is not None and extremes[p] < dxx:
+                    extremes[p] = dxx
         else:  # best
             tables = {}
             ujj = case_ct - missing_start
@@ -547,12 +641,15 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
                     if hit:
                         ujj2 = 2
                 outcomes[p] = ujj2
-        s2i, stopped, nac = adaptive_scan(
-            outcomes, 0, first_adapt_check, 0, ap_init, ap_slope,
-            ap_alpha, ci_zt, perms_total)
-        success2[k] = s2i
-        if stopped:
-            attempt[k] = nac
+        if perm_adapt:
+            s2i, stopped, nac = adaptive_scan(
+                outcomes, 0, first_adapt_check, 0, ap_init, ap_slope,
+                ap_alpha, ci_zt, perms_total)
+            success2[k] = s2i
+            if stopped:
+                attempt[k] = nac
+        else:
+            success2[k] = int(outcomes.sum())
 
     # ---- report ----
     outp = cfg.out + ".model." + test
@@ -560,18 +657,25 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
         # trend+fisher removes the ".fisher" suffix again
         # (plink_assoc.c:7610)
         outp += ".fisher"
-    outp += ".perm"
+    outp += ".perm" if perm_adapt else ".mperm"
     fh = open(outp, "w")
-    fh.write(" CHR " + "SNP".rjust(maxsnp)
-             + "         EMP1           NP \n")
-    perms_done = 0
-    for k in range(M):
-        if attempt[k] > perms_done:
-            perms_done = int(attempt[k])
-            if perms_done == perms_total:
-                break
-    log.log(f"{perms_done} (adaptive) permutation"
-            f"{'' if perms_done == 1 else 's'} complete.")
+    if perm_adapt:
+        fh.write(" CHR " + "SNP".rjust(maxsnp)
+                 + "         EMP1           NP \n")
+        perms_done = 0
+        for k in range(M):
+            if attempt[k] > perms_done:
+                perms_done = int(attempt[k])
+                if perms_done == perms_total:
+                    break
+    else:
+        fh.write(" CHR " + "SNP".rjust(maxsnp)
+                 + "         EMP1         EMP2 \n")
+        perms_done = perms_total
+        sorted_ext = np.sort(extremes)
+    log.log(f"{perms_done} {'(adaptive)' if perm_adapt else 'max(T)'} "
+            f"permutation{'' if perms_done == 1 else 's'} complete.")
+    dyy = 1.0 / (perms_total + 1)
     for k in range(M):
         v = int(inc[k])
         line = (ci.name19(int(vi.chrom[v])).rjust(4) + " "
@@ -585,7 +689,23 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
                 line += _g4(pval, 12) + " "
             else:
                 line += _g4(int(success2[k]) * 0.5, 12) + " "
-            line += "  " + str(int(attempt[k])).rjust(10)
+            if perm_adapt:
+                line += "  " + str(int(attempt[k])).rjust(10)
+            else:
+                if fisher:
+                    orig_stat_k = orig_stat_arr[k]
+                    dzz = int(np.searchsorted(
+                        sorted_ext, orig_stat_k * (1.0 + EPSILON),
+                        side="right")) + 1
+                else:
+                    orig_stat_k = orig_stat_arr[k]
+                    gt = int(np.searchsorted(
+                        sorted_ext, orig_stat_k - EPSILON, side="right"))
+                    dzz = perms_total - gt + 1
+                if not perm_count:
+                    line += _g4(dzz * dyy, 12)
+                else:
+                    line += _g4(float(dzz - 1), 12)
         fh.write(line + " \n")
     fh.close()
     log.log(f"Permutation test report written to {outp} .")

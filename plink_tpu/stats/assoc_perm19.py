@@ -271,7 +271,10 @@ def fisher22_precomp_pval_bounds(pval, midp, row1_sum, col1_sum,
     bounds[3] = m11_offset + int(right11) + 1
     bounds[0] = bounds[2] + (lii & 1)
     bounds[1] = bounds[3] - (lii >> 1)
-    return bounds, (left_prob, right_prob / left_prob, tot_prob)
+    # tprobs exactly as the reference computes them (:1282-1284): the
+    # max(T) fisher tail-continuation needs these bit-for-bit
+    dxx = 1.0 / left_prob
+    return bounds, (left_prob / tot_prob, right_prob * dxx)
 
 
 def get_precomp_bounds(missing_ct, is_model, case_ct, pheno_nm_ct,
@@ -320,3 +323,125 @@ def adaptive_scan(outcomes, success_2start, first_adapt_check,
                     return s2i, True, nac
             nac += int(ap_init + nac * ap_slope)
     return s2i, False, 0
+
+
+def fisher22_tail_pval(m11, m12, m21, m22, right_offset, tot_prob_recip,
+                       right_prob, midp, new_m11):
+    """fisher22_tail_pval (1.9/plink_stats.c): p-value of new_m11 given a
+    precomputed reference pair (left table at m11 with likelihood
+    1/tot_prob, right table at m11+right_offset with likelihood
+    right_prob/tot_prob).  Used by the max(T) fisher engine so extreme
+    statistics carry the reference's exact rounding."""
+    left_prob = 1.0
+    dxx = float(new_m11)
+    if new_m11 < m11:
+        cur11 = float(m11)
+        cur12 = float(m12)
+        cur21 = float(m21)
+        cur22 = float(m22)
+        dxx += 0.5
+        while True:
+            cur12 += 1
+            cur21 += 1
+            left_prob *= cur11 * cur22 / (cur12 * cur21)
+            cur11 -= 1
+            cur22 -= 1
+            if not (cur11 > dxx):
+                break
+        if left_prob == 0:
+            return 0.0
+        psum = left_prob * 0.5 if midp else left_prob
+        thresh = left_prob * (1 + FISHER_EPSILON)
+        while True:
+            if cur11 < 0.5:
+                break
+            cur12 += 1
+            cur21 += 1
+            left_prob *= cur11 * cur22 / (cur12 * cur21)
+            cur11 -= 1
+            cur22 -= 1
+            dxx = psum
+            psum += left_prob
+            if not (psum > dxx):
+                break
+        cur11 = float(m11 + right_offset)
+        cur12 = float(m12 - right_offset)
+        cur21 = float(m21 - right_offset)
+        cur22 = float(m22 + right_offset)
+        while right_prob > thresh:
+            cur11 += 1
+            cur22 += 1
+            right_prob *= cur12 * cur21 / (cur11 * cur22)
+            cur12 -= 1
+            cur21 -= 1
+        if right_prob > 0:
+            if midp and right_prob < thresh * (1 - 2 * FISHER_EPSILON):
+                psum += right_prob * 0.5
+            else:
+                psum += right_prob
+            while True:
+                cur11 += 1
+                cur22 += 1
+                right_prob *= cur12 * cur21 / (cur11 * cur22)
+                cur12 -= 1
+                cur21 -= 1
+                dxx = psum
+                psum += right_prob
+                if not (psum > dxx):
+                    break
+    else:
+        dxx -= 0.5
+        cur11 = float(m11 + right_offset)
+        cur12 = float(m12 - right_offset)
+        cur21 = float(m21 - right_offset)
+        cur22 = float(m22 + right_offset)
+        while True:
+            cur11 += 1
+            cur22 += 1
+            right_prob *= cur12 * cur21 / (cur11 * cur22)
+            cur12 -= 1
+            cur21 -= 1
+            if not (cur11 < dxx):
+                break
+        if right_prob == 0:
+            return 0.0
+        psum = right_prob * 0.5 if midp else right_prob
+        thresh = right_prob * (1 + FISHER_EPSILON)
+        while True:
+            if cur12 < 0.5:
+                break
+            cur11 += 1
+            cur22 += 1
+            right_prob *= cur12 * cur21 / (cur11 * cur22)
+            cur12 -= 1
+            cur21 -= 1
+            dxx = psum
+            psum += right_prob
+            if not (psum > dxx):
+                break
+        cur11 = float(m11)
+        cur12 = float(m12)
+        cur21 = float(m21)
+        cur22 = float(m22)
+        while left_prob > thresh:
+            cur12 += 1
+            cur21 += 1
+            left_prob *= cur11 * cur22 / (cur12 * cur21)
+            cur11 -= 1
+            cur22 -= 1
+        if left_prob > 0:
+            if midp and left_prob < thresh * (1 - 2 * FISHER_EPSILON):
+                psum += left_prob * 0.5
+            else:
+                psum += left_prob
+            while True:
+                cur12 += 1
+                cur21 += 1
+                left_prob *= cur11 * cur22 / (cur12 * cur21)
+                cur11 -= 1
+                cur22 -= 1
+                dxx = psum
+                psum += left_prob
+                if not (psum > dxx):
+                    break
+    return psum * tot_prob_recip

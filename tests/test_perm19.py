@@ -234,6 +234,45 @@ def test_model_perm(pp_panel, mods):
 
 
 @pytest.mark.parametrize("mods", [
+    ["mperm=120", "dom"],
+    ["mperm=120", "rec"],
+    ["mperm=120", "trend"],
+    ["mperm=120", "gen"],
+    ["fisher", "mperm=120", "dom"],
+    ["fisher-midp", "mperm=120", "rec"],
+    ["fisher", "mperm=120", "gen"],
+    ["fisher", "perm", "gen"],
+])
+def test_model_mperm(pp_panel, mods):
+    d = pp_panel
+    tag = "mm" + str(abs(hash(tuple(mods))) % 100000)
+    base = ["--bfile", "pb", "--model"] + mods \
+        + ["--aperm", "8", "250", "0.02", "0.002", "2", "0.002",
+           "--seed", "11", "--threads", "2", "--allow-no-sex"]
+    run19(base + ["--out", f"o_{tag}"], str(d))
+    run_tpu(base + ["--out", f"t_{tag}", "--silent"], str(d))
+    import glob
+
+    pf = sorted(glob.glob(str(d / f"o_{tag}.model*perm")))[0]
+    tf = pf.replace(f"o_{tag}", f"t_{tag}")
+    assert open(pf, "rb").read() == open(tf, "rb").read(), pf
+
+
+@pytest.mark.parametrize("mp,mods", [
+    ("mperm=150", ["fisher"]),
+    ("mperm=150", ["fisher-midp"]),
+])
+def test_assoc_fisher_mperm(pp_panel, mp, mods):
+    d = pp_panel
+    tag = "fm" + str(abs(hash((mp, tuple(mods)))) % 100000)
+    base = ["--bfile", "pb", "--assoc", mp] + mods \
+        + ["--seed", "21", "--threads", "2", "--allow-no-sex"]
+    run19(base + ["--out", f"o_{tag}"], str(d))
+    run_tpu(base + ["--out", f"t_{tag}", "--silent"], str(d))
+    _cmp(d, f"o_{tag}.assoc.fisher.mperm", f"t_{tag}.assoc.fisher.mperm")
+
+
+@pytest.mark.parametrize("mods", [
     [], ["fisher"], ["fisher-midp"], ["trend-only"],
 ])
 def test_model_base(pp_panel, mods):
