@@ -547,14 +547,6 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
     if perm_adaptive and mperm_ct:
         raise ValueError("Conflicting --glm arguments (aperm + mperm).")
     perm_mode = "adaptive" if perm_adaptive else ("maxT" if mperm_ct else None)
-    if perm_mode and (mods & {"genotypic", "hethom"} or "interaction" in mods):
-        # single-effect models (ADD/DOM/REC/HETONLY) permute on |z| of the
-        # primary test like the reference; the joint-test (-ln p) permstat
-        # for constraint models is not implemented yet
-        raise NotImplementedError(
-            "--glm permutation tests support single-genotype-effect models "
-            "only (additive/dominant/recessive/hetonly)."
-        )
     if "permute-qt-residuals" in mods and (
         perm_mode is None or "qt-residualize" not in mods
     ):
@@ -693,12 +685,10 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                         write_adjusted(ds, cfg, log, name, suffix,
                                        add_results, a1_arr)
                 if perm_mode:
-                    gp0 = _geno_predictors(mods, p_names)[0][0]
-                    model_w = (gp0[1], gp0[2]) if gp0[0] != "ADD" else None
                     _glm_firth_perm(
                         ds, cfg, log, name, ydata, smask, p_names, p_data,
                         a1_is_alt, perm_capture, perm_mode, mperm_ct,
-                        groups=groups, model_w=model_w,
+                        groups=groups,
                     )
         else:
             log.log(f"--glm linear regression on phenotype '{name}': {nm_ct} samples.")
@@ -786,12 +776,10 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
                     if qt_resid:
                         y_run, nm_run, dt_run = _qt_residualize(
                             ydata, smask, p_data)
-                    gp0 = _geno_predictors(mods, p_names)[0][0]
-                    model_w = (gp0[1], gp0[2]) if gp0[0] != "ADD" else None
                     _glm_linear_perm(
                         ds, cfg, log, name, y_run, smask, nm_run, dt_run,
                         a1_is_alt, perm_capture, perm_mode, mperm_ct,
-                        groups=groups, model_w=model_w,
+                        groups=groups,
                     )
 
 
@@ -1327,13 +1315,24 @@ def _emit_linear_rows(
                         (int(v0 + ia[i]), float(logp[i, add_pred]))
                     )
     if perm_capture is not None and geno_idx:
-        gp = geno_idx[0]
         vv = v0 + ia
-        okp = ok & np.isfinite(logp[:, gp])
-        perm_capture["valid"][vv] = okp
-        perm_capture["t"][vv] = np.where(okp, tstat[:, gp], np.nan)
-        perm_capture["lnp"][vv] = np.where(okp, logp[:, gp], np.nan)
-        perm_capture["dof"][vv] = dof
+        if joint_name:
+            # constraint models permute on the joint test: permstat is the
+            # monotone image -ln p of the F stat (ref pattern
+            # 2.0/plink2_glm_logistic.cc:5595-5601), so the device compares
+            # raw F values and ln p materializes host-side for EMP2
+            okp = ok & np.isfinite(fstat) & np.isfinite(logp_joint)
+            perm_capture["valid"][vv] = okp
+            perm_capture["t"][vv] = np.where(okp, fstat, np.nan)
+            perm_capture["lnp"][vv] = np.where(okp, logp_joint, np.nan)
+            perm_capture["dof"][vv] = dof
+        else:
+            gp = geno_idx[0]
+            okp = ok & np.isfinite(logp[:, gp])
+            perm_capture["valid"][vv] = okp
+            perm_capture["t"][vv] = np.where(okp, tstat[:, gp], np.nan)
+            perm_capture["lnp"][vv] = np.where(okp, logp[:, gp], np.nan)
+            perm_capture["dof"][vv] = dof
     test_pred = {spec[0]: p for p, spec in enumerate(pred_specs)}
     test_pred["INTERCEPT"] = 0
     for i in range(b):
@@ -2135,7 +2134,16 @@ def _emit_logistic_rows(
             and np.isfinite(logp[i, test_pred[add_test]])
         ):
             add_results.append((vidx, float(logp[i, test_pred[add_test]])))
-        if perm_capture is not None and add_test is not None:
+        if perm_capture is not None and joint_name is not None:
+            # constraint models permute on the joint Wald stat (chisq/q);
+            # ln p (FstatToLnP with per-variant nobs) materializes for EMP2
+            if (not bad and np.isfinite(fstat[i])
+                    and np.isfinite(logp_joint[i])):
+                perm_capture["valid"][vidx] = True
+                perm_capture["t"][vidx] = fstat[i]
+                perm_capture["lnp"][vidx] = logp_joint[i]
+                perm_capture["dof"][vidx] = nm_i
+        elif perm_capture is not None and add_test is not None:
             pi_ = test_pred[add_test]
             okp = (not bad and np.isfinite(beta[i, pi_])
                    and np.isfinite(se[i, pi_]) and se[i, pi_] > 0)
@@ -2743,17 +2751,40 @@ def _glm_dosage_host(
         write_adjusted(ds, cfg, log, pheno_name, suffix, add_results, a1)
 
 
+def _perm_spec_fn(mods):
+    """Builds the genotype-derived design spec for the permutation scans
+    from the --glm modifier set: [(w_alt, w_ref, covar_idx), ...] plus the
+    joint-test constraint count q (0 when the primary reported test is a
+    single effect).  Interaction columns replicate each genotype predictor
+    against every covariate column, mirroring the main-report pred_specs
+    order; covar_idx is resolved against each GROUP's covariate list (ploidy
+    groups may drop constant covariates)."""
+    geno_preds, joint_name = _geno_predictors(mods, [])
+    interaction = "interaction" in mods
+
+    def spec_fn(group_cov_names):
+        specs = [(wa, wr, 0) for _n, wa, wr in geno_preds]
+        if interaction:
+            for _n, wa, wr in geno_preds:
+                for j in range(len(group_cov_names)):
+                    specs.append((wa, wr, j + 1))
+        return specs, (len(geno_preds) if joint_name else 0)
+
+    return spec_fn
+
+
 def _perm_group_setups(ds, smask, groups, cov_names, cov_data, a1_is_alt,
-                       model_w, capture):
+                       spec_fn, capture):
     """Prepares per-ploidy-group device state for the permutation scans.
 
     The phenotype is permuted once per permutation over the UNION sample
     set (ref GlmFirthPerm sample_include_union,
     2.0/plink2_glm_logistic.cc:6086-6104); each group's regressions subset
     that permutation via `sel` (positions of the group's samples within
-    the union ordering).  `model_w` = (w_alt, w_ref) plane weights of the
-    single genotype effect (additive by default; DOM/REC/HETONLY perm
-    follows the reference's primary-reported-test permstat)."""
+    the union ordering).  `spec_fn` (see _perm_spec_fn) yields the
+    genotype-derived predictor columns for this model -- a single effect
+    for ADD/DOM/REC/HETONLY, two for genotypic/hethom (with a joint test),
+    plus genotype x covariate interaction columns."""
     import jax.numpy as jnp
 
     if groups is None:
@@ -2766,9 +2797,8 @@ def _perm_group_setups(ds, smask, groups, cov_names, cov_data, a1_is_alt,
     test_rows = np.flatnonzero(valid_all)
     row_pos = np.full(M, -1, np.int64)
     row_pos[test_rows] = np.arange(test_rows.size)
-    wa, wr = model_w if model_w is not None else (
-        (1.0, 2.0, 0.0), (-1.0, -2.0, 2.0))
     setups = []
+    q_joint = 0
     for grp in groups:
         vm_g, sm_g, nm_g, dt_g = grp[:4]
         gmul_g = grp[4] if len(grp) > 4 else None
@@ -2778,6 +2808,10 @@ def _perm_group_setups(ds, smask, groups, cov_names, cov_data, a1_is_alt,
         if rows_g.size == 0:
             continue
         nm_g, dt_g = _drop_const_covars(sm_g, nm_g, dt_g)
+        specs, q_joint = spec_fn(nm_g)
+        wa_all = np.asarray([s[0] for s in specs], np.float32)  # [NP, 3]
+        wr_all = np.asarray([s[1] for s in specs], np.float32)
+        covj_g = tuple(int(s[2]) for s in specs)
         inc_g = np.flatnonzero(sm_g)
         n_g = inc_g.size
         dc_g = len(nm_g) + 1
@@ -2795,9 +2829,9 @@ def _perm_group_setups(ds, smask, groups, cov_names, cov_data, a1_is_alt,
         alt_b = alt_pad.reshape(pd_g.nblocks, pd_g.vb)
         gw = np.where(
             alt_b[:, :, None, None],
-            np.asarray(wa, np.float32)[None, None, None],
-            np.asarray(wr, np.float32)[None, None, None],
-        ).astype(np.float32)  # [nb, vb, 1, 3]
+            wa_all[None, None],
+            wr_all[None, None],
+        ).astype(np.float32)  # [nb, vb, NP, 3]
         ss = None
         if gmul_g is not None:
             sp_ = np.ones(npad_g, np.float32)
@@ -2808,28 +2842,30 @@ def _perm_group_setups(ds, smask, groups, cov_names, cov_data, a1_is_alt,
             "mask": jnp.asarray(mask_g), "gw": jnp.asarray(gw),
             "sscale": ss, "n": n_g, "npad": npad_g,
             "sel": pos_u[inc_g], "rows": rows_g,
-            "row_pos": row_pos[rows_g],
+            "row_pos": row_pos[rows_g], "covj": covj_g,
+            "np": len(specs),
         })
-    return setups, test_rows
+    return setups, test_rows, q_joint
 
 
 def _glm_linear_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
                      cov_data, a1_is_alt, capture, perm_mode, mperm_ct,
-                     groups=None, model_w=None):
-    """Linear-GLM permutation test (additive model).
+                     groups=None):
+    """Linear-GLM permutation test.
 
     TPU-first re-design of GlmLinearPerm (2.0/plink2_glm_linear.cc:4940):
     the permutation axis is an extra MXU batch dimension -- X^T X inverts
     once per variant while X^T y_p streams as plane-Gram matmuls against
     the permuted phenotype matrix.  Within a variant the degrees of freedom
     are permutation-invariant, so the reference's ln-p comparisons are
-    equivalent to |t| comparisons and the counting runs on the raw
-    t-statistics; ln-p only materializes host-side for the max(T) per-
-    permutation best list.
+    equivalent to |t| (or joint-F for genotypic/hethom constraint models)
+    comparisons and the counting runs on the raw statistics; ln-p only
+    materializes host-side for the max(T) per-permutation best list.
     """
     import jax.numpy as jnp
 
-    from ..ops.glm import linear_perm_scan
+    from ..ops.glm import linear_perm_multi_scan, linear_perm_scan
+    from ..stats.distributions import f_logsf
     from .perm_report import AdaptiveState, emp2_from_best, write_perm_report
 
     adaptive = perm_mode == "adaptive"
@@ -2842,8 +2878,9 @@ def _glm_linear_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
     y = ydata[inc].astype(np.float64)
     M = ds.raw_variant_ct
 
-    setups, test_rows = _perm_group_setups(
-        ds, smask, groups, cov_names, cov_data, a1_is_alt, model_w, capture)
+    spec_fn = _perm_spec_fn(set(cfg.glm_modifiers))
+    setups, test_rows, q_joint = _perm_group_setups(
+        ds, smask, groups, cov_names, cov_data, a1_is_alt, spec_fn, capture)
     valid = capture["valid"] & ds.variant_mask
     T = test_rows.size
     t_orig = np.abs(capture["t"][test_rows])
@@ -2888,12 +2925,20 @@ def _glm_linear_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
             Yb = np.zeros((st["npad"], Bc), np.float32)
             Yb[:st["n"]] = Yu[st["sel"]]
             pd_g = st["pd"]
-            t_all = np.asarray(linear_perm_scan(
-                pd_g.packed, st["gw"], st["c32"], jnp.asarray(Yb),
-                st["mask"], st["dc"], (0,), st["sscale"]
-            ))
+            if st["np"] == 1 and q_joint == 0:
+                t_all = np.asarray(linear_perm_scan(
+                    pd_g.packed, st["gw"], st["c32"], jnp.asarray(Yb),
+                    st["mask"], st["dc"], (0,), st["sscale"]
+                ))
+            else:
+                t_all = np.asarray(linear_perm_multi_scan(
+                    pd_g.packed, st["gw"], st["c32"], jnp.asarray(Yb),
+                    st["mask"], st["dc"], st["covj"], q_joint, st["sscale"]
+                ))
             t_flat = t_all.reshape(pd_g.nblocks * pd_g.vb, Bc)
-            tp[st["row_pos"]] = np.abs(t_flat[st["rows"]].astype(np.float64))
+            sf = t_flat[st["rows"]].astype(np.float64)
+            # joint models compare raw F (one-sided); single effects |t|
+            tp[st["row_pos"]] = sf if q_joint else np.abs(sf)
         tp = np.nan_to_num(tp, nan=0.0, posinf=np.inf)
         cnt = ((tp > t_orig[:, None]).astype(np.int8) * 2
                + (tp == t_orig[:, None]).astype(np.int8))
@@ -2902,7 +2947,11 @@ def _glm_linear_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
         else:
             ctx2 += cnt.astype(np.int64).sum(axis=1)
             # per-permutation best ln-p across valid tests
-            lnp_b = np.asarray(t_logp_2sided(tp, dof[:, None]))
+            if q_joint:
+                lnp_b = np.asarray(f_logsf(
+                    np.maximum(tp, 0.0), float(q_joint), dof[:, None]))
+            else:
+                lnp_b = np.asarray(t_logp_2sided(tp, dof[:, None]))
             best_lnp.append(np.min(lnp_b, axis=0) if T else
                             np.full(Bc, np.inf))
         done += Bc
@@ -2934,7 +2983,7 @@ def _glm_linear_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
 
 def _glm_firth_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
                     cov_data, a1_is_alt, capture, perm_mode, mperm_ct,
-                    groups=None, model_w=None):
+                    groups=None):
     """Case/control (Firth) permutation test.
 
     Reference: GlmLogisticPerm (2.0/plink2_glm_logistic.cc:6342): permstat
@@ -2945,7 +2994,8 @@ def _glm_firth_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
     """
     import jax.numpy as jnp
 
-    from ..ops.glm import firth_perm_scan
+    from ..ops.glm import firth_perm_multi_scan, firth_perm_scan
+    from ..stats.distributions import f_logsf
     from .perm_report import AdaptiveState, emp2_from_best, write_perm_report
 
     adaptive = perm_mode == "adaptive"
@@ -2958,11 +3008,14 @@ def _glm_firth_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
     y = ydata[inc].astype(np.float32)
     M = ds.raw_variant_ct
 
-    setups, test_rows = _perm_group_setups(
-        ds, smask, groups, cov_names, cov_data, a1_is_alt, model_w, capture)
+    spec_fn = _perm_spec_fn(set(cfg.glm_modifiers))
+    setups, test_rows, q_joint = _perm_group_setups(
+        ds, smask, groups, cov_names, cov_data, a1_is_alt, spec_fn, capture)
     valid = capture["valid"] & ds.variant_mask
     T = test_rows.size
-    z_orig = capture["t"][test_rows]  # already |z|
+    z_orig = capture["t"][test_rows]  # |z|, or joint chisq/q for constraints
+    obs_orig = capture["dof"][test_rows]  # per-variant nobs (joint EMP2)
+    lnp_orig = capture["lnp"][test_rows]
 
     rng = np.random.default_rng(cfg.seed)
     B = max(4, min(64, (1 << 24) // max(n, 1)))
@@ -2998,10 +3051,16 @@ def _glm_firth_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
             Yb = np.zeros((st["npad"], Bc), np.float32)
             Yb[:st["n"]] = Yu[st["sel"]]
             pd_g = st["pd"]
-            stats = np.asarray(firth_perm_scan(
-                pd_g.packed, st["gw"], st["c32"], jnp.asarray(Yb),
-                st["mask"], st["dc"], (0,), st["sscale"]
-            ))  # [Bc, nb, vb]
+            if st["np"] == 1 and q_joint == 0:
+                stats = np.asarray(firth_perm_scan(
+                    pd_g.packed, st["gw"], st["c32"], jnp.asarray(Yb),
+                    st["mask"], st["dc"], (0,), st["sscale"]
+                ))  # [Bc, nb, vb]
+            else:
+                stats = np.asarray(firth_perm_multi_scan(
+                    pd_g.packed, st["gw"], st["c32"], jnp.asarray(Yb),
+                    st["mask"], st["dc"], st["covj"], q_joint, st["sscale"]
+                ))
             s_flat = stats.reshape(Bc, pd_g.nblocks * pd_g.vb).T
             sp[st["row_pos"]] = s_flat[st["rows"]].astype(np.float64)
         # 0/1 phenotypes make the perm-stat distribution discrete: values
@@ -3015,7 +3074,17 @@ def _glm_firth_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
             state.update(cnt)
         else:
             ctx2 += cnt.astype(np.int64).sum(axis=1)
-            best_z.append(np.max(sp, axis=0) if T else np.full(Bc, -1.0))
+            if q_joint:
+                # joint stats: per-variant nobs differ, so the cross-variant
+                # EMP2 best must compare on ln p (ref FstatToLnP permstat)
+                lnp_b = np.asarray(f_logsf(
+                    np.maximum(sp, 0.0), float(q_joint),
+                    np.maximum(obs_orig, 1.0)[:, None]))
+                lnp_b = np.where(sp < 0.0, np.inf, lnp_b)  # failed fits
+                best_z.append(np.min(lnp_b, axis=0) if T else
+                              np.full(Bc, np.inf))
+            else:
+                best_z.append(np.max(sp, axis=0) if T else np.full(Bc, -1.0))
         done += Bc
 
     suffix = "aperm" if adaptive else "mperm"
@@ -3033,7 +3102,10 @@ def _glm_firth_perm(ds, cfg, log, pheno_name, ydata, smask, cov_names,
         )
     else:
         best = np.concatenate(best_z) if best_z else np.zeros(0)
-        emp2 = emp2_from_best(z_orig, best, lower_is_extreme=False)
+        if q_joint:
+            emp2 = emp2_from_best(lnp_orig, best, lower_is_extreme=True)
+        else:
+            emp2 = emp2_from_best(z_orig, best, lower_is_extreme=False)
         denom = np.full(T, done + 1, np.int64)
         write_perm_report(
             path, ds, ds.variant_mask, a1, omitted, provref, valid,

@@ -906,3 +906,131 @@ def firth_perm_scan(blocks, gws, c, Y, mask, dc, covj=(), sscale=None):
 
     _, outs = lax.scan(per_perm, 0, Y.T)
     return outs
+
+
+def _linear_perm_multi_body(pk, gw, c, Y, mask, dc, covj, q, sscale=None):
+    """Per-block permutation statistics for MULTI-predictor linear models
+    (genotypic/hethom joint tests, interaction designs).
+
+    Same permutation-as-batch-axis design as _linear_perm_body: the design
+    matrix [c | G_1..G_P] is fixed across permutations, so the full and
+    reduced (genotype-main-effects dropped) normal matrices invert once per
+    variant, while X^T y_p streams as plane-Gram matmuls against the
+    permuted phenotype matrix Y [n, B].
+
+    When q > 0 the statistic is the joint F over the first q genotype
+    columns via the RSS difference (the reference's constraint-model
+    permstat is the monotone -ln p of this F, FstatToLnP; ref
+    2.0/plink2_glm_logistic.cc:5595-5601 pattern applied by
+    GlmLinearPerm).  When q == 0 (interaction without a joint test) it is
+    the t-stat of the first genotype column, the reference's primary
+    reported test.  Returns stat [vb, B] f32 (NaN on singular fits).
+    """
+    np_ = gw.shape[1]
+    gcols, valid = _plane_cols(pk, gw, c, mask, np_, covj, sscale)
+    vb, n = valid.shape
+    d = dc + np_
+    hi = lax.Precision.HIGHEST
+
+    # X^T X per variant (full design)
+    ccfl = (c[:, :, None] * c[:, None, :]).reshape(n, dc * dc)
+    a = lax.dot_general(valid, ccfl, (((1,), (0,)), ((), ())), precision=hi,
+                        preferred_element_type=jnp.float32).reshape(vb, dc, dc)
+    h = jnp.zeros((vb, d, d), jnp.float32)
+    h = h.at[:, :dc, :dc].set(a)
+    for p in range(np_):
+        gp = gcols[p]
+        cg = lax.dot_general(gp, c, (((1,), (0,)), ((), ())), precision=hi,
+                             preferred_element_type=jnp.float32)
+        h = h.at[:, :dc, dc + p].set(cg)
+        h = h.at[:, dc + p, :dc].set(cg)
+        for r in range(p, np_):
+            gg = jnp.sum(gp * gcols[r], axis=1)
+            h = h.at[:, dc + p, dc + r].set(gg)
+            h = h.at[:, dc + r, dc + p].set(gg)
+
+    eye = jnp.eye(d, dtype=jnp.float32)
+    inv = jax.vmap(lambda m: jax.scipy.linalg.cho_solve(
+        (jnp.linalg.cholesky(m), True), eye))(h)
+
+    dotB = lambda wv, m: lax.dot_general(
+        wv, m, (((1,), (0,)), ((), ())), precision=hi,
+        preferred_element_type=jnp.float32)
+    parts = [dotB(valid, c[:, j:j + 1] * Y) for j in range(dc)]
+    parts += [dotB(g, Y) for g in gcols]
+    xty = jnp.stack(parts, axis=1)  # [vb, d, B]
+    yy = dotB(valid, Y * Y)  # [vb, B]
+
+    beta = jnp.einsum("vij,vjb->vib", inv, xty)
+    rss = yy - jnp.einsum("vjb,vjb->vb", beta, xty)
+    nm = h[:, 0, 0]
+    dof = jnp.maximum(nm - d, 1.0)
+    sigma2 = rss / dof[:, None]
+    if q == 0:
+        se2 = sigma2 * inv[:, dc, dc][:, None]
+        return beta[:, dc] / jnp.sqrt(jnp.maximum(se2, 0.0))
+    # reduced design: drop the q genotype main-effect columns
+    keep = tuple(range(dc)) + tuple(range(dc + q, d))
+    kidx = jnp.asarray(keep, jnp.int32)
+    h0 = h[:, kidx][:, :, kidx]
+    eye0 = jnp.eye(d - q, dtype=jnp.float32)
+    inv0 = jax.vmap(lambda m: jax.scipy.linalg.cho_solve(
+        (jnp.linalg.cholesky(m), True), eye0))(h0)
+    xty0 = xty[:, kidx]
+    b0 = jnp.einsum("vij,vjb->vib", inv0, xty0)
+    rss0 = yy - jnp.einsum("vjb,vjb->vb", b0, xty0)
+    return ((rss0 - rss) / float(q)) / jnp.maximum(sigma2, 1e-30)
+
+
+@partial(jax.jit, static_argnames=("dc", "covj", "q"))
+def linear_perm_multi_scan(blocks, gws, c, Y, mask, dc, covj, q, sscale=None):
+    """Whole-dataset multi-predictor permutation stats: [nb, vb, B] f32."""
+
+    def body(carry, xs):
+        pk, gw = xs
+        return carry, _linear_perm_multi_body(pk, gw, c, Y, mask, dc, covj,
+                                              q, sscale)
+
+    _, outs = lax.scan(body, 0, (blocks, gws))
+    return outs
+
+
+@partial(jax.jit, static_argnames=("dc", "covj", "q"))
+def firth_perm_multi_scan(blocks, gws, c, Y, mask, dc, covj, q, sscale=None):
+    """Case/control permutation statistics for MULTI-predictor Firth models.
+
+    q > 0: joint Wald chisq/q over the first q genotype columns from the
+    final Firth Hessian inverse (the reference's constraint-model permstat
+    is -ln p of FstatToLnP(chisq/ct, ct, nobs), monotone in chisq for fixed
+    per-variant dof; ref LinearHypothesisChisq + plink2_glm_logistic.cc:
+    5595-5601).  q == 0: |z| of the first genotype column (primary test
+    under interaction designs).  -1 marks fit failures, matching
+    GlmLogisticPerm :6690-6697.  Returns [B, nb, vb] f32.
+    """
+    def per_perm(carry, yb):
+        def per_block(c2, xs):
+            pk, gw = xs
+            np_ = gw.shape[1]
+            beta, se, _ll, conv, failed, unf, _obs, hinv = _firth_body(
+                pk, gw, c, yb, mask, dc, np_, covj, sscale
+            )
+            if q == 0:
+                bg = beta[:, dc]
+                sg = se[:, dc]
+                stat = jnp.abs(bg / sg)
+                stat = jnp.where(bg == 0.0, 0.0, stat)
+                stat = jnp.where((sg == 0.0) & (bg != 0.0), jnp.inf, stat)
+            else:
+                bg = beta[:, dc:dc + q]
+                sub = hinv[:, dc:dc + q, dc:dc + q]
+                x = jnp.linalg.solve(sub, bg[..., None])[..., 0]
+                stat = jnp.sum(bg * x, axis=-1) / float(q)
+                stat = jnp.where(stat < 0.0, -1.0, stat)
+            stat = jnp.where(failed | jnp.isnan(stat), -1.0, stat)
+            return c2, stat
+
+        _, stats = lax.scan(per_block, 0, (blocks, gws))
+        return carry, stats
+
+    _, outs = lax.scan(per_perm, 0, Y.T)
+    return outs

@@ -245,3 +245,97 @@ def test_linear_mperm_dominant(perm_panel):
     sd = np.sqrt(np.maximum(oe1 * (1 - oe1), 1e-9) / N)
     frac_ok = np.nanmean(np.abs(oe1 - te1) <= 5 * sd + 8.0 / N)
     assert frac_ok > 0.97, frac_ok
+
+
+@pytest.fixture(scope="module")
+def joint_cov(perm_panel):
+    """Gaussian covariate for the joint-test perm runs (the reference's
+    covarless missing-genotype fast path spuriously flags low-correlation
+    genotypic designs CORR_TOO_HIGH, plink2_glm_linear.cc:1380-1404, so the
+    joint comparisons run with a covariate where both engines agree)."""
+    d = perm_panel
+    rng = np.random.default_rng(17)
+    ids = [l.split("\t")[0]
+           for l in (d / "panel.psam").read_text().splitlines()[1:]]
+    with open(d / "jc.cov", "w") as f:
+        f.write("#IID\tC1\n")
+        for iid in ids:
+            f.write(f"{iid}\t{rng.normal():.6f}\n")
+    return d
+
+
+def test_linear_mperm_genotypic(joint_cov):
+    """GENO_2DF joint-test permutation: permstat is the joint F (the
+    reference compares -ln p of FstatToLnP, monotone per variant)."""
+    d = joint_cov
+    N = 600
+    args = ["--pfile", "panel", "--pheno", "ph.txt", "--pheno-name", "QT",
+            "--covar", "jc.cov", "--glm", "genotypic", f"mperm={N}",
+            "--seed", "4"]
+    run_oracle(args + ["--out", "og"], str(d))
+    run_tpu(args + ["--out", "tg"], str(d))
+    oe1, oe2 = _read_emp(str(d / "og.QT.glm.linear.mperm"), "EMP2")
+    te1, te2 = _read_emp(str(d / "tg.QT.glm.linear.mperm"), "EMP2")
+    floor = 1.0 / (N + 1)
+    assert te1[7] == pytest.approx(floor, abs=1e-8)
+    assert oe1[7] == pytest.approx(floor, abs=1e-8)
+    assert (np.isnan(oe1) == np.isnan(te1)).mean() > 0.97
+    m = ~np.isnan(oe1) & ~np.isnan(te1)
+    sd = np.sqrt(np.maximum(oe1[m] * (1 - oe1[m]), 1e-9) / N)
+    frac_ok = np.mean(np.abs(oe1[m] - te1[m]) <= 5 * sd + 8.0 / N)
+    assert frac_ok > 0.97, frac_ok
+    assert np.nanmax(np.abs(oe2 - te2)) < 0.15
+
+
+def test_linear_aperm_genotypic(joint_cov):
+    d = joint_cov
+    args = ["--pfile", "panel", "--pheno", "ph.txt", "--pheno-name", "QT",
+            "--covar", "jc.cov", "--glm", "genotypic", "aperm",
+            "--seed", "4", "--aperm", "6", "5000"]
+    run_oracle(args + ["--out", "oga"], str(d))
+    run_tpu(args + ["--out", "tga"], str(d))
+    oe1, opc = _read_emp(str(d / "oga.QT.glm.linear.aperm"), "PERM_CT")
+    te1, tpc = _read_emp(str(d / "tga.QT.glm.linear.aperm"), "PERM_CT")
+    floor = 1.0 / 5001
+    assert te1[7] == pytest.approx(floor, abs=1e-8)
+    assert oe1[7] == pytest.approx(floor, abs=1e-8)
+    rel = np.abs(np.log(te1) - np.log(oe1))
+    assert np.nanmedian(rel) < 0.5
+    assert np.nanmedian(tpc) < 2000 and np.nanmedian(opc) < 2000
+
+
+def test_firth_mperm_hethom(joint_cov):
+    """hethom joint-test (HOM+HET 2-df Wald) case/control permutation."""
+    d = joint_cov
+    N = 300
+    args = ["--pfile", "panel", "--covar", "jc.cov", "--glm", "firth",
+            "hethom", f"mperm={N}", "--seed", "4"]
+    run_oracle(args + ["--out", "oh"], str(d))
+    run_tpu(args + ["--out", "th"], str(d))
+    oe1, _ = _read_emp(str(d / "oh.PHENO1.glm.firth.mperm"), "EMP2")
+    te1, _ = _read_emp(str(d / "th.PHENO1.glm.firth.mperm"), "EMP2")
+    assert (np.isnan(oe1) == np.isnan(te1)).mean() > 0.97
+    m = ~np.isnan(oe1) & ~np.isnan(te1)
+    sd = np.sqrt(np.maximum(oe1[m] * (1 - oe1[m]), 1e-9) / N)
+    frac_ok = np.mean(np.abs(oe1[m] - te1[m]) <= 5 * sd + 10.0 / N)
+    assert frac_ok > 0.95, frac_ok
+
+
+def test_linear_mperm_interaction(joint_cov):
+    """interaction designs permute on |t| of the primary (ADD) test with
+    the ADDxC1 column in the model."""
+    d = joint_cov
+    N = 500
+    args = ["--pfile", "panel", "--pheno", "ph.txt", "--pheno-name", "QT",
+            "--covar", "jc.cov", "--glm", "interaction", f"mperm={N}",
+            "--seed", "4"]
+    run_oracle(args + ["--out", "oi"], str(d))
+    run_tpu(args + ["--out", "ti"], str(d))
+    oe1, _ = _read_emp(str(d / "oi.QT.glm.linear.mperm"), "EMP2")
+    te1, _ = _read_emp(str(d / "ti.QT.glm.linear.mperm"), "EMP2")
+    floor = 1.0 / (N + 1)
+    assert te1[7] == pytest.approx(floor, abs=1e-8)
+    assert oe1[7] == pytest.approx(floor, abs=1e-8)
+    sd = np.sqrt(np.maximum(oe1 * (1 - oe1), 1e-9) / N)
+    frac_ok = np.nanmean(np.abs(oe1 - te1) <= 5 * sd + 8.0 / N)
+    assert frac_ok > 0.97, frac_ok
