@@ -288,11 +288,47 @@ def _import_bgen(cfg: Config, log: RunLogger) -> Dataset:
     for m in ("ref-first", "ref-last", "ref-unknown"):
         if m in mods:
             ref_mode = m
-    vi, si, codes = read_bgen(cfg.bgen[0], cfg.sample, ref_mode)
+    vi, si, codes, aux_rows, skipped_ma = read_bgen(
+        cfg.bgen[0], cfg.sample, ref_mode,
+        hard_call_thresh=cfg.hard_call_thresh,
+        dosage_erase_thresh=cfg.dosage_erase_thresh,
+        import_dosage_certainty=cfg.import_dosage_certainty,
+    )
+    if skipped_ma:
+        log.log(
+            f"Warning: {skipped_ma} multiallelic variant"
+            f"{'s' if skipped_ma != 1 else ''} skipped (not yet supported)."
+        )
     tmp = cfg.out + "-temporary"
-    with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
-                    trusted_ref=ref_mode != "ref-unknown") as w:
-        w.append_codes(codes)
+    any_dosage = any(a is not None and a[0].size for a in aux_rows)
+    any_phase = any(
+        a is not None and (a[4].any() or a[2].size) for a in aux_rows
+    )
+    trusted = ref_mode != "ref-unknown"
+    if any_dosage or any_phase:
+        with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
+                        trusted_ref=trusted, with_dosage=any_dosage,
+                        with_phase=any_phase) as w:
+            z16 = np.zeros(0, "<u2")
+            zid = np.zeros(0, np.uint32)
+            for r, a in zip(codes, aux_rows):
+                if a is None:
+                    if any_phase:
+                        w.append_codes_with_phase(
+                            r, np.zeros(r.size, bool), np.zeros(r.size, bool),
+                            zid, z16, np.zeros(0, np.uint32),
+                            np.zeros(0, "<i2"))
+                    else:
+                        w.append_codes_with_dosage(r, zid, z16)
+                elif any_phase:
+                    w.append_codes_with_phase(r, a[4], a[5], a[0], a[1],
+                                              a[2], a[3])
+                else:
+                    w.append_codes_with_dosage(r, a[0], a[1])
+    else:
+        with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
+                        trusted_ref=trusted) as w:
+            w.append_codes(codes)
     write_pvar(tmp + ".pvar", vi)
     write_psam(tmp + ".psam", si)
     log.log(
