@@ -306,13 +306,29 @@ def write_hardy(
     use = np.where(is_x[:, None], cts_f if cts_f is not None else cts, cts)
     hom_ref, het, hom_alt = use[:, 0], use[:, 1], use[:, 2]
     pvals = hwe_exact_pvals(hom_ref, het, hom_alt, midp=midp)
+    # extreme-regime escalation: tails that underflow f64 re-compute in
+    # ln space with extended-precision factorials and print via the
+    # lntoa_g mantissa-x-10^-exp form, distinguishing 1e-325 from
+    # 1e-1000000 (ref HweLnP + plink2_highprec dd tail sums,
+    # 2.0/include/plink2_highprec.h:36-60, 2.0/README.md:96-100)
+    ext_lnp: dict[int, float] = {}
+    ext_idx = np.flatnonzero(np.isfinite(pvals) & (pvals < 1e-290))
+    if ext_idx.size:
+        from ..stats.hwe import hwe_exact_lnpvals
+        from ..utils.fmt import logp_to_str
+
+        lnv = hwe_exact_lnpvals(
+            hom_ref[ext_idx], het[ext_idx], hom_alt[ext_idx], midp=midp)
+        ext_lnp = {int(i): float(v) for i, v in zip(ext_idx, lnv)}
     path = out_prefix + ".hardy"
     ci = ds.vi.chr_info
     from ..io.compress import open_out
 
     fh, path = open_out(path, zs)
     with fh:
-        fh.write("#CHROM\tID\tA1\tAX\tHOM_A1_CT\tHET_A1_CT\tTWO_AX_CT\tO(HET_A1)\tE(HET_A1)\tP\n")
+        fh.write("#CHROM\tID\tA1\tAX\tHOM_A1_CT\tHET_A1_CT\tTWO_AX_CT\t"
+                 "O(HET_A1)\tE(HET_A1)\t"
+                 + ("MIDP" if midp else "P") + "\n")
         for i in np.flatnonzero(ds.variant_mask):
             if ds.vi.chrom[i] in (X_CODE, Y_CODE, MT_CODE):
                 # Main report is autosomal; chrX uses the separate .hardy.x
@@ -331,10 +347,16 @@ def write_hardy(
                 ehet_str = g6(maj2 * (1.0 - maj2 * 0.5))
             else:
                 ehet_str = "NA"
+            if int(i) in ext_lnp:
+                from ..utils.fmt import logp_to_str
+
+                p_str = logp_to_str(ext_lnp[int(i)])
+            else:
+                p_str = g6(pvals[i])
             fh.write(
                 f"{ci.name(int(ds.vi.chrom[i]))}\t{ds.vi.vid[i]}\t{ds.vi.ref[i]}\t{ds.vi.alt[i]}"
                 f"\t{int(hom_ref[i])}\t{int(het[i])}\t{int(hom_alt[i])}"
-                f"\t{g6(ohet)}\t{ehet_str}\t{g6(pvals[i])}\n"
+                f"\t{g6(ohet)}\t{ehet_str}\t{p_str}\n"
             )
     log.log(
         f"--hardy{' midp' if midp else ''}: Autosomal Hardy-Weinberg report "
@@ -350,12 +372,23 @@ def write_hardy(
         ma = cts_m[x_idx, 0]
         mb = cts_m[x_idx, 2]
         px = hwe_x_exact_pvals(fa, fh, fb, ma, mb, midp=midp)
+        # extreme-regime escalation, as on the autosomal path
+        ext_x: dict[int, float] = {}
+        for k in np.flatnonzero(np.isfinite(px) & (px < 1e-290)):
+            from ..stats.hwe_x import hwe_x_exact_lnpval
+
+            ext_x[int(k)] = hwe_x_exact_lnpval(
+                int(fa[k]), int(fh[k]), int(fb[k]), int(ma[k]), int(mb[k]),
+                midp=midp)
+        from ..utils.fmt import logp_to_str
+
         xpath = out_prefix + ".hardy.x"
         with open(xpath, "w") as fhx:
             fhx.write(
                 "#CHROM\tID\tA1\tAX\tFEMALE_HOM_A1_CT\tFEMALE_HET_A1_CT\t"
                 "FEMALE_TWO_AX_CT\tMALE_A1_CT\tMALE_AX_CT\tO(FEMALE_HET_A1)\t"
-                "E(FEMALE_HET_A1)\tFEMALE_A1_FREQ\tMALE_A1_FREQ\tP\n"
+                "E(FEMALE_HET_A1)\tFEMALE_A1_FREQ\tMALE_A1_FREQ\t"
+                + ("MIDP" if midp else "P") + "\n"
             )
             for k, i in enumerate(x_idx):
                 n_f = int(fa[k] + fh[k] + fb[k])
@@ -377,7 +410,9 @@ def write_hardy(
                     f"{ci.name(int(ds.vi.chrom[i]))}\t{ds.vi.vid[i]}\t"
                     f"{ds.vi.ref[i]}\t{ds.vi.alt[i]}\t{int(fa[k])}\t{int(fh[k])}\t"
                     f"{int(fb[k])}\t{int(ma[k])}\t{int(mb[k])}\t{g6(ohet)}\t"
-                    f"{ehet_str}\t{g6(ffreq)}\t{g6(mfreq)}\t{g6(px[k])}\n"
+                    f"{ehet_str}\t{g6(ffreq)}\t{g6(mfreq)}\t"
+                    + (logp_to_str(ext_x[k]) if k in ext_x else g6(px[k]))
+                    + "\n"
                 )
         log.log(
             f"--hardy{' midp' if midp else ''}: chrX Hardy-Weinberg report "

@@ -84,3 +84,68 @@ def hwe_x_exact_pvals(
             int(male_a[i]), int(male_b[i]), midp,
         )
     return out
+
+
+def hwe_x_exact_lnpval(
+    fhom_a: int, fhet: int, fhom_b: int, male_a: int, male_b: int,
+    midp: bool = False,
+) -> float:
+    """ln-space chrX exact p-value, accurate through the extreme regime
+    (role of the reference's dd tail sums in HweXchrLnP,
+    2.0/include/plink2_stats.cc:3309+; see stats/hwe.py for the
+    extended-precision rationale)."""
+    from .hwe import _LD, _lfact_ld
+
+    n_f = fhom_a + fhet + fhom_b
+    n_m = male_a + male_b
+    n_a = 2 * fhom_a + fhet + male_a
+    n_tot = 2 * n_f + n_m
+    if n_a * 2 > n_tot:
+        fhom_a, fhom_b = fhom_b, fhom_a
+        male_a, male_b = male_b, male_a
+        n_a = n_tot - n_a
+    if n_f == 0 and n_m == 0:
+        return np.nan
+    ma = np.arange(0, min(n_m, n_a) + 1)
+    h = np.arange(0, min(n_f, n_a) + 1)
+    if len(ma) * len(h) > (1 << 26):
+        # the full-grid evaluation is quadratic in the margins; beyond this
+        # the extended-precision pass would need the reference's tail-walk
+        # recurrence (HweXchrLnPLowHetTailsum) -- fall back to -inf ("0")
+        return -np.inf
+    H, MA = np.meshgrid(h, ma, indexing="ij")
+    D2 = n_a - MA - H
+    valid = (D2 >= 0) & (D2 % 2 == 0)
+    D = np.where(valid, D2 // 2, 0)
+    R = n_f - D - H
+    valid &= R >= 0
+    logw = (
+        -_lfact_ld(MA)
+        - _lfact_ld(n_m - MA)
+        - _lfact_ld(D)
+        - _lfact_ld(H)
+        - _lfact_ld(np.maximum(R, 0))
+        + H * np.log(_LD(2))
+    )
+    neg_inf = _LD("-1e4900")
+    logw = np.where(valid, logw, neg_inf)
+    mx = logw.max()
+    if not mx > neg_inf:
+        return np.nan
+    total = np.exp(logw - mx).sum()
+    obs_h, obs_ma = fhet, male_a
+    if obs_h < logw.shape[0] and obs_ma < logw.shape[1]:
+        logw_obs = logw[obs_h, obs_ma]
+    else:
+        return np.nan
+    tol = _LD(1e-12)
+    tail = (logw <= logw_obs + tol) & valid
+    logw_t = np.where(tail, logw, neg_inf)
+    mxt = logw_t.max()
+    tail_sum = np.exp(logw_t - mxt).sum()
+    if midp:
+        tail_sum = tail_sum - _LD(0.5) * np.exp(logw_obs - mxt)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lnp = float(np.log(max(tail_sum, _LD(0))) + mxt
+                    - np.log(total) - mx)
+    return min(lnp, 0.0)
