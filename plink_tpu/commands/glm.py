@@ -73,7 +73,8 @@ def _load_covars(ds: Dataset, cfg, log: RunLogger):
     # float conversion (the object-array path costs seconds at biobank n)
     with open(cfg.covar) as f:
         hdr_line = f.readline()
-        body = f.read()
+        first_line = f.readline()
+        body = None
     toks_hdr = hdr_line.lstrip("#").split()
     if toks_hdr[0] == "FID":
         id_cols, id_mode = 2, "fid_iid"
@@ -83,18 +84,16 @@ def _load_covars(ds: Dataset, cfg, log: RunLogger):
         raise ValueError(f"{cfg.covar}: header must start with #FID/#IID")
     colnames = toks_hdr[id_cols:]
     ncol = len(toks_hdr)
-    # tab-rectangular fast path: pandas C-engine parse (a 500k x 12 .cov
-    # costs ~3.5s through the token-split path, ~0.3s here)
-    first_nl = body.find("\n")
-    if "\t" in hdr_line and first_nl > 0 \
-            and body[:first_nl].count("\t") == ncol - 1:
+    # tab-rectangular fast path: pandas C-engine parse straight off the
+    # file (a 500k x 12 .cov costs ~3.5s through the token-split path,
+    # ~0.3s here; buffering the body through StringIO costs another ~0.7s)
+    if "\t" in hdr_line and first_line \
+            and first_line.rstrip("\n").count("\t") == ncol - 1:
         try:
-            import io as _io
-
             import pandas as pd
 
             df = pd.read_csv(
-                _io.StringIO(body), sep="\t", header=None,
+                cfg.covar, sep="\t", header=None, skiprows=1,
                 names=list(range(ncol)),
                 dtype={i: (str if i < id_cols else np.float64)
                        for i in range(ncol)},
@@ -125,6 +124,9 @@ def _load_covars(ds: Dataset, cfg, log: RunLogger):
             return names, np.nan_to_num(data), nonmiss
         except (ValueError, TypeError):
             pass  # odd tokens: fall through to the tolerant parsers
+    with open(cfg.covar) as f:
+        f.readline()
+        body = f.read()
     flat = body.split()
     if len(flat) % ncol:
         # ragged file: fall back to the row-wise parser
@@ -814,7 +816,10 @@ def _auto_vb(npad: int) -> int:
     env = os.environ.get("PLINK_TPU_VB")
     if env:
         return max(8, (int(env) // 8) * 8)
-    target_elems = 1 << 27
+    # measured on v5e at 500k samples: vb 264 -> 11.2s, 1024 -> 8.8s,
+    # 1536 -> 7.6s, 2048 -> 8.0s for the 16384-variant logistic scan
+    # (larger blocks amortize the shared-design reads per IRLS iteration)
+    target_elems = 3 << 28
     vb = max(64, min(2048, target_elems // max(npad, 1)))
     return (vb // 8) * 8
 
@@ -2085,10 +2090,19 @@ def _emit_logistic_rows(
 ):
     with np.errstate(divide="ignore", invalid="ignore"):
         zstat = np.where(se > 0, beta / se, np.nan)
-    logp = np.asarray(zstat_logp_2sided(np.nan_to_num(zstat)))
     add_test = next(
         (t for t in tests if t in ("ADD", "DOM", "REC", "HET", "HOM")), None
     )
+    # ln p only for columns that reach the report (hide-covar emits 1-2 of
+    # ~14 design columns; the host igammaq continued fraction costs ~0.8s
+    # per 16k x 14 at biobank scale)
+    need_cols = sorted({
+        test_pred[t] for t in tests if t != joint_name and t in test_pred
+    } | ({test_pred[add_test]} if add_test is not None else set()))
+    logp = np.full_like(zstat, np.nan)
+    if need_cols:
+        logp[:, need_cols] = np.asarray(
+            zstat_logp_2sided(np.nan_to_num(zstat[:, need_cols])))
     for i in ia:
         lines = []
         vidx = v0 + i

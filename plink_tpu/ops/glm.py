@@ -130,38 +130,13 @@ def _solve_psd(h: jax.Array, grad: jax.Array) -> jax.Array:
     )
 
 
-def _moments_body(
-    packed: jax.Array,
-    gw: jax.Array,  # [vb, P, 3] plane weights
-    c: jax.Array,   # [n, dc]
-    mask: jax.Array,
-    dc: int,
-    np_: int = 1,
-    covj: tuple = (),
-    sscale=None,
-):
-    """Per-variant X^T X over valid samples for the design
-    [c | G_1..G_P] -> [vb, d, d].  Feeds the collinearity pre-checks
-    (ref: CheckMaxCorrAndVifNm, 2.0/plink2_glm_shared.cc:96) that the
-    reference runs before every logistic/Firth regression."""
-    codes = unpack_codes(packed, 0)
-    b0f = (codes & 1).astype(jnp.float32)
-    b1f = ((codes >> 1) & 1).astype(jnp.float32)
-    missp = b0f * b1f
-    valid = (1.0 - missp) * mask[None, :]
-    hpl = (b0f - missp) * valid
-    apl = (b1f - missp) * valid
+def _moments_from_cols(gcols, valid, c, dc):
+    """Per-variant X^T X over valid samples for the design [c | G_1..G_P]
+    from already-decoded predictor columns -> [vb, d, d]."""
     vb, n = valid.shape
-    P = np_
+    P = len(gcols)
     d = dc + P
     hi = lax.Precision.HIGH
-    gcols = [
-        (gw[:, p, 0:1] * hpl + gw[:, p, 1:2] * apl + gw[:, p, 2:3] * valid)
-        * (c[None, :, covj[p]] if covj and covj[p] else 1.0)
-        for p in range(P)
-    ]
-    if sscale is not None:
-        gcols = [g * sscale[None, :] for g in gcols]
     ccfl = (c[:, :, None] * c[:, None, :]).reshape(n, dc * dc)
     a = lax.dot_general(valid, ccfl, (((1,), (0,)), ((), ())), precision=hi,
                         preferred_element_type=jnp.float32).reshape(vb, dc, dc)
@@ -178,6 +153,24 @@ def _moments_body(
             h = h.at[:, dc + p, dc + q].set(gg)
             h = h.at[:, dc + q, dc + p].set(gg)
     return h
+
+
+def _moments_body(
+    packed: jax.Array,
+    gw: jax.Array,  # [vb, P, 3] plane weights
+    c: jax.Array,   # [n, dc]
+    mask: jax.Array,
+    dc: int,
+    np_: int = 1,
+    covj: tuple = (),
+    sscale=None,
+):
+    """Per-variant X^T X over valid samples for the design
+    [c | G_1..G_P] -> [vb, d, d].  Feeds the collinearity pre-checks
+    (ref: CheckMaxCorrAndVifNm, 2.0/plink2_glm_shared.cc:96) that the
+    reference runs before every logistic/Firth regression."""
+    gcols, valid = _plane_cols(packed, gw, c, mask, np_, covj, sscale)
+    return _moments_from_cols(gcols, valid, c, dc)
 
 
 def _plane_cols(packed, gw, c, mask, np_, covj, sscale=None):
@@ -255,12 +248,14 @@ def _design_ops(gcols, valid, c, dc, offset=None):
     return vb, n, d, ccfl, xtv, hessian, eta_of
 
 
-def _logistic_core(gcols, valid, c, y, dc, offset=None):
+def _logistic_core(gcols, valid, c, y, dc, offset=None, init=None):
     """Batched logistic IRLS, one variant per row, arbitrary genotype model.
 
     Design per variant: [c (dc cols) | G_1..G_P] -> d = dc + P; samples with
     missing genotype are dropped per-variant by zeroing their weights.
-    `offset` = fixed linear-predictor term (cc-residualize).
+    `offset` = fixed linear-predictor term (cc-residualize).  `init` =
+    optional precomputed (X^T X over valid, X^T z) pair (derived from the
+    moments matrix in the fused scan, saving a full gram pass).
 
     Returns (beta [vb, d], se [vb, d], loglik [vb], converged, failed,
     unfinished, obs_ct, hinv).
@@ -277,9 +272,12 @@ def _logistic_core(gcols, valid, c, y, dc, offset=None):
         return jnp.sum(ll.astype(jnp.float64), axis=1).astype(jnp.float32)
 
     # init: OLS of z = 4.863891244002886*(y - 0.5) (ref :3640-3652)
-    z = 4.863891244002886 * (yv - 0.5 * valid)
-    h0 = hessian(valid)
-    rhs0 = xtv(z)
+    if init is None:
+        z = 4.863891244002886 * (yv - 0.5 * valid)
+        h0 = hessian(valid)
+        rhs0 = xtv(z)
+    else:
+        h0, rhs0 = init
     beta = _solve_psd(h0, rhs0)
     eta = eta_of(beta)
     p = jax.nn.sigmoid(eta) * valid
@@ -610,11 +608,28 @@ def _glm_scan_body(
 
     def body(carry, xs):
         pk, gw, gwm = xs
-        momy = _moments_body(pk, gwm, cy, mask, dc + 1, np_ + 1, covj + (0,),
-                             sscale)
-        beta, se, ll, conv, fail, unf, obs, hinv = (
-            _firth_body if firth else _logistic_body
-        )(pk, gw, c, y, mask, dc, np_, covj, sscale)
+        # single decode serves both the moments matrix and the IRLS: the
+        # moments design is [c | y | model preds | ADD], whose covariate
+        # block, y column, and model-pred rows also ARE the IRLS init
+        # normal equations (h0 = X'X over valid; X'z = 4.8639*(X'y -
+        # 0.5*X'1)), so the init gram pass disappears entirely
+        gcols_m, valid = _plane_cols(pk, gwm, cy, mask, np_ + 1,
+                                     covj + (0,), sscale)
+        momy = _moments_from_cols(gcols_m, valid, cy, dc + 1)
+        gcols = gcols_m[:np_]
+        if firth:
+            beta, se, ll, conv, fail, unf, obs, hinv = _firth_core(
+                gcols, valid, c, y, dc)
+        else:
+            idx = jnp.asarray(
+                tuple(range(dc)) + tuple(dc + 1 + p for p in range(np_)),
+                jnp.int32)
+            h0 = momy[:, idx][:, :, idx]
+            xty = momy[:, idx, dc]
+            xt1 = momy[:, idx, 0]
+            rhs0 = 4.863891244002886 * (xty - 0.5 * xt1)
+            beta, se, ll, conv, fail, unf, obs, hinv = _logistic_core(
+                gcols, valid, c, y, dc, init=(h0, rhs0))
         invalid = _valid_params_flags(hinv, d)
         return carry, (momy, beta, se, conv, fail, unf, obs, invalid, hinv)
 
