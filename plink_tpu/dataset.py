@@ -350,7 +350,17 @@ def load_dataset(prefix: str, block_size: int = DEFAULT_BLOCK,
     elif os.path.exists(prefix + ".bed"):
         si = read_psam(prefix + ".fam", missing_pheno=missing_pheno)
         vi = read_bim(prefix + ".bim")
-        reader = PgenReader(prefix + ".bed", sample_ct=si.sample_ct)
+        bed_path = prefix + ".bed"
+        with open(bed_path, "rb") as bf:
+            head = bf.read(3)
+        if head[:2] == b"\x6c\x1b" and head[2] == 0x00:
+            # PLINK1 sample-major layout: auto-transpose like the reference
+            # (Plink1SampleMajorToPgen, 2.0/plink2_import_legacy.h:32)
+            from .io.pgen_read import transpose_sample_major_bed
+
+            bed_path = transpose_sample_major_bed(
+                bed_path, si.sample_ct, vi.variant_ct)
+        reader = PgenReader(bed_path, sample_ct=si.sample_ct)
     else:
         raise FileNotFoundError(f"no .pgen or .bed found for prefix {prefix}")
     if reader.variant_ct != vi.variant_ct:

@@ -52,7 +52,10 @@ def _read_header(f, sample_ct_hint: int | None) -> PgenHeader:
         raise ValueError("not a .pgen file (bad magic)")
     mode = head[2]
     if mode == 0x00:
-        raise ValueError("sample-major .bed is not supported; transpose first")
+        raise ValueError(
+            "sample-major .bed reached the reader untransposed; "
+            "load_dataset should have converted it"
+        )
     if mode == 0x01:
         if sample_ct_hint is None:
             raise ValueError("mode 0x01 (.bed) requires external sample count")
@@ -552,3 +555,33 @@ class PgenReader:
             out[ids10, 0] = lo10.astype(np.int16)
             out[ids10, 1] = hi10.astype(np.int16)
         return out
+
+
+def transpose_sample_major_bed(path: str, sample_ct: int,
+                               variant_ct: int) -> str:
+    """Convert a PLINK1 sample-major .bed (mode byte 0x00) into a
+    variant-major temporary .bed next to it and return the new path.
+
+    Role of Plink1SampleMajorToPgen (2.0/plink2_import_legacy.h:32, worker
+    :1408): old PLINK versions stored one SAMPLE per row; everything
+    downstream wants variant rows.  Chunked over variant ranges so peak
+    memory stays ~sample_ct x 4096 bytes."""
+    out_path = path[:-4] + ".vmaj-temporary.bed"
+    nbs = pack.bytes_per_variant(variant_ct)  # bytes per SAMPLE row
+    data = np.fromfile(path, np.uint8, offset=3)
+    if data.size < sample_ct * nbs:
+        raise ValueError(
+            f"{path}: sample-major .bed is truncated "
+            f"({data.size} body bytes < {sample_ct} x {nbs})"
+        )
+    data = data[: sample_ct * nbs].reshape(sample_ct, nbs)
+    chunk = 4096  # variants per pass
+    with open(out_path, "wb") as f:
+        f.write(MAGIC + b"\x01")
+        for v0 in range(0, variant_ct, chunk):
+            v1 = min(v0 + chunk, variant_ct)
+            b0, b1 = v0 // 4, (v1 + 3) // 4
+            codes = pack.unpack2(data[:, b0:b1], (b1 - b0) * 4)
+            codes = codes[:, v0 - b0 * 4 : v1 - b0 * 4]  # [N, vchunk]
+            f.write(pack.pack2(np.ascontiguousarray(codes.T)).tobytes())
+    return out_path
