@@ -162,6 +162,7 @@ class Config:
     mendel: bool = False
     assoc: bool = False
     assoc_mods: tuple = ()
+    recode19: str | None = None
     linear19: tuple | None = None
     logistic19: tuple | None = None
     xchr_model_set: bool = False
@@ -529,6 +530,17 @@ def parse_args(argv: list[str]) -> Config:
         elif name == "assoc":
             cfg.assoc = True
             cfg.assoc_mods = tuple(args)
+        elif name == "recode":
+            fmts19 = {"structure", "bimbam", "bimbam-1chr", "lgen",
+                      "lgen-ref", "23", "fastphase", "fastphase-1chr"}
+            sel = [a for a in args if a in fmts19]
+            if len(sel) != 1 or len(args) != 1:
+                raise FlagError(
+                    "--recode supports exactly one of: structure, bimbam, "
+                    "bimbam-1chr, lgen, lgen-ref, 23, fastphase, "
+                    "fastphase-1chr (use --export for the other formats)."
+                )
+            cfg.recode19 = sel[0]
         elif name in ("linear", "logistic"):
             allowed = {
                 "perm", "perm-count", "genotypic", "hethom", "dominant",

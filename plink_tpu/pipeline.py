@@ -764,6 +764,10 @@ def run_pipeline(cfg: Config) -> int:
                     assoc19.run_assoc(ds, cfg, log)
             if cfg.model:
                 assoc19.run_model(ds, cfg, log)
+        if cfg.recode19:
+            from .commands.recode19 import run_recode19
+
+            run_recode19(ds, cfg, log)
         if cfg.genome:
             from .commands.genome import run_genome
 
