@@ -1300,8 +1300,11 @@ def _emit_linear_rows(
         if joint_name:
             okj = ok & np.isfinite(fstat)
             if okj.any():
+                # second dof = sample_obs_ct (ref FstatToLnP(chisq/ct, ct,
+                # sample_obs_ct)), not the residual dof
                 logp_joint[okj] = np.asarray(
-                    f_logsf(fstat[okj], float(q_joint), dof[okj])
+                    f_logsf(fstat[okj], float(q_joint),
+                            nm[okj].astype(np.float64))
                 )
 
     with np.errstate(invalid="ignore"):
@@ -2278,8 +2281,12 @@ def _glm_dosage(
 
     mods = set(cfg.glm_modifiers)
     if mods & (_GLM_MODEL_MODS | {"interaction"}):
-        raise NotImplementedError(
-            "--glm genotype models with dosage data are not supported yet"
+        # genotype models / interaction designs take the host f64 path
+        # (piecewise dosage codings per GlmLogisticThreadF,
+        # 2.0/plink2_glm_logistic.cc:2110-2155)
+        return _glm_dosage_host(
+            ds, cfg, log, pheno_name, ydata, smask, cov_names, cov_data,
+            a1_is_alt, hide_covar, kind, always_firth, no_firth, None,
         )
     log10 = "log10" in mods
     intercept = "intercept" in mods
@@ -2567,10 +2574,8 @@ def _glm_dosage_host(
     """Host-loop dosage GLM retained for local-covariate runs (per-variant
     covariate columns; ref GlmMain local-covar path)."""
     mods = set(cfg.glm_modifiers)
-    if mods & (_GLM_MODEL_MODS | {"interaction"}):
-        raise NotImplementedError(
-            "--glm genotype models with dosage data are not supported yet"
-        )
+    geno_preds, joint_name = _geno_predictors(mods, cov_names)
+    interaction = "interaction" in mods
     log10 = "log10" in mods
     intercept = "intercept" in mods
     lvals = lline_of = None
@@ -2589,8 +2594,27 @@ def _glm_dosage_host(
     y = ydata[inc].astype(np.float64)
     k = len(cov_names)
     dc = k + 1 + n_local
-    d = dc + 1
+    P = len(geno_preds)
+    n_int = P * k if interaction else 0
+    d = dc + P + n_int
     c = np.concatenate([np.ones((len(inc), 1)), cov_data[inc]], axis=1)
+
+    def _geno_dosage_cols(gv):
+        """plink2 piecewise dosage codings (GlmLogisticThreadF,
+        2.0/plink2_glm_logistic.cc:2110-2155): DOM 0..1..1,
+        REC/HOM 0..0..1, HET/DOMDEV 0..1..0 triangle."""
+        tri = np.where(gv > 1.0, 2.0 - gv, gv)
+        cols = []
+        for nm_, _wa, _wr in geno_preds:
+            if nm_ == "ADD":
+                cols.append(gv)
+            elif nm_ == "DOM":
+                cols.append(np.minimum(gv, 1.0))
+            elif nm_ in ("REC", "HOM"):
+                cols.append(np.maximum(gv - 1.0, 0.0))
+            else:  # HET / DOMDEV
+                cols.append(tri)
+        return cols
     if n_local:
         loc_cols = locpos_of_raw[inc]
 
@@ -2611,19 +2635,33 @@ def _glm_dosage_host(
         f.write(
             "#CHROM\tPOS\tID\tREF\tALT\tPROVISIONAL_REF?\tA1\tOMITTED\t"
             "A1_FREQ\t" + ("FIRTH?\t" if firth_col else "")
-            + f"TEST\tOBS_CT\tOR\tLOG(OR)_SE\tZ_STAT\t{p_col}\tERRCODE\n"
+            + "TEST\tOBS_CT\tOR\tLOG(OR)_SE\t"
+            + ("Z_OR_F_STAT" if joint_name else "Z_STAT")
+            + f"\t{p_col}\tERRCODE\n"
         )
     else:
         f.write(
             "#CHROM\tPOS\tID\tREF\tALT\tPROVISIONAL_REF?\tA1\tOMITTED\t"
-            f"A1_FREQ\tTEST\tOBS_CT\tBETA\tSE\tT_STAT\t{p_col}\tERRCODE\n"
+            "A1_FREQ\tTEST\tOBS_CT\tBETA\tSE\t"
+            + ("T_OR_F_STAT" if joint_name else "T_STAT")
+            + f"\t{p_col}\tERRCODE\n"
         )
     local_names = [f"LOCAL{j + 1}" for j in range(n_local)]
-    tests = (["INTERCEPT"] if intercept else []) + ["ADD"]
+    geno_names = [g[0] for g in geno_preds]
+    int_names = [f"{gn}x{cn}" for gn in geno_names
+                 for cn in cov_names] if interaction else []
+    tests = (["INTERCEPT"] if intercept else []) + list(geno_names)
     if not hide_covar:
         # reference TEST order: locals precede file covariates
         tests += local_names + list(cov_names)
-    test_pred = {"INTERCEPT": 0, "ADD": dc}
+    tests += int_names
+    if joint_name:
+        tests.append(joint_name)
+    test_pred = {"INTERCEPT": 0}
+    for p_, gn in enumerate(geno_names):
+        test_pred[gn] = dc + p_
+    for p_, gn in enumerate(int_names):
+        test_pred[gn] = dc + P + p_
     for j, cn in enumerate(cov_names):
         test_pred[cn] = 1 + j
     for j, cn in enumerate(local_names):
@@ -2672,7 +2710,11 @@ def _glm_dosage_host(
         if gvar <= 1e-12:
             emit_bad("CONST_OMITTED_ALLELE")
             continue
-        X = np.column_stack([cv, gv])
+        gcols = _geno_dosage_cols(gv)
+        if interaction:
+            gcols = gcols + [gk * cv[:, 1 + j]
+                             for gk in list(gcols) for j in range(k)]
+        X = np.column_stack([cv] + gcols)
         s = X.T @ X
         ce = _collinearity_err(s, float(nm))[0]
         if ce is not None:
@@ -2696,7 +2738,35 @@ def _glm_dosage_host(
             tstat = bvec / se
             logp = np.asarray(t_logp_2sided(tstat, np.full(d, float(dof))))
             add_results.append((int(v), float(logp[dc])))
+            fstat_j = logp_j = np.nan
+            if joint_name:
+                from ..stats.distributions import f_logsf
+
+                keep = [p_ for p_ in range(d)
+                        if not (dc <= p_ < dc + P)]
+                try:
+                    xty_full = X.T @ yv
+                    inv0 = np.linalg.inv(s[np.ix_(keep, keep)])
+                    b0 = inv0 @ xty_full[keep]
+                    rss0 = float(yv @ yv - b0 @ xty_full[keep])
+                    fstat_j = ((rss0 - rss) / P) / sigma2
+                    # second dof = sample_obs_ct, NOT nm - d (the reference
+                    # feeds FstatToLnP(chisq/ct, ct, sample_obs_ct))
+                    logp_j = float(f_logsf(
+                        np.array([fstat_j]), float(P), float(nm))[0])
+                except np.linalg.LinAlgError:
+                    pass
             for tname in tests:
+                if tname == joint_name:
+                    if np.isfinite(fstat_j):
+                        f.write(
+                            f"{meta}\t{tname}\t{nm}\tNA\tNA\t"
+                            f"{g6(fstat_j)}\t{_p_str(logp_j, log10)}\t.\n"
+                        )
+                    else:
+                        f.write(f"{meta}\t{tname}\t{nm}\tNA\tNA\tNA\tNA"
+                                "\tINVALID_RESULT\n")
+                    continue
                 pi = test_pred[tname]
                 f.write(
                     f"{meta}\t{tname}\t{nm}\t{g6(bvec[pi])}\t{g6(se[pi])}\t"
@@ -2744,7 +2814,31 @@ def _glm_dosage_host(
         ok_err = "UNFINISHED" if unf else ERR_OK
         fstr = ("Y" if used_firth else "N") if firth_col else None
         fcol = f"{fstr}\t" if firth_col else ""
+        fstat_j = logp_j = np.nan
+        if joint_name:
+            from ..stats.distributions import f_logsf
+
+            bg = bvec[dc:dc + P]
+            sub = hinv[dc:dc + P, dc:dc + P]
+            try:
+                w_ = float(bg @ np.linalg.inv(sub) @ bg)
+                if w_ >= 0:
+                    fstat_j = w_ / P
+                    logp_j = float(f_logsf(
+                        np.array([fstat_j]), float(P), float(nm))[0])
+            except np.linalg.LinAlgError:
+                pass
         for tname in tests:
+            if tname == joint_name:
+                if np.isfinite(fstat_j):
+                    f.write(
+                        f"{meta}\t{fcol}{tname}\t{nm}\tNA\tNA\t"
+                        f"{g6(fstat_j)}\t{_p_str(logp_j, log10)}\t{ok_err}\n"
+                    )
+                else:
+                    f.write(f"{meta}\t{fcol}{tname}\t{nm}\tNA\tNA\tNA\t"
+                            "NA\tINVALID_RESULT\n")
+                continue
             pi = test_pred[tname]
             if not np.isfinite(bvec[pi]) or not np.isfinite(se[pi]):
                 f.write(

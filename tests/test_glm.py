@@ -253,3 +253,54 @@ def test_glm_intercept_log10(tmp_path, flags, suffix):
     finally:
         os.chdir(old)
     _compare_glm(tmp_path / f"o.{suffix}", tmp_path / f"t.{suffix}")
+
+
+@pytest.mark.skipif(not os.path.exists(ORACLE), reason="plink2 oracle not built")
+@pytest.mark.parametrize(
+    "model",
+    ["dominant", "recessive", "hetonly", "genotypic", "hethom", "interaction"],
+)
+@pytest.mark.parametrize("kind", ["qt", "cc"])
+def test_dosage_models(tmp_path, model, kind):
+    """Genotype models over DOSAGE data: piecewise codings (DOM 0..1..1,
+    REC 0..0..1, HET 0..1..0; GlmLogisticThreadF,
+    2.0/plink2_glm_logistic.cc:2110-2155), GxC interaction columns, and
+    the GENO_2DF joint test with second dof = sample_obs_ct."""
+    from plink_tpu.cli import main
+
+    args0 = ["--dummy", "260", "70", "0.03", "dosage-freq=0.7",
+             "--seed", "13", "--out", "dp"]
+    if kind == "qt":
+        args0.insert(5, "scalar-pheno")
+    subprocess.run([ORACLE] + args0, cwd=tmp_path, check=True,
+                   capture_output=True)
+    rng = np.random.default_rng(5)
+    ids = [l.split("\t")[0]
+           for l in (tmp_path / "dp.psam").read_text().splitlines()[1:]]
+    with open(tmp_path / "dp.cov", "w") as f:
+        f.write("#IID\tC1\n")
+        for iid in ids:
+            f.write(f"{iid}\t{rng.normal():.6f}\n")
+    flags = ["--pfile", "dp", "--glm", model, "--covar", "dp.cov"]
+    subprocess.run([ORACLE] + flags + ["--out", "o"], cwd=tmp_path,
+                   check=True, capture_output=True)
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert main(flags + ["--out", "t", "--silent"]) == 0
+    finally:
+        os.chdir(old)
+    ext = ".PHENO1.glm.linear" if kind == "qt" \
+        else ".PHENO1.glm.logistic.hybrid"
+    ao = (tmp_path / ("o" + ext)).read_text().splitlines()
+    at = (tmp_path / ("t" + ext)).read_text().splitlines()
+    assert ao[0] == at[0]
+    assert len(ao) == len(at)
+    ip = ao[0].split("\t").index("P")
+    for lo, lt in zip(ao[1:], at[1:]):
+        po, pt = lo.split("\t")[ip], lt.split("\t")[ip]
+        if po == "NA" or pt == "NA":
+            assert po == pt, (lo, lt)
+        else:
+            fo, ft = float(po), float(pt)
+            assert abs(fo - ft) <= 2e-3 * max(abs(fo), 1e-8) + 1e-9, (lo, lt)
