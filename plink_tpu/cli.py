@@ -55,6 +55,10 @@ class Config:
     keep_males: bool = False
     # variant filters
     extract: tuple | None = None
+    extract_if_info: str | None = None
+    exclude_if_info: str | None = None
+    require_info: tuple = ()
+    require_no_info: tuple = ()
     exclude: tuple | None = None
     extract_intersect: tuple | None = None
     snp: str | None = None
@@ -410,6 +414,13 @@ def parse_args(argv: list[str]) -> Config:
         elif name in ("keep", "remove", "pheno", "covar"):
             setattr(cfg, name, args[0])
         elif name in ("extract", "exclude", "extract_intersect"):
+            setattr(cfg, name, tuple(args))
+        elif name in ("extract_if_info", "extract_if",
+                      "exclude_if_info", "exclude_if"):
+            key = ("extract_if_info" if name.startswith("extract")
+                   else "exclude_if_info")
+            setattr(cfg, key, " ".join(args))
+        elif name in ("require_info", "require_no_info"):
             setattr(cfg, name, tuple(args))
         elif name == "snp":
             cfg.snp = args[0]

@@ -96,6 +96,45 @@ def extract_exclude_variants(ds: Dataset, args, extract: bool,
     log.log(f"{tag}: {ds.variant_ct} variants remaining.")
 
 
+def info_expr_filter(ds: Dataset, expr_text: str, extract: bool,
+                     log: RunLogger) -> None:
+    """--extract-if-info / --exclude-if-info: boolean INFO-key expressions
+    (ref CmpExpr filters in LoadPvar, 2.0/plink2_pvar.cc:742-900)."""
+    from ..utils.infoexpr import InfoExpr
+
+    expr = InfoExpr(expr_text)
+    info = ds.vi.info
+    keep = np.zeros(ds.raw_variant_ct, bool)
+    for v in np.flatnonzero(ds.variant_mask):
+        sat = expr.eval(info[v] if info is not None else None)
+        keep[v] = sat if extract else not sat
+    ds.variant_mask &= keep
+    flag = "--extract-if-info" if extract else "--exclude-if-info"
+    log.log(f"{flag}: {ds.variant_ct} variants remaining.")
+
+
+def require_info_filter(ds: Dataset, keys, require: bool,
+                        log: RunLogger) -> None:
+    """--require-info / --require-no-info ("<key>=." counts as
+    nonexistence; ref LoadPvar require_info handling)."""
+    from ..utils.infoexpr import parse_info
+
+    info = ds.vi.info
+    keep = np.zeros(ds.raw_variant_ct, bool)
+    for v in np.flatnonzero(ds.variant_mask):
+        d = parse_info(info[v] if info is not None else None)
+        ok = True
+        for k in keys:
+            exists = k in d and d[k] != "."
+            if exists != require:
+                ok = False
+                break
+        keep[v] = ok
+    ds.variant_mask &= keep
+    flag = "--require-info" if require else "--require-no-info"
+    log.log(f"{flag}: {ds.variant_ct} variants remaining.")
+
+
 def extract_intersect(ds: Dataset, args, log: RunLogger) -> None:
     """--extract-intersect: intersection of every file's variant set."""
     args = tuple(args)

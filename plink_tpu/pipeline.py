@@ -535,6 +535,16 @@ def run_pipeline(cfg: Config) -> int:
             F.extract_exclude_variants(ds, cfg.extract, extract=True, log=log)
         if cfg.extract_intersect:
             F.extract_intersect(ds, cfg.extract_intersect, log)
+        if cfg.extract_if_info:
+            F.info_expr_filter(ds, cfg.extract_if_info, extract=True, log=log)
+        if cfg.exclude_if_info:
+            F.info_expr_filter(ds, cfg.exclude_if_info, extract=False,
+                               log=log)
+        if cfg.require_info:
+            F.require_info_filter(ds, cfg.require_info, require=True, log=log)
+        if cfg.require_no_info:
+            F.require_info_filter(ds, cfg.require_no_info, require=False,
+                                  log=log)
         if cfg.exclude:
             F.extract_exclude_variants(ds, cfg.exclude, extract=False, log=log)
         if (cfg.snp or cfg.snps or cfg.exclude_snp or cfg.exclude_snps
