@@ -59,6 +59,8 @@ class Config:
     exclude_if_info: str | None = None
     require_info: tuple = ()
     require_no_info: tuple = ()
+    loop_cats: str | None = None
+    drop_pheno_names: tuple = ()  # internal: --loop-cats consumed column
     exclude: tuple | None = None
     extract_intersect: tuple | None = None
     snp: str | None = None
@@ -422,6 +424,8 @@ def parse_args(argv: list[str]) -> Config:
             setattr(cfg, key, " ".join(args))
         elif name in ("require_info", "require_no_info"):
             setattr(cfg, name, tuple(args))
+        elif name == "loop_cats":
+            cfg.loop_cats = args[0]
         elif name == "snp":
             cfg.snp = args[0]
         elif name == "snps":

@@ -365,7 +365,96 @@ def _generate_dummy(cfg: Config, log: RunLogger) -> Dataset:
     return generate_dummy(cfg, log)
 
 
+def _run_loop_cats(cfg: Config) -> int:
+    """--loop-cats: re-run variant filters + commands once per category of
+    a categorical phenotype/covariate, with the sample set restricted to
+    that category and outputs named <out>.<catname>.* (ref Plink2Core
+    loop, 2.0/plink2.cc:2010-2034)."""
+    import copy
+    import tempfile
+
+    prefix = cfg.pfile or cfg.bfile
+    if not prefix:
+        raise FlagError("--loop-cats requires --pfile/--bfile input.")
+    ds = load_dataset(prefix, missing_pheno=cfg.input_missing_phenotype)
+    name = cfg.loop_cats
+    pc = ds.si.phenos.get(name)
+    if pc is None and cfg.pheno:
+        from .commands.glm import _match_rows, _read_table
+        from .io.psam import _build_pheno
+
+        id_mode, ids, colnames, vals = _read_table(cfg.pheno)
+        rows = _match_rows(ds, id_mode, ids)
+        if name in colnames:
+            c_ = colnames.index(name)
+            col = ["NA"] * ds.raw_sample_ct
+            for r_, idx in enumerate(rows):
+                if idx >= 0:
+                    col[idx] = vals[r_][c_]
+            pc = _build_pheno(name, col)
+    if pc is None and cfg.covar:
+        from .commands.glm import _match_rows, _read_table
+        from .io.psam import _build_pheno
+
+        id_mode, ids, colnames, vals = _read_table(cfg.covar)
+        rows = _match_rows(ds, id_mode, ids)
+        if name in colnames:
+            c_ = colnames.index(name)
+            col = ["NA"] * ds.raw_sample_ct
+            for r_, idx in enumerate(rows):
+                if idx >= 0:
+                    col[idx] = vals[r_][c_]
+            pc = _build_pheno(name, col)
+    if pc is None:
+        raise FlagError(f"--loop-cats: phenotype '{name}' not found.")
+    if pc.kind != "cat":
+        raise FlagError(f"--loop-cats: '{name}' is not categorical.")
+
+    user_keep_ids = None
+    if cfg.keep:
+        user_keep_ids = set()
+        with open(cfg.keep) as f:
+            for ln in f:
+                t = ln.split()
+                if t:
+                    user_keep_ids.add(t[-1])  # IID (last of FID IID / IID)
+
+    rc_any = 0
+    si = ds.si
+    for code, cat in enumerate(pc.categories):
+        if code == 0:
+            continue  # missing-category sentinel
+        members = np.flatnonzero(pc.data == code)
+        if user_keep_ids is not None:
+            members = np.array(
+                [i for i in members if str(si.iid[i]) in user_keep_ids],
+                dtype=np.int64)
+        if members.size == 0:
+            continue
+        with tempfile.NamedTemporaryFile(
+                "w", suffix=".keep", delete=False) as kf:
+            for i in members:
+                kf.write(f"{si.fid[i]}\t{si.iid[i]}\n"
+                         if si.has_fid else f"{si.iid[i]}\n")
+            keep_path = kf.name
+        try:
+            cfg2 = copy.copy(cfg)
+            cfg2.loop_cats = None
+            cfg2.keep = keep_path
+            cfg2.out = f"{cfg.out}.{cat}"
+            # the loop-cats column is consumed by the loop (the reference
+            # clears it from the pheno/covar sets inside Plink2Core)
+            cfg2.drop_pheno_names = cfg.drop_pheno_names + (name,)
+            rc = run_pipeline(cfg2)
+            rc_any = rc_any or rc
+        finally:
+            os.unlink(keep_path)
+    return rc_any
+
+
 def run_pipeline(cfg: Config) -> int:
+    if cfg.loop_cats:
+        return _run_loop_cats(cfg)
     if cfg.zst_decompress:
         from .io.compress import zst_decompress
 
@@ -474,6 +563,10 @@ def run_pipeline(cfg: Config) -> int:
                         col[idx] = vals[r_][c_]
                 phenos[nm_] = _build_pheno(nm_, col)
             ds.si.phenos = phenos
+
+        if cfg.drop_pheno_names:
+            for nm_ in cfg.drop_pheno_names:
+                ds.si.phenos.pop(nm_, None)
 
         # ---- sample filters (plink2.cc:1325-1899 order) ----
         from .commands import filters as F
