@@ -39,6 +39,8 @@ def _parse_dummy_args(args: tuple) -> dict:
         "alleles": "AB",
         "pheno_ct": 1,
         "scalar_pheno": False,
+        "phase_freq": 0.0,
+        "dosage_freq": 0.0,
     }
     numeric_seen = 0
     for a in args[2:]:
@@ -52,8 +54,10 @@ def _parse_dummy_args(args: tuple) -> dict:
             spec["scalar_pheno"] = True
         elif a.startswith("pheno-ct="):
             spec["pheno_ct"] = int(a.split("=", 1)[1])
-        elif a.startswith(("phase-freq=", "dosage-freq=")):
-            raise NotImplementedError(f"--dummy {a.split('=')[0]}= not supported yet")
+        elif a.startswith("phase-freq="):
+            spec["phase_freq"] = float(a.split("=", 1)[1])
+        elif a.startswith("dosage-freq="):
+            spec["dosage_freq"] = float(a.split("=", 1)[1])
         else:
             if numeric_seen == 0:
                 spec["miss_geno_freqs"] = [float(t) for t in a.split(",")]
@@ -120,7 +124,19 @@ def generate_dummy(cfg, log: RunLogger) -> Dataset:
     per_variant_miss = miss_freqs[rng.integers(0, len(miss_freqs), size=M)]
 
     gen_block = _gen_block(N)
-    with PgenWriter(cfg.out + ".pgen", N, M) as w:
+    dos_f = spec["dosage_freq"]
+    ph_f = spec["phase_freq"]
+    # hard-call/erase thresholds applied to generated dosages exactly as
+    # GenerateDummyThread does (2.0/plink2_import.cc:16560-16625); dosage
+    # VALUES are ~uniform on 0..32768 via ((rand16+1)/2).  The RNG stream
+    # differs (see module docstring), so equivalence is statistical.
+    hc_halfdist = 8192 - (cfg.hard_call_thresh
+                          if getattr(cfg, "hard_call_thresh", None)
+                          is not None else 16384 // 10)
+    erase_halfdist = 8192 - getattr(cfg, "dosage_erase_thresh", 0)
+    with PgenWriter(cfg.out + ".pgen", N, M,
+                    with_dosage=dos_f > 0.0,
+                    with_phase=ph_f > 0.0) as w:
         for v0 in range(0, M, gen_block):
             vct = min(gen_block, M - v0)
             freq = rng.uniform(0.0, 1.0, size=(vct, 1))
@@ -130,7 +146,50 @@ def generate_dummy(cfg, log: RunLogger) -> Dataset:
             )
             mrate = per_variant_miss[v0 : v0 + vct, None]
             codes[rng.random((vct, N)) < mrate] = 3
-            w.append_codes(codes)
+            if dos_f <= 0.0 and ph_f <= 0.0:
+                w.append_codes(codes)
+                continue
+            for r in range(vct):
+                row = codes[r].copy()
+                dids = np.zeros(0, np.uint32)
+                dvals = np.zeros(0, "<u2")
+                dpids = np.zeros(0, np.uint32)
+                dpdeltas = np.zeros(0, "<i2")
+                pp_possible = (rng.random(N) < ph_f) if ph_f > 0.0 \
+                    else np.zeros(N, bool)
+                pi = rng.random(N) < 0.5
+                if dos_f > 0.0:
+                    cand = (rng.random(N) < dos_f) & (row != 3)
+                    didx = np.flatnonzero(cand)
+                    dint = ((rng.integers(0, 65536, didx.size) + 1)
+                            // 2).astype(np.int64)
+                    halfdist = np.abs((dint & 16383) - 8192)
+                    store = halfdist < erase_halfdist
+                    newg = np.where(halfdist < hc_halfdist, 3,
+                                    (dint + 8192) >> 14).astype(np.uint8)
+                    row[didx] = newg
+                    dids = didx[store].astype(np.uint32)
+                    dvals = dint[store].astype("<u2")
+                    if ph_f > 0.0:
+                        dph = store & pp_possible[didx] \
+                            & (row[didx] != 3)
+                        delta = np.minimum(dint, 32768 - dint)
+                        delta = delta - (1 - (delta & 1))  # force odd
+                        delta = np.where(pi[didx], delta, -delta)
+                        dpids = didx[dph].astype(np.uint32)
+                        dpdeltas = delta[dph].astype("<i2")
+                pp = pp_possible & (row == 1)
+                if ph_f > 0.0:
+                    w.append_codes_with_phase(
+                        row.reshape(1, -1), pp, pi & pp, dids, dvals,
+                        dpids, dpdeltas)
+                elif dids.size:
+                    w.append_codes_with_dosage(row.reshape(1, -1), dids,
+                                               dvals)
+                else:
+                    w.append_codes_with_dosage(
+                        row.reshape(1, -1), np.zeros(0, np.uint32),
+                        np.zeros(0, "<u2"))
     write_pvar(cfg.out + ".pvar", vi)
     write_psam(cfg.out + ".psam", si)
     log.log(
