@@ -147,6 +147,16 @@ def _classify_pheno(values) -> str:
 
 def _parse_float_col(values: np.ndarray) -> np.ndarray:
     """Token array -> float64 with unparseable entries = NaN (vectorized)."""
+    if len(values) < 1024:
+        # tiny panels: the pandas Series construction alone costs ~0.5 ms,
+        # which dominates the toy freq/missing/hardy wall time
+        out = np.full(len(values), np.nan)
+        for i, v in enumerate(values):
+            try:
+                out[i] = float(v)
+            except (TypeError, ValueError):
+                pass
+        return out
     try:
         import pandas as pd
 
