@@ -60,6 +60,9 @@ class Config:
     require_info: tuple = ()
     require_no_info: tuple = ()
     loop_cats: str | None = None
+    allow_extra_chr: bool = False
+    bp_space: int | None = None
+    vcf_id_mode: tuple | None = None
     drop_pheno_names: tuple = ()  # internal: --loop-cats consumed column
     exclude: tuple | None = None
     extract_intersect: tuple | None = None
@@ -426,6 +429,18 @@ def parse_args(argv: list[str]) -> Config:
             setattr(cfg, name, tuple(args))
         elif name == "loop_cats":
             cfg.loop_cats = args[0]
+        elif name in ("allow_extra_chr", "aec"):
+            # nonstandard contig names are always accepted by our chrom
+            # registry (ref errors without this flag; we are permissive)
+            cfg.allow_extra_chr = True
+        elif name == "bp_space":
+            cfg.bp_space = int(args[0])
+        elif name == "double_id":
+            cfg.vcf_id_mode = ("double", None)
+        elif name == "const_fid":
+            cfg.vcf_id_mode = ("const", args[0] if args else "0")
+        elif name == "id_delim":
+            cfg.vcf_id_mode = ("delim", args[0] if args else "_")
         elif name == "snp":
             cfg.snp = args[0]
         elif name == "snps":

@@ -96,6 +96,28 @@ def extract_exclude_variants(ds: Dataset, args, extract: bool,
     log.log(f"{tag}: {ds.variant_ct} variants remaining.")
 
 
+def bp_space_filter(ds: Dataset, min_bp: int, log: RunLogger) -> None:
+    """--bp-space: greedy per-chromosome thinning keeping variants at
+    least min_bp apart (ref plink2 --bp-space; equivalent to VCFtools
+    --thin)."""
+    keep = np.zeros(ds.raw_variant_ct, bool)
+    chrom = ds.vi.chrom
+    pos = ds.vi.pos
+    last_chrom = None
+    last_pos = None
+    for v in np.flatnonzero(ds.variant_mask):
+        c = int(chrom[v])
+        if c != last_chrom or last_pos is None or \
+                int(pos[v]) - last_pos >= min_bp:
+            keep[v] = True
+            last_chrom = c
+            last_pos = int(pos[v])
+    removed = int(ds.variant_ct - keep.sum())
+    ds.variant_mask &= keep
+    log.log(f"--bp-space: {removed} variants removed "
+            f"({ds.variant_ct} remaining).")
+
+
 def info_expr_filter(ds: Dataset, expr_text: str, extract: bool,
                      log: RunLogger) -> None:
     """--extract-if-info / --exclude-if-info: boolean INFO-key expressions

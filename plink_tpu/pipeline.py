@@ -46,6 +46,39 @@ def _load(cfg: Config, log: RunLogger) -> Dataset:
     )
 
 
+def _apply_import_id_mode(si, cfg) -> None:
+    """--double-id / --const-fid / --id-delim sample-ID handling on text
+    imports (ref VcfSampleLine parsing, 2.0/plink2_import.cc)."""
+    mode = getattr(cfg, "vcf_id_mode", None) if cfg is not None else None
+    if not mode:
+        return
+    kind, arg = mode
+    if kind == "double":
+        si.fid = si.iid.copy()
+        si.has_fid = True
+    elif kind == "const":
+        si.fid = np.full(si.sample_ct, arg, dtype=object)
+        # FID 0 means "no FID": the psam keeps its #IID-only header
+        si.has_fid = arg != "0"
+    else:  # delim
+        fid, iid, sid = [], [], []
+        any_sid = False
+        for x in si.iid:
+            parts = str(x).split(arg)
+            if len(parts) == 1:
+                raise FlagError(
+                    f"--id-delim: no '{arg}' in sample ID '{x}'.")
+            fid.append(parts[0])
+            iid.append(parts[1])
+            sid.append(parts[2] if len(parts) > 2 else "0")
+            any_sid = any_sid or len(parts) > 2
+        si.fid = np.array(fid, dtype=object)
+        si.iid = np.array(iid, dtype=object)
+        if any_sid:
+            si.sid = np.array(sid, dtype=object)
+        si.has_fid = True
+
+
 def _import_vcf(path: str, out_prefix: str, log: RunLogger,
                 mods: tuple = (), cfg=None) -> Dataset:
     """--vcf: convert to a temporary .pgen trio, then proceed (ref workflow:
@@ -171,6 +204,7 @@ def _import_vcf(path: str, out_prefix: str, log: RunLogger,
             with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
                             trusted_ref=True, nonref_flags=vi.nonref) as w:
                 w.append_codes(codes)
+    _apply_import_id_mode(si, cfg)
     write_pvar(tmp + ".pvar", vi)
     write_psam(tmp + ".psam", si)
     log.log(
@@ -628,6 +662,8 @@ def run_pipeline(cfg: Config) -> int:
             F.extract_exclude_variants(ds, cfg.extract, extract=True, log=log)
         if cfg.extract_intersect:
             F.extract_intersect(ds, cfg.extract_intersect, log)
+        if cfg.bp_space is not None:
+            F.bp_space_filter(ds, cfg.bp_space, log)
         if cfg.extract_if_info:
             F.info_expr_filter(ds, cfg.extract_if_info, extract=True, log=log)
         if cfg.exclude_if_info:
