@@ -63,6 +63,9 @@ class Config:
     allow_extra_chr: bool = False
     bp_space: int | None = None
     vcf_id_mode: tuple | None = None
+    unrelated_heritability: tuple | None = None
+    grm_bin: str | None = None
+    grm_gz: str | None = None
     drop_pheno_names: tuple = ()  # internal: --loop-cats consumed column
     exclude: tuple | None = None
     extract_intersect: tuple | None = None
@@ -429,6 +432,10 @@ def parse_args(argv: list[str]) -> Config:
             setattr(cfg, name, tuple(args))
         elif name == "loop_cats":
             cfg.loop_cats = args[0]
+        elif name == "unrelated_heritability":
+            cfg.unrelated_heritability = tuple(args)
+        elif name in ("grm_bin", "grm_gz"):
+            setattr(cfg, name, args[0])
         elif name in ("allow_extra_chr", "aec"):
             # nonstandard contig names are always accepted by our chrom
             # registry (ref errors without this flag; we are permissive)

@@ -509,6 +509,13 @@ def run_pipeline(cfg: Config) -> int:
             run_dosage(cfg, log)
             log.log(f"End of run; total wall-clock {log.elapsed():.2f}s.")
             return 0
+        if cfg.unrelated_heritability is not None and (
+                cfg.grm_bin or cfg.grm_gz):
+            from .commands.herit import run_unrelated_heritability
+
+            run_unrelated_heritability(cfg, log)
+            log.log(f"End of run; total wall-clock {log.elapsed():.2f}s.")
+            return 0
         if cfg.meta_analysis:
             from .commands.meta import run_meta_analysis
 

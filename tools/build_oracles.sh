@@ -81,5 +81,30 @@ build19() {
 rc=0
 build20 /tmp/oracle nolapack || rc=1
 build20 /tmp/oracle_lapack lapack || rc=1
+build19dev() {
+  # non-STABLE build: unlocks UNSTABLE-gated commands (--unrelated-heritability)
+  local dst=/tmp/oracle19dev
+  local bin="$dst/plink"
+  if [ -x "$bin" ] && [ "$FORCE" != "-f" ]; then
+    echo "[skip] $bin exists"
+    return 0
+  fi
+  rm -rf "$dst"
+  mkdir -p "$dst"
+  cp -r "$REF/1.9/." "$dst/"
+  chmod -R u+w "$dst"
+  local flags="-Wall -O2 -g -I$REF/2.0/simde -I$SHIM -DDYNAMIC_ZLIB"
+  ( cd "$dst" && make -j"$(nproc)" plink \
+        CFLAGS="$flags" CXXFLAGS="$flags" \
+        BLASFLAGS="$LAPACK_LIBS" ZLIB="-lz" ) > "$dst/build.log" 2>&1
+  if [ ! -x "$bin" ]; then
+    echo "[FAIL] plink 1.9 dev build failed; tail of $dst/build.log:"
+    tail -40 "$dst/build.log"
+    return 1
+  fi
+  echo "[ok] $bin"
+}
+
 build19 || rc=1
+build19dev || rc=1
 exit $rc
