@@ -156,6 +156,10 @@ class Config:
     covar: str | None = None
     covar_name: list[str] = field(default_factory=list)
     covar_variance_standardize: bool = False
+    variance_standardize: tuple | None = None
+    quantile_normalize: tuple | None = None
+    pheno_quantile_normalize: tuple | None = None
+    covar_quantile_normalize: tuple | None = None
     condition: tuple | None = None
     condition_list: tuple | None = None
     quantile_normalize: bool = False
@@ -1059,6 +1063,14 @@ def parse_args(argv: list[str]) -> Config:
             setattr(cfg, name, tuple(args))
         elif name == "covar_variance_standardize":
             cfg.covar_variance_standardize = True
+        elif name == "variance_standardize":
+            cfg.variance_standardize = tuple(args) if args else ("*",)
+        elif name == "quantile_normalize":
+            cfg.quantile_normalize = tuple(args) if args else ("*",)
+        elif name == "pheno_quantile_normalize":
+            cfg.pheno_quantile_normalize = tuple(args) if args else ("*",)
+        elif name == "covar_quantile_normalize":
+            cfg.covar_quantile_normalize = tuple(args) if args else ("*",)
         elif name == "quantile_normalize":
             cfg.quantile_normalize = True
         elif name == "adjust":

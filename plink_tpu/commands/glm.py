@@ -65,6 +65,31 @@ def _match_rows(ds: Dataset, id_mode: str, ids: np.ndarray) -> np.ndarray:
     return np.array([keys.get(str(x), -1) for x in ids], dtype=np.int64)
 
 
+def _quantile_normalize_col(vals: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Force a column to N(0,1) quantiles over the masked samples, ties
+    sharing the midpoint z (ref PhenoQuantileNormalize,
+    2.0/plink2_misc.cc:3318: z = QuantileToZscore((start+end)/(2n)) per
+    tie group)."""
+    from ..stats.distributions import norm_ppf
+
+    idx = np.flatnonzero(mask)
+    v = np.asarray(vals, np.float64)[idx]
+    order = np.argsort(v, kind="stable")
+    sv = v[order]
+    n = v.size
+    out = np.empty(n)
+    i = 0
+    while i < n:
+        j = i + 1
+        while j < n and sv[j] == sv[i]:
+            j += 1
+        out[order[i:j]] = float(norm_ppf((i + j) / (2.0 * n)))
+        i = j
+    res = np.asarray(vals, np.float64).copy()
+    res[idx] = out
+    return res
+
+
 def _load_covars(ds: Dataset, cfg, log: RunLogger):
     """Returns (names, data [n_raw, k] float64, nonmiss [n_raw] bool)."""
     if not cfg.covar:
@@ -589,6 +614,30 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
         sd = cov_data[cov_nonmiss].std(axis=0, ddof=1)
         sd[sd == 0] = 1.0
         cov_data = (cov_data - m) / sd
+    vs = getattr(cfg, "variance_standardize", None)
+    if vs and cov_data.shape[1]:
+        sel = [j for j, nm_ in enumerate(cov_names)
+               if "*" in vs or nm_ in vs]
+        if sel:
+            sub = cov_data[:, sel]
+            m = sub[cov_nonmiss].mean(axis=0)
+            sd = sub[cov_nonmiss].std(axis=0, ddof=1)
+            sd[sd == 0] = 1.0
+            cov_data[:, sel] = (sub - m) / sd
+    qn = getattr(cfg, "quantile_normalize", None)
+    cqn = getattr(cfg, "covar_quantile_normalize", None)
+    qn_cov = set()
+    for spec in (qn, cqn):
+        if spec:
+            qn_cov |= {j for j, nm_ in enumerate(cov_names)
+                       if "*" in spec or nm_ in spec}
+    if qn_cov:
+        mask_c = cov_nonmiss & ds.sample_mask
+        for j in sorted(qn_cov):
+            cov_data[:, j] = _quantile_normalize_col(cov_data[:, j], mask_c)
+        log.log(
+            f"--covar-quantile-normalize: {len(qn_cov)} covariate"
+            f"{'s' if len(qn_cov) != 1 else ''} transformed.")
 
     local_info = _load_local_covars(ds, mods, log)
 
@@ -596,10 +645,17 @@ def run_glm(ds: Dataset, cfg, log: RunLogger) -> None:
     if not phenos:
         raise ValueError("--glm: no phenotypes loaded")
 
+    pqn = getattr(cfg, "pheno_quantile_normalize", None)
+    qn_all = getattr(cfg, "quantile_normalize", None)
     for name, kind, ydata, ynonmiss in phenos:
         if kind == "cat":
             log.log(f"--glm: skipping categorical phenotype '{name}'.")
             continue
+        for spec in (pqn, qn_all):
+            if spec and kind == "qt" and ("*" in spec or name in spec):
+                ydata = _quantile_normalize_col(
+                    ydata, ynonmiss & ds.sample_mask)
+                break
         smask = ds.sample_mask & ynonmiss & cov_nonmiss
         nm_ct = int(smask.sum())
         # drop covariates that are constant over this pheno's sample set

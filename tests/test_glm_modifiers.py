@@ -246,3 +246,48 @@ def test_xchr_model_1_linear(xpanel):
     _run_both(d, flags, "oxq", "txq")
     _glm_cmp(d, "oxq", "txq", "QT.glm.linear", 10, 14, 1e-4,
              skip_autosome_freq=True)
+
+
+@pytest.mark.skipif(not os.path.exists(ORACLE), reason="plink2 oracle not built")
+@pytest.mark.parametrize("flag", [
+    "--quantile-normalize", "--pheno-quantile-normalize",
+    "--covar-quantile-normalize", "--variance-standardize",
+])
+def test_pheno_covar_transforms(tmp_path, flag):
+    """Quantile-normalize / variance-standardize transform family (ref
+    PhenoQuantileNormalize, 2.0/plink2_misc.cc:3318: tie groups share
+    z = QuantileToZscore((start+end)/(2n)))."""
+    from plink_tpu.cli import main
+
+    subprocess.run(
+        [ORACLE, "--dummy", "200", "60", "0.02", "scalar-pheno",
+         "--seed", "19", "--out", "d"],
+        cwd=tmp_path, check=True, capture_output=True,
+    )
+    rng = np.random.default_rng(4)
+    ids = [l.split("\t")[0]
+           for l in (tmp_path / "d.psam").read_text().splitlines()[1:]]
+    with open(tmp_path / "c.cov", "w") as f:
+        f.write("#IID\tC1\tC2\n")
+        for iid in ids:
+            f.write(f"{iid}\t{rng.normal():.6f}\t{rng.exponential():.6f}\n")
+    args = ["--pfile", "d", "--glm", "hide-covar", "--covar", "c.cov", flag]
+    subprocess.run([ORACLE] + args + ["--out", "o"], cwd=tmp_path,
+                   check=True, capture_output=True)
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert main(args + ["--out", "t", "--silent"]) == 0
+    finally:
+        os.chdir(old)
+    o = (tmp_path / "o.PHENO1.glm.linear").read_text().splitlines()
+    t = (tmp_path / "t.PHENO1.glm.linear").read_text().splitlines()
+    ip = o[0].split("\t").index("P")
+    assert len(o) == len(t)
+    for lo, lt in zip(o[1:], t[1:]):
+        po, pt = lo.split("\t")[ip], lt.split("\t")[ip]
+        if po == "NA" or pt == "NA":
+            assert po == pt
+        else:
+            assert abs(float(po) - float(pt)) <= \
+                2e-3 * max(abs(float(po)), 1e-9), (lo, lt)
