@@ -309,6 +309,8 @@ class Config:
     clump_p2: float | None = None
     clump_r2: float | None = None
     clump_kb: float | None = None
+    clump_id_field: tuple | None = None
+    clump_p_field: tuple | None = None
     set_all_var_ids: str | None = None
     set_missing_var_ids: str | None = None
     sort_vars: bool = False
@@ -1095,6 +1097,10 @@ def parse_args(argv: list[str]) -> Config:
             cfg.clump = [t for a in args for t in a.split(",")]
         elif name == "ld":
             cfg.ld = (args[0], args[1])
+        elif name in ("clump_id_field", "clump_snp_field"):
+            cfg.clump_id_field = tuple(args)
+        elif name in ("clump_p_field", "clump_field"):
+            cfg.clump_p_field = tuple(args)
         elif name in ("clump_p1", "clump_p2", "clump_r2", "clump_kb"):
             setattr(cfg, name, float(args[0]))
         elif name == "score":

@@ -28,12 +28,22 @@ from ..utils.fmt import g6
 from ..utils.logging import RunLogger
 
 
-def _load_pvals(path: str, ds: Dataset) -> dict[int, float]:
+def _load_pvals(path: str, ds: Dataset, id_fields=None,
+                p_fields=None) -> dict[int, float]:
+    """id/p column-name search lists per --clump-id-field/--clump-p-field
+    (defaults 'ID SNP' / 'P UNADJ'; ref 2.0/plink2_help.cc:2931-2933)."""
     with open(path) as f:
         header = f.readline().rstrip("\n").lstrip("#").split("\t")
         col = {name: i for i, name in enumerate(header)}
-        id_c = col.get("ID", col.get("SNP"))
-        p_c = col.get("P", col.get("UNADJ"))
+        id_c = p_c = None
+        for nm in (id_fields or ("ID", "SNP")):
+            if nm in col:
+                id_c = col[nm]
+                break
+        for nm in (p_fields or ("P", "UNADJ")):
+            if nm in col:
+                p_c = col[nm]
+                break
         test_c = col.get("TEST")
         if id_c is None or p_c is None:
             raise ValueError(f"--clump: {path} lacks ID/P columns")
@@ -59,7 +69,7 @@ def run_clump(ds: Dataset, cfg, log: RunLogger) -> None:
 
     pvals: dict[int, float] = {}
     for path in cfg.clump:
-        pvals.update(_load_pvals(path, ds))
+        pvals.update(_load_pvals(path, ds, cfg.clump_id_field, cfg.clump_p_field))
     inc_mask = ds.variant_mask
     items = [(p, i) for i, p in pvals.items() if inc_mask[i]]
     candidates = sorted(

@@ -78,3 +78,29 @@ def test_vcf_id_modes(panel, mode):
          str(d))
     assert (d / f"o{tag}.psam").read_text() == \
         (d / f"t{tag}.psam").read_text()
+
+
+def test_clump_field_options(tmp_path):
+    """--clump-id-field/--clump-p-field column-name search lists
+    (ref 2.0/plink2_help.cc:2931-2933)."""
+    from plink_tpu.cli import main
+
+    subprocess.run(
+        [ORACLE, "--dummy", "150", "500", "0.02", "scalar-pheno",
+         "--seed", "22", "--out", "d"],
+        cwd=tmp_path, check=True, capture_output=True,
+    )
+    subprocess.run(
+        [ORACLE, "--pfile", "d", "--glm", "allow-no-covars", "--out", "a"],
+        cwd=tmp_path, check=True, capture_output=True,
+    )
+    lines = (tmp_path / "a.PHENO1.glm.linear").read_text().splitlines()
+    hdr = lines[0].replace("ID", "MARKER").replace("\tP", "\tPVAL")
+    (tmp_path / "a2.txt").write_text("\n".join([hdr] + lines[1:]) + "\n")
+    args = ["--pfile", "d", "--clump", "a2.txt", "--clump-id-field",
+            "MARKER", "--clump-p-field", "PVAL", "--clump-p1", "0.05"]
+    subprocess.run([ORACLE] + args + ["--out", "o"], cwd=tmp_path,
+                   check=True, capture_output=True)
+    _tpu(args + ["--out", "t"], str(tmp_path))
+    assert (tmp_path / "o.clumps").read_text() == \
+        (tmp_path / "t.clumps").read_text()
