@@ -96,6 +96,29 @@ def _pheno_strs(ds: Dataset, inc_s) -> list[str]:
     return ["-9"] * len(inc_s)
 
 
+def _export_allele_flips(ds, cfg):
+    """--export-allele: per-variant flip mask (count the named allele
+    instead of REF in A/AD/Av exports; ref 2.0/plink2_help.cc:2429).
+    Entries naming the ALT1 allele flip the count; entries matching REF
+    (or not matching either) keep the REF count."""
+    flips = np.zeros(ds.raw_variant_ct, bool)
+    path = getattr(cfg, "export_allele", None)
+    if not path:
+        return flips
+    amap = {}
+    with open(path) as f:
+        for ln in f:
+            t = ln.split()
+            if len(t) >= 2:
+                amap[t[0]] = t[1]
+    alt1 = ds.vi.alt1()
+    for v in range(ds.raw_variant_ct):
+        a = amap.get(str(ds.vi.vid[v]))
+        if a is not None and a == str(alt1[v]):
+            flips[v] = True
+    return flips
+
+
 def _export_raw(ds: Dataset, cfg, log: RunLogger, with_het: bool) -> None:
     """--export A / AD -> .raw: REF-allele dosage (and _HET indicator)
     per variant (ref: plink2 'A'/'AD' export; REF is the counted allele)."""
@@ -104,13 +127,18 @@ def _export_raw(ds: Dataset, cfg, log: RunLogger, with_het: bool) -> None:
     inc_v = np.flatnonzero(ds.variant_mask)
     phenos = _pheno_strs(ds, inc_s)
     path = cfg.out + ".raw"
-    # REF dosage per code: homref=2, het=1, homalt=0, missing=NA
+    # counted-allele dosage per code (default REF: homref=2, het=1,
+    # homalt=0, missing=NA; --export-allele flips listed variants)
+    flips = _export_allele_flips(ds, cfg)
+    alt1_all = ds.vi.alt1()
     cnt = {0: "2", 1: "1", 2: "0", 3: "NA"}
+    cnt_f = {0: "0", 1: "1", 2: "2", 3: "NA"}
     het = {0: "0", 1: "1", 2: "0", 3: "NA"}
     with open(path, "w") as f:
         hdr = ["FID", "IID", "PAT", "MAT", "SEX", "PHENOTYPE"]
         for v in inc_v:
-            tag = f"{ds.vi.vid[v]}_{ds.vi.ref[v]}"
+            counted = alt1_all[v] if flips[v] else ds.vi.ref[v]
+            tag = f"{ds.vi.vid[v]}_{counted}"
             hdr.append(tag)
             if with_het:
                 hdr.append(f"{ds.vi.vid[v]}_HET")
@@ -130,8 +158,8 @@ def _export_raw(ds: Dataset, cfg, log: RunLogger, with_het: bool) -> None:
             mat = si.mat[i] if si.mat is not None else "0"
             row = [str(si.fid[i]), str(si.iid[i]), str(pat), str(mat),
                    str(int(si.sex[i])), phenos[k]]
-            for g in codes[:, k]:
-                row.append(cnt[int(g)])
+            for j, g in enumerate(codes[:, k]):
+                row.append((cnt_f if flips[inc_v[j]] else cnt)[int(g)])
                 if with_het:
                     row.append(het[int(g)])
             f.write("\t".join(row) + "\n")
@@ -610,16 +638,24 @@ def _export_traw(ds: Dataset, cfg, log: RunLogger) -> None:
         for i in inc_s:
             f.write(f"\t{si.fid[i]}_{si.iid[i]}")
         f.write("\n")
+        flips = _export_allele_flips(ds, cfg)
+        _CNT_F = {0: "0", 1: "1", 2: "2", 3: "NA"}
         for v in inc_v:
             codes = _unpack_np(ds.reader.read_packed(int(v), 1))[0][
                 : ds.raw_sample_ct
             ][inc_s]
             cm = vi.cm[v] if vi.cm is not None else 0
             cm_s = f"{cm:g}" if cm else "0"
+            if flips[v]:
+                counted, other = alt1[v], vi.ref[v]
+                lut = _CNT_F
+            else:
+                counted, other = vi.ref[v], alt1[v]
+                lut = _CNT
             f.write(
                 f"{vi.chr_info.name(vi.chrom[v])}\t{vi.vid[v]}\t{cm_s}\t"
-                f"{vi.pos[v]}\t{vi.ref[v]}\t{alt1[v]}\t"
-                + "\t".join(_CNT[c] for c in codes)
+                f"{vi.pos[v]}\t{counted}\t{other}\t"
+                + "\t".join(lut[c] for c in codes)
                 + "\n"
             )
     log.log(f"--export A-transpose: {path} written.")

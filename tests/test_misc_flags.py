@@ -104,3 +104,28 @@ def test_clump_field_options(tmp_path):
     _tpu(args + ["--out", "t"], str(tmp_path))
     assert (tmp_path / "o.clumps").read_text() == \
         (tmp_path / "t.clumps").read_text()
+
+
+@pytest.mark.parametrize("fmt,ext", [("A", "raw"), ("AD", "raw"),
+                                     ("A-transpose", "traw")])
+def test_export_allele(tmp_path, fmt, ext):
+    """--export-allele: count the named allele instead of REF in A/AD/Av
+    exports (ref 2.0/plink2_help.cc:2429)."""
+    from plink_tpu.cli import main
+
+    subprocess.run(
+        [ORACLE, "--dummy", "60", "50", "0.03", "--seed", "22", "--out", "d"],
+        cwd=tmp_path, check=True, capture_output=True,
+    )
+    lines = (tmp_path / "d.pvar").read_text().splitlines()
+    with open(tmp_path / "ea.txt", "w") as f:
+        for i, l in enumerate(lines[1:]):
+            t = l.split("\t")
+            if i % 2 == 0:
+                f.write(f"{t[2]} {t[4]}\n")
+    args = ["--pfile", "d", "--export", fmt, "--export-allele", "ea.txt"]
+    subprocess.run([ORACLE] + args + ["--out", "o"], cwd=tmp_path,
+                   check=True, capture_output=True)
+    _tpu(args + ["--out", "t"], str(tmp_path))
+    assert (tmp_path / f"o.{ext}").read_text() == \
+        (tmp_path / f"t.{ext}").read_text()
