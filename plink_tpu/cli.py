@@ -312,6 +312,7 @@ class Config:
     clump_id_field: tuple | None = None
     clump_p_field: tuple | None = None
     export_allele: str | None = None
+    af_pseudocount: float = 0.0
     set_all_var_ids: str | None = None
     set_missing_var_ids: str | None = None
     sort_vars: bool = False
@@ -1098,6 +1099,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.clump = [t for a in args for t in a.split(",")]
         elif name == "ld":
             cfg.ld = (args[0], args[1])
+        elif name == "af_pseudocount":
+            cfg.af_pseudocount = float(args[0])
         elif name in ("export_allele", "recode_allele"):
             cfg.export_allele = args[0]
         elif name in ("clump_id_field", "clump_snp_field"):

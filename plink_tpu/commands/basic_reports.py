@@ -102,8 +102,11 @@ def alt_allele_freqs(ds: Dataset, founders_only: bool = True) -> np.ndarray:
     if ds.has_dosage:
         for v, (a_, o_) in dosage_counts_and_obs(ds, founders_only).items():
             alt[v], obs[v] = a_, o_
+    # --af-pseudocount: inferred freq = (j+x)/(j+k+2x) (ref
+    # 2.0/plink2_help.cc:2295; affects filters, not the --freq report)
+    pc = float(getattr(ds, "af_pseudocount", 0.0) or 0.0)
     with np.errstate(invalid="ignore", divide="ignore"):
-        out = np.where(obs > 0, alt / obs, np.nan)
+        out = np.where(obs > 0, (alt + pc) / (obs + 2 * pc), np.nan)
     fo = getattr(ds, "freq_override", None)
     if fo is not None:
         out = np.where(np.isfinite(fo), fo, out)

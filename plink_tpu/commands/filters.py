@@ -303,8 +303,10 @@ def maf_filter(
 ) -> None:
     """--maf/--max-maf/--mac/--max-mac (founders-based by default)."""
     alt, obs = allele_counts_and_obs(ds, founders_only=not nonfounders)
+    # --af-pseudocount applies to inferred frequencies (not counts)
+    pc = float(getattr(ds, "af_pseudocount", 0.0) or 0.0)
     with np.errstate(invalid="ignore", divide="ignore"):
-        af = np.where(obs > 0, alt / obs, np.nan)
+        af = np.where(obs > 0, (alt + pc) / (obs + 2 * pc), np.nan)
     maf = np.minimum(af, 1 - af)
     mac = np.minimum(alt, obs - alt)
     before = ds.variant_ct

@@ -605,6 +605,8 @@ def run_pipeline(cfg: Config) -> int:
                 phenos[nm_] = _build_pheno(nm_, col)
             ds.si.phenos = phenos
 
+        if cfg.af_pseudocount:
+            ds.af_pseudocount = cfg.af_pseudocount
         if cfg.drop_pheno_names:
             for nm_ in cfg.drop_pheno_names:
                 ds.si.phenos.pop(nm_, None)

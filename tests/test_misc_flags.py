@@ -129,3 +129,24 @@ def test_export_allele(tmp_path, fmt, ext):
     _tpu(args + ["--out", "t"], str(tmp_path))
     assert (tmp_path / f"o.{ext}").read_text() == \
         (tmp_path / f"t.{ext}").read_text()
+
+
+def test_af_pseudocount(tmp_path):
+    """--af-pseudocount: inferred freq (j+x)/(j+k+2x) applies to the --maf
+    filter but not the --freq report (ref 2.0/plink2_help.cc:2295)."""
+    from plink_tpu.cli import main
+
+    subprocess.run(
+        [ORACLE, "--dummy", "150", "300", "0.02", "--seed", "22",
+         "--out", "d"],
+        cwd=tmp_path, check=True, capture_output=True,
+    )
+    for tag, extra in (("p", ["--af-pseudocount", "1"]), ("n", [])):
+        args = ["--pfile", "d"] + extra + ["--maf", "0.1", "--freq",
+                                           "--write-snplist"]
+        subprocess.run([ORACLE] + args + ["--out", f"o{tag}"],
+                       cwd=tmp_path, check=True, capture_output=True)
+        _tpu(args + ["--out", f"t{tag}"], str(tmp_path))
+        for ext in ("snplist", "afreq"):
+            assert (tmp_path / f"o{tag}.{ext}").read_text() == \
+                (tmp_path / f"t{tag}.{ext}").read_text(), (tag, ext)
