@@ -79,6 +79,7 @@ class Config:
     chr: list[str] = field(default_factory=list)
     not_chr: list[str] = field(default_factory=list)
     autosome: bool = False
+    autosome_par: bool = False
     from_bp: int | None = None
     to_bp: int | None = None
     snps_only: bool = False
@@ -483,6 +484,8 @@ def parse_args(argv: list[str]) -> Config:
             setattr(cfg, name, [t for a in args for t in a.split(",")])
         elif name == "autosome":
             cfg.autosome = True
+        elif name == "autosome_par":
+            cfg.autosome_par = True
         elif name == "snps_only":
             cfg.snps_only = True
             cfg.snps_only_acgt = "just-acgt" in args

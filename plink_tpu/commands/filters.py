@@ -256,9 +256,17 @@ def filter_chr(ds: Dataset, chr_names: list[str], log: RunLogger, keep: bool = T
     log.log(f"--{'chr' if keep else 'not-chr'}: {ds.variant_ct} variants remaining.")
 
 
-def filter_autosomes(ds: Dataset, log: RunLogger) -> None:
-    ds.variant_mask &= ds.vi.chr_info.is_autosomal(ds.vi.chrom)
-    log.log(f"--autosome: {ds.variant_ct} variants remaining.")
+def filter_autosomes(ds: Dataset, log: RunLogger,
+                     include_par: bool = False) -> None:
+    from ..utils.chrom import XY_CODE
+
+    keep = ds.vi.chr_info.is_autosomal(ds.vi.chrom)
+    if include_par:
+        # --autosome-par additionally keeps the XY pseudo-autosomal code
+        keep = keep | (ds.vi.chrom == XY_CODE)
+    ds.variant_mask &= keep
+    flag = "--autosome-par" if include_par else "--autosome"
+    log.log(f"{flag}: {ds.variant_ct} variants remaining.")
 
 
 def mind_filter(ds: Dataset, thresh: float, log: RunLogger) -> None:

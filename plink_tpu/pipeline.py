@@ -694,6 +694,8 @@ def run_pipeline(cfg: Config) -> int:
             F.filter_chr(ds, cfg.not_chr, log, keep=False)
         if cfg.autosome:
             F.filter_autosomes(ds, log)
+        if cfg.autosome_par:
+            F.filter_autosomes(ds, log, include_par=True)
         if cfg.from_bp is not None:
             ds.variant_mask &= ds.vi.pos >= cfg.from_bp
         if cfg.to_bp is not None:

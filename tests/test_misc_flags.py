@@ -150,3 +150,25 @@ def test_af_pseudocount(tmp_path):
         for ext in ("snplist", "afreq"):
             assert (tmp_path / f"o{tag}.{ext}").read_text() == \
                 (tmp_path / f"t{tag}.{ext}").read_text(), (tag, ext)
+
+
+def test_autosome_par(tmp_path):
+    from plink_tpu.cli import main
+
+    subprocess.run(
+        [ORACLE, "--dummy", "30", "60", "0.02", "--seed", "3", "--out", "b"],
+        cwd=tmp_path, check=True, capture_output=True,
+    )
+    lines = (tmp_path / "b.pvar").read_text().splitlines()
+    out = [lines[0]]
+    for i, l in enumerate(lines[1:]):
+        p = l.split("\t")
+        p[0] = ["1", "X", "Y", "XY", "MT"][i % 5]
+        out.append("\t".join(p))
+    (tmp_path / "b.pvar").write_text("\n".join(out) + "\n")
+    args = ["--pfile", "b", "--autosome-par", "--write-snplist"]
+    subprocess.run([ORACLE] + args + ["--out", "o"], cwd=tmp_path,
+                   check=True, capture_output=True)
+    _tpu(args + ["--out", "t"], str(tmp_path))
+    assert (tmp_path / "o.snplist").read_text() == \
+        (tmp_path / "t.snplist").read_text()
