@@ -1265,11 +1265,13 @@ def _collinearity_errs_batch(xtx, rows, exact_s_fn):
     clean = finite & (max_od < 0.99)
     if clean.any():
         try:
-            u, wf, vt = np.linalg.svd(cm[clean])
-            winv = np.where(
-                wf < wf.max(axis=1, keepdims=True) * 1e-24, 0.0, 1.0 / wf
-            )
-            diag = np.einsum("vij,vj,vji->vi", u, winv, vt)
+            # symmetric corr matrices: eigh is ~3x svd and the screen only
+            # needs inverse-corr diagonals; non-clean rows still fall back
+            # to the exact per-variant checked path
+            wf, vv = np.linalg.eigh(cm[clean])
+            wmax = wf.max(axis=1, keepdims=True)
+            winv = np.where(wf < wmax * 1e-24, 0.0, 1.0 / wf)
+            diag = np.einsum("vij,vj->vi", vv * vv, winv)
             ok = (
                 (wf.min(axis=1) >= 1e-9 * wf.max(axis=1))
                 & (diag.max(axis=1) <= 40.0)
