@@ -118,6 +118,59 @@ def bp_space_filter(ds: Dataset, min_bp: int, log: RunLogger) -> None:
             f"({ds.variant_ct} remaining).")
 
 
+def mach_r2_filter(ds: Dataset, min_r2: float, max_r2: float,
+                   log: RunLogger) -> None:
+    """--mach-r2-filter: MaCH imputation-quality metric bounds (defaults
+    0.1 / 2.0).  mach_r2 = 2 * minimac3_r2 with the unphased hap
+    embedding l = r = d/2 (MultiallelicDiploidMachR2,
+    2.0/include/pgenlib_misc.cc:3413: obs = nm*sum_k ssq_x2_k -
+    sum_k sums_k^2 over exp = nm^2*2^30 - sum_k sums_k^2, 16384-scale
+    units).  NaN (monomorphic) kept; chrX and MT not evaluated."""
+    from ..utils.chrom import MT_CODE, X_CODE
+
+    smask = ds.sample_mask
+    keep = np.ones(ds.raw_variant_ct, bool)
+    chrom = ds.vi.chrom
+    vr = getattr(ds.reader.header, "vrtypes", None)
+    removed = 0
+    for v in np.flatnonzero(ds.variant_mask):
+        c = int(chrom[v])
+        if c in (X_CODE, MT_CODE):
+            continue
+        if ds.has_dosage and vr is not None and (vr[v] & 0x60):
+            d = ds.dosage_row(int(v))[: ds.raw_sample_ct][smask]
+            fin = np.isfinite(d)
+            d = np.round(d[fin] * 16384.0)
+        else:
+            from ..ops.pairwise import _unpack_np
+
+            codes = _unpack_np(ds.reader.read_packed(int(v), 1))[0][
+                : ds.raw_sample_ct][smask]
+            fin = codes != 3
+            d = codes[fin].astype(np.float64) * 16384.0
+        nm = int(fin.sum())
+        if nm == 0:
+            continue
+        e = 32768.0 - d
+        ssq_x2 = float((d * d).sum() + (e * e).sum())
+        s_alt, s_ref = float(d.sum()), float(e.sum())
+        meansq = s_alt * s_alt + s_ref * s_ref
+        obs = nm * ssq_x2 - meansq
+        exp_ = nm * nm * float(1 << 30) - meansq
+        if exp_ <= 0:
+            continue  # monomorphic -> nan, not excluded
+        r2 = 2.0 * obs / exp_
+        if r2 != r2:
+            continue
+        if r2 < min_r2 or r2 > max_r2:
+            keep[v] = False
+            removed += 1
+    ds.variant_mask &= keep
+    log.log(f"--mach-r2-filter: {removed} variant"
+            f"{'s' if removed != 1 else ''} removed "
+            f"({ds.variant_ct} remaining).")
+
+
 def info_expr_filter(ds: Dataset, expr_text: str, extract: bool,
                      log: RunLogger) -> None:
     """--extract-if-info / --exclude-if-info: boolean INFO-key expressions

@@ -172,3 +172,22 @@ def test_autosome_par(tmp_path):
     _tpu(args + ["--out", "t"], str(tmp_path))
     assert (tmp_path / "o.snplist").read_text() == \
         (tmp_path / "t.snplist").read_text()
+
+
+def test_mach_r2_filter(tmp_path):
+    """--mach-r2-filter: MaCH imputation quality bounds
+    (MultiallelicDiploidMachR2, 2.0/include/pgenlib_misc.cc:3413)."""
+    from plink_tpu.cli import main
+
+    subprocess.run(
+        [ORACLE, "--dummy", "150", "200", "0.03", "dosage-freq=0.5",
+         "--seed", "15", "--out", "d"],
+        cwd=tmp_path, check=True, capture_output=True,
+    )
+    args = ["--pfile", "d", "--mach-r2-filter", "0.6", "1.4",
+            "--write-snplist"]
+    subprocess.run([ORACLE] + args + ["--out", "o"], cwd=tmp_path,
+                   check=True, capture_output=True)
+    _tpu(args + ["--out", "t"], str(tmp_path))
+    assert (tmp_path / "o.snplist").read_text() == \
+        (tmp_path / "t.snplist").read_text()
