@@ -315,6 +315,7 @@ class Config:
     export_allele: str | None = None
     af_pseudocount: float = 0.0
     mach_r2_filter: tuple | None = None
+    minimac3_r2_filter: tuple | None = None
     set_all_var_ids: str | None = None
     set_missing_var_ids: str | None = None
     sort_vars: bool = False
@@ -1103,6 +1104,11 @@ def parse_args(argv: list[str]) -> Config:
             cfg.clump = [t for a in args for t in a.split(",")]
         elif name == "ld":
             cfg.ld = (args[0], args[1])
+        elif name == "minimac3_r2_filter":
+            cfg.minimac3_r2_filter = (
+                float(args[0]),
+                float(args[1]) if len(args) > 1 else float("inf"),
+            )
         elif name == "mach_r2_filter":
             cfg.mach_r2_filter = (
                 float(args[0]) if args else 0.1,

@@ -171,6 +171,80 @@ def mach_r2_filter(ds: Dataset, min_r2: float, max_r2: float,
             f"({ds.variant_ct} remaining).")
 
 
+def minimac3_r2_filter(ds: Dataset, min_r2: float, max_r2: float,
+                       log: RunLogger) -> None:
+    """--minimac3-r2-filter: Minimac3 R2 recomputed from (phased) dosages
+    (MultiallelicDiploidMinimac3R2, 2.0/include/pgenlib_misc.cc:3413:
+    ssq_x2 terms (l+r)^2 + (l-r)^2 per allele; phased hets without an
+    explicit dphase entry contribute the implicit +-min(d, 32768-d)
+    delta).  chrX/MT skipped; NaN kept."""
+    from ..utils.chrom import MT_CODE, X_CODE
+
+    smask = ds.sample_mask
+    keep = np.ones(ds.raw_variant_ct, bool)
+    chrom = ds.vi.chrom
+    removed = 0
+    raw_idx = np.flatnonzero(smask)
+    for v in np.flatnonzero(ds.variant_mask):
+        c = int(chrom[v])
+        if c in (X_CODE, MT_CODE):
+            continue
+        from ..ops.pairwise import _unpack_np
+
+        codes = _unpack_np(ds.reader.read_packed(int(v), 1))[0][
+            : ds.raw_sample_ct]
+        d_all = codes.astype(np.float64) * 16384.0
+        d_all[codes == 3] = np.nan
+        delta_all = np.zeros(ds.raw_sample_ct)
+        aux = ds.reader.read_dosage(int(v))
+        if aux.dosage_ids is not None and aux.dosage_ids.size:
+            vals = aux.dosage_vals.astype(np.float64)
+            miss = vals == 65535
+            d_all[aux.dosage_ids] = np.where(miss, np.nan, vals)
+        if aux.phasepresent is not None and aux.phasepresent.any():
+            het = codes == 1
+            pp_full = np.zeros(ds.raw_sample_ct, bool)
+            pp_full[np.flatnonzero(het)] = aux.phasepresent[
+                : int(het.sum())]
+            # implicit dphase: +-min(d, 32768-d); phaseinfo 1 = "1|0"
+            pi_full = np.zeros(ds.raw_sample_ct, bool)
+            if aux.phaseinfo is not None:
+                ph_idx = np.flatnonzero(pp_full)
+                pi_full[ph_idx] = aux.phaseinfo[: ph_idx.size]
+            dd = np.where(np.isfinite(d_all), d_all, 0.0)
+            imp = np.minimum(dd, 32768.0 - dd)
+            delta_all = np.where(pp_full, np.where(pi_full, imp, -imp), 0.0)
+        if aux.dphase_ids is not None and aux.dphase_ids.size:
+            delta_all[aux.dphase_ids] = aux.dphase_delta.astype(np.float64)
+        d = d_all[raw_idx]
+        delta = delta_all[raw_idx]
+        fin = np.isfinite(d)
+        d = d[fin]
+        delta = delta[fin]
+        nm = d.size
+        if nm == 0:
+            continue
+        e = 32768.0 - d
+        ssq_x2 = float((d * d).sum() + (e * e).sum()
+                       + 2.0 * (delta * delta).sum())
+        s_alt, s_ref = float(d.sum()), float(e.sum())
+        meansq = s_alt * s_alt + s_ref * s_ref
+        obs = nm * ssq_x2 - meansq
+        exp_ = nm * nm * float(1 << 30) - meansq
+        if exp_ <= 0:
+            continue
+        r2 = obs / exp_
+        if r2 != r2:
+            continue
+        if r2 < min_r2 or r2 > max_r2:
+            keep[v] = False
+            removed += 1
+    ds.variant_mask &= keep
+    log.log(f"--minimac3-r2-filter: {removed} variant"
+            f"{'s' if removed != 1 else ''} removed "
+            f"({ds.variant_ct} remaining).")
+
+
 def info_expr_filter(ds: Dataset, expr_text: str, extract: bool,
                      log: RunLogger) -> None:
     """--extract-if-info / --exclude-if-info: boolean INFO-key expressions

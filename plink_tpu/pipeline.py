@@ -671,6 +671,9 @@ def run_pipeline(cfg: Config) -> int:
             F.extract_exclude_variants(ds, cfg.extract, extract=True, log=log)
         if cfg.extract_intersect:
             F.extract_intersect(ds, cfg.extract_intersect, log)
+        if cfg.minimac3_r2_filter is not None:
+            F.minimac3_r2_filter(ds, cfg.minimac3_r2_filter[0],
+                                 cfg.minimac3_r2_filter[1], log)
         if cfg.mach_r2_filter is not None:
             F.mach_r2_filter(ds, cfg.mach_r2_filter[0],
                              cfg.mach_r2_filter[1], log)

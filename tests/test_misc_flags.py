@@ -191,3 +191,23 @@ def test_mach_r2_filter(tmp_path):
     _tpu(args + ["--out", "t"], str(tmp_path))
     assert (tmp_path / "o.snplist").read_text() == \
         (tmp_path / "t.snplist").read_text()
+
+
+def test_minimac3_r2_filter(tmp_path):
+    """--minimac3-r2-filter on a phased-dosage panel
+    (MultiallelicDiploidMinimac3R2 with (l+r)^2 + (l-r)^2 hap terms,
+    2.0/include/pgenlib_misc.cc:3413)."""
+    from plink_tpu.cli import main
+
+    subprocess.run(
+        [ORACLE, "--dummy", "150", "200", "0.03", "dosage-freq=0.5",
+         "phase-freq=0.5", "--seed", "16", "--out", "p"],
+        cwd=tmp_path, check=True, capture_output=True,
+    )
+    args = ["--pfile", "p", "--minimac3-r2-filter", "0.5", "1.5",
+            "--write-snplist"]
+    subprocess.run([ORACLE] + args + ["--out", "o"], cwd=tmp_path,
+                   check=True, capture_output=True)
+    _tpu(args + ["--out", "t"], str(tmp_path))
+    assert (tmp_path / "o.snplist").read_text() == \
+        (tmp_path / "t.snplist").read_text()
