@@ -276,6 +276,8 @@ class Config:
     # 1.9 --dosage
     dosage: tuple | None = None
     fam: str | None = None
+    psam: str | None = None
+    import_dosage: tuple | None = None
     map: str | None = None
     epi1: float | None = None
     epi2: float | None = None
@@ -845,6 +847,10 @@ def parse_args(argv: list[str]) -> Config:
             cfg.dosage = tuple(args)
         elif name == "fam":
             cfg.fam = args[0]
+        elif name == "psam":
+            cfg.psam = args[0]
+        elif name == "import_dosage":
+            cfg.import_dosage = tuple(args)
         elif name == "map":
             cfg.map = args[0]
         elif name == "set":

@@ -39,6 +39,8 @@ def _load(cfg: Config, log: RunLogger) -> Dataset:
         return _import_eig(cfg, log)
     if cfg.bcf:
         return _import_bcf(cfg, log)
+    if cfg.import_dosage:
+        return _import_dosage_file(cfg, log)
     if cfg.dummy:
         return _generate_dummy(cfg, log)
     raise ValueError(
@@ -307,6 +309,173 @@ def _import_tped(cfg: Config, log: RunLogger) -> Dataset:
     write_psam(tmp + ".psam", si)
     log.log(f"--tped: {vi.variant_ct} variants, {si.sample_ct} samples "
             f"imported from {cfg.tped}.")
+    return load_dataset(tmp)
+
+
+def _import_dosage_file(cfg: Config, log: RunLogger) -> Dataset:
+    """--import-dosage: PLINK 1.x-style allele dosage file -> pgen with a
+    dosage track (ref Plink1DosageToPgen, 2.0/plink2_import.cc; file
+    grammar shared with 1.9 --dosage: header 'SNP A1 A2' + FID/IID pairs,
+    format=1/2/3, skip0/1/2, dose1, noheader)."""
+    import gzip
+
+    from .io.pgen_write import PgenWriter
+    from .io.psam import read_psam, write_psam
+    from .io.pvar import VariantInfo, write_pvar
+    from .utils.chrom import ChrInfo
+
+    args = cfg.import_dosage
+    path = args[0]
+    mods = args[1:]
+    fmt = 2
+    skip0 = skip1 = skip2 = 0
+    noheader = dose1 = False
+    ref_first = False
+    single_chr = None
+    chr_col = pos_col = None
+    id_delim = None
+    for m in mods:
+        if m.startswith("format="):
+            fmt = int(m.split("=")[1])
+        elif m.startswith("skip0="):
+            skip0 = int(m.split("=")[1])
+        elif m.startswith("skip1="):
+            skip1 = int(m.split("=")[1])
+        elif m.startswith("skip2="):
+            skip2 = int(m.split("=")[1])
+        elif m == "noheader":
+            noheader = True
+        elif m == "dose1":
+            dose1 = True
+        elif m == "ref-first":
+            ref_first = True
+        elif m == "ref-last":
+            ref_first = False
+        elif m.startswith("single-chr="):
+            single_chr = m.split("=")[1]
+        elif m.startswith("chr-col-num="):
+            chr_col = int(m.split("=")[1]) - 1
+        elif m.startswith("pos-col-num="):
+            pos_col = int(m.split("=")[1]) - 1
+        elif m.startswith("id-delim="):
+            id_delim = m.split("=")[1]
+        else:
+            raise FlagError(f"--import-dosage: unknown modifier '{m}'.")
+    psam_path = cfg.psam or cfg.fam
+    if not psam_path:
+        raise FlagError("--import-dosage requires --psam/--fam.")
+    si = read_psam(psam_path)
+    n = si.sample_ct
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        lines = [l.split() for l in f if l.strip()]
+    vals_per = {1: 1, 2: 2, 3: 3}[fmt]
+    id0 = skip0 + skip1 + skip2 + 3
+    if noheader:
+        order = list(range(n))
+        body = lines
+    else:
+        hdr = lines[0]
+        ids = hdr[id0:]
+        if id_delim:
+            pairs = [tuple(x.split(id_delim, 1)) for x in ids]
+        else:
+            pairs = [(ids[2 * k], ids[2 * k + 1])
+                     for k in range(len(ids) // 2)]
+        by_id = {(str(si.fid[i]), str(si.iid[i])): i for i in range(n)}
+        by_iid = {str(si.iid[i]): i for i in range(n)}
+        order = []
+        for fid_, iid_ in pairs:
+            i = by_id.get((fid_, iid_), by_iid.get(iid_, -1))
+            order.append(i)
+        body = lines[1:]
+
+    # optional .map for variant metadata
+    map_meta = {}
+    if cfg.map:
+        with open(cfg.map) as f:
+            for ln in f:
+                t = ln.split()
+                if len(t) >= 4:
+                    map_meta[t[1]] = (t[0], int(t[3]))
+    ci = ChrInfo()
+    chroms, poss, vids, refs, alts = [], [], [], [], []
+    rows = []
+    dos_rows = []
+    hc_halfdist = 8192 - (cfg.hard_call_thresh
+                          if cfg.hard_call_thresh is not None
+                          else 16384 // 10)
+    for t in body:
+        vid, a1, a2 = t[skip0], t[skip0 + skip1 + 1], t[skip0 + skip1 + 2]
+        toks = t[id0:]
+        d = np.full(n, np.nan)
+        for k, i in enumerate(order):
+            if i < 0:
+                continue
+            chunk = toks[k * vals_per : (k + 1) * vals_per]
+            if len(chunk) < vals_per:
+                continue
+            try:
+                vv = [float(x) for x in chunk]
+            except ValueError:
+                continue
+            if fmt == 1:
+                dd = vv[0] * (2.0 if dose1 else 1.0)
+            elif fmt == 2:
+                dd = 2.0 * vv[0] + vv[1]
+            else:
+                dd = 2.0 * vv[0] + vv[1]
+            if 0.0 <= dd <= 2.0:
+                d[i] = dd
+        # A1 dosage -> ALT dosage (A1 = ALT under default ref-last)
+        alt_d = d if not ref_first else d
+        if ref_first:
+            ref, alt = a1, a2
+            alt_d = 2.0 - d
+        else:
+            ref, alt = a2, a1
+        dint = np.round(alt_d * 16384.0)
+        fin = np.isfinite(dint)
+        dint_i = dint[fin].astype(np.int64)
+        halfdist = np.abs((dint_i & 16383) - 8192)
+        g = np.full(n, 3, np.uint8)
+        g[np.flatnonzero(fin)] = np.where(
+            halfdist < hc_halfdist, 3, (dint_i + 8192) >> 14
+        ).astype(np.uint8)
+        store = halfdist < 8192
+        dids = np.flatnonzero(fin)[store].astype(np.uint32)
+        dvals = dint_i[store].astype("<u2")
+        rows.append(g)
+        dos_rows.append((dids, dvals))
+        if vid in map_meta:
+            ch, pos = map_meta[vid]
+        else:
+            ch = single_chr if single_chr is not None else (
+                t[chr_col] if chr_col is not None else "0")
+            pos = int(t[pos_col]) if pos_col is not None else 0
+        chroms.append(ci.code(str(ch)))
+        poss.append(pos)
+        vids.append(vid)
+        refs.append(ref)
+        alts.append(alt)
+
+    vi = VariantInfo(
+        chrom=np.array(chroms, np.int16), pos=np.array(poss, np.int32),
+        vid=np.array(vids, dtype=object), ref=np.array(refs, dtype=object),
+        alt=np.array(alts, dtype=object), chr_info=ci,
+    )
+    tmp = cfg.out + "-temporary"
+    with PgenWriter(tmp + ".pgen", n, vi.variant_ct,
+                    with_dosage=True) as w:
+        for g, (dids, dvals) in zip(rows, dos_rows):
+            w.append_codes_with_dosage(g, dids, dvals)
+    write_pvar(tmp + ".pvar", vi)
+    write_psam(tmp + ".psam", si)
+    log.log(
+        f"--import-dosage: {vi.variant_ct} variants, {n} samples imported "
+        f"from {path}."
+    )
     return load_dataset(tmp)
 
 
