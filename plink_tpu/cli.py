@@ -105,6 +105,7 @@ class Config:
     # commands
     freq: bool = False
     freq_counts: bool = False
+    freq_cols: str | None = None
     freq_zs: bool = False
     missing: bool = False
     missing_zs: bool = False
@@ -535,6 +536,9 @@ def parse_args(argv: list[str]) -> Config:
             cfg.freq = True
             cfg.freq_counts = "counts" in args
             cfg.freq_zs = "zs" in args
+            for a in args:
+                if a.startswith("cols="):
+                    cfg.freq_cols = a[5:]
         elif name == "missing":
             cfg.missing = True
             cfg.missing_zs = "zs" in args

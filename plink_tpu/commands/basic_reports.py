@@ -169,42 +169,266 @@ def ma_alt_counts(ds: Dataset, v: int, alt_total: float,
     return cts
 
 
+def _cts_str(x: float) -> str:
+    """Dosage-count rendering on the 1/32768 grid: shortest decimal that
+    round-trips to the same grid point, else 5 decimals with banker
+    rounding (ddosagetoa_full + PrintDdosageDecimal,
+    2.0/plink2_common.cc:234-273)."""
+    total = int(round(x * 32768.0))
+    ip, rem = divmod(total, 32768)
+    if rem == 0:
+        return str(ip)
+    range_top = rem * 1250 + 625  # (rem*2 in 65536ths) scaled to 40960k
+    if (range_top % 4096) < 1250:
+        fd = range_top // 4096
+        s = f"{fd:04d}".rstrip("0")
+        return f"{ip}.{s}"
+    five = (3125 * rem + 512) // 1024 - (1 if (rem % 2048) == 512 else 0)
+    first, last4 = divmod(five, 10000)
+    s = str(first)
+    if last4:
+        s += f"{last4:04d}".rstrip("0")
+    return f"{ip}.{s}"
+
+
+_FREQ_COL_ORDER = [
+    "chrom", "pos", "ref", "alt1", "alt", "maybeprovref", "provref",
+    "reffreq", "alt1freq", "altfreq", "freq", "eq", "eqz", "alteq",
+    "alteqz", "numeq", "altnumeq", "machr2", "minimac3r2", "nobs",
+]
+_FREQ_DEFAULT = {"chrom", "ref", "alt", "maybeprovref", "altfreq", "nobs"}
+_FREQ_EXCLUSIVE = {"altfreq", "freq", "eq", "eqz", "alteq", "alteqz",
+                   "numeq", "altnumeq"}
+
+
+def _parse_colset(spec: str | None, order: list, default: set,
+                  flagname: str) -> list:
+    """plink2 column-set descriptor: 'cols=+a,-b' modifies the default,
+    'cols=a,b,c' replaces it; output order is canonical."""
+    cols = set(default)
+    if spec:
+        toks = spec.split(",")
+        if toks and toks[0][:1] in "+-":
+            for t in toks:
+                if t.startswith("+"):
+                    cols.add(t[1:])
+                elif t.startswith("-"):
+                    cols.discard(t[1:])
+                else:
+                    raise ValueError(
+                        f"{flagname}: mixed modify/replace cols= spec")
+        else:
+            cols = set(toks)
+        unknown = cols - set(order)
+        if unknown:
+            raise ValueError(
+                f"{flagname}: unrecognized column id(s) "
+                f"{sorted(unknown)}")
+    return [c for c in order if c in cols]
+
+
 def write_freq(ds: Dataset, out_prefix: str, log: RunLogger,
-               founders_only: bool = True, zs: bool = False) -> str:
-    """--freq -> <out>.afreq[.zst]."""
+               founders_only: bool = True, zs: bool = False,
+               counts: bool = False, cols: str | None = None) -> str:
+    """--freq ['counts'] ['cols='...] -> <out>.afreq/.acount[.zst]."""
     alt, obs = allele_counts_and_obs(ds, founders_only)
     if ds.has_dosage:
         for v, (a_, o_) in dosage_counts_and_obs(ds, founders_only).items():
             alt[v], obs[v] = a_, o_
-    path = out_prefix + ".afreq"
+    sel = _parse_colset(cols, _FREQ_COL_ORDER, _FREQ_DEFAULT, "--freq")
+    if len([c for c in sel if c in _FREQ_EXCLUSIVE]) > 1:
+        raise ValueError(
+            "--freq: altfreq/freq/eq/eqz/alteq/alteqz/numeq/altnumeq "
+            "column sets are mutually exclusive.")
+    need_machr2 = "machr2" in sel or "minimac3r2" in sel
+    path = out_prefix + (".acount" if counts else ".afreq")
     ci = ds.vi.chr_info
     prov_hdr, prov_fn = _provref_strs(ds)
+    want_prov = "provref" in sel or ("maybeprovref" in sel and prov_hdr)
+    hdr_of = {
+        "chrom": "#CHROM", "pos": "POS", "ref": "REF", "alt1": "ALT1",
+        "alt": "ALT", "maybeprovref": "PROVISIONAL_REF?",
+        "provref": "PROVISIONAL_REF?",
+        "reffreq": "REF_CT" if counts else "REF_FREQ",
+        "alt1freq": "ALT1_CT" if counts else "ALT1_FREQ",
+        "altfreq": "ALT_CTS" if counts else "ALT_FREQS",
+        "freq": "CTS" if counts else "FREQS",
+        "eq": "CTS" if counts else "FREQS",
+        "eqz": "CTS" if counts else "FREQS",
+        "alteq": "ALT_CTS" if counts else "ALT_FREQS",
+        "alteqz": "ALT_CTS" if counts else "ALT_FREQS",
+        "numeq": "NUM_CTS" if counts else "NUM_FREQS",
+        "altnumeq": "NUM_CTS" if counts else "NUM_FREQS",
+        "machr2": "MACH_R2", "minimac3r2": "MINIMAC3_R2",
+        "nobs": "OBS_CT",
+    }
     from ..io.compress import open_out
 
     fh, path = open_out(path, zs)
+    fmt = _cts_str if counts else g6
     with fh:
-        fh.write(f"#CHROM\tID\tREF\tALT{prov_hdr}\tALT_FREQS\tOBS_CT\n")
+        hdr_cols = []
+        first = True
+        for c in sel:
+            if c == "maybeprovref" and not prov_hdr:
+                continue
+            h = hdr_of[c]
+            if first and c != "chrom":
+                hdr_cols.append("#" + h if not h.startswith("#") else h)
+            else:
+                hdr_cols.append(h)
+            if c in ("chrom", "pos"):
+                pass
+            first = False
+        # ID always present, after chrom/pos
+        id_pos = sum(1 for c in sel if c in ("chrom", "pos"))
+        hdr_cols.insert(id_pos, "ID")
+        if not sel or sel[0] not in ("chrom", "pos"):
+            hdr_cols[0] = "#" + hdr_cols[0].lstrip("#")
+        fh.write("\t".join(hdr_cols) + "\n")
         ma = ds.multiallelic_mask()
         smask_f = ds.sample_mask & (
             ds.founder_mask if founders_only else True
         )
+        vi = ds.vi
         for i in np.flatnonzero(ds.variant_mask):
+            alt_cts = None
             if ma[i]:
-                cts = ma_alt_counts(ds, int(i), alt[i], smask_f)
-                with np.errstate(invalid="ignore"):
-                    frs = cts / obs[i] if obs[i] > 0 else np.full(
-                        len(cts), np.nan)
-                fr_str = ",".join(g6(x) for x in frs)
-            else:
-                fr = alt[i] / obs[i] if obs[i] > 0 else np.nan
-                fr_str = g6(fr)
-            fh.write(
-                f"{ci.name(int(ds.vi.chrom[i]))}\t{ds.vi.vid[i]}\t{ds.vi.ref[i]}\t{ds.vi.alt[i]}"
-                f"{prov_fn(i)}\t{fr_str}\t{int(obs[i])}\n"
-            )
-    log.log(f"--freq: Allele frequencies ({'founders' if founders_only else 'all samples'}) "
+                alt_cts = ma_alt_counts(ds, int(i), alt[i], smask_f)
+            o = float(obs[i])
+            a = float(alt[i])
+            r = o - a
+            vals = []
+            for c in sel:
+                if c == "chrom":
+                    vals.append(ci.name(int(vi.chrom[i])))
+                elif c == "pos":
+                    vals.append(str(int(vi.pos[i])))
+                elif c == "ref":
+                    vals.append(str(vi.ref[i]))
+                elif c == "alt1":
+                    vals.append(str(vi.alt1()[i]) if ma[i]
+                                else str(vi.alt[i]))
+                elif c == "alt":
+                    vals.append(str(vi.alt[i]))
+                elif c in ("maybeprovref", "provref"):
+                    if c == "maybeprovref" and not prov_hdr:
+                        continue
+                    vals.append(prov_fn(i).lstrip("\t") or "N")
+                elif c == "nobs":
+                    vals.append(str(int(o)))
+                elif c in ("machr2", "minimac3r2"):
+                    vals.append(_freq_machr2_str(ds, int(i), smask_f,
+                                                 c == "machr2"))
+                else:
+                    vals.append(_freq_val_str(
+                        c, a, r, o, alt_cts, vi, int(i), counts, fmt))
+            vals.insert(id_pos, str(vi.vid[i]))
+            fh.write("\t".join(vals) + "\n")
+    log.log(f"--freq: Allele frequencies "
+            f"({'founders' if founders_only else 'all samples'}) "
             f"written to {path} .")
     return path
+
+
+def _freq_val_str(c, a, r, o, alt_cts, vi, i, counts, fmt):
+    """One frequency/count cell for column id c."""
+    import numpy as _np
+
+    def val(x):
+        if counts:
+            return fmt(x)
+        return g6(x / o) if o > 0 else "NA"
+
+    if alt_cts is not None:
+        alts = [float(x) for x in alt_cts]
+    else:
+        alts = [a]
+    alt_names = str(vi.alt[i]).split(",")
+    if c == "reffreq":
+        return val(r)
+    if c == "alt1freq":
+        return val(alts[0])
+    if c == "altfreq":
+        return ",".join(val(x) for x in alts)
+    if c == "freq":
+        return ",".join(val(x) for x in [r] + alts)
+    if c in ("eq", "eqz", "alteq", "alteqz"):
+        pairs = []
+        if c in ("eq", "eqz"):
+            pairs.append((str(vi.ref[i]), r))
+        for nm_, x in zip(alt_names, alts):
+            pairs.append((nm_, x))
+        if c in ("eq", "alteq"):
+            pairs = [(nm_, x) for nm_, x in pairs if x != 0]
+        if not pairs:
+            return "."
+        return ",".join(f"{nm_}={val(x)}" for nm_, x in pairs)
+    if c in ("numeq", "altnumeq"):
+        pairs = [(0, r)] if c == "numeq" else []
+        pairs += [(k + 1, x) for k, x in enumerate(alts)]
+        pairs = [(k, x) for k, x in pairs if x != 0]
+        if not pairs:
+            return "."
+        return ",".join(f"{k}={val(x)}" for k, x in pairs)
+    raise ValueError(c)
+
+
+def _freq_machr2_str(ds, v, smask, unphased):
+    """MACH_R2 / MINIMAC3_R2 freq column (see filters.mach_r2_filter)."""
+    from ..utils.chrom import MT_CODE, X_CODE
+
+    if int(ds.vi.chrom[v]) in (X_CODE, MT_CODE):
+        return "NA"
+    from ..ops.pairwise import _unpack_np
+
+    codes = _unpack_np(ds.reader.read_packed(v, 1))[0][: ds.raw_sample_ct]
+    d_all = codes.astype(np.float64) * 16384.0
+    d_all[codes == 3] = np.nan
+    delta_all = np.zeros(ds.raw_sample_ct)
+    if ds.has_dosage:
+        aux = ds.reader.read_dosage(v)
+        if aux.dosage_ids is not None and aux.dosage_ids.size:
+            vals = aux.dosage_vals.astype(np.float64)
+            d_all[aux.dosage_ids] = np.where(vals == 65535, np.nan, vals)
+        if not unphased:
+            if aux.phasepresent is not None and aux.phasepresent.any():
+                het = codes == 1
+                pp_full = np.zeros(ds.raw_sample_ct, bool)
+                pp_full[np.flatnonzero(het)] = aux.phasepresent[
+                    : int(het.sum())]
+                pi_full = np.zeros(ds.raw_sample_ct, bool)
+                if aux.phaseinfo is not None:
+                    ph_idx = np.flatnonzero(pp_full)
+                    pi_full[ph_idx] = aux.phaseinfo[: ph_idx.size]
+                dd = np.where(np.isfinite(d_all), d_all, 0.0)
+                imp = np.minimum(dd, 32768.0 - dd)
+                delta_all = np.where(
+                    pp_full, np.where(pi_full, imp, -imp), 0.0)
+            if aux.dphase_ids is not None and aux.dphase_ids.size:
+                delta_all[aux.dphase_ids] = aux.dphase_delta.astype(
+                    np.float64)
+    d = d_all[smask]
+    delta = delta_all[smask]
+    fin = np.isfinite(d)
+    d = d[fin]
+    delta = delta[fin]
+    nm = d.size
+    if nm == 0:
+        return "NA"
+    e = 32768.0 - d
+    extra = 2.0 * (delta * delta).sum() if not unphased else 0.0
+    ssq_x2 = float((d * d).sum() + (e * e).sum() + extra)
+    s_alt, s_ref = float(d.sum()), float(e.sum())
+    meansq = s_alt * s_alt + s_ref * s_ref
+    obs_v = nm * ssq_x2 - meansq
+    exp_v = nm * nm * float(1 << 30) - meansq
+    if exp_v <= 0:
+        return "NA"
+    r2 = obs_v / exp_v * (2.0 if unphased else 1.0)
+    if r2 != r2:
+        return "NA"
+    return g6(r2)
 
 
 def write_missing(

@@ -920,7 +920,8 @@ def run_pipeline(cfg: Config) -> int:
 
         if cfg.freq:
             R.write_freq(ds, cfg.out, log, founders_only=not cfg.nonfounders,
-                         zs=cfg.freq_zs)
+                         zs=cfg.freq_zs, counts=cfg.freq_counts,
+                         cols=cfg.freq_cols)
         if cfg.geno_counts:
             R.write_geno_counts(ds, cfg.out, log, zs=cfg.geno_counts_zs)
         if cfg.missing:

@@ -211,3 +211,30 @@ def test_minimac3_r2_filter(tmp_path):
     _tpu(args + ["--out", "t"], str(tmp_path))
     assert (tmp_path / "o.snplist").read_text() == \
         (tmp_path / "t.snplist").read_text()
+
+
+@pytest.mark.parametrize("spec", [
+    [], ["counts"], ["cols=+machr2"], ["cols=+minimac3r2"],
+    ["counts", "cols=chrom,ref,alt1,reffreq,alt1freq,nobs"],
+    ["cols=chrom,pos,ref,alt1,reffreq,alt1freq,freq,machr2,nobs"],
+    ["cols=chrom,eq,nobs"], ["counts", "cols=chrom,eq,nobs"],
+    ["cols=chrom,numeq,nobs"], ["cols=chrom,alteq,nobs"],
+])
+def test_freq_cols(tmp_path, spec):
+    """--freq cols= column sets + counts mode (headers/values per
+    2.0/plink2_misc.cc WriteAlleleFreqs; count rendering via the
+    shortest-roundtrip PrintDdosageDecimal, 2.0/plink2_common.cc:234)."""
+    from plink_tpu.cli import main
+
+    subprocess.run(
+        [ORACLE, "--dummy", "150", "100", "0.03", "dosage-freq=0.5",
+         "phase-freq=0.4", "--seed", "16", "--out", "p"],
+        cwd=tmp_path, check=True, capture_output=True,
+    )
+    args = ["--pfile", "p", "--freq"] + spec
+    subprocess.run([ORACLE] + args + ["--out", "o"], cwd=tmp_path,
+                   check=True, capture_output=True)
+    _tpu(args + ["--out", "t"], str(tmp_path))
+    ext = "acount" if "counts" in spec else "afreq"
+    assert (tmp_path / f"o.{ext}").read_text() == \
+        (tmp_path / f"t.{ext}").read_text()
