@@ -212,6 +212,8 @@ class Config:
     homozyg_window_het: int | None = None
     homozyg_window_missing: int | None = None
     homozyg_window_threshold: float | None = None
+    homozyg_match: float | None = None
+    pool_size: int | None = None
     fast_epistasis: tuple | None = None
     epistasis: tuple | None = None
     vif: float | None = None
@@ -668,6 +670,10 @@ def parse_args(argv: list[str]) -> Config:
             cfg.homozyg_window_missing = int(args[0])
         elif name == "homozyg_window_threshold":
             cfg.homozyg_window_threshold = float(args[0])
+        elif name == "homozyg_match":
+            cfg.homozyg_match = float(args[0])
+        elif name == "pool_size":
+            cfg.pool_size = int(args[0])
         elif name == "fast_epistasis":
             cfg.fast_epistasis = tuple(args)
         elif name == "epistasis":

@@ -59,16 +59,51 @@ class HomozygParams:
         self.hit_threshold = 0.05
         self.extend = False
         self.old_lengths = False
+        self.group = False
+        self.group_verbose = False
+        self.consensus_match = False
+        self.pool_size_min = 2
+        self.overlap_min = 0.95
         mods = cfg.homozyg or ()
         for m in mods:
             if m == "extend":
                 self.extend = True
             elif m == "subtract-1-from-lengths":
                 self.old_lengths = True
-            elif m in ("group", "group-verbose", "consensus-match"):
-                raise FlagError(f"--homozyg '{m}' is not implemented yet.")
+            elif m == "group":
+                if self.group_verbose:
+                    raise FlagError(
+                        "--homozyg 'group' and 'group-verbose' modifiers "
+                        "cannot be used together.")
+                self.group = True
+            elif m == "group-verbose":
+                if self.group:
+                    raise FlagError(
+                        "--homozyg 'group' and 'group-verbose' modifiers "
+                        "cannot be used together.")
+                self.group_verbose = True
+            elif m == "consensus-match":
+                self.consensus_match = True
             else:
                 raise FlagError(f"Invalid --homozyg parameter '{m}'.")
+        if getattr(cfg, "homozyg_match", None) is not None:
+            # --homozyg-match implies group mode (1.9/plink.c:10037)
+            if not 0.0 < cfg.homozyg_match <= 1.0:
+                raise FlagError(
+                    f"Invalid --homozyg-match parameter "
+                    f"'{cfg.homozyg_match}'.")
+            self.overlap_min = cfg.homozyg_match
+            if not (self.group or self.group_verbose):
+                self.group = True
+        if getattr(cfg, "pool_size", None) is not None:
+            if not (self.group or self.group_verbose):
+                raise FlagError(
+                    "--pool-size must be used with --homozyg "
+                    "group{-verbose}.")
+            if cfg.pool_size < 2:
+                raise FlagError(
+                    f"Invalid --pool-size parameter '{cfg.pool_size}'.")
+            self.pool_size_min = cfg.pool_size
         if cfg.homozyg_snp is not None:
             if cfg.homozyg_snp < 2:
                 raise FlagError(
@@ -510,6 +545,7 @@ def _write_reports(ds, cfg, hp, runs, entries, inc_s, log):
     for run_i, q, s, ent, vidx_c in entries:
         by_run.setdefault(run_i, []).append((s, ent, vidx_c))
     sum_path = cfg.out + ".hom.summary"
+    max_pool_size = 0
     with open(sum_path, "w") as fo:
         fo.write(f" CHR {'SNP':>{maxsnp}}           BP      AFF    UNAFF\n")
         for run_i, (code, lo, hi) in enumerate(runs):
@@ -530,8 +566,21 @@ def _write_reports(ds, cfg, hp, runs, entries, inc_s, log):
                 u = lo + k2
                 if not ds.variant_mask[u]:
                     continue
+                tot = int(aff[k2]) + int(un[k2])
+                if tot > max_pool_size:
+                    max_pool_size = tot
                 fo.write(
                     f"{nm4} {vi.vid[u]:>{maxsnp}}   {vi.pos[u]:>10} "
                     f"{aff[k2]:>8} {un[k2]:>8}\n")
     log.log(
         f"Results saved to {hom_path} + {ind_path} + {sum_path} .")
+    if hp.group or hp.group_verbose:
+        if max_pool_size > 65536:
+            raise FlagError(
+                "--homozyg group{-verbose} does not support more than "
+                "65536 overlapping ROH at a single marker.")
+        from .homozyg_pool import write_pool_reports
+
+        write_pool_reports(ds, cfg, hp, runs, entries, inc_s,
+                           max_pool_size, log, fid, iid, maxfid, maxiid,
+                           maxsnp, nm, is_case, qt)

@@ -1113,7 +1113,7 @@ def run_pipeline(cfg: Config) -> int:
                     "homozyg_snp", "homozyg_kb", "homozyg_density",
                     "homozyg_gap", "homozyg_het", "homozyg_window_snp",
                     "homozyg_window_het", "homozyg_window_missing",
-                    "homozyg_window_threshold")):
+                    "homozyg_window_threshold", "homozyg_match")):
             from .commands.homozyg import run_homozyg
 
             run_homozyg(ds, cfg, log)

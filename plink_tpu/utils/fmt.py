@@ -448,3 +448,148 @@ def dtoa_f_w9p6_clipped(x: float) -> str:
     if t.endswith("."):
         t = t[:-1]
     return t
+
+
+def _g_wxp_generic(x: float, width: int, mant: str, band: tuple,
+                   sig: int) -> str:
+    """Shared body of 1.9's dtoa_g_wxp{2,8} (plink_common.c:2893,3244):
+    <sig>-significant-figure shortest form, right-aligned.  `mant` is the
+    threshold mantissa literal (e.g. "9.9999999499999" for 8 sig figs),
+    `band` the banker-rounding half-widths used throughout that variant
+    (banker_round6 for wxp8, banker_round12 for wxp2)."""
+    def t(e):
+        return float(f"{mant}e{e}")
+
+    if x != x:
+        return "nan".rjust(width)
+    neg = x < 0
+    ax = -x if neg else x
+
+    def qr(v, dec):
+        # double_broundN(v, band): integer part + dec rounded decimals
+        q = int(v)
+        r = int((v - q) * 10.0 ** dec + band[q & 1])
+        return q, r
+
+    def qr_str(q, r, dec):
+        if not r:
+            return str(q)
+        return f"{q}.{r:0{dec}d}".rstrip("0")
+
+    if ax < t(-5):
+        if ax == 0.0:
+            return "0".rjust(width)
+        xp10 = 0
+        if ax < t(-16):
+            if ax < t(-128):
+                if ax < t(-256):
+                    ax *= 1.0e256
+                    xp10 |= 256
+                else:
+                    ax *= 1.0e128
+                    xp10 |= 128
+            if ax < t(-64):
+                ax *= 1.0e64
+                xp10 |= 64
+            if ax < t(-32):
+                ax *= 1.0e32
+                xp10 |= 32
+            if ax < t(-16):
+                ax *= 1.0e16
+                xp10 |= 16
+        if ax < t(-8):
+            ax *= 1e8
+            xp10 |= 8
+        if ax < t(-4):
+            ax *= 1e4
+            xp10 |= 4
+        if ax < t(-2):
+            ax *= 1e2
+            xp10 |= 2
+        if ax < t(-1):
+            ax *= 10.0
+            xp10 += 1
+        q, r = qr(ax, sig - 1)
+        s = qr_str(q, r, sig - 1)
+        exp = (f"e-{xp10 // 100}{xp10 % 100:02d}" if xp10 >= 100
+               else f"e-{xp10:02d}")
+        return (("-" if neg else "") + s + exp).rjust(width)
+    if ax >= t(sig - 1):
+        # large: exponential once past 10^sig - rounding slack
+        xp10 = 0
+        if ax >= t(15):
+            if ax >= t(127):
+                if ax == float("inf"):
+                    return ("-inf" if neg else "inf").rjust(width)
+                if ax >= t(255):
+                    ax *= 1.0e-256
+                    xp10 |= 256
+                else:
+                    ax *= 1.0e-128
+                    xp10 |= 128
+            if ax >= t(63):
+                ax *= 1.0e-64
+                xp10 |= 64
+            if ax >= t(31):
+                ax *= 1.0e-32
+                xp10 |= 32
+            if ax >= t(15):
+                ax *= 1.0e-16
+                xp10 |= 16
+        if ax >= t(7):
+            ax *= 1.0e-8
+            xp10 |= 8
+        if ax >= t(3):
+            ax *= 1.0e-4
+            xp10 |= 4
+        if ax >= t(1):
+            ax *= 1.0e-2
+            xp10 |= 2
+        if ax >= t(0):
+            ax *= 1.0e-1
+            xp10 += 1
+        q, r = qr(ax, sig - 1)
+        s = qr_str(q, r, sig - 1)
+        exp = (f"e+{xp10 // 100}{xp10 % 100:02d}" if xp10 >= 100
+               else f"e+{xp10:02d}")
+        return (("-" if neg else "") + s + exp).rjust(width)
+    if ax >= t(-1):
+        # dtoa_soN fixed notation, 1..sig integer digits
+        k = 0
+        while k < sig - 1 and ax >= t(k):
+            k += 1
+        dec = sig - 1 - k
+        if dec == 0:
+            q = int(ax)
+            q += int((ax - q) + band[q & 1])
+            s = str(q)
+        else:
+            q, r = qr(ax, dec)
+            s = qr_str(q, r, dec)
+        return (("-" if neg else "") + s).rjust(width)
+    prefix = "0."
+    if ax < t(-3):
+        ax *= 100.0
+        prefix += "00"
+    if ax < t(-2):
+        ax *= 10.0
+        prefix += "0"
+    v = ax * 10.0 ** sig
+    q = int(v)
+    r = q + int((v - q) + band[q & 1])
+    s = prefix + f"{r:0{sig}d}".rstrip("0")
+    return (("-" if neg else "") + s).rjust(width)
+
+
+def dtoa_g_wxp8(x: float, width: int) -> str:
+    """1.9 dtoa_g_wxp8 (plink_common.c:3244): 8-sig-fig shortest form
+    with banker_round6, right-aligned to `width`."""
+    return _g_wxp_generic(x, width, "9.9999999499999",
+                          (0.4999995, 0.5000005), 8)
+
+
+def dtoa_g_wxp2(x: float, width: int) -> str:
+    """1.9 dtoa_g_wxp2 (plink_common.c:2893): 2-sig-fig shortest form
+    with banker_round12, right-aligned to `width`."""
+    return _g_wxp_generic(x, width, "9.9499999999999",
+                          (0.4999999999995, 0.5000000000005), 2)

@@ -147,3 +147,55 @@ def test_homozyg_sample_filter(roh_panel):
     for ext in ("hom", "hom.indiv", "hom.summary"):
         assert (d / f"ok81.{ext}").read_bytes() == \
             (d / f"tk81.{ext}").read_bytes(), ext
+
+
+GROUP_CASES = [
+    ("grp", ["group"], ["--homozyg-snp", "30", "--homozyg-kb", "50"]),
+    ("grp-pool3", ["group"],
+     ["--homozyg-snp", "30", "--homozyg-kb", "50", "--pool-size", "3"]),
+    ("grp-match", ["group"],
+     ["--homozyg-snp", "30", "--homozyg-kb", "50",
+      "--homozyg-match", "0.99"]),
+    ("grp-con", ["group", "consensus-match"],
+     ["--homozyg-snp", "30", "--homozyg-kb", "50"]),
+    ("grp-ext", ["group", "extend"],
+     ["--homozyg-snp", "30", "--homozyg-kb", "50"]),
+    ("grp-win", ["group"],
+     ["--homozyg-window-snp", "20", "--homozyg-window-het", "2",
+      "--homozyg-window-missing", "3", "--homozyg-window-threshold",
+      "0.1", "--homozyg-snp", "25", "--homozyg-kb", "20"]),
+]
+
+
+@pytest.mark.parametrize("tag,mods,extra", GROUP_CASES,
+                         ids=[c[0] for c in GROUP_CASES])
+def test_homozyg_group(roh_panel, tag, mods, extra):
+    d = roh_panel
+    run19(["--bfile", "syn", "--homozyg"] + mods + extra
+          + ["--out", f"og_{tag}"], str(d))
+    run_tpu(["--bfile", "syn", "--homozyg"] + mods + extra
+            + ["--out", f"tg_{tag}", "--silent"], str(d))
+    for ext in ("hom", "hom.overlap"):
+        assert (d / f"og_{tag}.{ext}").read_bytes() == \
+            (d / f"tg_{tag}.{ext}").read_bytes(), (tag, ext)
+
+
+def test_homozyg_group_verbose(roh_panel):
+    d = roh_panel
+    extra = ["--homozyg-snp", "30", "--homozyg-kb", "50"]
+    run19(["--bfile", "syn", "--homozyg", "group-verbose"] + extra
+          + ["--out", "ogv"], str(d))
+    run_tpu(["--bfile", "syn", "--homozyg", "group-verbose"] + extra
+            + ["--out", "tgv", "--silent"], str(d))
+    assert (d / "ogv.hom.overlap").read_bytes() == \
+        (d / "tgv.hom.overlap").read_bytes()
+    import glob
+
+    o_files = sorted(glob.glob(str(d / "ogv.hom.overlap.S*.verbose")))
+    t_files = sorted(glob.glob(str(d / "tgv.hom.overlap.S*.verbose")))
+    assert len(o_files) > 0
+    assert [os.path.basename(p)[4:] for p in o_files] == \
+        [os.path.basename(p)[4:] for p in t_files]
+    for op, tp in zip(o_files, t_files):
+        with open(op, "rb") as fo, open(tp, "rb") as ft:
+            assert fo.read() == ft.read(), os.path.basename(op)
