@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..utils.fmt import dtoa_g_wxp2, dtoa_g_wxp8
+from ..utils.fmt import dtoa_g_wxp2, dtoa_g_wxp4, dtoa_g_wxp8
 from .assoc19 import _g4 as dtoa_g_wxp4
 
 CONSUMED = 0xFFFFFFFF
@@ -235,7 +235,9 @@ def write_pool_reports(ds, cfg, hp, runs, entries, inc_s, max_pool_size,
         alt1 = vi.alt1()
         ref = vi.ref
 
-    missing8 = "-9.000".rjust(8)
+    # roh_pool rebuilds missing_pheno_str as dtoa_g_wxp4(missing_pheno, 8)
+    # (plink_homozyg.c:2724-2728), NOT the ".000"-padded main-report form
+    missing8 = dtoa_g_wxp4(-9.0, 8)
 
     def phe8(s):
         if not nm[s]:
@@ -302,7 +304,7 @@ def write_pool_reports(ds, cfg, hp, runs, entries, inc_s, max_pool_size,
                     f"{pid}{fid[s]:>{maxfid}} {iid[s]:>{maxiid}} "
                     f"{phe8(s)} {chr4}"
                     f"{_middle(vi.vid, vi.pos, maxsnp, is_new, u1, u2)}"
-                    f"{nsnp:>8} {nsim[i]:>4} {grp} \n")
+                    f"{nsnp:>8} {u32_w4(nsim[i])} {grp} \n")
             aff = f"{case_ct}:{p_ct - case_ct}".rjust(8)
             for tag, s0, l0 in (("CON", con_s, con_l),
                                 ("UNION", uni_s, uni_l)):
@@ -323,6 +325,21 @@ def write_pool_reports(ds, cfg, hp, runs, entries, inc_s, max_pool_size,
             tail = f"S{{1,...,{n_pools}}}"
         log.log(f"Per-pool report{'' if n_pools == 1 else 's'} written "
                 f"to {path}.{tail}.verbose.")
+
+
+def u32_w4(n: int) -> str:
+    """1.9 uint32toa_w4 (plink_common.c:1054-1074) including its quirk:
+    for 10 <= n < 100 the memset(start, 32, 2) result is overwritten
+    in place (start is not advanced), so two-digit values emit only the
+    2 digits with NO left padding."""
+    n = int(n)
+    if n < 10:
+        return f"   {n}"
+    if n < 100:
+        return str(n)
+    if n < 1000:
+        return f" {n}"
+    return str(n)
 
 
 def _geno_cell(code, in_roh, a1s, a2s, alts, refs):
@@ -375,6 +392,9 @@ def _write_verbose_pool(ds, cfg, run_i, result, pid, runs, roh_recs,
     path = f"{cfg.out}.hom.overlap.S{pid}.verbose"
     with open(path, "w") as f:
         f.write(f"       {'FID':>{maxfid}} {'IID':>{maxiid}}  GRP \n")
+        # top member list + matrix header: uint32toa + width_force(4)
+        # (plink_homozyg.c:1920-1943) -- proper right-justification, no
+        # uint32toa_w4 quirk here
         for row, i in enumerate(worder):
             s = members[i][2]
             f.write(f"{row + 1:>4})  {fid[s]:>{maxfid}} "
@@ -408,12 +428,12 @@ def _write_verbose_pool(ds, cfg, run_i, result, pid, runs, roh_recs,
             f.write(f"Group {gnum}\n\n")
             for row in range(gi, ge):
                 s = members[worder[row]][2]
-                f.write(f"{row + 1:>4}) {fid[s]:>{maxfid}} "
+                f.write(f"{u32_w4(row + 1)}) {fid[s]:>{maxfid}} "
                         f"{iid[s]:>{maxiid}} {phev(s)}\n")
             f.write("\n\n")
             f.write(" " * (maxsnp - 3) + "SNP         ")
             for row in range(gi, ge):
-                f.write(f"{row + 1:>4}  ")
+                f.write(f"{u32_w4(row + 1)}  ")
             f.write("\n\n")
             for c in range(uni_s, uni_l + 1):
                 u = int(vidx_c[c])

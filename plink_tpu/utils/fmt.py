@@ -593,3 +593,10 @@ def dtoa_g_wxp2(x: float, width: int) -> str:
     with banker_round12, right-aligned to `width`."""
     return _g_wxp_generic(x, width, "9.9499999999999",
                           (0.4999999999995, 0.5000000000005), 2)
+
+
+def dtoa_g_wxp4(x: float, width: int) -> str:
+    """1.9 dtoa_g_wxp4 (plink_common.c:2992): 4-sig-fig shortest form
+    with banker_round10, right-aligned to `width`."""
+    return _g_wxp_generic(x, width, "9.9994999999999",
+                          (0.49999999995, 0.50000000005), 4)

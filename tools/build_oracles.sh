@@ -66,7 +66,10 @@ build19() {
   # System zlib (>=1.2.4 required; image has 1.3) + direct .so.3 BLAS link +
   # cblas.h from the shim dir.  CFLAGS on the make command line overrides the
   # Makefile's +=, so -DSTABLE_BUILD must be repeated here.
-  local flags="-Wall -O2 -g -I$REF/2.0/simde -I$SHIM -DSTABLE_BUILD -DDYNAMIC_ZLIB"
+  # -DNDEBUG matters: upstream release builds disable asserts, and e.g.
+  # --homozyg group calls clear_bits() with len==0 (plink_common.c:3461),
+  # which is harmless in release but SIGABRTs in an assert-enabled build.
+  local flags="-Wall -O2 -g -DNDEBUG -I$REF/2.0/simde -I$SHIM -DSTABLE_BUILD -DDYNAMIC_ZLIB"
   ( cd "$dst" && make -j"$(nproc)" plink \
         CFLAGS="$flags" CXXFLAGS="$flags" \
         BLASFLAGS="$LAPACK_LIBS" ZLIB="-lz" ) > "$dst/build.log" 2>&1
