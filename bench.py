@@ -1,34 +1,44 @@
 #!/usr/bin/env python3
-"""Benchmark driver: all five BASELINE.json configs, hang-proof.
+"""Benchmark driver: all five BASELINE.json configs, cold-cache-proof.
 
 Prints one JSON line per config; the LAST line is always the headline
 metric (--glm logistic/Firth variants/sec at 500k samples):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "parity": ...}
 
-Structure (round-3 redesign after BENCH_r02 rc=124 captured nothing):
+Structure (round-5 redesign after BENCH_r04 rc=124: a cold .bench spent
+the driver window regenerating panels and re-measuring an 803-second
+plink2 GLM baseline):
+  * NO plink2 invocation ever happens here.  Oracle walls live in
+    bench_golden/walls.json and oracle output artifacts (for parity
+    diffs) live in bench_golden/*.zst -- both committed to git, produced
+    by `python tools/measure_baselines.py` outside the bench window.
+  * Synthetic panels regenerate in SECONDS on a cold cache via the
+    native deterministic generator (plink_tpu/bench_gen.py +
+    native/pgen_decode.cc panelgen_*): ~30 s for the 500k x 16384 GLM
+    panel vs ~7 min for the old numpy --dummy path.  walls.json records
+    sha256 prefixes of the panel bytes the oracle artifacts were
+    computed on; a drifted panel marks parity, never a wall.
   * The orchestrator process never imports jax.  Every config runs in a
-    subprocess (`bench.py --worker <name>`) under its own wall budget, so
-    a hung TPU tunnel can never sink the remaining configs.
+    subprocess (`bench.py --worker <name>`) under its own wall budget,
+    so a hung TPU tunnel can never sink the remaining configs.
   * A backend preflight (tiny jitted op in a subprocess, hard timeout)
     runs first; if the TPU backend cannot initialize, the whole bench
     falls back to JAX_PLATFORMS=cpu and every metric name gains a
     `_cpu_fallback` suffix so nothing is misrepresented.
   * The headline GLM config runs FIRST (but its JSON line is printed
-    last), so even a truncated driver window records the one metric that
-    matters.
-  * Synthetic panels and plink2 baselines are generated/measured once
-    and cached under .bench/ — never inside the timed window.
-  * After each timed run the outputs are diffed against the cached
-    plink2 oracle artifacts ("parity": ok/fail/skipped), so TPU numerics
-    are validated, not just timed.
+    last), so even a truncated driver window records the one metric
+    that matters.
 
 vs_baseline = plink2 wall-clock / our wall-clock (variants/sec ratio for
 the GLM config) on IDENTICAL filesets, plink2 running with --threads
-<nproc>.  Our timing excludes one warmup pass (JIT compile + tunnel
-warm); plink2 has no compile step, so steady-state throughput is the
-honest comparison for production scans where the fileset is large.
+<nproc> (and OpenBLAS for the BLAS-bound GRM/PCA configs -- see
+tools/measure_baselines.py).  Our timing excludes one warmup pass (JIT
+compile + tunnel warm); plink2 has no compile step, so steady-state
+throughput is the honest comparison for production scans where the
+fileset is large.
 """
 
+import hashlib
 import json
 import os
 import subprocess
@@ -38,21 +48,16 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 BENCH_DIR = os.path.join(REPO, ".bench")
 RUNS = os.path.join(BENCH_DIR, "runs")
-ORACLE = os.environ.get("PLINK2_ORACLE", "/tmp/oracle/2.0/build_dynamic/plink2")
-ORACLE_LAPACK = os.environ.get(
-    "PLINK2_ORACLE_LAPACK", "/tmp/oracle_lapack/2.0/build_dynamic/plink2"
-)
+GOLD = os.path.join(REPO, "bench_golden")
 
 GLM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 500_000))
 GLM_VARIANTS = int(os.environ.get("BENCH_VARIANTS", 16384))
 SEED = 42
 
-# Wall budgets (seconds).  Overall default 2700s; per-config budgets sized
-# so the GLM headline always lands inside even a tight driver window.
-TOTAL_BUDGET = float(os.environ.get("BENCH_BUDGET", 2700))
+# Wall budgets (seconds).
+TOTAL_BUDGET = float(os.environ.get("BENCH_BUDGET", 2400))
 # a live tunnel answers a tiny jitted op well within 2 minutes (cold
-# compile ~20-40s); a dead one hangs forever, so fail fast: worst case is
-# 3 preflights (axon x2 + cpu fallback) before any timed config runs
+# compile ~20-40s); a dead one hangs forever, so fail fast
 PREFLIGHT_S = float(os.environ.get("BENCH_PREFLIGHT_S", 120))
 
 
@@ -71,139 +76,134 @@ def _cpu_env(base=None):
     return env
 
 
+def _walls():
+    path = os.path.join(GOLD, "walls.json")
+    if not os.path.exists(path):
+        return {}
+    return json.load(open(path))
+
+
+def _golden(name):
+    """Path of a golden artifact, decompressing .zst next to .bench."""
+    plain = os.path.join(GOLD, name)
+    if os.path.exists(plain):
+        return plain
+    zst = plain + ".zst"
+    if not os.path.exists(zst):
+        return None
+    cache = os.path.join(BENCH_DIR, "golden_" + name)
+    if not os.path.exists(cache) or \
+            os.path.getmtime(cache) < os.path.getmtime(zst):
+        import zstandard
+
+        with open(zst, "rb") as f, open(cache + ".tmp", "wb") as g:
+            g.write(zstandard.ZstdDecompressor().decompress(
+                f.read(), max_output_size=1 << 31))
+        os.replace(cache + ".tmp", cache)
+    return cache
+
+
 # --------------------------------------------------------------------------
-# panel / baseline preparation (cached; cheap no-ops when .bench is warm)
+# panel preparation (fast deterministic native generator; cached)
 # --------------------------------------------------------------------------
 
-def _gen_panel(prefix, samples, variants, seed, miss="0.02"):
-    if os.path.exists(prefix + ".pgen"):
-        return
-    log(f"bench: generating {samples}x{variants} panel at {prefix} ...")
-    env = _cpu_env()
-    code = (
-        "from plink_tpu.cli import main;"
-        f"raise SystemExit(main(['--dummy','{samples}','{variants}','{miss}',"
-        f"'--seed','{seed}','--out','{prefix}','--silent']))"
-    )
-    subprocess.run([sys.executable, "-c", code], env=env, check=True)
+def _panel_sha(prefix):
+    cache = prefix + ".sha"
+    if os.path.exists(cache):
+        return open(cache).read().strip()
+    h = hashlib.sha256()
+    with open(prefix + ".pgen", "rb") as f:
+        while True:
+            b = f.read(1 << 22)
+            if not b:
+                break
+            h.update(b)
+    sha = h.hexdigest()[:16]
+    with open(cache, "w") as f:
+        f.write(sha)
+    return sha
 
 
-def _gen_cov(prefix, seed):
-    cov = prefix + ".cov"
-    if os.path.exists(cov):
-        return cov
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    with open(prefix + ".psam") as f:
-        header = f.readline().rstrip("\n").split("\t")
-        sex_idx = header.index("SEX")
-        rows = [l.rstrip("\n").split("\t") for l in f]
-    pcs = rng.standard_normal((len(rows), 10))
-    with open(cov, "w") as f:
-        f.write("#IID\tSEX\t" + "\t".join(f"PC{i+1}" for i in range(10)) + "\n")
-        for r, row in enumerate(rows):
-            f.write(
-                row[0] + "\t" + row[sex_idx] + "\t"
-                + "\t".join(f"{v:.6f}" for v in pcs[r]) + "\n"
-            )
-    return cov
-
-
-def _gen_structured_panel(prefix, samples, variants, seed):
-    """Panel with 10 planted structure axes for the PCA config: --dummy
-    panels have no eigengap, so per-component comparison of two randomized
-    SVDs is meaningless on them (BENCH_r03's pca parity=fail:10pcs was a
-    methodology artifact, not a numerical divergence)."""
-    if os.path.exists(prefix + ".pgen"):
-        return
-    log(f"bench: generating structured {samples}x{variants} panel ...")
-    env = _cpu_env()
-    subprocess.run(
-        [sys.executable, "-m", "plink_tpu.testgen", prefix, str(samples),
-         str(variants), "--k", "10", "--seed", str(seed)],
-        env=env, check=True, cwd=REPO,
-    )
+def _gen_panel(prefix, samples, variants, seed, miss=0.02, k=0, cov=False):
+    if not os.path.exists(prefix + ".pgen"):
+        log(f"bench: generating {samples}x{variants}"
+            f"{' structured' if k else ''} panel at {prefix} ...")
+        args = [sys.executable, "-m", "plink_tpu.bench_gen", prefix,
+                str(samples), str(variants), "--miss", str(miss),
+                "--seed", str(seed)]
+        if k:
+            args += ["--k", str(k)]
+        if cov:
+            args += ["--cov"]
+        subprocess.run(args, env=_cpu_env(), check=True, cwd=REPO)
+        for stale in (prefix + ".sha",):
+            if os.path.exists(stale):
+                os.unlink(stale)
+    elif cov and not os.path.exists(prefix + ".cov"):
+        code = (f"from plink_tpu.bench_gen import make_cov;"
+                f"make_cov({prefix!r}, {seed + 1})")
+        subprocess.run([sys.executable, "-c", code], env=_cpu_env(),
+                       check=True, cwd=REPO)
 
 
 def _ensure_toy():
     prefix = os.path.join(BENCH_DIR, "toy")
     if not os.path.exists(prefix + ".pgen"):
-        env = _cpu_env()
         code = (
             "from plink_tpu.cli import main;"
             "raise SystemExit(main(['--pedmap','/root/reference/1.9/toy',"
             f"'--make-pgen','--out','{prefix}','--silent']))"
         )
-        subprocess.run([sys.executable, "-c", code], env=env, check=True)
+        subprocess.run([sys.executable, "-c", code], env=_cpu_env(),
+                       check=True)
     return prefix
 
 
 def _ensure_import_vcf():
-    """BGZF VCF for the import benchmark (10k x 32768 panel, ~600 MB),
-    exported once by the oracle and cached."""
+    """BGZF VCF for the import benchmark, exported by OUR deterministic
+    exporter from the 10k panel (~45 s, one-time per cache)."""
     path = os.path.join(BENCH_DIR, "imp10k.vcf.gz")
-    if not os.path.exists(path) and os.path.exists(ORACLE):
+    if not os.path.exists(path):
         p2 = os.path.join(BENCH_DIR, "p10000x32768")
-        if os.path.exists(p2 + ".pgen"):
-            subprocess.run(
-                [ORACLE, "--pfile", p2, "--export", "vcf", "bgz",
-                 "--out", path[:-7], "--threads", "4"],
-                check=True, capture_output=True, timeout=1800,
-            )
+        log("bench: exporting import-bench VCF (one-time) ...")
+        code = (
+            "from plink_tpu.cli import main;"
+            f"raise SystemExit(main(['--pfile','{p2}','--export','vcf',"
+            f"'bgz','--out','{path[:-7]}','--silent']))"
+        )
+        subprocess.run([sys.executable, "-c", code], env=_cpu_env(),
+                       check=True, cwd=REPO)
     return path
 
 
-def _oracle_wall(cache_name, oracle_bin, args):
-    """Measured plink2 wall seconds, cached in .bench/oracle_<name>.json."""
-    cache = os.path.join(BENCH_DIR, f"oracle_{cache_name}.json")
-    if os.path.exists(cache):
-        rec = json.load(open(cache))
-        if rec.get("rc", 0) == 0:
-            return rec["wall_s"]
-    if not os.path.exists(oracle_bin):
-        return None
-    log(f"bench: measuring plink2 baseline {cache_name} (one-time) ...")
-    ncpu = os.cpu_count() or 1
-    t0 = time.time()
-    # size the arena to most of host RAM (the 50k-sample GRM alone needs a
-    # 20 GB allocation; plink2 refuses under a 12 GB cap)
-    try:
-        mem_mb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") \
-            // (1024 * 1024)
-    except (ValueError, OSError):
-        mem_mb = 16000
-    # Hard cap: a cold cache must never stall the driver's bench window for
-    # hours (the 50k GRM oracle alone measured 17,350s in round 3; that wall
-    # is reseeded from the recorded measurement instead of re-run).
-    cap = float(os.environ.get("BENCH_ORACLE_TIMEOUT", 1200))
-    try:
-        r = subprocess.run(
-            [oracle_bin] + args
-            + ["--threads", str(ncpu), "--memory",
-               str(max(12000, mem_mb - 8000))],
-            capture_output=True, timeout=cap,
-        )
-        rc = r.returncode
-    except subprocess.TimeoutExpired:
-        log(f"bench: oracle {cache_name} exceeded {cap:.0f}s cap; no baseline")
-        rc = 124
-    wall = time.time() - t0
-    rec = {"wall_s": wall, "rc": rc, "threads": ncpu}
-    json.dump(rec, open(cache, "w"))
-    return wall if rc == 0 else None
+def _vcf_content_sha(path):
+    import gzip
+
+    cache = path + ".contentsha"
+    if os.path.exists(cache) and \
+            os.path.getmtime(cache) > os.path.getmtime(path):
+        return open(cache).read().strip()
+    h = hashlib.sha256()
+    with gzip.open(path, "rb") as f:
+        while True:
+            b = f.read(1 << 22)
+            if not b:
+                break
+            h.update(b)
+    sha = h.hexdigest()[:16]
+    with open(cache, "w") as f:
+        f.write(sha)
+    return sha
 
 
 # --------------------------------------------------------------------------
-# parity checks vs cached plink2 oracle artifacts
+# parity checks vs committed plink2 oracle artifacts
 # --------------------------------------------------------------------------
 
 def _parity_glm(ours, theirs):
-    """Join on ID; P and OR must agree to 1e-3 relative (f32 device IRLS +
-    f64 host refinement vs plink2's f64; plink2's own glm_compare.py uses
+    """Join on ID; P must agree to 1e-3 relative (f32 device IRLS + f64
+    host refinement vs plink2's f64; plink2's own glm_compare.py uses
     comparable tolerances)."""
-    import numpy as np
-
     def load(path):
         out = {}
         with open(path) as f:
@@ -243,45 +243,54 @@ def _parity_prune(ours, theirs):
     return f"fail:{len(sa ^ sb)}sym"
 
 
-def _parity_grm(ours, theirs):
-    """Sampled float32 comparison: first 1M + 8 random 1M strides (the full
-    matrices are 5 GB each)."""
+def _parity_grm(ours):
+    """Sampled float32 comparison against committed oracle strides (the
+    full matrices are 5 GB)."""
     import numpy as np
 
-    n = os.path.getsize(theirs) // 4
-    if os.path.getsize(ours) != os.path.getsize(theirs):
+    gold = os.path.join(GOLD, "o_grm.samples.npz")
+    if not os.path.exists(gold):
+        return "skipped:no-golden"
+    rec = np.load(gold)
+    n = int(rec["n_entries"])
+    if os.path.getsize(ours) != n * 4:
         return "fail:size"
-    rng = np.random.default_rng(0)
-    offs = [0] + sorted(rng.integers(0, max(1, n - 1_000_000), 8).tolist())
-    with open(ours, "rb") as f1, open(theirs, "rb") as f2:
-        for off in offs:
-            f1.seek(off * 4)
-            f2.seek(off * 4)
-            a = np.frombuffer(f1.read(4_000_000), np.float32)
-            b = np.frombuffer(f2.read(4_000_000), np.float32)
-            if not np.allclose(a, b, rtol=2e-4, atol=2e-5):
+    offs, vals = rec["offsets"], rec["values"]
+    stride = vals.shape[1]
+    with open(ours, "rb") as f1:
+        for i, off in enumerate(offs):
+            f1.seek(int(off) * 4)
+            a = np.frombuffer(f1.read(stride * 4), np.float32)
+            if not np.allclose(a, vals[i], rtol=2e-4, atol=2e-5):
                 return f"fail:off{off}"
     return "ok"
 
 
-def _parity_pca(ours, ours_val, theirs, theirs_val):
-    """Sign-aware column comparison à la plink2's pca_compare.py, plus an
-    eigenvalue check.  approx mode is a randomized algorithm with different
-    RNG streams, so per-component |correlation| > 0.98 + eigenvalues to 1%
-    is the equality notion; the panel has PLANTED structure (10 separated
-    spikes, plink_tpu/testgen.py) so the top-10 subspace is identifiable
-    and this comparison is meaningful -- unlike on an i.i.d. --dummy panel
-    whose bulk spectrum has no eigengap."""
+def _parity_pca(ours, ours_val):
+    """Sign-aware column comparison à la plink2's pca_compare.py on the
+    committed every-5th-row subsample, plus an eigenvalue check.  approx
+    mode is a randomized algorithm with different RNG streams, so
+    per-component |correlation| > 0.98 + eigenvalues to 1% is the
+    equality notion; the panel has PLANTED structure (10 separated
+    spikes, plink_tpu/bench_gen.py) so the top-10 subspace is
+    identifiable and this comparison is meaningful."""
     import numpy as np
 
-    def load(path):
+    theirs = _golden("o_pca.eigenvec.sub5")
+    theirs_val = os.path.join(GOLD, "o_pca.eigenval")
+    if theirs is None or not os.path.exists(theirs_val):
+        return "skipped:no-golden"
+
+    def load(path, every=1):
+        rows = []
         with open(path) as f:
             f.readline()
-            return np.array(
-                [[float(x) for x in l.split()[1:]] for l in f], np.float64
-            )
+            for i, line in enumerate(f):
+                if i % every == 0:
+                    rows.append([float(x) for x in line.split()[1:]])
+        return np.array(rows, np.float64)
 
-    a, b = load(ours), load(theirs)
+    a, b = load(ours, every=5), load(theirs)
     if a.shape != b.shape:
         return "fail:shape"
     bad = 0
@@ -300,48 +309,45 @@ def _parity_pca(ours, ours_val, theirs, theirs_val):
 def _parity(name, out_prefix):
     try:
         if name == "glm":
-            # the artifact name carries the panel dims so a BENCH_SAMPLES/
-            # BENCH_VARIANTS override never diffs against a different panel
-            oracle = os.path.join(
-                BENCH_DIR,
-                f"o_glm_{GLM_SAMPLES}x{GLM_VARIANTS}"
-                ".PHENO1.glm.logistic.hybrid")
-            ours = out_prefix + ".PHENO1.glm.logistic.hybrid"
-            if not os.path.exists(oracle):
-                return "skipped:no-oracle"
-            return _parity_glm(ours, oracle)
+            oracle = _golden("o_glm.PHENO1.glm.logistic.hybrid")
+            if oracle is None:
+                return "skipped:no-golden"
+            return _parity_glm(
+                out_prefix + ".PHENO1.glm.logistic.hybrid", oracle)
         if name == "freq_toy":
             res = []
             for ext in (".afreq", ".hardy", ".smiss", ".vmiss"):
-                res.append(_parity_text_equal(
-                    out_prefix + ext, os.path.join(BENCH_DIR, "o_toy" + ext)))
+                gold = _golden("o_toy" + ext)
+                if gold is None:
+                    return "skipped:no-golden"
+                res.append(_parity_text_equal(out_prefix + ext, gold))
             return "ok" if all(r == "ok" for r in res) else ";".join(res)
         if name == "indep_10k":
-            return _parity_prune(
-                out_prefix + ".prune.in",
-                os.path.join(BENCH_DIR, "o_indep.prune.in"))
+            gold = _golden("o_indep.prune.in")
+            if gold is None:
+                return "skipped:no-golden"
+            return _parity_prune(out_prefix + ".prune.in", gold)
         if name == "king_50k":
-            return _parity_text_equal(
-                out_prefix + ".kin0", os.path.join(BENCH_DIR, "o_king.kin0"))
+            gold = _golden("o_king.kin0")
+            if gold is None:
+                return "skipped:no-golden"
+            return _parity_text_equal(out_prefix + ".kin0", gold)
         if name == "grm_50k":
-            return _parity_grm(
-                out_prefix + ".grm.bin",
-                os.path.join(BENCH_DIR, "o_grm.grm.bin"))
+            return _parity_grm(out_prefix + ".grm.bin")
         if name == "pca_100k":
-            return _parity_pca(
-                out_prefix + ".eigenvec",
-                out_prefix + ".eigenval",
-                os.path.join(BENCH_DIR, "o_pcas.eigenvec"),
-                os.path.join(BENCH_DIR, "o_pcas.eigenval"))
+            return _parity_pca(out_prefix + ".eigenvec",
+                               out_prefix + ".eigenval")
         if name == "vcf_import":
-            # .pvar/.psam must be byte-identical; .pgen bytes legitimately
-            # differ (compressor representation choices), so decode-compare
-            # via our differential-tested reader
+            # .pvar/.psam must byte-match plink2's import of the same VCF;
+            # .pgen bytes legitimately differ (compressor representation
+            # choices), so genotypes are decode-compared against the
+            # SOURCE panel (import must round-trip the exporter exactly)
             res = []
             for ext in (".pvar", ".psam"):
-                res.append(_parity_text_equal(
-                    out_prefix + ext,
-                    os.path.join(BENCH_DIR, "o_vcfimp" + ext)))
+                gold = _golden("o_vcfimp" + ext)
+                if gold is None:
+                    return "skipped:no-golden"
+                res.append(_parity_text_equal(out_prefix + ext, gold))
             if any(r != "ok" for r in res):
                 return ";".join(res)
             import numpy as np
@@ -349,15 +355,48 @@ def _parity(name, out_prefix):
             from plink_tpu.dataset import load_dataset
 
             a = load_dataset(out_prefix)
-            b = load_dataset(os.path.join(BENCH_DIR, "o_vcfimp"))
+            b = load_dataset(os.path.join(BENCH_DIR, "p10000x32768"))
             if a.raw_variant_ct != b.raw_variant_ct:
                 return "fail:variant-ct"
-            pa = a.all_packed()
-            pb = b.all_packed()
-            return "ok" if np.array_equal(pa, pb) else "fail:genotypes"
+            return "ok" if np.array_equal(a.all_packed(), b.all_packed()) \
+                else "fail:genotypes"
     except Exception as e:  # parity must never sink a landed timing
         return f"skipped:{type(e).__name__}"
     return "skipped"
+
+
+def _drift_guard(name, parity):
+    """Append :panel-drift if the input bytes differ from what the golden
+    artifacts were measured on."""
+    walls = _walls()
+    rec = walls.get(_wall_key(name), {})
+    try:
+        if name == "vcf_import":
+            want = rec.get("vcf_content_sha")
+            have = _vcf_content_sha(os.path.join(BENCH_DIR, "imp10k.vcf.gz"))
+        else:
+            want = rec.get("panel_sha")
+            pfx = _panel_prefix(name)
+            have = _panel_sha(pfx) if pfx else None
+        if want and have and want != have:
+            return f"{parity}:panel-drift"
+    except Exception:
+        pass
+    return parity
+
+
+def _panel_prefix(name):
+    return {
+        "glm": os.path.join(BENCH_DIR, f"p{GLM_SAMPLES}x{GLM_VARIANTS}"),
+        "indep_10k": os.path.join(BENCH_DIR, "p10000x32768"),
+        "king_50k": os.path.join(BENCH_DIR, "p50000x32768"),
+        "grm_50k": os.path.join(BENCH_DIR, "p50000x32768"),
+        "pca_100k": os.path.join(BENCH_DIR, "p100000x32768s"),
+    }.get(name)
+
+
+def _wall_key(name):
+    return {"glm": f"glm_{GLM_SAMPLES}x{GLM_VARIANTS}"}.get(name, name)
 
 
 # --------------------------------------------------------------------------
@@ -366,10 +405,12 @@ def _parity(name, out_prefix):
 
 def _worker(name):
     """Run one config (optional warmup + timed); print one JSON line."""
+    # /tmp persists across checkouts on the bench host, .bench does not;
+    # a warm XLA cache only shortens the warmup pass, never the timing
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(BENCH_DIR, "jaxcache-"
-                     + (os.environ.get("JAX_PLATFORMS") or "default")))
+        "/tmp/plink_tpu_jaxcache-"
+        + (os.environ.get("JAX_PLATFORMS") or "default"))
     from plink_tpu.cli import main as cli_main
 
     spec = _configs()[name]
@@ -397,38 +438,38 @@ def _configs():
     p3 = os.path.join(BENCH_DIR, "p50000x32768")
     p4 = os.path.join(BENCH_DIR, "p100000x32768s")  # structured (planted PCs)
     p5 = os.path.join(BENCH_DIR, f"p{GLM_SAMPLES}x{GLM_VARIANTS}")
-    cov = p5 + ".cov"
     return {
         "glm": {
-            "argv": ["--pfile", p5, "--glm", "hide-covar", "--covar", cov],
-            "out": os.path.join(RUNS, "glm"), "warmup": True, "budget": 1500,
+            "argv": ["--pfile", p5, "--glm", "hide-covar",
+                     "--covar", p5 + ".cov"],
+            "out": os.path.join(RUNS, "glm"), "warmup": True, "budget": 900,
         },
         "freq_toy": {
             "argv": ["--pfile", toy, "--freq", "--missing", "--hardy"],
-            "out": os.path.join(RUNS, "toy"), "warmup": True, "budget": 300,
+            "out": os.path.join(RUNS, "toy"), "warmup": True, "budget": 240,
         },
         "indep_10k": {
             "argv": ["--pfile", p2, "--indep-pairwise", "200", "50", "0.2"],
-            "out": os.path.join(RUNS, "indep"), "warmup": True, "budget": 600,
+            "out": os.path.join(RUNS, "indep"), "warmup": True, "budget": 420,
         },
         "king_50k": {
             "argv": ["--pfile", p3, "--make-king-table",
                      "--king-table-filter", "0.044"],
-            "out": os.path.join(RUNS, "king"), "warmup": True, "budget": 700,
+            "out": os.path.join(RUNS, "king"), "warmup": True, "budget": 420,
         },
         "grm_50k": {
             "argv": ["--pfile", p3, "--make-grm-bin"],
-            "out": os.path.join(RUNS, "grm"), "warmup": False, "budget": 700,
+            "out": os.path.join(RUNS, "grm"), "warmup": False, "budget": 600,
         },
         "pca_100k": {
             "argv": ["--pfile", p4, "--pca", "10", "approx", "--seed", "13"],
-            "out": os.path.join(RUNS, "pca"), "warmup": True, "budget": 900,
+            "out": os.path.join(RUNS, "pca"), "warmup": True, "budget": 700,
         },
         "vcf_import": {
             "argv": ["--vcf", os.path.join(BENCH_DIR, "imp10k.vcf.gz"),
                      "--make-pgen"],
             "out": os.path.join(RUNS, "vcfimp"), "warmup": True,
-            "budget": 600,
+            "budget": 420,
         },
     }
 
@@ -480,7 +521,8 @@ def _run_config(name, env, deadline):
         except ValueError:
             continue
         if rec.get("ok"):
-            rec["parity"] = _parity(name, spec["out"] + ".timed")
+            rec["parity"] = _drift_guard(
+                name, _parity(name, spec["out"] + ".timed"))
             log(f"bench [{name}]: {rec['timed_s']:.2f}s parity={rec['parity']}")
             return rec
         log(f"bench [{name}] FAILED: {rec.get('err')}")
@@ -505,12 +547,12 @@ def main():
 
     os.makedirs(RUNS, exist_ok=True)
     deadline = time.time() + TOTAL_BUDGET
+    walls = _walls()
 
-    # Panels + covariates (cached; only regenerated on a cold .bench).
+    # Panels + covariates (seconds on a cold cache -- native generator).
     p5 = os.path.join(BENCH_DIR, f"p{GLM_SAMPLES}x{GLM_VARIANTS}")
-    _gen_panel(p5, GLM_SAMPLES, GLM_VARIANTS, SEED)
-    cov = _gen_cov(p5, SEED + 1)
-    toy = _ensure_toy()
+    _gen_panel(p5, GLM_SAMPLES, GLM_VARIANTS, SEED, cov=True)
+    _ensure_toy()
 
     env = dict(os.environ)
     suffix = ""
@@ -529,22 +571,8 @@ def main():
     headline = None
     if rec:
         vps = GLM_VARIANTS / rec["timed_s"]
-        base_cache = os.path.join(
-            BENCH_DIR, f"plink2_glm_{GLM_SAMPLES}x{GLM_VARIANTS}.json")
-        base_vps = None
-        if os.path.exists(base_cache):
-            base_vps = json.load(open(base_cache)).get("variants_per_sec")
-        elif os.path.exists(ORACLE):
-            wall = _oracle_wall(
-                f"glm_{GLM_SAMPLES}x{GLM_VARIANTS}", ORACLE,
-                ["--pfile", p5, "--glm", "hide-covar", "--covar", cov,
-                 "--out", os.path.join(
-                     BENCH_DIR, f"o_glm_{GLM_SAMPLES}x{GLM_VARIANTS}")])
-            base_vps = (GLM_VARIANTS / wall) if wall else None
-            if str(rec.get("parity", "")).startswith("skipped"):
-                # the oracle artifact now exists; re-diff the timed output
-                rec["parity"] = _parity("glm", _configs()["glm"]["out"]
-                                        + ".timed")
+        base = walls.get(_wall_key("glm"), {}).get("wall_s")
+        base_vps = (GLM_VARIANTS / base) if base else None
         headline = (
             f"glm_logistic_hybrid_variants_per_sec_{GLM_SAMPLES}samples",
             vps, "variants/sec",
@@ -552,59 +580,42 @@ def main():
 
     # Breadth configs (skipped past the deadline — headline already landed).
     breadth = [
-        ("freq_toy", "freq_missing_hardy_toy_wall", ORACLE,
-         ["--pfile", toy, "--freq", "--missing", "--hardy",
-          "--out", os.path.join(BENCH_DIR, "o_toy")]),
-        ("indep_10k", "indep_pairwise_10000x32768_wall", ORACLE,
-         ["--pfile", os.path.join(BENCH_DIR, "p10000x32768"),
-          "--indep-pairwise", "200", "50", "0.2",
-          "--out", os.path.join(BENCH_DIR, "o_indep")]),
-        ("king_50k", "king_table_50000x32768_wall", ORACLE,
-         ["--pfile", os.path.join(BENCH_DIR, "p50000x32768"),
-          "--make-king-table", "--king-table-filter", "0.044",
-          "--out", os.path.join(BENCH_DIR, "o_king")]),
-        ("grm_50k", "grm_bin_50000x32768_wall", ORACLE_LAPACK,
-         ["--pfile", os.path.join(BENCH_DIR, "p50000x32768"),
-          "--make-grm-bin", "--out", os.path.join(BENCH_DIR, "o_grm")]),
-        ("pca_100k", "pca_approx10_100000x32768_wall", ORACLE_LAPACK,
-         ["--pfile", os.path.join(BENCH_DIR, "p100000x32768s"),
-          "--pca", "10", "approx", "--out", os.path.join(BENCH_DIR, "o_pcas")]),
-        ("vcf_import", "vcf_bgzf_import_10000x32768_wall", ORACLE,
-         ["--vcf", os.path.join(BENCH_DIR, "imp10k.vcf.gz"), "--make-pgen",
-          "--out", os.path.join(BENCH_DIR, "o_vcfimp")]),
+        ("freq_toy", "freq_missing_hardy_toy_wall"),
+        ("indep_10k", "indep_pairwise_10000x32768_wall"),
+        ("king_50k", "king_table_50000x32768_wall"),
+        ("grm_50k", "grm_bin_50000x32768_wall"),
+        ("pca_100k", "pca_approx10_100000x32768_wall"),
+        ("vcf_import", "vcf_bgzf_import_10000x32768_wall"),
     ]
     breadth_panels = {
-        "indep_10k": (os.path.join(BENCH_DIR, "p10000x32768"), 10000, 32768),
-        "king_50k": (os.path.join(BENCH_DIR, "p50000x32768"), 50000, 32768),
-        "grm_50k": (os.path.join(BENCH_DIR, "p50000x32768"), 50000, 32768),
-        "pca_100k": (os.path.join(BENCH_DIR, "p100000x32768s"), 100000, 32768),
+        "indep_10k": (os.path.join(BENCH_DIR, "p10000x32768"),
+                      10000, 32768, SEED, 0),
+        "king_50k": (os.path.join(BENCH_DIR, "p50000x32768"),
+                     50000, 32768, SEED, 0),
+        "grm_50k": (os.path.join(BENCH_DIR, "p50000x32768"),
+                    50000, 32768, SEED, 0),
+        "pca_100k": (os.path.join(BENCH_DIR, "p100000x32768s"),
+                     100000, 32768, 7, 10),
     }
-    for name, metric, obin, oargs in breadth:
+    for name, metric in breadth:
         if time.time() > deadline - 60:
             log(f"bench [{name}]: skipped (deadline)")
             continue
-        # lazy cold-cache panel generation, inside the same deadline guard
         if name in breadth_panels:
-            pfx, ns_, nv_ = breadth_panels[name]
-            if not os.path.exists(pfx + ".pgen"):
-                if name == "pca_100k":
-                    _gen_structured_panel(pfx, ns_, nv_, 7)
-                else:
-                    _gen_panel(pfx, ns_, nv_, SEED)
+            pfx, ns_, nv_, seed_, k_ = breadth_panels[name]
+            _gen_panel(pfx, ns_, nv_, seed_, miss=0.02 if not k_ else 0.0,
+                       k=k_)
         if name == "vcf_import":
-            if not os.path.exists(_ensure_import_vcf()):
-                log("bench [vcf_import]: skipped (no oracle to export VCF)")
-                continue
+            # the 10k source panel must exist for the export
+            _gen_panel(os.path.join(BENCH_DIR, "p10000x32768"),
+                       10000, 32768, SEED)
+            _ensure_import_vcf()
         rec = _run_config(name, env, deadline)
         if rec:
-            base = _oracle_wall(name, obin, oargs)
+            base = walls.get(_wall_key(name), {}).get("wall_s")
             vs = (base / rec["timed_s"]) if base else None
-            if str(rec.get("parity", "")).startswith("skipped"):
-                # oracle artifacts may have just been generated by
-                # _oracle_wall above: re-diff the timed outputs
-                rec["parity"] = _parity(name, _configs()[name]["out"]
-                                        + ".timed")
-            _emit(metric, rec["timed_s"], "seconds", vs, rec["parity"], suffix)
+            _emit(metric, rec["timed_s"], "seconds", vs, rec["parity"],
+                  suffix)
 
     # Headline line LAST (the driver parses the final JSON line).
     if headline:

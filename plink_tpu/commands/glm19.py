@@ -37,6 +37,87 @@ from .homozyg import _fw_width
 from .qassoc import calc_tprob
 
 
+def _scan_conditions19(ds, cfg, log):
+    """--condition / --condition-list (1.9): the named variants' A1-allele
+    counts become leading covariates, and samples whose condition genotype
+    is missing (incl. het-haploid / het-male-X after the haploid fix) are
+    excluded from the analysis.
+
+    ref: glm_scan_conditions (1.9/plink_glm.c:92) for the sample-mask side
+    and the geno_map conversion (:4584-4596) for covariate values:
+    additive map [2,-,1,0] per A1 count; 'dominant' caps at 1; 'recessive'
+    keeps only hom-A1; male X scores 2 only under --xchr-model 2; other
+    haploid calls score 1 per A1 hom.
+    Returns (names, data [n_raw, k], nonmiss [n_raw])."""
+    from ..ops.pairwise import _unpack_np
+    from .basic_reports import alt_allele_freqs
+
+    if cfg.condition:
+        want = [cfg.condition[0]]
+        mods = set(cfg.condition[1:])
+        flagname = "--condition"
+    else:
+        with open(cfg.condition_list[0]) as f:
+            want = f.read().split()
+        mods = set(cfg.condition_list[1:])
+        flagname = "--condition-list"
+    dominant = "dominant" in mods
+    recessive = "recessive" in mods
+    xchr_model = cfg.xchr_model if cfg.xchr_model is not None else 2
+
+    freqs = alt_allele_freqs(ds, founders_only=True)
+    with np.errstate(invalid="ignore"):
+        a1_is_alt = ~(freqs > 0.5)
+    vid_to_idx = {str(ds.vi.vid[i]): i
+                  for i in np.flatnonzero(ds.variant_mask)}
+    n = ds.raw_sample_ct
+    male = ds.si.sex == 1
+    is_x = ds.is_chrx()
+    hap = ds.is_haploid_all()
+    names: list[str] = []
+    cols: list[np.ndarray] = []
+    nonmiss = np.ones(n, bool)
+    skip = 0
+    seen: set[str] = set()
+    for vname in want:
+        if vname in seen:
+            continue
+        seen.add(vname)
+        i = vid_to_idx.get(vname)
+        if i is None:
+            skip += 1
+            log.log(f"Warning: {flagname} variant ID '{vname}' not found.")
+            continue
+        codes = _unpack_np(ds.reader.read_packed(i, 1))[0][:n].astype(
+            np.int64)
+        c = codes if a1_is_alt[i] else 2 - codes
+        miss = codes == 3
+        if bool(hap[i]):
+            if bool(is_x[i]):
+                miss |= male & (codes == 1)  # het male X -> missing
+            else:
+                miss |= codes == 1  # het haploid -> missing
+        c = np.where(miss, 0, np.clip(c, 0, 2)).astype(np.float64)
+        if recessive:
+            val = (c == 2.0).astype(np.float64)
+        elif dominant:
+            val = np.minimum(c, 1.0)
+        else:
+            val = c.copy()
+        if bool(hap[i]):
+            if bool(is_x[i]):
+                if not (xchr_model == 2 and not dominant and not recessive):
+                    val = np.where(male, (c == 2.0).astype(np.float64), val)
+            else:
+                val = (c == 2.0).astype(np.float64)
+        names.append(vname)
+        cols.append(val)
+        nonmiss &= ~miss
+    if not cols:
+        return [], np.zeros((n, 0)), nonmiss
+    return names, np.stack(cols, axis=1), nonmiss
+
+
 def _flag_error(msg):
     from ..cli import FlagError
 
@@ -259,8 +340,6 @@ def run_glm19(ds: Dataset, cfg, log: RunLogger, linear: bool) -> None:
     for bad in ("interaction", "no-snp", "set-test"):
         if bad in mods:
             raise _flag_error(f"{flagname} '{bad}' modifier is not implemented yet.")
-    if cfg.condition or cfg.condition_list:
-        raise _flag_error(f"{flagname}: --condition is not implemented yet.")
     genotypic = "genotypic" in mods
     hethom = "hethom" in mods
     dominant = "dominant" in mods
@@ -307,6 +386,14 @@ def run_glm19(ds: Dataset, cfg, log: RunLogger, linear: bool) -> None:
     from .glm import _load_covars
 
     covar_names, covar_data, covar_nm = _load_covars(ds, cfg, log)
+
+    if cfg.condition or cfg.condition_list:
+        cond_names, cond_data, cond_nm = _scan_conditions19(ds, cfg, log)
+        # condition covariates PRECEDE --covar columns (plink_glm.c:4597:
+        # fixed-covariate slots 0..condition_ct-1 hold the conditions)
+        covar_names = cond_names + list(covar_names)
+        covar_data = np.concatenate([cond_data, covar_data], axis=1)
+        covar_nm = covar_nm & cond_nm
 
     pheno_nm = np.asarray(pc.nonmiss, bool)
     load_mask = ds.sample_mask & pheno_nm & covar_nm

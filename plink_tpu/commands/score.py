@@ -51,29 +51,54 @@ def _ddosagetoa(val: float) -> str:
     return s
 
 
+class ScoreMods:
+    """Parsed --score modifiers (ref flag grammar: plink2_help.cc:1623)."""
+
+    def __init__(self):
+        self.header = False
+        self.header_read = False
+        self.no_meanimpute = False
+        self.center = False
+        self.vstd = False
+        self.dominant = False
+        self.recessive = False
+        self.list_variants = False
+
+
 def _parse_score_args(args: tuple):
     path = args[0]
     nums = []
-    header = False
-    header_read = False
-    no_meanimpute = False
+    m = ScoreMods()
     for a in args[1:]:
         if a == "header":
-            header = True
+            m.header = True
         elif a == "header-read":
-            header = header_read = True
+            m.header = m.header_read = True
         elif a == "no-mean-imputation":
-            no_meanimpute = True
-        elif a in ("center", "variance-standardize", "dominant", "recessive",
-                   "list-variants"):
-            raise NotImplementedError(f"--score modifier '{a}' not supported yet")
+            m.no_meanimpute = True
+        elif a == "center":
+            m.center = True
+        elif a == "variance-standardize":
+            m.vstd = m.center = True
+        elif a == "dominant":
+            m.dominant = True
+        elif a == "recessive":
+            m.recessive = True
+        elif a in ("list-variants", "list-variants-zs"):
+            m.list_variants = True
         elif a.isdigit():
             nums.append(int(a))
         else:
             raise ValueError(f"--score: unrecognized modifier '{a}'")
+    if (m.dominant or m.recessive) and m.center:
+        raise ValueError(
+            "--score 'dominant'/'recessive' cannot be used with "
+            "'center'/'variance-standardize'.")
+    if m.dominant and m.recessive:
+        raise ValueError("--score 'dominant' and 'recessive' conflict.")
     while len(nums) < 3:
         nums.append([1, 2, 3][len(nums)])
-    return path, nums[0], nums[1], nums[2], header, header_read, no_meanimpute
+    return path, nums[0], nums[1], nums[2], m
 
 
 def _parse_col_nums(spec: str) -> list[int]:
@@ -124,9 +149,52 @@ def _read_score_file(ds: Dataset, path, vcol, acol, scols, header, header_read):
     return names, w, named_is_alt, in_score, missed
 
 
+def _slope_intercept(ds: Dataset, named_freq, named_is_alt, in_score, m):
+    """Per-variant (slope, intercept) in named-dosage units.
+
+    ref geno_slope/geno_intercept (plink2_matrix_calc.cc:8005-8035):
+    default slope 1, intercept 0; 'variance-standardize' slope =
+    1/sqrt(2f(1-f)) (0 with an error check when degenerate); 'center' (or
+    vstd) intercept = -2f*slope.  Autosomal diploid scope."""
+    V = len(named_freq)
+    slope = np.ones(V)
+    intercept = np.zeros(V)
+    if not m.center:
+        return slope, intercept
+    if m.vstd:
+        f = named_freq
+        var = 2.0 * f * (1.0 - f)
+        eps = 2.0 ** -44  # kSmallEpsilon
+        degenerate = in_score & ~(var > eps)
+        if degenerate.any():
+            from .basic_reports import _group_counts
+
+            cts = _group_counts(ds, False)["all"].astype(np.float64)
+            hom_named = np.where(named_is_alt, cts[:, 2], cts[:, 0])
+            bad = degenerate & ((cts[:, 1] + hom_named) > 0)
+            if bad.any():
+                vid = str(ds.vi.vid[int(np.flatnonzero(bad)[0])])
+                raise ValueError(
+                    f"--score[-list] variance-standardize failure for "
+                    f"variant '{vid}': estimated allele frequency is zero "
+                    "or NaN, but not all dosages are zero.")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(var > eps, 1.0 / np.sqrt(var), 0.0)
+    intercept = -2.0 * named_freq * slope
+    return slope, intercept
+
+
 def _compute_scores(ds: Dataset, w, named_is_alt, in_score, named_freq,
-                    no_meanimpute):
-    """Returns (nallele [n], dosage_sum [n], avg [n, K])."""
+                    m):
+    """Returns (nallele [n], dosage_sum [n], avg [n, K]).
+
+    Per-genotype contributions replicate the reference's lookup table
+    (plink2_matrix_calc.cc:6746-6763): nonmissing named-dosage d maps to
+    t(d)*slope + intercept with t = min(d,1) under 'dominant' /
+    max(d-1,0) under 'recessive'; a mean-imputed missing genotype
+    contributes (2 - domrec)*f*slope WITHOUT the intercept term, exactly
+    as lookup_table[6] does."""
+    no_meanimpute = m.no_meanimpute
     n = ds.raw_sample_ct
     K = w.shape[1]
     scored_ct = int(in_score.sum())
@@ -135,6 +203,18 @@ def _compute_scores(ds: Dataset, w, named_is_alt, in_score, named_freq,
     dosage_sum = np.zeros(n)
     miss_ct2 = np.zeros(n)
     in_score = in_score.copy()
+    slope, intercept = _slope_intercept(ds, named_freq, named_is_alt,
+                                        in_score, m)
+    domrec = m.dominant or m.recessive
+
+    def tdose(d):
+        if m.dominant:
+            return np.minimum(d, 1.0)
+        if m.recessive:
+            return np.maximum(d - 1.0, 0.0)
+        return d
+
+    miss_fac = (1.0 if domrec else 2.0)
     if ds.has_dosage:
         # dosage-track variants take the dense fused-dosage path
         vr = ds.reader.header.vrtypes
@@ -142,10 +222,14 @@ def _compute_scores(ds: Dataset, w, named_is_alt, in_score, named_freq,
             d = ds.dosage_row(int(v))
             nd = d if named_is_alt[v] else 2.0 - d
             fin = np.isfinite(nd)
-            fill = 0.0 if no_meanimpute else 2.0 * named_freq[v]
-            contrib = np.where(fin, nd, fill)
+            fill = 0.0 if no_meanimpute \
+                else miss_fac * named_freq[v] * slope[v]
+            contrib = np.where(fin, tdose(nd) * slope[v] + intercept[v],
+                               fill)
             score_sum += np.outer(contrib, w[v])
-            dosage_sum += np.where(fin, nd, 0.0)
+            # NAMED_ALLELE_DOSAGE_SUM accumulates the domrec-TRANSFORMED
+            # dosage (ref ddosage_incrs are post-lookup)
+            dosage_sum += np.where(fin, tdose(nd), 0.0)
             miss_ct2 += 2.0 * (~fin)
             in_score[v] = False
     for v0, packed in ds.iter_packed_blocks():
@@ -156,19 +240,24 @@ def _compute_scores(ds: Dataset, w, named_is_alt, in_score, named_freq,
             continue
         ia = named_is_alt[sl]
         z = np.zeros(vct)
+        # named dosage per 2-bit code, transformed
+        d_by_code = [np.where(ia, 0.0, 2.0), np.ones(vct),
+                     np.where(ia, 2.0, 0.0)]
+        t_by_code = [tdose(d) * slope[sl] + intercept[sl] for d in d_by_code]
+        t_mis = (0.0 if no_meanimpute else 1.0) \
+            * miss_fac * named_freq[sl] * slope[sl]
         for k in range(K):
             wv = w[sl, k] * sel
-            c_ref = np.where(ia, 0.0, 2.0) * wv
-            c_het = wv
-            c_alt = np.where(ia, 2.0, 0.0) * wv
-            c_mis = (0.0 if no_meanimpute else 1.0) * wv * 2.0 * named_freq[sl]
             score_sum[:, k] += sample_plane_weighted(
-                packed, n, np.stack([c_ref, c_het, c_alt, c_mis], axis=1)
+                packed, n,
+                np.stack([t_by_code[0] * wv, t_by_code[1] * wv,
+                          t_by_code[2] * wv, t_mis * wv], axis=1)
             )
-        d_ref = np.where(ia, 0.0, 2.0) * sel
-        d_alt = np.where(ia, 2.0, 0.0) * sel
+        d_ref = tdose(np.where(ia, 0.0, 2.0)) * sel
+        d_het = tdose(np.ones(vct)) * sel
+        d_alt = tdose(np.where(ia, 2.0, 0.0)) * sel
         dosage_sum += sample_plane_weighted(
-            packed, n, np.stack([d_ref, sel, d_alt, z], axis=1)
+            packed, n, np.stack([d_ref, d_het, d_alt, z], axis=1)
         )
         miss_ct2 += sample_plane_weighted(
             packed, n, np.stack([z, z, z, 2.0 * sel], axis=1)
@@ -297,9 +386,7 @@ def score_report(ds: Dataset, cfg, log: RunLogger) -> None:
     freqs = np.nan_to_num(alt_allele_freqs(ds, founders_only=True))
 
     if getattr(cfg, "score_list", None):
-        path0, vcol, acol, scol, header, header_read, no_mi = _parse_score_args(
-            cfg.score_list
-        )
+        path0, vcol, acol, scol, m = _parse_score_args(cfg.score_list)
         scols = (
             _parse_col_nums(cfg.score_col_nums) if cfg.score_col_nums else [scol]
         )
@@ -309,12 +396,12 @@ def score_report(ds: Dataset, cfg, log: RunLogger) -> None:
         all_avg = []
         for k0, path in enumerate(files):
             names, w, nia, ins, missed = _read_score_file(
-                ds, path, vcol, acol, scols, header, header_read
+                ds, path, vcol, acol, scols, m.header, m.header_read
             )
-            if not header_read:
+            if not m.header_read:
                 names = [f"SCORE{len(all_names) + j + 1}" for j in range(len(names))]
             nf = np.where(nia, freqs, 1.0 - freqs)
-            _, _, avg = _compute_scores(ds, w, nia, ins, nf, no_mi)
+            _, _, avg = _compute_scores(ds, w, nia, ins, nf, m)
             all_names.extend(names)
             all_avg.append(avg)
             log.log(
@@ -329,14 +416,18 @@ def score_report(ds: Dataset, cfg, log: RunLogger) -> None:
         log.log(f"--score-list: Results written to {out} .")
         return
 
-    path, vcol, acol, scol, header, header_read, no_mi = _parse_score_args(
-        cfg.score
-    )
+    path, vcol, acol, scol, m = _parse_score_args(cfg.score)
     scols = _parse_col_nums(cfg.score_col_nums) if cfg.score_col_nums else [scol]
     names, w, named_is_alt, in_score, missed = _read_score_file(
-        ds, path, vcol, acol, scols, header, header_read
+        ds, path, vcol, acol, scols, m.header, m.header_read
     )
     named_freq = np.where(named_is_alt, freqs, 1.0 - freqs)
+    if m.list_variants:
+        vpath = cfg.out + ".sscore.vars"
+        with open(vpath, "w") as f:
+            for i in np.flatnonzero(in_score):
+                f.write(str(ds.vi.vid[i]) + "\n")
+        log.log(f"--score: Variant list written to {vpath} .")
 
     jobs = [(None, None)]
     if getattr(cfg, "q_score_range", None):
@@ -344,7 +435,7 @@ def score_report(ds: Dataset, cfg, log: RunLogger) -> None:
     for rname, rmask in jobs:
         ins = in_score if rmask is None else (in_score & rmask)
         nallele, dosage_sum, avg = _compute_scores(
-            ds, w, named_is_alt, ins, named_freq, no_mi
+            ds, w, named_is_alt, ins, named_freq, m
         )
         out = (
             cfg.out + ".sscore" if rname is None

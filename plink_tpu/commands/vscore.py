@@ -30,8 +30,13 @@ def run_vscore(ds: Dataset, cfg, log: RunLogger) -> None:
     args = cfg.variant_score
     path = args[0]
     single_prec = "single-prec" in args[1:]
-    if "bin" in args[1:] or "bin4" in args[1:]:
-        raise NotImplementedError("--variant-score bin output not supported yet")
+    bin8 = "bin" in args[1:]
+    bin4 = "bin4" in args[1:]
+    binmode = bin8 or bin4
+    if bin8 and (bin4 or single_prec):
+        raise ValueError(
+            "--variant-score 'bin' modifier cannot be used with 'bin4' or "
+            "'single-prec'.")
 
     with open(path) as f:
         lines = [l.rstrip("\n") for l in f if l.strip()]
@@ -121,8 +126,21 @@ def run_vscore(ds: Dataset, cfg, log: RunLogger) -> None:
     wtot_x1 = W_x1.sum(axis=0) if W_x1 is not None else None
 
     out = cfg.out + ".vscore"
-    f = open(out, "w")
-    f.write("#CHROM\tPOS\tID\tREF\tALT\t" + "\t".join(names) + "\n")
+    binfile = varsfile = None
+    if binmode:
+        # binary layout (ref Vscore :9534-9560, :10001-10022): score names
+        # to .vscore.cols, variant IDs to .vscore.vars, the variant-major
+        # value matrix to .vscore.bin (f64 for 'bin' unless single-prec;
+        # f32 for 'bin4' or single-prec)
+        with open(out + ".cols", "w") as cf:
+            for nm in names:
+                cf.write(nm + "\n")
+        binfile = open(out + ".bin", "wb")
+        varsfile = open(out + ".vars", "w")
+        bin_dtype = "<f8" if (bin8 and not single_prec) else "<f4"
+    else:
+        f = open(out, "w")
+        f.write("#CHROM\tPOS\tID\tREF\tALT\t" + "\t".join(names) + "\n")
     chrom_names = [vi.chr_info.name(c) for c in vi.chrom]
     dosage_vr = None
     if ds.has_dosage:
@@ -172,17 +190,32 @@ def run_vscore(ds: Dataset, cfg, log: RunLogger) -> None:
                 else:
                     wv = W
                 score[j] = dd @ wv
+            if binmode:
+                binfile.write(
+                    np.asarray(score[j], dtype=bin_dtype).tobytes())
+                varsfile.write(str(vi.vid[v]) + "\n")
+                continue
             rows.append(
                 f"{chrom_names[v]}\t{vi.pos[v]}\t{vi.vid[v]}\t{vi.ref[v]}\t"
                 f"{vi.alt[v]}\t"
                 + "\t".join(g6(score[j, k]) for k in range(len(names)))
                 + "\n"
             )
-        f.writelines(rows)
-    f.close()
+        if not binmode:
+            f.writelines(rows)
+    if binmode:
+        binfile.close()
+        varsfile.close()
+    else:
+        f.close()
     if miss_ct:
         log.log(
             f"Warning: --variant-score: {miss_ct} line(s) skipped "
             "(unmatched sample ID)."
         )
-    log.log(f"--variant-score: Results written to {out} .")
+    if binmode:
+        log.log(
+            f"--variant-score: Results written to {out}.bin + {out}.cols + "
+            f"{out}.vars .")
+    else:
+        log.log(f"--variant-score: Results written to {out} .")

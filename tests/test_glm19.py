@@ -137,3 +137,43 @@ def test_glm19_parity(panels, flagspec, panel, extra):
     a = (d / f"o_{tag}{ext}").read_bytes()
     b = (d / f"t_{tag}{ext}").read_bytes()
     assert a == b, f"{tag}: report differs"
+
+
+COND_CASES = [
+    ("linear", "qb", []),
+    ("linear", "qb", ["--covar", "cv.txt"]),
+    ("logistic", "pb", []),
+    ("linear", "qb", ["--condition-dominant"]),
+    ("logistic", "pb", ["--condition-recessive"]),
+]
+
+
+@pytest.mark.parametrize("flag,panel,extra", COND_CASES,
+                         ids=lambda c: str(c))
+def test_glm19_condition(panels, flag, panel, extra):
+    """--condition / --condition-list (glm_scan_conditions,
+    1.9/plink_glm.c:92; geno_map :4584-4596)."""
+    d = panels
+    # pick two autosomal variant IDs from the fixture
+    bim = (d / f"{panel}.bim").read_text().splitlines()
+    vids = [bim[5].split("\t")[1], bim[17].split("\t")[1]]
+    mods = []
+    cond: list[str]
+    if "--condition-dominant" in extra:
+        cond, mods = ["--condition", vids[0], "dominant"], []
+    elif "--condition-recessive" in extra:
+        cond, mods = ["--condition", vids[0], "recessive"], []
+    else:
+        (d / "clist.txt").write_text("\n".join(vids) + "\n")
+        cond = ["--condition-list", "clist.txt"]
+        mods = [e for e in extra]
+    tag = (flag + "_" + "_".join(extra)).replace(" ", "_") \
+        .replace("--", "").replace(".", "")
+    args = (["--bfile", panel, f"--{flag}"] + cond + mods
+            + ["--allow-no-sex"])
+    run19(args + ["--out", f"oc_{tag}"], str(d))
+    run_tpu(args + ["--out", f"tc_{tag}", "--silent"], str(d))
+    ext = ".assoc." + flag
+    a = (d / f"oc_{tag}{ext}").read_bytes()
+    b = (d / f"tc_{tag}{ext}").read_bytes()
+    assert a == b, f"{tag}: condition report differs"

@@ -64,3 +64,38 @@ def test_score_ext(panel, flags, outputs):
         os.chdir(old)
     for s in outputs:
         assert (d / f"o_s.{s}").read_text() == (d / f"t_s.{s}").read_text()
+
+
+@pytest.mark.parametrize(
+    "mods",
+    [
+        ["center"],
+        ["variance-standardize"],
+        ["dominant"],
+        ["recessive"],
+        ["center", "no-mean-imputation"],
+        ["dominant", "no-mean-imputation"],
+        ["list-variants"],
+    ],
+    ids=lambda m: "+".join(m),
+)
+def test_score_modifiers(panel, mods):
+    """center/variance-standardize/dominant/recessive/list-variants
+    (ref: geno_slope/intercept + domrec lookup table,
+    2.0/plink2_matrix_calc.cc:6746-6763, 8005-8035)."""
+    from plink_tpu.cli import main
+
+    d = panel
+    full = ["--pfile", "gq", "--score", "s1.txt"] + mods
+    subprocess.run([ORACLE] + full + ["--out", "o_m"], cwd=d, check=True,
+                   capture_output=True)
+    old = os.getcwd()
+    os.chdir(d)
+    try:
+        assert main(full + ["--out", "t_m", "--silent"]) == 0
+    finally:
+        os.chdir(old)
+    assert (d / "o_m.sscore").read_text() == (d / "t_m.sscore").read_text()
+    if "list-variants" in mods:
+        assert (d / "o_m.sscore.vars").read_text() == \
+            (d / "t_m.sscore.vars").read_text()

@@ -133,3 +133,34 @@ def test_vscore_xchr_model0(xymt_panel):
     base = [l for l in (d / "o_x.vscore").read_text().splitlines()[1:]
             if not l.startswith("X\t")]
     assert lines == base
+
+
+@pytest.mark.parametrize("mode", ["bin", "bin4", "bin4-single"])
+def test_vscore_bin(panel, mode):
+    """Binary .vscore.bin/.cols/.vars output (ref Vscore
+    2.0/plink2_matrix_calc.cc:9534-9560, 10001-10022)."""
+    from plink_tpu.cli import main
+
+    d = panel
+    mods = mode.replace("-single", " single-prec").split()
+    full = ["--pfile", "gq", "--variant-score", "vs.txt"] + mods
+    subprocess.run([ORACLE] + full + ["--out", "o_b"], cwd=d, check=True,
+                   capture_output=True)
+    old = os.getcwd()
+    os.chdir(d)
+    try:
+        assert main(full + ["--out", "t_b", "--silent"]) == 0
+    finally:
+        os.chdir(old)
+    for ext in (".vscore.cols", ".vscore.vars"):
+        assert (d / ("o_b" + ext)).read_text() == \
+            (d / ("t_b" + ext)).read_text(), ext
+    import numpy as np
+
+    dt = np.float64 if mode == "bin" else np.float32
+    a = np.fromfile(d / "o_b.vscore.bin", dtype=dt)
+    b = np.fromfile(d / "t_b.vscore.bin", dtype=dt)
+    assert a.shape == b.shape
+    # single-prec: BOTH engines accumulate in f32, in different orders
+    rtol = 1e-4 if "single" in mode else (5e-6 if dt == np.float32 else 1e-12)
+    np.testing.assert_allclose(b, a, rtol=rtol, atol=2e-5)
