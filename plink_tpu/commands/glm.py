@@ -894,10 +894,11 @@ def _auto_vb(npad: int) -> int:
     env = os.environ.get("PLINK_TPU_VB")
     if env:
         return max(8, (int(env) // 8) * 8)
-    # measured on v5e at 500k samples: vb 264 -> 11.2s, 1024 -> 8.8s,
-    # 1536 -> 7.6s, 2048 -> 8.0s for the 16384-variant logistic scan
-    # (larger blocks amortize the shared-design reads per IRLS iteration)
-    target_elems = 3 << 28
+    # measured on v5e at 500k samples (bf16 plane storage): vb 1024 ->
+    # 5.0s, 1608 -> 5.1s, 2048 -> 4.4s for the 16384-variant logistic
+    # scan; 3072 exhausts HBM.  Larger blocks amortize the shared-design
+    # reads per IRLS iteration.
+    target_elems = 1 << 30
     vb = max(64, min(2048, target_elems // max(npad, 1)))
     return (vb // 8) * 8
 

@@ -830,3 +830,209 @@ extern "C" void ld_prune_walk(
     start = new_start;
   }
 }
+
+// ---------------------------------------------------------------------------
+// Deterministic synthetic-panel generators (bench harness).
+//
+// Role model: plink2's --dummy generator (GenerateDummy,
+// 2.0/plink2_import.cc:16326) and the structured-panel maker in
+// plink_tpu/testgen.py.  Unlike those, these use a STATELESS counter-based
+// RNG (splitmix64 finalizer per cell) so that (a) output is byte-identical
+// regardless of thread count, and (b) the pure-numpy fallback in
+// plink_tpu/bench_gen.py reproduces the exact same bytes (only IEEE
+// add/mul/compare in the cell path -- no transcendentals anywhere).
+//
+// Output: mode-0x02 .pgen (fixed-width 2-bit records; pgen_spec.tex storage
+// mode 2): magic 6C 1B, 0x02, u32 variant_ct, u32 sample_ct, 0x40, rows.
+// ---------------------------------------------------------------------------
+
+#include <cstdio>
+#include <unistd.h>
+
+namespace {
+
+constexpr uint64_t kGold = 0x9E3779B97F4A7C15ULL;
+
+inline uint64_t mix64(uint64_t z) {
+  z ^= z >> 30;
+  z *= 0xBF58476D1CE4E5B9ULL;
+  z ^= z >> 27;
+  z *= 0x94D049BB133111EBULL;
+  z ^= z >> 31;
+  return z;
+}
+
+inline double u64_to_unit(uint64_t r) {
+  return static_cast<double>(r >> 11) * (1.0 / 9007199254740992.0);
+}
+
+// Irwin-Hall(12) - 6: approximately standard normal, built from adds only
+// so the numpy fallback is bit-identical.
+inline double gauss12(uint64_t key) {
+  double acc = 0.0;
+  for (uint64_t i = 0; i < 12; ++i) {
+    acc += u64_to_unit(mix64(key + i * kGold));
+  }
+  return acc - 6.0;
+}
+
+struct PanelWriter {
+  FILE* f;
+  uint32_t nb;  // bytes per row
+  int ok;
+};
+
+// Generate rows [v0, v1) of an iid panel into buf (nb bytes per row).
+void iid_rows(uint64_t seed, uint32_t sample_ct, uint32_t v0, uint32_t v1,
+              uint32_t miss21, uint8_t* buf, uint32_t nb) {
+  for (uint32_t v = v0; v < v1; ++v) {
+    const uint64_t rowkey = mix64(seed ^ ((static_cast<uint64_t>(v) + 1) * kGold));
+    const double p = u64_to_unit(mix64(rowkey ^ 0xA5A5A5A5A5A5A5A5ULL));
+    const uint32_t p21 = static_cast<uint32_t>(p * 2097152.0);
+    uint8_t* row = buf + static_cast<size_t>(v - v0) * nb;
+    memset(row, 0, nb);
+    for (uint32_t s = 0; s < sample_ct; ++s) {
+      const uint64_t r = mix64(rowkey + (static_cast<uint64_t>(s) + 1) * kGold);
+      uint32_t code = (static_cast<uint32_t>(r & 0x1FFFFF) < p21)
+                    + (static_cast<uint32_t>((r >> 21) & 0x1FFFFF) < p21);
+      if (static_cast<uint32_t>((r >> 42) & 0x1FFFFF) < miss21) code = 3;
+      row[s >> 2] |= static_cast<uint8_t>(code << ((s & 3) * 2));
+    }
+  }
+}
+
+// Generate rows [v0, v1) of a structured panel: per-sample latent scores
+// u[s][j] (k axes), per-variant loadings scaled by scale_top*decay^j,
+// p(s) = clip(base_v + sum_j wl_j u_sj, 0.01, 0.99).
+void structured_rows(uint64_t seed, uint32_t sample_ct, uint32_t k,
+                     const double* u, const double* scales, uint32_t v0,
+                     uint32_t v1, uint32_t miss21, uint8_t* buf, uint32_t nb,
+                     double* pbuf) {
+  for (uint32_t v = v0; v < v1; ++v) {
+    const uint64_t rowkey = mix64(seed ^ ((static_cast<uint64_t>(v) + 1) * kGold));
+    const double base =
+        0.1 + 0.4 * u64_to_unit(mix64(rowkey ^ 0xA5A5A5A5A5A5A5A5ULL));
+    double wl[64];
+    for (uint32_t j = 0; j < k; ++j) {
+      wl[j] = gauss12(mix64(rowkey ^ 0x5151515151515151ULL) + j * 977ULL * kGold)
+              * scales[j];
+    }
+    // p per sample: explicit j-major accumulation (numpy fallback adds in
+    // the same order, keeping the floats bit-identical)
+    for (uint32_t s = 0; s < sample_ct; ++s) pbuf[s] = base;
+    for (uint32_t j = 0; j < k; ++j) {
+      const double wlj = wl[j];
+      const double* uj = u + static_cast<size_t>(j) * sample_ct;
+      for (uint32_t s = 0; s < sample_ct; ++s) pbuf[s] += wlj * uj[s];
+    }
+    uint8_t* row = buf + static_cast<size_t>(v - v0) * nb;
+    memset(row, 0, nb);
+    for (uint32_t s = 0; s < sample_ct; ++s) {
+      double p = pbuf[s];
+      if (p < 0.01) p = 0.01;
+      if (p > 0.99) p = 0.99;
+      const uint32_t p21 = static_cast<uint32_t>(p * 2097152.0);
+      const uint64_t r = mix64(rowkey + (static_cast<uint64_t>(s) + 1) * kGold);
+      uint32_t code = (static_cast<uint32_t>(r & 0x1FFFFF) < p21)
+                    + (static_cast<uint32_t>((r >> 21) & 0x1FFFFF) < p21);
+      if (miss21 && static_cast<uint32_t>((r >> 42) & 0x1FFFFF) < miss21)
+        code = 3;
+      row[s >> 2] |= static_cast<uint8_t>(code << ((s & 3) * 2));
+    }
+  }
+}
+
+int panelgen_write(const char* path, uint64_t seed, uint32_t sample_ct,
+                   uint32_t variant_ct, double miss_rate, int nthreads,
+                   uint32_t k, double scale_top, double decay) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return 1;
+  const uint32_t nb = (sample_ct + 3) / 4;
+  uint8_t header[12];
+  header[0] = 0x6C;
+  header[1] = 0x1B;
+  header[2] = 0x02;
+  memcpy(header + 3, &variant_ct, 4);
+  memcpy(header + 7, &sample_ct, 4);
+  header[11] = 0x40;
+  if (fwrite(header, 1, 12, f) != 12) { fclose(f); return 1; }
+  // preallocate by writing the last byte
+  const uint64_t total = 12 + static_cast<uint64_t>(variant_ct) * nb;
+  if (fseeko(f, static_cast<off_t>(total - 1), SEEK_SET) != 0 ||
+      fwrite("", 1, 1, f) != 1) { fclose(f); return 1; }
+  fflush(f);
+  const int fd = fileno(f);
+
+  const uint32_t miss21 = static_cast<uint32_t>(miss_rate * 2097152.0);
+  std::vector<double> u;
+  std::vector<double> scales;
+  if (k) {
+    // per-sample latent scores, j-major [k][sample_ct]
+    u.resize(static_cast<size_t>(k) * sample_ct);
+    scales.resize(k);
+    for (uint32_t j = 0; j < k; ++j) scales[j] = scale_top;
+    for (uint32_t j = 1; j < k; ++j) scales[j] = scales[j - 1] * decay;
+    const uint64_t ukey = mix64(seed ^ 0x3C3C3C3C3C3C3C3CULL);
+    for (uint32_t j = 0; j < k; ++j) {
+      double* uj = &u[static_cast<size_t>(j) * sample_ct];
+      for (uint32_t s = 0; s < sample_ct; ++s) {
+        uj[s] = gauss12(ukey + (static_cast<uint64_t>(s) * 64 + j) * 131ULL * kGold);
+      }
+    }
+  }
+
+  if (nthreads < 1) nthreads = 1;
+  const uint32_t chunk = 256;
+  std::vector<std::thread> threads;
+  std::vector<int> errs(nthreads, 0);
+  for (int t = 0; t < nthreads; ++t) {
+    threads.emplace_back([&, t]() {
+      std::vector<uint8_t> buf(static_cast<size_t>(chunk) * nb);
+      std::vector<double> pbuf(k ? sample_ct : 0);
+      for (uint64_t c0 = static_cast<uint64_t>(t) * chunk; c0 < variant_ct;
+           c0 += static_cast<uint64_t>(nthreads) * chunk) {
+        const uint32_t v0 = static_cast<uint32_t>(c0);
+        const uint32_t v1 = v0 + chunk < variant_ct ? v0 + chunk : variant_ct;
+        if (k) {
+          structured_rows(seed, sample_ct, k, u.data(), scales.data(), v0, v1,
+                          miss21, buf.data(), nb, pbuf.data());
+        } else {
+          iid_rows(seed, sample_ct, v0, v1, miss21, buf.data(), nb);
+        }
+        const uint64_t off = 12 + static_cast<uint64_t>(v0) * nb;
+        const size_t len = static_cast<size_t>(v1 - v0) * nb;
+        size_t done = 0;
+        while (done < len) {
+          ssize_t w = pwrite(fd, buf.data() + done, len - done,
+                             static_cast<off_t>(off + done));
+          if (w <= 0) { errs[t] = 1; return; }
+          done += static_cast<size_t>(w);
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  fclose(f);
+  for (int t = 0; t < nthreads; ++t) {
+    if (errs[t]) return 1;
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" int panelgen_iid(const char* path, uint64_t seed,
+                            uint32_t sample_ct, uint32_t variant_ct,
+                            double miss_rate, int nthreads) {
+  return panelgen_write(path, seed, sample_ct, variant_ct, miss_rate,
+                        nthreads, 0, 0.0, 0.0);
+}
+
+extern "C" int panelgen_structured(const char* path, uint64_t seed,
+                                   uint32_t sample_ct, uint32_t variant_ct,
+                                   uint32_t k, double scale_top, double decay,
+                                   double miss_rate, int nthreads) {
+  if (k > 64) return 2;
+  return panelgen_write(path, seed, sample_ct, variant_ct, miss_rate,
+                        nthreads, k, scale_top, decay);
+}
