@@ -281,8 +281,34 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
     batch_rowidx: list[int] = []
     spans: list = []  # (row0, [nb, N] uint8) contiguous fast-path blocks
     nthr = min(8, os.cpu_count() or 1)
+    # the C++ GT scanner releases the GIL, so batches parse on a background
+    # worker while the main thread keeps draining the BGZF decompress-ahead
+    # stream (the reference overlaps these the same way: VcfGenoToPgenThread
+    # workers behind the TextStream reader, 2.0/plink2_import.cc:72-89)
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    parse_pool = ThreadPoolExecutor(max_workers=1)
+    parse_futures: deque = deque()
 
     def _flush_batch():
+        if not batch_t9:
+            return
+        job_t9 = list(batch_t9)
+        job_rowidx = list(batch_rowidx)
+        batch_t9.clear()
+        batch_rowidx.clear()
+        parse_futures.append(
+            parse_pool.submit(_parse_batch, job_t9, job_rowidx))
+        while len(parse_futures) > 2:  # bound in-flight text buffers
+            parse_futures.popleft().result()
+
+    def _drain_parses():
+        while parse_futures:
+            parse_futures.popleft().result()
+        parse_pool.shutdown()
+
+    def _parse_batch(batch_t9, batch_rowidx):
         import ctypes
 
         if not batch_t9:
@@ -312,8 +338,6 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
                 and batch_rowidx[-1] - batch_rowidx[0] == nb - 1):
             # contiguous clean batch: final assembly is one memcpy
             spans.append((batch_rowidx[0], out))
-            batch_t9.clear()
-            batch_rowidx.clear()
             return
         for i in range(nb):
             ri = batch_rowidx[i]
@@ -342,8 +366,6 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
                                 pp[s_i] = True
                                 pi[s_i] = a[0] == "1"
                     phase_rows[ri] = (pp, pi)
-        batch_t9.clear()
-        batch_rowidx.clear()
 
     from .compress import open_binary_auto
 
@@ -576,6 +598,7 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
                             pi[s_i] = a[0] == "1"  # "1|0" = swapped
                 phase_rows.append((pp, pi))
         _flush_batch()
+    _drain_parses()
     M, N = len(rows), len(sample_ids)
     codes = np.empty((M, N), dtype=np.uint8)
     for r0, blk in spans:
