@@ -1036,3 +1036,236 @@ extern "C" int panelgen_structured(const char* path, uint64_t seed,
   return panelgen_write(path, seed, sample_ct, variant_ct, miss_rate,
                         nthreads, k, scale_top, decay);
 }
+
+// ---------------------------------------------------------------------------
+// C FFI API for external bindings (R pgenlibr, Julia, ...).
+//
+// Role model: the reference's pgenlib FFI layer (pgenlib_ffi_support.cc and
+// 2.0/pgenlibr/src/pgenlibr.cpp) -- an opened-file handle plus per-variant
+// hardcall readers.  This implementation is self-contained C++ (no Python):
+// it parses the .pgen header (storage modes 0x01/0x02/0x03/0x04/0x10/0x11
+// per pgen_spec.tex) and decodes hardcall records through the same
+// pgen_decode_block() used by the Python reader.  Biallelic hardcalls only
+// in v1 (multiallelic patches / dosage / phase tracks are skipped -- they
+// live AFTER the hardcall track in each record, so decoding stays correct).
+//
+// Tested from Python via ctypes (tests/test_capi.py) against the
+// differential-tested Python reader; the R package under bindings/pgenlibr
+// wraps exactly these entry points.
+// ---------------------------------------------------------------------------
+
+#include <cstdio>
+
+namespace {
+
+struct PgenCHandle {
+  std::vector<uint8_t> file;
+  uint32_t mode = 0;
+  uint32_t variant_ct = 0;
+  uint32_t sample_ct = 0;
+  std::vector<uint8_t> vrtypes;
+  std::vector<uint64_t> offsets;  // variant_ct + 1 absolute offsets
+};
+
+int parse_pgen_header(PgenCHandle* h, uint32_t sample_ct_hint) {
+  const std::vector<uint8_t>& f = h->file;
+  if (f.size() < 3 || f[0] != 0x6C || f[1] != 0x1B) return 1;
+  const uint32_t mode = f[2];
+  h->mode = mode;
+  if (mode == 0x01) {  // PLINK1 .bed, variant-major
+    if (!sample_ct_hint) return 2;
+    h->sample_ct = sample_ct_hint;
+    const uint64_t nb = (sample_ct_hint + 3) / 4;
+    h->variant_ct = static_cast<uint32_t>((f.size() - 3) / nb);
+    // decode as dense 2-bit copies (vrtype 0); pgen_capi_read_codes then
+    // applies the .bed -> pgen code translation
+    h->vrtypes.assign(h->variant_ct, 0);
+    h->offsets.resize(h->variant_ct + 1);
+    for (uint64_t v = 0; v <= h->variant_ct; ++v)
+      h->offsets[v] = 3 + v * nb;
+    return 0;
+  }
+  if (mode != 0x02 && mode != 0x03 && mode != 0x04 && mode != 0x10 &&
+      mode != 0x11)
+    return 3;
+  if (f.size() < 12) return 1;
+  uint32_t variant_ct, sample_ct;
+  memcpy(&variant_ct, &f[3], 4);
+  memcpy(&sample_ct, &f[7], 4);
+  h->variant_ct = variant_ct;
+  h->sample_ct = sample_ct;
+  const uint8_t fmt = f[11];
+  size_t pos = 12;
+  if (mode == 0x02 || mode == 0x03 || mode == 0x04) {
+    const uint8_t vrtype_val = (mode == 0x02) ? 0 : (mode == 0x03 ? 0x40 : 0xC0);
+    const uint64_t nb = (sample_ct + 3) / 4;
+    const uint64_t rec_len =
+        nb + (mode == 0x03 ? 2ull * sample_ct
+                           : (mode == 0x04 ? 4ull * sample_ct : 0));
+    const uint32_t prv_code = (fmt >> 6) & 3;
+    if (prv_code == 3) pos += (variant_ct + 7) / 8;
+    h->vrtypes.assign(variant_ct, vrtype_val);
+    h->offsets.resize(variant_ct + 1ull);
+    for (uint64_t v = 0; v <= variant_ct; ++v)
+      h->offsets[v] = pos + v * rec_len;
+    return 0;
+  }
+  // modes 0x10/0x11: variable-width records
+  const uint32_t vrtype_len_code = fmt & 0x0F;
+  if (vrtype_len_code > 7) return 4;
+  const bool vrtype_8bit = vrtype_len_code >= 4;
+  const uint32_t len_bytes = (vrtype_len_code & 3) + 1;
+  const uint32_t ac_bytes = (fmt >> 4) & 3;
+  const uint32_t prv_code = (fmt >> 6) & 3;
+  const uint64_t n_blocks = (static_cast<uint64_t>(variant_ct) + 65535) >> 16;
+  std::vector<uint64_t> block_offsets(n_blocks);
+  if (pos + 8 * n_blocks > f.size()) return 1;
+  memcpy(block_offsets.data(), &f[pos], 8 * n_blocks);
+  pos += 8 * n_blocks;
+  h->vrtypes.resize(variant_ct);
+  std::vector<uint64_t> rec_lens(variant_ct);
+  for (uint64_t b = 0; b < n_blocks; ++b) {
+    const uint64_t vstart = b << 16;
+    const uint64_t vct = std::min<uint64_t>(65536, variant_ct - vstart);
+    if (vrtype_8bit) {
+      if (pos + vct > f.size()) return 1;
+      memcpy(&h->vrtypes[vstart], &f[pos], vct);
+      pos += vct;
+    } else {
+      const uint64_t nbytes = (vct + 1) / 2;
+      if (pos + nbytes > f.size()) return 1;
+      for (uint64_t i = 0; i < vct; ++i) {
+        const uint8_t raw = f[pos + i / 2];
+        h->vrtypes[vstart + i] = (i & 1) ? (raw >> 4) : (raw & 0x0F);
+      }
+      pos += nbytes;
+    }
+    if (pos + len_bytes * vct > f.size()) return 1;
+    for (uint64_t i = 0; i < vct; ++i) {
+      uint64_t lv = 0;
+      for (uint32_t k = 0; k < len_bytes; ++k)
+        lv |= static_cast<uint64_t>(f[pos + i * len_bytes + k]) << (8 * k);
+      rec_lens[vstart + i] = lv;
+    }
+    pos += len_bytes * vct;
+    pos += static_cast<uint64_t>(ac_bytes) * vct;  // allele counts (skipped)
+    if (prv_code == 3) pos += (vct + 7) / 8;       // provisional-ref bits
+  }
+  h->offsets.resize(variant_ct + 1ull);
+  for (uint64_t b = 0; b < n_blocks; ++b) {
+    const uint64_t vstart = b << 16;
+    const uint64_t vct = std::min<uint64_t>(65536, variant_ct - vstart);
+    uint64_t acc = block_offsets[b];
+    h->offsets[vstart] = acc;
+    for (uint64_t i = 0; i < vct; ++i) {
+      acc += rec_lens[vstart + i];
+      h->offsets[vstart + i + 1] = acc;
+    }
+  }
+  return 0;
+}
+
+// Decode variants [v0, v1) into packed rows, honoring LD-chain rewind.
+int capi_decode_range(PgenCHandle* h, uint32_t v0, uint32_t v1,
+                      uint8_t* packed_out, int nthreads) {
+  // rewind to the LD chain start (vrtype&7 in {2,3} diffs vs the previous
+  // non-LD record)
+  uint32_t start = v0;
+  while (start > 0) {
+    const int m = h->vrtypes[start] & 7;
+    if (h->mode < 0x10 || (m != 2 && m != 3)) break;
+    --start;
+  }
+  const uint64_t nb = (h->sample_ct + 3) / 4;
+  const uint64_t vct = v1 - start;
+  std::vector<int64_t> rel(vct + 1);
+  for (uint64_t i = 0; i <= vct; ++i)
+    rel[i] = static_cast<int64_t>(h->offsets[start + i] - h->offsets[start]);
+  std::vector<uint8_t> tmp;
+  uint8_t* out = packed_out;
+  if (start != v0) {
+    tmp.resize(vct * nb);
+    out = tmp.data();
+  }
+  std::vector<uint8_t> ld_base(nb);
+  int64_t ld_valid = 0;
+  const int rc = pgen_decode_block_mt(
+      &h->file[h->offsets[start]], rel.data(), &h->vrtypes[start],
+      static_cast<int64_t>(vct), h->sample_ct, ld_base.data(), &ld_valid,
+      out, nthreads);
+  if (rc) return rc;
+  if (start != v0)
+    memcpy(packed_out, &tmp[(v0 - start) * nb], (v1 - v0) * nb);
+  return 0;
+}
+
+}  // namespace
+
+extern "C" void* pgen_capi_open(const char* path, uint32_t sample_ct_hint,
+                                int* err) {
+  PgenCHandle* h = new PgenCHandle();
+  FILE* fp = fopen(path, "rb");
+  if (!fp) {
+    *err = -1;
+    delete h;
+    return nullptr;
+  }
+  fseeko(fp, 0, SEEK_END);
+  const off_t sz = ftello(fp);
+  fseeko(fp, 0, SEEK_SET);
+  h->file.resize(static_cast<size_t>(sz));
+  if (sz && fread(h->file.data(), 1, static_cast<size_t>(sz), fp) !=
+                static_cast<size_t>(sz)) {
+    *err = -2;
+    fclose(fp);
+    delete h;
+    return nullptr;
+  }
+  fclose(fp);
+  const int rc = parse_pgen_header(h, sample_ct_hint);
+  if (rc) {
+    *err = rc;
+    delete h;
+    return nullptr;
+  }
+  *err = 0;
+  return h;
+}
+
+extern "C" void pgen_capi_close(void* hv) {
+  delete static_cast<PgenCHandle*>(hv);
+}
+
+extern "C" uint32_t pgen_capi_variant_ct(void* hv) {
+  return static_cast<PgenCHandle*>(hv)->variant_ct;
+}
+
+extern "C" uint32_t pgen_capi_sample_ct(void* hv) {
+  return static_cast<PgenCHandle*>(hv)->sample_ct;
+}
+
+// Unpacked 2-bit codes (0 homref / 1 het / 2 homalt / 3 missing), one byte
+// per sample, for variants [v0, v0+vct).  out is [vct, sample_ct].
+extern "C" int pgen_capi_read_codes(void* hv, uint32_t v0, uint32_t vct,
+                                    uint8_t* out, int nthreads) {
+  PgenCHandle* h = static_cast<PgenCHandle*>(hv);
+  if (v0 + vct > h->variant_ct) return 5;
+  const uint64_t nb = (h->sample_ct + 3) / 4;
+  std::vector<uint8_t> packed(static_cast<uint64_t>(vct) * nb);
+  const int rc = capi_decode_range(h, v0, v0 + vct, packed.data(), nthreads);
+  if (rc) return rc;
+  for (uint64_t v = 0; v < vct; ++v) {
+    const uint8_t* row = &packed[v * nb];
+    uint8_t* orow = &out[v * h->sample_ct];
+    for (uint32_t s = 0; s < h->sample_ct; ++s)
+      orow[s] = (row[s >> 2] >> ((s & 3) * 2)) & 3;
+  }
+  // PLINK1 .bed code semantics differ; translate to pgen codes
+  if (h->mode == 0x01) {
+    // bed: 0=hom A1, 1=missing, 2=het, 3=hom A2 -> pgen ALT-count codes
+    static const uint8_t map[4] = {2, 3, 1, 0};
+    const uint64_t total = static_cast<uint64_t>(vct) * h->sample_ct;
+    for (uint64_t i = 0; i < total; ++i) out[i] = map[out[i]];
+  }
+  return 0;
+}
