@@ -300,22 +300,26 @@ class PgenReader:
                            variant_idx_end: int, floatarr_out: np.ndarray,
                            allele_idx: int = 1,
                            sample_maj: bool = False) -> None:
-        if sample_maj:
-            raise NotImplementedError(
-                "sample-major dosage reads not implemented"
-            )
         for k, v in enumerate(range(variant_idx_start, variant_idx_end)):
-            self.read_dosages(v, floatarr_out[k], allele_idx)
+            if sample_maj:
+                # sample-major layout: out[sample, variant] (upstream
+                # pgenlib read_dosages_range sample_maj semantics)
+                tmp = np.empty(self._n, floatarr_out.dtype)
+                self.read_dosages(v, tmp, allele_idx)
+                floatarr_out[: self._n, k] = tmp
+            else:
+                self.read_dosages(v, floatarr_out[k], allele_idx)
 
     def read_dosages_list(self, variant_idxs: np.ndarray,
                           floatarr_out: np.ndarray, allele_idx: int = 1,
                           sample_maj: bool = False) -> None:
-        if sample_maj:
-            raise NotImplementedError(
-                "sample-major dosage reads not implemented"
-            )
         for k, v in enumerate(np.asarray(variant_idxs, np.int64)):
-            self.read_dosages(int(v), floatarr_out[k], allele_idx)
+            if sample_maj:
+                tmp = np.empty(self._n, floatarr_out.dtype)
+                self.read_dosages(int(v), tmp, allele_idx)
+                floatarr_out[: self._n, k] = tmp
+            else:
+                self.read_dosages(int(v), floatarr_out[k], allele_idx)
 
     # -- counts ------------------------------------------------------------
     def count(self, variant_idx: int, genocount_uint32_out: np.ndarray,

@@ -97,3 +97,57 @@ def test_fst_chrx_differential(xpanel):
         assert (xpanel / ("ox" + s)).read_bytes() == (
             xpanel / ("tx" + s)
         ).read_bytes(), s
+
+
+@pytest.mark.parametrize("mods,exts", [
+    (["blocksize=37"], [".fst.summary"]),
+    (["blocksize=37", "cols=nobs"], [".fst.summary"]),
+    # blocksize values that divide the valid-variant count exactly hit an
+    # upstream out-of-bounds read (plink2_misc.cc:12209 block loop runs
+    # n_block+1 times when nobs %% blocksize == 0, reading a phantom
+    # block), so the oracle's SE is garbage there; test the well-defined
+    # remainder case
+    (["method=wc", "blocksize=23"], [".fst.summary"]),
+    (["base=AFR"], [".fst.summary"]),
+    (["base=AFR", "EUR"], [".fst.summary"]),
+    (["ids=AFR", "EAS"], [".fst.summary"]),
+    (["report-variants", "vcols=chrom,pos,ref,alt,nobs,fstfrac,fst"],
+     [".fst.summary", ".AFR.EAS.fst.var"]),
+    (["report-variants", "vcols=+nallele"],
+     [".fst.summary", ".AFR.EAS.fst.var"]),
+], ids=lambda x: "_".join(x) if isinstance(x, list) and x and not x[0].startswith(".") else None)
+def test_fst_modifiers(panel, mods, exts):
+    """blocksize=/cols=/vcols=/base=/ids= (--fst grammar,
+    2.0/plink2_help.cc:896; jackknife 2.0/plink2_misc.cc:12190-12240)."""
+    from plink_tpu.cli import main
+
+    tag = "m" + str(abs(hash(tuple(mods))) % 100000)
+    flags = ["--pfile", "fp", "--fst", "POP"] + mods
+    subprocess.run([ORACLE] + flags + ["--out", f"o{tag}"], cwd=panel,
+                   check=True, capture_output=True)
+    old = os.getcwd()
+    os.chdir(panel)
+    try:
+        assert main(flags + ["--out", f"t{tag}", "--silent"]) == 0
+    finally:
+        os.chdir(old)
+    for ext in exts:
+        assert (panel / f"o{tag}{ext}").read_bytes() == \
+            (panel / f"t{tag}{ext}").read_bytes(), ext
+
+
+def test_fst_pair_file(panel):
+    from plink_tpu.cli import main
+
+    (panel / "pairs.txt").write_text("AFR EUR\nEAS EUR\n")
+    flags = ["--pfile", "fp", "--fst", "POP", "file=pairs.txt"]
+    subprocess.run([ORACLE] + flags + ["--out", "opf"], cwd=panel,
+                   check=True, capture_output=True)
+    old = os.getcwd()
+    os.chdir(panel)
+    try:
+        assert main(flags + ["--out", "tpf", "--silent"]) == 0
+    finally:
+        os.chdir(old)
+    assert (panel / "opf.fst.summary").read_bytes() == \
+        (panel / "tpf.fst.summary").read_bytes()

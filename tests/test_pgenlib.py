@@ -258,3 +258,21 @@ def test_written_pgen_oracle_validate(tmp_path):
     )
     assert res.returncode == 0
     assert "Validating w.pgen... done." in res.stdout
+
+
+def test_reader_dosages_sample_major(panel):
+    """sample_maj=True transposed dosage reads (upstream pgenlib
+    read_dosages_range/list sample-major layout)."""
+    from plink_tpu import pgenlib
+
+    with pgenlib.PgenReader(bytes(panel / "dp.pgen")) as r:
+        n, M = r.get_raw_sample_ct(), r.get_variant_ct()
+        vmaj = np.empty((M, n), np.float64)
+        r.read_dosages_range(0, M, vmaj, allele_idx=0)
+        smaj = np.empty((n, M), np.float64)
+        r.read_dosages_range(0, M, smaj, allele_idx=0, sample_maj=True)
+        np.testing.assert_array_equal(smaj, vmaj.T)
+        idxs = np.array([2, 0, 3], np.uint32)
+        smaj2 = np.empty((n, 3), np.float64)
+        r.read_dosages_list(idxs, smaj2, allele_idx=0, sample_maj=True)
+        np.testing.assert_array_equal(smaj2, vmaj[idxs].T)
