@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..utils.fmt import g6, logp_to_str
+
+_LN10 = 2.30258509299404568
 from ..utils.logging import RunLogger
 
 
@@ -37,9 +39,12 @@ def _chisq_logsf1(x: np.ndarray) -> np.ndarray:
     return np.asarray(chisq_logsf(x, 1.0))
 
 
-def _adjust_columns(lnp: np.ndarray, log: RunLogger):
+def _adjust_columns(lnp: np.ndarray, log: RunLogger, use_gc: bool = False):
     """Shared adjustment math for --adjust and --adjust-file; lnp must be
-    sorted ascending.  Returns dict of ln-space adjusted columns."""
+    sorted ascending.  Returns dict of ln-space adjusted columns.  With
+    use_gc (the 'gc' modifier), the GC-corrected p-values feed every
+    correction formula (ref sorted_ln_pvals = ln_pv_gc,
+    2.0/plink2_adjust.cc:389-391); UNADJ/GC columns are unaffected."""
     m = lnp.size
     chisq = _lnp_to_chisq(lnp)
     med = chisq[m // 2] if m % 2 else 0.5 * (chisq[m // 2] + chisq[m // 2 - 1])
@@ -50,6 +55,8 @@ def _adjust_columns(lnp: np.ndarray, log: RunLogger):
     )
     lam = max(lam, 1.0)
     ln_gc = _chisq_logsf1(chisq / lam)
+    if use_gc:
+        lnp = ln_gc
     i = np.arange(m, dtype=np.float64)
     ln_m = np.log(m)
     ln_bonf = np.minimum(lnp + ln_m, 0.0)
@@ -122,11 +129,45 @@ def run_adjust_file(cfg, log: RunLogger) -> None:
     args = cfg.adjust_file
     path = args[0]
     test_name = None
+    zs = False
+    use_gc = False
+    out_log10 = False
+    in_log10 = False
+    colsets = {"chrom", "maybeprovref", "a1", "unadj", "gc", "bonf", "holm",
+               "sidakss", "sidaksd", "fdrbh", "fdrby"}
+    known = ("chrom", "pos", "ref", "alt1", "alt", "maybeprovref", "provref",
+             "a1", "unadj", "gc", "qq", "bonf", "holm", "sidakss", "sidaksd",
+             "fdrbh", "fdrby")
     for a in args[1:]:
         if a.startswith("test="):
             test_name = a[5:]
-        elif a in ("zs", "gc", "log10", "cols="):
-            raise NotImplementedError(f"--adjust-file modifier '{a}'")
+        elif a == "zs":
+            zs = True
+        elif a == "gc":
+            use_gc = True
+        elif a == "log10":
+            out_log10 = True
+        elif a == "input-log10":
+            in_log10 = True
+        elif a.startswith("cols="):
+            spec = a[5:]
+            if spec[:1] in "+-":
+                for tok in spec.replace("-", ",-").replace("+", ",+") \
+                        .split(","):
+                    if not tok:
+                        continue
+                    if tok[1:] not in known:
+                        raise ValueError(
+                            f"--adjust-file cols= unknown set '{tok[1:]}'")
+                    (colsets.discard if tok[0] == "-"
+                     else colsets.add)(tok[1:])
+            else:
+                colsets = set()
+                for tok in spec.split(","):
+                    if tok not in known:
+                        raise ValueError(
+                            f"--adjust-file cols= unknown set '{tok}'")
+                    colsets.add(tok)
         else:
             raise ValueError(f"Invalid --adjust-file argument '{a}'.")
     with open(path) as f:
@@ -138,6 +179,7 @@ def run_adjust_file(cfg, log: RunLogger) -> None:
             raise ValueError(f"--adjust-file: {path} is missing a {req} column.")
     tcol = col.get("TEST")
     chroms, ids, a1s, ps = [], [], [], []
+    poss, refs, alts = [], [], []
     seen_tests = set()
     for ln in lines[1:]:
         t = ln.split("\t")
@@ -149,11 +191,16 @@ def run_adjust_file(cfg, log: RunLogger) -> None:
             p = float(t[col["P"]])
         except ValueError:
             continue
+        if in_log10:
+            p = 10.0 ** -p
         if not np.isfinite(p):
             continue
         chroms.append(t[col["CHROM"]] if "CHROM" in col else "NA")
         ids.append(t[col["ID"]])
         a1s.append(t[col["A1"]] if "A1" in col else "NA")
+        poss.append(t[col["POS"]] if "POS" in col else "NA")
+        refs.append(t[col["REF"]] if "REF" in col else "NA")
+        alts.append(t[col["ALT"]] if "ALT" in col else "NA")
         ps.append(p)
     if tcol is not None and test_name is None and len(seen_tests) > 1:
         raise ValueError(
@@ -167,22 +214,68 @@ def run_adjust_file(cfg, log: RunLogger) -> None:
     order = np.lexsort((np.arange(lnp.size), lnp))
     lnp = lnp[order]
     m = lnp.size
-    cols = _adjust_columns(lnp, log)
+    cols = _adjust_columns(lnp, log, use_gc=use_gc)
     out = cfg.out + ".adjusted"
-    with open(out, "w") as f:
-        f.write(
-            "#CHROM\tID\tA1\tUNADJ\tGC\tBONF\tHOLM\tSIDAK_SS\tSIDAK_SD\t"
-            "FDR_BH\tFDR_BY\n"
-        )
+    from ..io.compress import open_out
+
+    def render(v):
+        if out_log10:
+            return "NA" if not np.isfinite(v) else g6(-v / _LN10)
+        return logp_to_str(v)
+
+    hdr_items = []
+    if "chrom" in colsets:
+        hdr_items.append("CHROM")
+    if "pos" in colsets:
+        hdr_items.append("POS")
+    hdr_items.append("ID")
+    if "ref" in colsets:
+        hdr_items.append("REF")
+    if "alt1" in colsets:
+        hdr_items.append("ALT1")
+    if "alt" in colsets:
+        hdr_items.append("ALT")
+    if "a1" in colsets:
+        hdr_items.append("A1")
+    stat_cols = []
+    for key, name in (("unadj", "UNADJ"), ("gc", "GC"), ("qq", "QQ"),
+                      ("bonf", "BONF"), ("holm", "HOLM"),
+                      ("sidakss", "SIDAK_SS"), ("sidaksd", "SIDAK_SD"),
+                      ("fdrbh", "FDR_BH"), ("fdrby", "FDR_BY")):
+        if key in colsets:
+            stat_cols.append((key, name))
+    f, out = open_out(out, zs)
+    # log10 outputs rename every statistic column NEG_LOG10_* (reference
+    # AdjustFile header)
+    stat_hdr = [("NEG_LOG10_" + n if out_log10 and n != "QQ" else n)
+                for _, n in stat_cols]
+    with f:
+        f.write("#" + "\t".join(hdr_items + stat_hdr) + "\n")
         for r in range(m):
             j = order[r]
-            f.write(
-                f"{chroms[j]}\t{ids[j]}\t{a1s[j]}\t{logp_to_str(lnp[r])}\t"
-                + "\t".join(
-                    logp_to_str(cols[c][r])
-                    for c in ("GC", "BONF", "HOLM", "SIDAK_SS", "SIDAK_SD",
-                              "FDR_BH", "FDR_BY")
-                )
-                + "\n"
-            )
+            items = []
+            if "chrom" in colsets:
+                items.append(chroms[j])
+            if "pos" in colsets:
+                items.append(poss[j])
+            items.append(ids[j])
+            if "ref" in colsets:
+                items.append(refs[j])
+            if "alt1" in colsets:
+                items.append(alts[j].split(",", 1)[0])
+            if "alt" in colsets:
+                items.append(alts[j])
+            if "a1" in colsets:
+                items.append(a1s[j])
+            for key, _name in stat_cols:
+                if key == "unadj":
+                    items.append(render(lnp[r]))
+                elif key == "qq":
+                    items.append(g6((r + 0.5) / m))
+                else:
+                    items.append(render(cols[{
+                        "gc": "GC", "bonf": "BONF", "holm": "HOLM",
+                        "sidakss": "SIDAK_SS", "sidaksd": "SIDAK_SD",
+                        "fdrbh": "FDR_BH", "fdrby": "FDR_BY"}[key]][r]))
+            f.write("\t".join(items) + "\n")
     log.log(f"--adjust-file values ({m} tests) written to {out} .")

@@ -24,9 +24,35 @@ from ..utils.logging import RunLogger
 from .basic_reports import alt_allele_freqs
 
 
-def _parse_thresholds(args: tuple) -> dict:
+_SEXCHECK_COLS = ("maybefid", "fid", "maybesid", "sid", "pedsex", "status",
+                  "xf", "ycount", "yrate", "yobs")
+_SEXCHECK_DEFAULT = {"maybefid", "maybesid", "pedsex", "status", "xf",
+                     "yrate"}
+
+
+def _parse_thresholds(args: tuple) -> tuple[dict, set]:
     th = {}
+    cols = set(_SEXCHECK_DEFAULT)
     for a in args:
+        if a.startswith("cols="):
+            spec = a.split("=", 1)[1]
+            if spec[:1] in "+-":
+                for tok in spec.replace("-", ",-").replace("+", ",+") \
+                        .split(","):
+                    if not tok:
+                        continue
+                    if tok[1:] not in _SEXCHECK_COLS:
+                        raise ValueError(
+                            f"--check-sex cols= unknown set '{tok[1:]}'")
+                    (cols.discard if tok[0] == "-" else cols.add)(tok[1:])
+            else:
+                cols = set()
+                for tok in spec.split(","):
+                    if tok not in _SEXCHECK_COLS:
+                        raise ValueError(
+                            f"--check-sex cols= unknown set '{tok}'")
+                    cols.add(tok)
+            continue
         if "=" in a:
             k, v = a.split("=", 1)
             if k in ("max-female-xf", "min-male-xf", "max-female-ycount",
@@ -34,14 +60,14 @@ def _parse_thresholds(args: tuple) -> dict:
                      "max-female-fadj", "min-male-fadj"):
                 th[k.replace("fadj", "xf")] = float(v)
             else:
-                raise NotImplementedError(f"--check-sex modifier '{a}'")
+                raise ValueError(f"--check-sex: unknown modifier '{a}'")
         else:
-            raise NotImplementedError(f"--check-sex modifier '{a}'")
-    return th
+            raise ValueError(f"--check-sex: unknown modifier '{a}'")
+    return th, cols
 
 
 def run_check_sex(ds: Dataset, cfg, log: RunLogger, impute: bool) -> None:
-    th = _parse_thresholds(cfg.check_sex if not impute else cfg.impute_sex)
+    th, cols = _parse_thresholds(cfg.check_sex if not impute else cfg.impute_sex)
     if not th:
         log.log(
             "Warning: --check-sex run with default thresholds (min-male-xf=1, "
@@ -123,15 +149,40 @@ def run_check_sex(ds: Dataset, cfg, log: RunLogger, impute: bool) -> None:
 
     si = ds.si
     inc = np.flatnonzero(ds.sample_mask)
-    use_fid = si.has_fid and any(str(si.fid[i]) != "0" for i in inc)
+    # column gating (ref 2.0/plink2_misc.cc:10664-10702): FID forced by
+    # 'fid' or maybefid-with-informative-FIDs; x/y statistic columns only
+    # when that chromosome was actually used
+    use_fid = "fid" in cols or (
+        "maybefid" in cols and si.has_fid
+        and any(str(si.fid[i]) != "0" for i in inc))
+    x_used = x_ct and (use_x_male or use_x_female)
+    y_used = y_ct and use_y
+    use_sid = "sid" in cols or ("maybesid" in cols and si.sid is not None)
+    c_pedsex = "pedsex" in cols
+    c_status = "status" in cols
+    c_xf = bool(x_used) and "xf" in cols
+    c_ycount = bool(y_used) and "ycount" in cols
+    c_yrate = bool(y_used) and "yrate" in cols
+    c_yobs = bool(y_used) and "yobs" in cols
     path = cfg.out + ".sexcheck"
     problems = 0
     with open(path, "w") as f:
-        hdr = ("#FID\tIID" if use_fid else "#IID") + "\tPEDSEX\tSNPSEX\tSTATUS"
-        if x_ct:
+        hdr = ("#FID\tIID" if use_fid else "#IID")
+        if use_sid:
+            hdr += "\tSID"
+        if c_pedsex:
+            hdr += "\tPEDSEX"
+        hdr += "\tSNPSEX"
+        if c_status:
+            hdr += "\tSTATUS"
+        if c_xf:
             hdr += "\tF"
-        if y_ct:
+        if c_ycount:
+            hdr += "\tYCOUNT"
+        if c_yrate:
             hdr += "\tYRATE"
+        if c_yobs:
+            hdr += "\tYOBS"
         f.write(hdr + "\n")
         for i in inc:
             ped = int(si.sex[i])
@@ -140,12 +191,21 @@ def run_check_sex(ds: Dataset, cfg, log: RunLogger, impute: bool) -> None:
             if not ok:
                 problems += 1
             row = f"{si.fid[i]}\t{si.iid[i]}" if use_fid else str(si.iid[i])
-            row += f"\t{ped if ped else 'NA'}\t{snp if snp else 'NA'}"
-            row += "\tOK" if ok else "\tPROBLEM"
-            if x_ct:
+            if use_sid:
+                row += "\t" + (str(si.sid[i]) if si.sid is not None else "0")
+            if c_pedsex:
+                row += f"\t{ped if ped else 'NA'}"
+            row += f"\t{snp if snp else 'NA'}"
+            if c_status:
+                row += "\tOK" if ok else "\tPROBLEM"
+            if c_xf:
                 row += f"\t{g6(xf[i])}"
-            if y_ct:
+            if c_ycount:
+                row += f"\t{int(ycount[i])}"
+            if c_yrate:
                 row += f"\t{g6(yrate[i])}"
+            if c_yobs:
+                row += f"\t{y_ct}"
             f.write(row + "\n")
     flag = "--impute-sex" if impute else "--check-sex"
     log.log(

@@ -12,6 +12,7 @@ look like rsIDs; ref_allele column reports EA/OA/#NA.
 
 from __future__ import annotations
 
+from ..utils.fmt import dtoa_g
 from ..utils.logging import RunLogger
 
 _ACGT = set("ACGT")
@@ -25,7 +26,8 @@ def _is_rsid(s: str) -> bool:
     return s.startswith("rs") and len(s) > 2 and s[2:].isdigit()
 
 
-def _ssf_one(path: str, out_path: str, rsid_mode: str, log: RunLogger) -> None:
+def _ssf_one(path: str, out_path: str, rsid_mode: str, log: RunLogger,
+             a1freq_limit: float = 0.0) -> None:
     with open(path) as f:
         lines = f.read().splitlines()
     hdr = lines[0].lstrip("#").split("\t")
@@ -127,9 +129,17 @@ def _ssf_one(path: str, out_path: str, rsid_mode: str, log: RunLogger) -> None:
                 continue
         provref = provref_col is not None and t[provref_col] == "Y"
         cc = chr_code(t[col["CHROM"]])
+        freq_str = t[col["A1_FREQ"]]
+        if a1freq_limit > 0.0:
+            try:
+                fv = float(freq_str)
+            except ValueError:
+                raise ValueError(f"Invalid A1_FREQ in {path} .")
+            if fv < a1freq_limit:
+                freq_str = dtoa_g(a1freq_limit)
         row = [
             cc, t[col["POS"]], effect, other, t[eff_col], t[se_col],
-            t[col["A1_FREQ"]], t[p_col],
+            freq_str, t[p_col],
         ]
         if real_ref_found:
             if ref_match == 2 or provref:
@@ -154,6 +164,7 @@ def _ssf_one(path: str, out_path: str, rsid_mode: str, log: RunLogger) -> None:
 def run_gwas_ssf(cfg, log: RunLogger) -> None:
     files = []
     rsid_mode = "infer"
+    a1freq_limit = 0.0
     for a in cfg.gwas_ssf:
         if a.startswith("file="):
             files.append(a[5:])
@@ -165,12 +176,16 @@ def run_gwas_ssf(cfg, log: RunLogger) -> None:
         elif a in ("allow-ambiguous-indels", "zs", "delete-orig-glm"):
             pass  # accepted; ambiguity checks are skipped
         elif a.startswith("a1freq-lower-limit="):
-            raise NotImplementedError(f"--gwas-ssf modifier '{a}'")
+            # privacy masking (ref GwasSsfInternal, 2.0/plink2_glm.cc:
+            # 498-510): freqs below the limit print the limit itself;
+            # plink2 stores limit*(1-kSmallEpsilon)
+            a1freq_limit = float(a[len("a1freq-lower-limit="):]) \
+                * (1.0 - 2.0 ** -44)
         else:
             raise ValueError(f"Invalid --gwas-ssf argument '{a}'.")
     if not files:
         raise ValueError("--gwas-ssf requires file= or file-list=.")
     for p in files:
-        _ssf_one(p, p + ".ssf.tsv", rsid_mode, log)
+        _ssf_one(p, p + ".ssf.tsv", rsid_mode, log, a1freq_limit)
     log.log(f"--gwas-ssf file=/file-list=: {len(files)} file"
             f"{'s' if len(files) != 1 else ''} processed.")

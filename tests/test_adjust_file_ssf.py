@@ -89,3 +89,51 @@ def test_adjust_file(panel):
             fx, fy = float(x), float(y)
             tol = 1e-5 if ci == gc_col else 2e-6
             assert abs(fx - fy) / max(abs(fx), 1e-300) < tol, (a, b)
+
+
+@pytest.mark.parametrize("mods", [
+    ["gc"],
+    ["log10"],
+    ["cols=chrom,pos,ref,alt,unadj,gc,qq,bonf,holm,sidakss,sidaksd,fdrbh,fdrby"],
+    ["cols=+qq,+pos"],
+    ["gc", "log10"],
+], ids=lambda m: "+".join(m))
+def test_adjust_file_modifiers(panel, mods):
+    """--adjust-file gc/log10/cols= (ref 2.0/plink2_adjust.cc:389-391,
+    :506-509)."""
+    from plink_tpu.cli import main
+
+    d = panel
+    src = "res.PHENO1.glm.logistic.hybrid"
+    tag = "m" + str(abs(hash(tuple(mods))) % 10000)
+    subprocess.run(
+        [ORACLE, "--adjust-file", src, "test=ADD"] + mods
+        + ["--out", f"o_{tag}"],
+        cwd=d, check=True, capture_output=True,
+    )
+    old = os.getcwd()
+    os.chdir(d)
+    try:
+        assert main(["--adjust-file", src, "test=ADD"] + mods
+                    + ["--out", f"t_{tag}", "--silent"]) == 0
+    finally:
+        os.chdir(old)
+    la = (d / f"o_{tag}.adjusted").read_text().splitlines()
+    lb = (d / f"t_{tag}.adjusted").read_text().splitlines()
+    assert la[0] == lb[0]
+    assert len(la) == len(lb)
+    hdr = la[0].lstrip("#").split("\t")
+    # GC-derived columns inherit the reference's 24-bit p->chisq inverse
+    loose = {"GC"} | ({"BONF", "HOLM", "SIDAK_SS", "SIDAK_SD", "FDR_BH",
+                       "FDR_BY"} if "gc" in mods else set())
+    for a, b in zip(la[1:], lb[1:]):
+        ta, tb = a.split("\t"), b.split("\t")
+        for ci, (x, y) in enumerate(zip(ta, tb)):
+            if x == y:
+                continue
+            fx, fy = float(x), float(y)
+            base_name = hdr[ci].replace("NEG_LOG10_", "")
+            # gc-derived columns inherit the oracle's 24-bit p->chisq
+            # inverse; sidak amplifies it for near-zero -log10 values
+            tol = 5e-5 if base_name in loose else 2e-6
+            assert abs(fx - fy) / max(abs(fx), 1e-300) < tol, (hdr[ci], a, b)

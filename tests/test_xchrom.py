@@ -177,3 +177,28 @@ def test_glm_mixed_ploidy(tmp_path):
     run_oracle(flags + ["--out", "oq"], str(d))
     run_tpu(flags + ["--out", "tq"], str(d))
     _glm_cmp(d, "oq", "tq", "QT.glm.linear", 10, 14, 1e-4)
+
+
+@pytest.mark.parametrize("colspec", [
+    "cols=fid,sid,pedsex,status,xf,ycount,yrate,yobs",
+    "cols=+ycount,+yobs",
+    "cols=pedsex,xf",
+])
+def test_check_sex_cols(panel, colspec):
+    """--check-sex cols= sets (ref 2.0/plink2_misc.cc:10664-10702)."""
+    from plink_tpu.cli import main
+
+    flags = ["--pfile", "xp", "--check-sex", "max-female-xf=0.2",
+             "min-male-xf=0.5", "min-male-yrate=0.5", "max-female-yrate=0.4",
+             colspec]
+    tag = "c" + str(abs(hash(colspec)) % 10000)
+    subprocess.run([ORACLE] + flags + ["--out", f"o{tag}"], cwd=panel,
+                   check=True, capture_output=True)
+    old = os.getcwd()
+    os.chdir(panel)
+    try:
+        assert main(flags + ["--out", f"t{tag}", "--silent"]) == 0
+    finally:
+        os.chdir(old)
+    assert (panel / f"o{tag}.sexcheck").read_bytes() == (
+        panel / f"t{tag}.sexcheck").read_bytes()
