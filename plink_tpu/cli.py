@@ -165,6 +165,27 @@ class Config:
     condition: tuple | None = None
     condition_list: tuple | None = None
     quantile_normalize: bool = False
+    # segmental CNV module (1.9/plink_cnv.c)
+    cfile: str | None = None
+    cnv_list: str | None = None
+    cnv_make_map: tuple | None = None
+    cnv_kb: float | None = None
+    cnv_max_kb: float | None = None
+    cnv_score: float | None = None
+    cnv_max_score: float | None = None
+    cnv_sites: int | None = None
+    cnv_max_sites: int | None = None
+    cnv_del: bool = False
+    cnv_dup: bool = False
+    cnv_intersect: str | None = None
+    cnv_exclude: str | None = None
+    cnv_subset: str | None = None
+    cnv_overlap: float | None = None
+    cnv_region_overlap: float | None = None
+    cnv_union_overlap: float | None = None
+    cnv_disrupt: bool = False
+    cnv_write: tuple | None = None
+    cnv_check_no_overlap: bool = False
     adjust: bool = False
     aperm: tuple | None = None
     adjust_file: tuple | None = None
@@ -1164,6 +1185,25 @@ def parse_args(argv: list[str]) -> Config:
             cfg.parallel = (int(args[0]), int(args[1]))
         elif name == "dummy":
             cfg.dummy = tuple(args)
+        elif name == "cfile":
+            cfg.cfile = args[0]
+        elif name == "cnv_list":
+            cfg.cnv_list = args[0]
+        elif name == "cnv_make_map":
+            cfg.cnv_make_map = tuple(args)
+        elif name in ("cnv_kb", "cnv_max_kb", "cnv_score", "cnv_max_score",
+                      "cnv_overlap", "cnv_region_overlap",
+                      "cnv_union_overlap"):
+            setattr(cfg, name, float(args[0]))
+        elif name in ("cnv_sites", "cnv_max_sites"):
+            setattr(cfg, name, int(args[0]))
+        elif name in ("cnv_del", "cnv_dup", "cnv_disrupt",
+                      "cnv_check_no_overlap"):
+            setattr(cfg, name, True)
+        elif name in ("cnv_intersect", "cnv_exclude", "cnv_subset"):
+            setattr(cfg, name, args[0])
+        elif name == "cnv_write":
+            cfg.cnv_write = tuple(args)
         elif name in ("pmerge", "pmerge_list"):
             setattr(cfg, name, tuple(args))
         elif name in ("keep_if", "remove_if"):

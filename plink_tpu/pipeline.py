@@ -672,6 +672,12 @@ def run_pipeline(cfg: Config) -> int:
         np.random.seed(cfg.seed)
     try:
         # file-only commands that need no genotype input
+        if cfg.cfile or cfg.cnv_list:
+            from .commands.cnv import run_cnv
+
+            run_cnv(cfg, log)
+            log.log(f"End of run; total wall-clock {log.elapsed():.2f}s.")
+            return 0
         if cfg.dosage is not None:
             from .commands.dosage19 import run_dosage
 
