@@ -27,6 +27,9 @@ class Config:
     eigfile: str | None = None
     bcf: tuple | None = None
     read_freq: str | None = None
+    bad_freqs: bool = False
+    bad_ld: bool = False
+    ac_founders: bool = False
     tfam: str | None = None
     sample: str | None = None
     data: tuple | None = None
@@ -338,6 +341,10 @@ class Config:
     clump_kb: float | None = None
     clump_id_field: tuple | None = None
     clump_p_field: tuple | None = None
+    clump_range: tuple | None = None  # (path, zero_based)
+    clump_range_border: float = 0.0
+    clump_bins: tuple | None = None
+    clump_allow_overlap: bool = False
     export_allele: str | None = None
     af_pseudocount: float = 0.0
     mach_r2_filter: tuple | None = None
@@ -424,6 +431,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.bcf = tuple(args)
         elif name == "read_freq":
             cfg.read_freq = args[0]
+        elif name in ("bad_freqs", "bad_ld", "ac_founders"):
+            setattr(cfg, name, True)
         elif name == "hard_call_threshold":
             f = float(args[0])
             if not 0.0 <= f < 0.5 - 2.0 ** -44:
@@ -1159,6 +1168,17 @@ def parse_args(argv: list[str]) -> Config:
             cfg.clump_id_field = tuple(args)
         elif name in ("clump_p_field", "clump_field"):
             cfg.clump_p_field = tuple(args)
+        elif name == "clump_range":
+            cfg.clump_range = (args[0], False)
+        elif name == "clump_range0":
+            cfg.clump_range = (args[0], True)
+        elif name == "clump_range_border":
+            cfg.clump_range_border = float(args[0])
+        elif name == "clump_bins":
+            cfg.clump_bins = tuple(
+                float(t) for a in args for t in a.split(",") if t)
+        elif name == "clump_allow_overlap":
+            cfg.clump_allow_overlap = True
         elif name in ("clump_p1", "clump_p2", "clump_r2", "clump_kb"):
             setattr(cfg, name, float(args[0]))
         elif name == "score":

@@ -107,6 +107,11 @@ def run_clump(ds: Dataset, cfg, log: RunLogger) -> None:
     for _, i in sorted_all:
         by_chrom.setdefault(int(chrom[i]), []).append(i)
 
+    # --clump-allow-overlap: members may join multiple clumps, but a
+    # candidate absorbed into an earlier clump still cannot become an
+    # index (verified against the reference)
+    allow_overlap = getattr(cfg, "clump_allow_overlap", False)
+    index_set: set = set()
     for p_idx, i in candidates:
         if i in assigned:
             continue
@@ -115,7 +120,9 @@ def run_clump(ds: Dataset, cfg, log: RunLogger) -> None:
         vi_mask = gi != 3
         members = []
         for j in by_chrom.get(int(chrom[i]), []):
-            if j == i or j in assigned:
+            if j == i or (j in assigned and not (allow_overlap and j != i)):
+                continue
+            if allow_overlap and j in index_set:
                 continue
             if abs(int(pos[j]) - int(pos[i])) > radius:
                 continue
@@ -138,6 +145,7 @@ def run_clump(ds: Dataset, cfg, log: RunLogger) -> None:
             )
             if np.isfinite(r) and r * r >= r2t * (1 + 2.0 ** -44):
                 members.append(j)
+        index_set.add(i)
         for j in members:
             assigned.add(j)
         clumps.append((p_idx, i, members))
@@ -147,37 +155,85 @@ def run_clump(ds: Dataset, cfg, log: RunLogger) -> None:
         log.log("Warning: No significant --clump results.  Skipping.")
         return
     ci = ds.vi.chr_info
+
+    # --clump-bins boundaries (ascending; default 0.0001,0.001,0.01,0.05;
+    # header lists NONSIG then S<b> in DESCENDING order, plink2_ld.cc:9069)
+    boundaries = sorted(getattr(cfg, "clump_bins", None)
+                        or (0.0001, 0.001, 0.01, 0.05))
+    from ..utils.fmt import dtoa_g
+
+    # --clump-range[0]: gene/region groups for the RANGES column
+    # (plink2_ld.cc:9079,9381: names of groups whose region overlaps the
+    # [first SP2-member bp, last+1) span, comma-joined, '.' when none);
+    # requesting it also enables the maybebounds CLUMP_FIRST/LAST_POS cols
+    ranges_spec = getattr(cfg, "clump_range", None)
+    groups = None
+    if ranges_spec is not None:
+        rpath, zero_based = ranges_spec
+        border = int(getattr(cfg, "clump_range_border", 0.0) * 1000
+                     * (1 + 2.0 ** -44))
+        groups = {}
+        with open(rpath) as rf:
+            for ln in rf:
+                t = ln.split()
+                if len(t) < 4:
+                    if not t:
+                        continue
+                    raise ValueError(
+                        f"--clump-range: line with fewer than 4 tokens in "
+                        f"{rpath}.")
+                code = ci.code(t[0])
+                s_, e_ = int(t[1]), int(t[2])
+                if zero_based:
+                    s_ += 1
+                s_ = max(1, s_ - border)
+                e_ = e_ + border
+                groups.setdefault(t[3], []).append((code, s_, e_))
+        group_names = sorted(groups)
+
     with open(path, "w") as f:
-        f.write(
-            "#CHROM\tPOS\tID\tP\tTOTAL\tNONSIG\tS0.05\tS0.01\tS0.001\t"
-            "S0.0001\tSP2\n"
-        )
+        hdr = "#CHROM\tPOS\tID\tP\tTOTAL"
+        if groups is not None:
+            hdr += "\tCLUMP_FIRST_POS\tCLUMP_LAST_POS"
+        hdr += "\tNONSIG"
+        for b in reversed(boundaries):
+            hdr += "\tS" + dtoa_g(b)
+        hdr += "\tSP2"
+        if groups is not None:
+            hdr += "\tRANGES"
+        f.write(hdr + "\n")
         for p_idx, i, members in clumps:
-            bins = [0, 0, 0, 0, 0]  # nonsig, <.05, <.01, <.001, <.0001
+            nb = len(boundaries)
+            bins = [0] * (nb + 1)  # [nonsig, S<largest>, ..., S<smallest>]
             for j in members:
                 pj = pvals[j]
-                if pj < 0.0001:
-                    bins[4] += 1
-                elif pj < 0.001:
-                    bins[3] += 1
-                elif pj < 0.01:
-                    bins[2] += 1
-                elif pj < 0.05:
-                    bins[1] += 1
-                else:
-                    bins[0] += 1
+                k = 0
+                for bi in range(nb):
+                    if pj < boundaries[bi]:
+                        k = nb - bi
+                        break
+                bins[k] += 1
             # SP2 lists only members passing the p2 threshold; TOTAL/NONSIG
             # count every r^2-linked member (verified against the reference)
-            sp2 = ",".join(
-                str(ds.vi.vid[j])
-                for j in sorted(members)
-                if pvals[j] <= p2 * (1 + 2.0 ** -44)
-            ) or "."
-            f.write(
-                f"{ci.name(int(chrom[i]))}\t{pos[i]}\t{ds.vi.vid[i]}\t"
-                f"{g6(p_idx)}\t{len(members)}\t{bins[0]}\t{bins[1]}\t{bins[2]}\t"
-                f"{bins[3]}\t{bins[4]}\t{sp2}\n"
-            )
+            sp2_members = [j for j in sorted(members)
+                           if pvals[j] <= p2 * (1 + 2.0 ** -44)]
+            sp2 = ",".join(str(ds.vi.vid[j]) for j in sp2_members) or "."
+            row = (f"{ci.name(int(chrom[i]))}\t{pos[i]}\t{ds.vi.vid[i]}\t"
+                   f"{g6(p_idx)}\t{len(members)}")
+            if groups is not None:
+                span_pos = [int(pos[i])] + [int(pos[j]) for j in sp2_members]
+                first_bp, last_bp = min(span_pos), max(span_pos)
+                row += f"\t{first_bp}\t{last_bp}"
+            row += "\t" + "\t".join(str(b) for b in bins)
+            row += "\t" + sp2
+            if groups is not None:
+                code_i = int(chrom[i])
+                hits = [nm for nm in group_names
+                        if any(c == code_i and s_ <= last_bp
+                               and e_ >= first_bp
+                               for c, s_, e_ in groups[nm])]
+                row += "\t" + (",".join(hits) or ".")
+            f.write(row + "\n")
     log.log(
         f"--clump: {len(clumps)} clumps formed from {log_ct_cand} index "
         f"candidates.\nResults written to {path} ."

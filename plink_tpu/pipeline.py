@@ -655,6 +655,68 @@ def _run_loop_cats(cfg: Config) -> int:
     return rc_any
 
 
+def _degenerate_data_checks(cfg: Config, ds, log: RunLogger) -> None:
+    """Driver-level degenerate-data guards (ref 2.0/plink2.cc:2065-2105):
+    * LD-estimating commands with <50 founders error unless --bad-ld;
+    * commands needing decent allele frequencies (--score[-list],
+      --check-sex/--impute-sex, --het) with <50 founders error unless
+      --read-freq / --bad-freqs / enough samples under --nonfounders;
+    * --mac/--max-mac/"--freq counts" with nonfounders present require
+      --ac-founders or --nonfounders.
+    """
+    founder_ct = int(ds.founder_mask.sum())
+    sample_ct = ds.raw_sample_ct
+    ld_needed = bool(cfg.indep_pairwise or cfg.indep_pairphase or cfg.ld)
+    if ld_needed and founder_ct < 50 and not cfg.bad_ld:
+        if sample_ct < 50:
+            raise ValueError(
+                "This run estimates linkage disequilibrium between "
+                "variants, but there are less than 50 samples to estimate "
+                "from.  You should perform this operation on a larger "
+                "dataset.\n(Strictly speaking, you can also override this "
+                "error with --bad-ld, but this is almost always a bad "
+                "idea.)")
+        raise ValueError(
+            "This run estimates linkage disequilibrium between variants, "
+            "but there are less than 50 founders to estimate from.  "
+            "--make-founders may help.\n(Strictly speaking, you can also "
+            "override this error with --bad-ld, but this is almost always "
+            "a bad idea.)")
+    decent_needed = bool(cfg.score or cfg.score_list or cfg.check_sex
+                         or cfg.impute_sex or cfg.het)
+    if decent_needed and not cfg.read_freq and not cfg.bad_freqs and (
+            sample_ct < 50
+            or (not cfg.nonfounders and founder_ct < 50)):
+        if not cfg.nonfounders and sample_ct >= 50:
+            raise ValueError(
+                "This run requires decent allele frequencies, but they "
+                "aren't being loaded with --read-freq, and less than 50 "
+                "founders are available to impute them from.  Possible "
+                "solutions:\n* You can use --nonfounders to include "
+                "nonfounders when imputing allele\n  frequencies.\n* You "
+                "can generate (with --freq) or obtain an allele frequency "
+                "file based on a\n  larger similar-population reference "
+                "dataset, and load it with --read-freq.\n* (Not "
+                "recommended) You can override this error with "
+                "--bad-freqs.")
+        raise ValueError(
+            "This run requires decent allele frequencies, but they aren't "
+            "being loaded with --read-freq, and less than 50 samples are "
+            "available to impute them from.\nYou should generate (with "
+            "--freq) or obtain an allele frequency file based on a larger "
+            "similar-population reference dataset, and load it with "
+            "--read-freq.")
+    wants_counts = (cfg.mac is not None or cfg.max_mac is not None
+                    or (cfg.freq and cfg.freq_counts
+                        and not cfg.read_freq))
+    if wants_counts and sample_ct != founder_ct and not cfg.nonfounders \
+            and not cfg.ac_founders:
+        raise ValueError(
+            '--mac/--max-mac/"--freq counts" specified, but with neither\n'
+            "--ac-founders nor --nonfounders; and nonfounders are "
+            "present.")
+
+
 def run_pipeline(cfg: Config) -> int:
     if cfg.loop_cats:
         return _run_loop_cats(cfg)
@@ -735,6 +797,7 @@ def run_pipeline(cfg: Config) -> int:
         if cfg.prune or cfg.require_pheno is not None \
                 or cfg.require_covar is not None:
             F.require_pheno_filter(ds, cfg, log)
+        _degenerate_data_checks(cfg, ds, log)
         if cfg.read_freq:
             # --read-freq: externally supplied allele frequencies override
             # computed ones wherever freqs are consumed

@@ -65,3 +65,33 @@ def test_clump_differential(panel, params):
         assert ta[:4] == tb[:4], f"index row differs:\n{a}\n{b}"
         diff_rows += 1
     assert diff_rows <= max(1, len(la) // 50), f"{diff_rows} member-col diffs"
+
+
+@pytest.mark.parametrize("extras,tag", [
+    (["--clump-range", "genes.txt"], "range"),
+    (["--clump-range0", "genes.txt"], "range0"),
+    (["--clump-range", "genes.txt", "--clump-range-border", "0.02"],
+     "border"),
+    (["--clump-bins", "0.001,0.02,0.3"], "bins"),
+    (["--clump-allow-overlap"], "overlap"),
+], ids=lambda x: x if isinstance(x, str) else None)
+def test_clump_range_bins_overlap(panel, extras, tag):
+    """--clump-range[0]/--clump-range-border/--clump-bins/
+    --clump-allow-overlap (ClumpReports, 2.0/plink2_ld.cc:9040-9400)."""
+    from plink_tpu.cli import main
+
+    d = panel
+    (d / "genes.txt").write_text(
+        "1 20 60 ZGENE\n1 50 120 AGENE\n1 55 58 MGENE\n1 200 210 CGENE\n")
+    flags = ["--pfile", "cp", "--clump", "as.PHENO1.glm.logistic.hybrid",
+             "--clump-p1", "0.1", "--clump-p2", "0.4"] + extras
+    subprocess.run([ORACLE] + flags + ["--out", f"o_{tag}"], cwd=d,
+                   check=True, capture_output=True)
+    old = os.getcwd()
+    os.chdir(d)
+    try:
+        assert main(flags + ["--out", f"t_{tag}", "--silent"]) == 0
+    finally:
+        os.chdir(old)
+    assert (d / f"o_{tag}.clumps").read_bytes() == \
+        (d / f"t_{tag}.clumps").read_bytes()

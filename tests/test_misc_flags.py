@@ -238,3 +238,43 @@ def test_freq_cols(tmp_path, spec):
     ext = "acount" if "counts" in spec else "afreq"
     assert (tmp_path / f"o.{ext}").read_text() == \
         (tmp_path / f"t.{ext}").read_text()
+
+
+def test_bad_freqs_and_ac_founders_guards(tmp_path):
+    """Driver degenerate-data guards (2.0/plink2.cc:2065-2105):
+    --score with <50 founders errors unless --bad-freqs; --mac with
+    nonfounders present requires --ac-founders/--nonfounders;
+    --indep-pairwise with <50 samples errors unless --bad-ld."""
+    import numpy as np
+    import pytest as _pytest
+
+    from plink_tpu.cli import main
+
+    pfx = str(tmp_path / "t")
+    assert main(["--dummy", "40", "60", "0.02", "--seed", "3",
+                 "--out", pfx, "--silent"]) == 0
+    with open(pfx + ".score", "w") as f:
+        f.write("snp1 A 0.5\n")
+    with _pytest.raises(ValueError, match="decent allele frequencies"):
+        main(["--pfile", pfx, "--score", pfx + ".score",
+              "--out", pfx + "s", "--silent"])
+    assert main(["--pfile", pfx, "--score", pfx + ".score", "--bad-freqs",
+                 "--out", pfx + "s2", "--silent"]) == 0
+    with _pytest.raises(ValueError, match="linkage disequilibrium"):
+        main(["--pfile", pfx, "--indep-pairwise", "10", "5", "0.5",
+              "--out", pfx + "l", "--silent"])
+    assert main(["--pfile", pfx, "--indep-pairwise", "10", "5", "0.5",
+                 "--bad-ld", "--out", pfx + "l2", "--silent"]) == 0
+    # introduce nonfounders: give two samples parent IDs
+    psam = (tmp_path / "t.psam").read_text().splitlines()
+    hdr = psam[0] + "\tPAT\tMAT"
+    rows = [l + ("\tp1\tp2" if i < 2 else "\t0\t0")
+            for i, l in enumerate(psam[1:])]
+    (tmp_path / "t.psam").write_text(hdr + "\n" + "\n".join(rows) + "\n")
+    with _pytest.raises(ValueError, match="ac-founders"):
+        main(["--pfile", pfx, "--mac", "2", "--freq",
+              "--out", pfx + "m", "--silent"])
+    assert main(["--pfile", pfx, "--mac", "2", "--freq", "--ac-founders",
+                 "--out", pfx + "m2", "--silent"]) == 0
+    assert main(["--pfile", pfx, "--mac", "2", "--freq", "--nonfounders",
+                 "--out", pfx + "m3", "--silent"]) == 0
