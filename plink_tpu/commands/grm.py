@@ -82,6 +82,19 @@ def _stream_grm_bin(ds: Dataset, cfg, log: RunLogger, tile: int = 2048) -> None:
     pd, coef_dev = _grm_setup(ds, cfg, tile)
     _tlog("setup done")
     n, s = pd.n, pd.tile
+    # --parallel k n: compute/write only the ParallelBounds(start=0) row
+    # piece, suffixing outputs .<k> (ref CalcGrm TriangleFill2 outer
+    # bounds + output naming, 2.0/plink2_matrix_calc.cc:4597,4952-4981;
+    # pieces concatenate to the full triangle)
+    row_lo, row_hi = 0, n
+    suffix = ""
+    par = getattr(cfg, "parallel", None)
+    if par is not None:
+        from .king import _parallel_bounds
+
+        k_, tot_ = par
+        row_lo, row_hi = _parallel_bounds(n, 0, k_ - 1, tot_)
+        suffix = f".{k_}"
     c = min(4 * s, pd.npad) if pd.npad > s else s
     miss_dev = sample_miss_counts_any(pd.packed, pd.vmask)
     mv = pd.variant_ct
@@ -93,14 +106,14 @@ def _stream_grm_bin(ds: Dataset, cfg, log: RunLogger, tile: int = 2048) -> None:
 
     def _writer():
         try:
-            with open(cfg.out + ".grm.bin", "wb") as fb, \
-                    open(cfg.out + ".grm.N.bin", "wb") as fn:
+            with open(cfg.out + ".grm.bin" + suffix, "wb") as fb, \
+                    open(cfg.out + ".grm.N.bin" + suffix, "wb") as fn:
                 while True:
                     item = writeq.get()
                     if item is None:
                         return
                     r0, parts = item
-                    rmax = min(r0 + s, n)
+                    rmax = min(r0 + s, row_hi)
                     rows, cols = rmax - r0, rmax  # row i needs cols 0..i
                     g = np.empty((rows, cols), np.float32)
                     jm = np.empty((rows, cols), np.int32)
@@ -111,11 +124,12 @@ def _stream_grm_bin(ds: Dataset, cfg, log: RunLogger, tile: int = 2048) -> None:
                     nm = (
                         mv - m_host[r0:rmax, None] - m_host[None, :cols] + jm
                     ).astype(np.float32)
-                    total = (r0 + 1 + rmax) * rows // 2
+                    i0 = max(0, row_lo - r0)  # first strip of a piece
+                    total = (r0 + i0 + 1 + rmax) * (rows - i0) // 2
                     gflat = np.empty(total, np.float32)
                     nflat = np.empty(total, np.float32)
                     off = 0
-                    for i in range(rows):
+                    for i in range(i0, rows):
                         ln = r0 + i + 1
                         gflat[off : off + ln] = g[i, :ln]
                         nflat[off : off + ln] = nm[i, :ln]
@@ -132,10 +146,13 @@ def _stream_grm_bin(ds: Dataset, cfg, log: RunLogger, tile: int = 2048) -> None:
     # fixed-width window stays in bounds (multiple-of-4 for packed bytes)
     chunks = []
     last_anchor = {}
-    for r0 in range(0, pd.npad, s):
-        if r0 >= n:
+    # strips stay on the s-aligned grid (dynamic_slice clamps out-of-range
+    # starts, so arbitrary strip origins would silently shift the tile);
+    # the writer trims rows below row_lo inside the first strip
+    for r0 in range((row_lo // s) * s, pd.npad, s):
+        if r0 >= row_hi:
             break
-        rmax = min(r0 + s, n)
+        rmax = min(r0 + s, row_hi)
         anchors = sorted({min(a, pd.npad - c) for a in range(0, rmax, c)})
         for a0 in anchors:
             chunks.append((r0, a0))
@@ -182,12 +199,21 @@ def _stream_grm_bin(ds: Dataset, cfg, log: RunLogger, tile: int = 2048) -> None:
     fetch_pool.shutdown()
     if err:
         raise err[0]
-    _write_id_file(cfg.out + ".grm.id", ds.si, np.flatnonzero(ds.sample_mask))
+    if par is None or par[0] == 1:
+        _write_id_file(cfg.out + ".grm.id",
+                       ds.si, np.flatnonzero(ds.sample_mask))
     log.log(f"{ds.variant_ct} variants used in GRM computation.")
-    log.log(
-        f"--make-grm-bin: GRM written to {cfg.out}.grm.bin + "
-        f"{cfg.out}.grm.N.bin + {cfg.out}.grm.id ."
-    )
+    if par is None:
+        log.log(
+            f"--make-grm-bin: GRM written to {cfg.out}.grm.bin + "
+            f"{cfg.out}.grm.N.bin + {cfg.out}.grm.id ."
+        )
+    else:
+        log.log(
+            f"--make-grm-bin: GRM piece {par[0]}/{par[1]} (rows "
+            f"{row_lo}-{row_hi - 1}) written to "
+            f"{cfg.out}.grm.bin{suffix} + {cfg.out}.grm.N.bin{suffix} ."
+        )
 
 
 def _grm_matrix(ds: Dataset, cfg, log: RunLogger, tile: int = 2048):
@@ -253,6 +279,11 @@ def run_grm_pca(ds: Dataset, cfg, log: RunLogger) -> None:
     n = inc.size
     want_exact_pca = cfg.pca is not None and not cfg.pca_approx
     needs_matrix = cfg.make_grm_list or cfg.make_rel or want_exact_pca
+    if getattr(cfg, "parallel", None) is not None and cfg.make_grm_bin \
+            and needs_matrix:
+        raise ValueError(
+            "--parallel --make-grm-bin cannot be combined with commands "
+            "that consume the full relationship matrix.")
     if cfg.make_grm_bin and not needs_matrix:
         # streaming path: nothing else needs the resident N x N matrix
         _stream_grm_bin(ds, cfg, log)

@@ -71,6 +71,12 @@ def _unphased_r(band: LdBand, firsts: np.ndarray, d: np.ndarray) -> np.ndarray:
 
 
 def run_vcor(ds: Dataset, cfg, log: RunLogger) -> None:
+    if getattr(cfg, "parallel", None) is not None:
+        log.log(
+            "Note: --r/--r2 ignores --parallel here; the variant-block "
+            "device mesh shards this computation instead (SURVEY P6/P9: "
+            "psum over ICI supersedes multi-invocation sharding).")
+
     phased, squared = cfg.vcor
     args = set(getattr(cfg, "vcor_args", ()))
     shape = None

@@ -988,13 +988,17 @@ def run_pipeline(cfg: Config) -> int:
         from .commands import basic_reports as R
 
         if cfg.freq:
-            R.write_freq(ds, cfg.out, log, founders_only=not cfg.nonfounders,
-                         zs=cfg.freq_zs, counts=cfg.freq_counts,
-                         cols=cfg.freq_cols)
+            with log.phase("--freq"):
+                R.write_freq(ds, cfg.out, log,
+                             founders_only=not cfg.nonfounders,
+                             zs=cfg.freq_zs, counts=cfg.freq_counts,
+                             cols=cfg.freq_cols)
         if cfg.geno_counts:
-            R.write_geno_counts(ds, cfg.out, log, zs=cfg.geno_counts_zs)
+            with log.phase("--geno-counts"):
+                R.write_geno_counts(ds, cfg.out, log, zs=cfg.geno_counts_zs)
         if cfg.missing:
-            R.write_missing(ds, cfg.out, log, zs=cfg.missing_zs)
+            with log.phase("--missing"):
+                R.write_missing(ds, cfg.out, log, zs=cfg.missing_zs)
         if cfg.geno is not None:
             F.geno_filter(ds, cfg.geno, log)
         if cfg.hardy:
@@ -1022,11 +1026,13 @@ def run_pipeline(cfg: Config) -> int:
         if cfg.make_king or cfg.make_king_table or cfg.king_cutoff is not None:
             from .commands.king import run_king
 
-            run_king(ds, cfg, log)
+            with log.phase('--make-king'):
+                run_king(ds, cfg, log)
         if cfg.make_grm_bin or cfg.make_grm_list or cfg.make_rel or cfg.pca is not None:
             from .commands.grm import run_grm_pca
 
-            run_grm_pca(ds, cfg, log)
+            with log.phase('--make-grm/--pca'):
+                run_grm_pca(ds, cfg, log)
 
         # ---- sample reports ----
         if cfg.het:
@@ -1108,7 +1114,8 @@ def run_pipeline(cfg: Config) -> int:
         if cfg.export_fmts:
             from .commands.export import run_export
 
-            run_export(ds, cfg, log)
+            with log.phase('--export'):
+                run_export(ds, cfg, log)
 
         # ---- LD / scoring / association ----
         if cfg.indep_pairwise:
@@ -1122,7 +1129,8 @@ def run_pipeline(cfg: Config) -> int:
         if cfg.vcor:
             from .commands.vcor import run_vcor
 
-            run_vcor(ds, cfg, log)
+            with log.phase('--r2/--r'):
+                run_vcor(ds, cfg, log)
         if cfg.ld:
             from .commands.ld_console import run_ld_console
 
@@ -1134,11 +1142,13 @@ def run_pipeline(cfg: Config) -> int:
         if cfg.score or cfg.score_list:
             from .commands.score import score_report
 
-            score_report(ds, cfg, log)
+            with log.phase('--score'):
+                score_report(ds, cfg, log)
         if cfg.glm:
             from .commands.glm import run_glm
 
-            run_glm(ds, cfg, log)
+            with log.phase('--glm'):
+                run_glm(ds, cfg, log)
         if cfg.linear19 is not None or cfg.logistic19 is not None:
             from .commands.glm19 import run_glm19
 

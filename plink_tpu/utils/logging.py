@@ -39,11 +39,37 @@ class RunLogger:
     def elapsed(self) -> float:
         return time.time() - self._start
 
+    def phase(self, name: str):
+        """Context manager logging a per-phase wall time to the .log file
+        (log-file-only: the reference's console stays clean, but SURVEY §5
+        calls for per-phase timings as the tracing-parity artifact).
+
+        Usage: `with log.phase("--freq"): ...`"""
+        return _PhaseTimer(self, name)
+
     def close(self) -> None:
         if self._file:
-            self.log(f"End time: {time.strftime('%a %b %d %H:%M:%S %Y')}", console=False)
+            self.log(f"End time: {time.strftime('%a %b %d %H:%M:%S %Y')}",
+                     console=False)
             self._file.close()
             self._file = None
+
+
+class _PhaseTimer:
+    def __init__(self, logger: "RunLogger", name: str):
+        self._logger = logger
+        self._name = name
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        dt = time.perf_counter() - self._t0
+        tag = " (failed)" if exc_type is not None else ""
+        self._logger.log(f"[phase] {self._name}: {dt:.3f}s{tag}",
+                         console=False)
+        return False
 
 
 _global_logger: RunLogger | None = None
