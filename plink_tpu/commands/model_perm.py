@@ -5,8 +5,8 @@ Behavior reference: model_adapt_domrec/trend/gen/best_thread
 ca_trend_eval(x) / chi23_eval (1.9/plink_stats.c:2047,1940).
 
 Supported: dom / rec / trend / gen (chi + Fisher modes) and best, in
-both adaptive (.perm) and max(T) (mperm=N, .mperm EMP1/EMP2) modes;
-max(T) 'best' is not implemented yet.  The max(T) in-window extreme
+both adaptive (.perm) and max(T) (mperm=N, .mperm EMP1/EMP2) modes,
+including max(T) 'best'.  The max(T) in-window extreme
 updates use the reference's coefficient/tail-continuation forms
 (model_maxt_* threads, 1.9/plink_assoc.c:4390-5160) so the stored
 doubles match bit-for-bit.
@@ -205,10 +205,6 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
         test = "trend"
     else:
         test = "best"
-    if test == "best" and not perm_adapt:
-        raise NotImplementedError(
-            "--model mperm is not implemented for the 'best' test yet "
-            "(use --model-dom/-rec/-trend/-gen or perm).")
     vi = ds.vi
     ci = vi.chr_info
     from ..utils.chrom import X_CODE
@@ -565,9 +561,11 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
                     extremes[p] = dxx
         else:  # best
             tables = {}
+            mtables = {}
             ujj = case_ct - missing_start
             for e in range(entry_ct):
                 row = []
+                mrow = []
                 args = [(2 * ujj, com_ct, 2 * tot_obs),
                         (ujj, homcom_ct, tot_obs),
                         (ujj, homrar_ct, tot_obs)]
@@ -575,13 +573,24 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
                     if fisher:
                         b, _c = fisher22_precomp_pval_bounds(
                             orig_pval, midp, r1, c1, tt)
+                        if not perm_adapt:
+                            b2, tp = fisher22_precomp_pval_bounds(
+                                maxt_pending[k], midp, r1, c1, tt)
+                            mrow.append((b2[2], b2[3] - b2[2], tp))
                     else:
                         b, _c = chi22_precomp_val_bounds(
                             orig_chisq, r1, c1, tt)
+                        if not perm_adapt:
+                            b2, c2 = chi22_precomp_val_bounds(
+                                maxt_pending[k], r1, c1, tt)
+                            mrow.append((b2[2], b2[3] - b2[2], c2))
                     row.append(b)
                 tables[missing_start + e] = row
+                if not perm_adapt:
+                    mtables[missing_start + e] = mrow
                 ujj -= 1
             skip_domrec = is_invalid
+            default_best = 1.0 if fisher else 0.0
             case_com = 2 * case_homcom + case_het
             for p in range(P):
                 cm = int(case_miss[p])
@@ -611,10 +620,55 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
                             ujj2 = 1
                     if hit:
                         ujj2 = 2
+                    if not perm_adapt:
+                        # extreme-stat tail continuations for the three
+                        # tests (model_maxt_best_thread,
+                        # 1.9/plink_assoc.c:5350-5430): the allelic tail
+                        # ASSIGNS best_stat; dom/rec tails fold in
+                        best_stat = default_best
+                        mrow = mtables[cm]
+                        uii = case_ct - cm
+                        rar_ct = 2 * tot_obs - com_ct
+                        specs = [(ccom, mrow[0], 2 * uii, com_ct,
+                                  rar_ct, 2 * tot_obs, True)]
+                        if not skip_domrec:
+                            specs.append((chom, mrow[1], uii, homcom_ct,
+                                          homrar_ct + het_ct, tot_obs,
+                                          False))
+                            specs.append((crar, mrow[2], uii, homrar_ct,
+                                          homcom_ct + het_ct, tot_obs,
+                                          False))
+                        for si, (m11, (ukk, width, cc), r1, c1, c2_,
+                                 tt, is_first) in enumerate(specs):
+                            if 0 <= m11 - ukk < width:
+                                continue
+                            if fisher:
+                                if cc is None:
+                                    continue
+                                sval = fisher22_tail_pval(
+                                    ukk, r1 - ukk, c1 - ukk,
+                                    c2_ + ukk - r1, width - 1,
+                                    cc[0], cc[1], midp, m11)
+                                if is_first:
+                                    best_stat = sval
+                                elif sval < best_stat:
+                                    best_stat = sval
+                            else:
+                                sval = float(m11) - cc[0]
+                                sval = sval * sval * cc[1]
+                                if is_first:
+                                    best_stat = sval
+                                elif sval > best_stat:
+                                    best_stat = sval
+                        if fisher:
+                            if extremes[p] > best_stat:
+                                extremes[p] = best_stat
+                        else:
+                            if extremes[p] < best_stat:
+                                extremes[p] = best_stat
                 else:
                     uii = case_ct - cm
                     ukk = tot_obs - uii
-                    hit = False
                     trials = [(ccom, 2 * uii, com_ct, 2 * tot_obs,
                                2 * ukk + ccom - com_ct)]
                     if not skip_domrec:
@@ -622,24 +676,33 @@ def run_model_perm(ds, cfg, log, mods, inc, a1_is_alt, r_all, s_all,
                                        ukk + chom - homcom_ct))
                         trials.append((crar, uii, homrar_ct, tot_obs,
                                        ukk + crar - homrar_ct))
+                    # full evaluation computes best over ALL tests first
+                    # (1.9/plink_assoc.c:5432-5470), then classifies
+                    best_stat = None
                     for (m11, r1, c1, tt, m22) in trials:
                         if fisher:
                             dxx = fisher22(m11, r1 - m11, c1 - m11,
                                            m22, midp)
-                            if dxx < stat_low:
-                                hit = True
-                                break
-                            if dxx <= stat_high:
-                                ujj2 = 1
+                            if best_stat is None or dxx < best_stat:
+                                best_stat = dxx
                         else:
                             dxx = chi22_eval(m11, r1, c1, tt)
-                            if dxx > stat_high:
-                                hit = True
-                                break
-                            if dxx > stat_low:
-                                ujj2 = 1
-                    if hit:
-                        ujj2 = 2
+                            if best_stat is None or dxx > best_stat:
+                                best_stat = dxx
+                    if fisher:
+                        if best_stat < stat_low:
+                            ujj2 = 2
+                        elif best_stat <= stat_high:
+                            ujj2 = 1
+                        if not perm_adapt and extremes[p] > best_stat:
+                            extremes[p] = best_stat
+                    else:
+                        if best_stat > stat_high:
+                            ujj2 = 2
+                        elif best_stat > stat_low:
+                            ujj2 = 1
+                        if not perm_adapt and extremes[p] < best_stat:
+                            extremes[p] = best_stat
                 outcomes[p] = ujj2
         if perm_adapt:
             s2i, stopped, nac = adaptive_scan(

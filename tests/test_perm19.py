@@ -242,6 +242,9 @@ def test_model_perm(pp_panel, mods):
     ["fisher-midp", "mperm=120", "rec"],
     ["fisher", "mperm=120", "gen"],
     ["fisher", "perm", "gen"],
+    ["mperm=120"],
+    ["fisher", "mperm=120"],
+    ["fisher-midp", "mperm=120"],
 ])
 def test_model_mperm(pp_panel, mods):
     d = pp_panel
