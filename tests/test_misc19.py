@@ -278,3 +278,53 @@ def test_annotate(annot_inputs, tag, args):
     run_tpu(["--annotate", "ga.assoc"] + args
             + ["--out", f"t_a{tag}", "--silent"], str(d))
     _cmp(d, f"o_a{tag}.annot", f"t_a{tag}.annot")
+
+
+@pytest.mark.parametrize("mods", [["perm"], ["midp", "perm"]])
+def test_test_missing_perm(cc_panel, mods):
+    """--test-missing perm (testmiss_adapt_thread,
+    1.9/plink_assoc.c:9690): byte-identical."""
+    d = cc_panel
+    tag = "p" + "_".join(mods).replace("=", "")
+    base = (["--bfile", "pb", "--test-missing"] + mods
+            + ["--aperm", "6", "200", "0.02", "0.002", "2", "0.002",
+               "--seed", "23", "--threads", "1", "--allow-no-sex"])
+    run19(base + ["--out", f"o_{tag}"], str(d))
+    run_tpu(base + ["--out", f"t_{tag}", "--silent"], str(d))
+    _cmp(d, f"o_{tag}.missing.perm", f"t_{tag}.missing.perm")
+
+
+@pytest.mark.parametrize("mods", [["mperm=200"], ["midp", "mperm=200"]])
+def test_test_missing_mperm(cc_panel, mods):
+    """--test-missing mperm= max(T).  The 1.9 oracle's
+    testmiss_maxt_thread corrupts half of every run's permutations
+    (exactly 50% of permuted p-values collapse to one extreme value at
+    any mperm count, contradicting its own adaptive estimates), so this
+    validates structure + statistical agreement with the byte-exact
+    adaptive mode instead of byte-diffing."""
+    d = cc_panel
+    tag = "m" + "_".join(mods).replace("=", "")
+    base = (["--bfile", "pb", "--test-missing"] + mods
+            + ["--seed", "23", "--threads", "1", "--allow-no-sex"])
+    run_tpu(base + ["--out", f"t_{tag}", "--silent"], str(d))
+    lines = (d / f"t_{tag}.missing.mperm").read_text().splitlines()
+    assert lines[0].split() == ["CHR", "SNP", "EMP1", "EMP2"]
+    # adaptive reference (forced to full scan) for EMP1 agreement
+    run_tpu(["--bfile", "pb", "--test-missing", "perm"]
+            + (["midp"] if "midp" in mods else [])
+            + ["--aperm", "198", "200", "0", "0.0001", "1", "0.001",
+               "--seed", "23", "--threads", "1", "--allow-no-sex",
+               "--out", f"a_{tag}", "--silent"], str(d))
+    alines = (d / f"a_{tag}.missing.perm").read_text().splitlines()
+    emp1 = {l.split()[1]: float(l.split()[2]) for l in lines[1:]}
+    aemp1 = {l.split()[1]: float(l.split()[2]) for l in alines[1:]}
+    import math
+
+    for snp, v in list(emp1.items())[:50]:
+        av = aemp1[snp]
+        # same seed, near-identical perm sets (adaptive stops at 199 of
+        # the 200): estimates must agree closely
+        assert abs(v - av) < 0.05, (snp, v, av)
+        e2 = float([l for l in lines[1:] if l.split()[1] == snp][0]
+                   .split()[3])
+        assert v <= e2 + 1e-12
