@@ -27,6 +27,7 @@ class Config:
     eigfile: str | None = None
     bcf: tuple | None = None
     read_freq: str | None = None
+    het_small_sample: bool = False
     bad_freqs: bool = False
     bad_ld: bool = False
     ac_founders: bool = False
@@ -583,6 +584,7 @@ def parse_args(argv: list[str]) -> Config:
             cfg.geno_counts_zs = "zs" in args
         elif name == "het":
             cfg.het = True
+            cfg.het_small_sample = "small-sample" in args
         elif name == "sample_counts":
             cfg.sample_counts = True
         elif name == "make_pgen":

@@ -8,7 +8,9 @@ Behavior reference: HetReport / HetThread (2.0/plink2_misc.cc:10389, :9819):
 - F = (O(HOM) - E(HOM)) / (OBS - E(HOM)).
 Output: <out>.het with #[FID\t]IID O(HOM) E(HOM) OBS_CT F.
 
-'small-sample' founder-count correction is not implemented yet.
+'small-sample' (HetThread allele_freqs == nullptr branch, :9930-9940):
+per-variant E(HET) becomes Nei's 2*n1*n2/(d*(d-1)) over FOUNDER hardcall
+allele counts, with zero-count variants skipped as monomorphic.
 """
 
 from __future__ import annotations
@@ -22,13 +24,29 @@ from ..utils.logging import RunLogger
 from .basic_reports import alt_allele_freqs
 
 
-def write_het(ds: Dataset, out_prefix: str, log: RunLogger) -> None:
-    freqs = alt_allele_freqs(ds, founders_only=True)
+def write_het(ds: Dataset, out_prefix: str, log: RunLogger,
+              small_sample: bool = False) -> None:
     auto = ds.vi.chr_info.is_autosomal(ds.vi.chrom)
-    with np.errstate(invalid="ignore"):
-        ehet = 2.0 * freqs * (1.0 - freqs)
-    ehet = np.nan_to_num(ehet)
-    vsel = ds.variant_mask & auto & (ehet >= 2.0 ** -35)
+    if small_sample:
+        if not int(ds.founder_mask.sum()):
+            raise ValueError(
+                "--het small-sample requires at least one founder.")
+        from .basic_reports import _group_counts
+
+        cts = _group_counts(ds, True)["all"].astype(np.float64)
+        n1 = 2.0 * cts[:, 0] + cts[:, 1]   # founder REF allele count
+        n2 = cts[:, 1] + 2.0 * cts[:, 2]   # founder ALT allele count
+        denom = n1 + n2
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ehet = 2.0 * n1 * n2 / (denom * (denom - 1.0))
+        ehet = np.nan_to_num(ehet)
+        vsel = ds.variant_mask & auto & (n1 > 0) & (n2 > 0)
+    else:
+        freqs = alt_allele_freqs(ds, founders_only=True)
+        with np.errstate(invalid="ignore"):
+            ehet = 2.0 * freqs * (1.0 - freqs)
+        ehet = np.nan_to_num(ehet)
+        vsel = ds.variant_mask & auto & (ehet >= 2.0 ** -35)
 
     n = ds.raw_sample_ct
     # exact f64 totals on host; the device only sums the (sparse) missing

@@ -1038,7 +1038,8 @@ def run_pipeline(cfg: Config) -> int:
         if cfg.het:
             from .commands.het import write_het
 
-            write_het(ds, cfg.out, log)
+            write_het(ds, cfg.out, log,
+                      small_sample=cfg.het_small_sample)
         if cfg.sample_counts:
             from .commands.sample_counts import write_sample_counts
 

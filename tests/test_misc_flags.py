@@ -278,3 +278,28 @@ def test_bad_freqs_and_ac_founders_guards(tmp_path):
                  "--out", pfx + "m2", "--silent"]) == 0
     assert main(["--pfile", pfx, "--mac", "2", "--freq", "--nonfounders",
                  "--out", pfx + "m3", "--silent"]) == 0
+
+
+def test_het_small_sample(tmp_path):
+    """--het small-sample: Nei founder-count E(HET) (HetThread
+    allele_freqs==nullptr branch, 2.0/plink2_misc.cc:9930-9940)."""
+    import os
+    import subprocess
+
+    import pytest as _pytest
+
+    from plink_tpu.cli import main
+
+    oracle = os.environ.get("PLINK2_ORACLE",
+                            "/tmp/oracle/2.0/build_dynamic/plink2")
+    if not os.path.exists(oracle):
+        _pytest.skip("no plink2 oracle")
+    pfx = str(tmp_path / "h")
+    subprocess.run([oracle, "--dummy", "120", "400", "0.05", "--seed", "8",
+                    "--out", pfx], check=True, capture_output=True)
+    subprocess.run([oracle, "--pfile", pfx, "--het", "small-sample",
+                    "--out", pfx + "o"], check=True, capture_output=True)
+    assert main(["--pfile", pfx, "--het", "small-sample",
+                 "--out", pfx + "t", "--silent"]) == 0
+    assert open(pfx + "o.het", "rb").read() == \
+        open(pfx + "t.het", "rb").read()
