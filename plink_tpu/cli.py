@@ -28,6 +28,7 @@ class Config:
     bcf: tuple | None = None
     read_freq: str | None = None
     het_small_sample: bool = False
+    allelexxxx: tuple | None = None
     bad_freqs: bool = False
     bad_ld: bool = False
     ac_founders: bool = False
@@ -585,6 +586,15 @@ def parse_args(argv: list[str]) -> Config:
         elif name == "het":
             cfg.het = True
             cfg.het_small_sample = "small-sample" in args
+        elif name in ("allele1234", "alleleACGT"):
+            dash = "--" + name
+            if args and args[0] != "multichar":
+                raise FlagError(f"Invalid {dash} parameter '{args[0]}'.")
+            if cfg.allelexxxx is not None:
+                raise FlagError(
+                    "--allele1234 and --alleleACGT cannot be used together.")
+            cfg.allelexxxx = ("acgt" if name == "alleleACGT" else "1234",
+                              bool(args))
         elif name == "sample_counts":
             cfg.sample_counts = True
         elif name == "make_pgen":

@@ -172,3 +172,35 @@ def update_parents(ds: Dataset, path: str, log: RunLogger) -> None:
     if miss:
         msg += f", {miss} ID{'s' if miss != 1 else ''} not present"
     log.log(msg + ".")
+
+
+_ACGT_FWD = {"1": "A", "2": "C", "3": "G", "4": "T"}
+_ACGT_REV = {"A": "1", "C": "2", "G": "3", "T": "4"}
+
+
+def allelexxxx_recode(ds: Dataset, direction: str, multichar: bool,
+                      log: RunLogger) -> None:
+    """--allele1234 / --alleleACGT allele-code translation (ref
+    allelexxxx_recode, 1.9/plink.c:208-261).
+
+    Single-character alleles are always translated; multi-character
+    alleles only under the `multichar` modifier, character by character.
+    The ACGT direction converts digits '1'-'4'; the 1234 direction
+    converts uppercase A/C/G/T only (acgt_reverse_arr's identity entries
+    leave B..S — and everything else, incl. lowercase — unchanged).
+    Upstream prints nothing for this step."""
+    conv = _ACGT_FWD if direction == "acgt" else _ACGT_REV
+
+    def rc1(a: str) -> str:
+        if len(a) == 1:
+            return conv.get(a, a)
+        if multichar:
+            return "".join(conv.get(c, c) for c in a)
+        return a
+
+    vi = ds.vi
+    vi.ref = np.array([rc1(a) for a in vi.ref], dtype=object)
+    vi.alt = np.array([",".join(rc1(x) for x in a.split(","))
+                       for a in vi.alt], dtype=object)
+    flag = "--alleleACGT" if direction == "acgt" else "--allele1234"
+    log.log(f"{flag}: allele codes translated.", console=False)

@@ -896,6 +896,10 @@ def run_pipeline(cfg: Config) -> int:
             process_fa(ds, cfg, log)
 
         # ---- variant metadata edits, then variant filters ----
+        if cfg.allelexxxx is not None:
+            from .commands.update_meta import allelexxxx_recode
+
+            allelexxxx_recode(ds, cfg.allelexxxx[0], cfg.allelexxxx[1], log)
         if cfg.update_name or cfg.update_map or cfg.update_alleles:
             from .commands import update_meta as U
 

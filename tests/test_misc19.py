@@ -328,3 +328,36 @@ def test_test_missing_mperm(cc_panel, mods):
         e2 = float([l for l in lines[1:] if l.split()[1] == snp][0]
                    .split()[3])
         assert v <= e2 + 1e-12
+
+
+def test_allelexxxx_recode(tmp_path):
+    """--allele1234/--alleleACGT [multichar] (1.9/plink.c:208-261
+    allelexxxx_recode): byte-diff .bim/.bed vs the 1.9 oracle."""
+    import subprocess
+
+    from plink_tpu.cli import main
+
+    d = tmp_path
+    (d / "m.map").write_text(
+        "1 v1 0 100\n1 v2 0 200\n1 v3 0 300\n2 v4 0 100\n")
+    (d / "m.ped").write_text(
+        "f1 i1 0 0 1 1 A C 1 4 AT A C G\n"
+        "f1 i2 0 0 2 2 C C 4 4 TTG A G G\n"
+        "f2 i3 0 0 1 1 A A 1 1 AT AT C C\n")
+    subprocess.run([ORACLE19, "--file", str(d / "m"), "--make-bed",
+                    "--out", str(d / "base")], check=True,
+                   capture_output=True)
+    for flags, tag in [(["--allele1234"], "a"),
+                       (["--allele1234", "multichar"], "b"),
+                       (["--alleleACGT"], "c"),
+                       (["--alleleACGT", "multichar"], "d")]:
+        src = str(d / ("base" if tag in "ab" else "b_o"))
+        subprocess.run([ORACLE19, "--bfile", src] + flags
+                       + ["--make-bed", "--out", str(d / f"{tag}_o")],
+                       check=True, capture_output=True)
+        assert main(["--bfile", src] + flags
+                    + ["--make-bed", "--out", str(d / f"{tag}_t"),
+                       "--silent"]) == 0
+        for ext in (".bim", ".bed"):
+            assert (d / f"{tag}_o{ext}").read_bytes() == \
+                (d / f"{tag}_t{ext}").read_bytes(), (tag, ext)
