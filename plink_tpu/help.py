@@ -114,6 +114,10 @@ HELP: dict[str, tuple[str, str]] = {
     "update_map": ("--update-map <file> [bp-col] [id-col] [skip]",
                    "Update variant positions."),
     "update_alleles": ("--update-alleles <file>", "Update allele codes."),
+    "allele1234": ("--allele1234 [multichar]",
+                   "Translate A/C/G/T allele codes to 1/2/3/4."),
+    "alleleACGT": ("--alleleACGT [multichar]",
+                   "Translate 1/2/3/4 allele codes to A/C/G/T."),
     "update_ids": ("--update-ids <file>", "Update sample IDs."),
     "update_parents": ("--update-parents <file>", "Update parental IDs."),
     "update_sex": ("--update-sex <file> ['col-num='<n>]",
@@ -139,7 +143,9 @@ HELP: dict[str, tuple[str, str]] = {
     "hardy": ("--hardy ['midp']", "Write Hardy-Weinberg exact test results "
               "(.hardy; chrX uses the Graffelman-Weir test)."),
     "geno_counts": ("--geno-counts", "Write genotype count report (.gcount)."),
-    "het": ("--het", "Write observed/expected heterozygosity (.het)."),
+    "het": ("--het [small-sample]", "Write observed/expected "
+            "heterozygosity (.het); small-sample = founder-count-based "
+            "E(HET) correction."),
     "sample_counts": ("--sample-counts", "Write per-sample genotype class "
                       "counts (.scount)."),
     "fst": ("--fst <pheno> [method=] [report-variants]",
