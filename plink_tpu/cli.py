@@ -208,6 +208,7 @@ class Config:
     assoc_mods: tuple = ()
     recode19: str | None = None
     linear19: tuple | None = None
+    no_snp: bool = False
     logistic19: tuple | None = None
     xchr_model_set: bool = False
     model: bool = False
@@ -1238,6 +1239,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.cnv_write = tuple(args)
         elif name in ("pmerge", "pmerge_list"):
             setattr(cfg, name, tuple(args))
+        elif name == "no_snp":
+            cfg.no_snp = True
         elif name in ("keep_if", "remove_if"):
             setattr(cfg, name, args)
         elif name in ("keep_cats", "keep_cat_pheno", "remove_cats",
@@ -1257,6 +1260,16 @@ def parse_args(argv: list[str]) -> Config:
                     "plink-tpu yet."
                 )
             raise FlagError(f"unrecognized flag '--{dash}'")
+    if cfg.no_snp:
+        if cfg.linear19 is not None:
+            if "no-snp" not in cfg.linear19:
+                cfg.linear19 = tuple(cfg.linear19) + ("no-snp",)
+        elif cfg.logistic19 is not None:
+            if "no-snp" not in cfg.logistic19:
+                cfg.logistic19 = tuple(cfg.logistic19) + ("no-snp",)
+        else:
+            raise FlagError(
+                "--no-snp must be used with --linear or --logistic.")
     return cfg
 
 

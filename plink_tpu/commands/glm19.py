@@ -337,7 +337,10 @@ def run_glm19(ds: Dataset, cfg, log: RunLogger, linear: bool) -> None:
         else:
             mods.add(m)
     flagname = "--linear" if linear else "--logistic"
-    for bad in ("interaction", "no-snp", "set-test"):
+    if "no-snp" in mods:
+        return _run_glm19_nosnp(ds, cfg, log, linear, mods - {"no-snp"},
+                                mperm_val)
+    for bad in ("interaction", "set-test"):
         if bad in mods:
             raise _flag_error(f"{flagname} '{bad}' modifier is not implemented yet.")
     genotypic = "genotypic" in mods
@@ -1066,3 +1069,236 @@ def _logistic_perm_stats(X, perm_p, nm_sel, cur_n, has_joint,
                 H, coef.astype(np.float64), S.astype(np.float64))
             dxx[pidx] = F(j) if j is not None else -9.0
     return dxx, fail
+
+
+_NOSNP_CONFLICTS = {"perm", "genedrop", "genotypic", "hethom", "dominant",
+                    "recessive", "no-x-sex", "interaction", "set-test"}
+
+
+def _run_glm19_nosnp(ds: Dataset, cfg, log: RunLogger, linear: bool,
+                     mods: set, mperm_val) -> None:
+    """--linear/--logistic 'no-snp': one-off covariate-only regression.
+
+    ref: glm_linear_nosnp (1.9/plink_glm.c:7055) / glm_logistic_nosnp
+    (:7923).  Parameter sequence: intercept, --condition(-list) variants,
+    --covar columns, sex ('sex' modifier, only when sex varies).  Unlike
+    the per-variant path, glm_scan_conditions excludes samples with
+    missing condition genotypes here too (:7182).  The logistic
+    branch has no VIF check (:8296 "no more VIF check") and its INTERCEPT
+    row ends after the CI columns with no STAT/P/newline (:8448-8466) --
+    replicated verbatim.  Fixed-count mperm= is not implemented here.
+    """
+    flagname = "--linear" if linear else "--logistic"
+    if mods & _NOSNP_CONFLICTS:
+        raise _flag_error(
+            f"{flagname} 'no-snp' modifier conflicts with another modifier.")
+    if mperm_val is not None:
+        raise _flag_error(
+            f"{flagname} no-snp mperm= is not implemented yet.")
+    hide_covar = "hide-covar" in mods
+    if hide_covar:
+        # no --tests support, so hide-covar always yields zero output rows
+        raise _flag_error(f"{flagname} hide-covar no-snp produces no output.")
+    report_odds = (not linear) and ("beta" not in mods)
+    standard_beta = linear and ("standard-beta" in mods)
+    show_intercept = "intercept" in mods
+    sex_mod = "sex" in mods
+
+    pheno_name = None
+    pc = None
+    for nm_, col in ds.si.phenos.items():
+        pc = col
+        pheno_name = nm_
+        break
+    if pc is None:
+        raise _flag_error(f"{flagname} requires a loaded phenotype.")
+    if linear and pc.kind != "qt":
+        raise _flag_error(
+            "--linear without --all-pheno requires a scalar phenotype.")
+    if (not linear) and pc.kind != "cc":
+        raise _flag_error(
+            "--logistic without --all-pheno requires a case/control "
+            "phenotype.")
+
+    from .glm import _load_covars
+
+    covar_names, covar_data, covar_nm = _load_covars(ds, cfg, log)
+    cond_names: list = []
+    cond_data = None
+    pheno_nm = np.asarray(pc.nonmiss, bool)
+    load_mask = ds.sample_mask & pheno_nm & covar_nm
+    pheno_nm_ct = int((ds.sample_mask & pheno_nm).sum())
+    if cfg.condition or cfg.condition_list:
+        # glm_scan_conditions also runs on this path (:7182): samples with
+        # missing condition genotypes are excluded BEFORE the sex check
+        cond_names, cond_data, cond_nm = _scan_conditions19(ds, cfg, log)
+        load_mask = load_mask & cond_nm
+
+    sex = ds.si.sex
+    include_sex = False
+    if sex_mod:
+        known = sex[load_mask & (sex != 0)] == 1
+        if known.size and known.any() and (~known).any():
+            include_sex = True
+            load_mask = load_mask & (sex != 0)
+        else:
+            log.log(f"Warning: Ignoring {flagname} 'sex' modifier since sex "
+                    "is invariant.")
+
+    inc = np.flatnonzero(load_mask)
+    n = inc.size
+    names = ["(intercept)"] + list(cond_names) + list(covar_names)
+    if include_sex:
+        names.append("SEX")
+    p_ct = len(names)
+    if p_ct == 1:
+        log.log(f"Warning: Skipping {flagname} since the intercept is the "
+                "only variable.")
+        return
+    if n <= p_ct:
+        log.log(f"Warning: Skipping {flagname} since # variables >= "
+                "# samples.")
+        if pheno_nm_ct > p_ct:
+            log.log("(Check your covariates--all samples with at least one "
+                    "missing covariate are\nexcluded from this analysis.)")
+        return
+
+    cols = [np.ones(n, np.float64)]
+    if cond_data is not None:
+        for k in range(cond_data.shape[1]):
+            cols.append(cond_data[inc, k].astype(np.float64))
+    for k in range(covar_data.shape[1]):
+        cols.append(covar_data[inc, k].astype(np.float64))
+    if include_sex:
+        cols.append((sex[inc] == 1).astype(np.float64))
+    X = np.ascontiguousarray(np.stack(cols))
+
+    yfull = np.asarray(pc.data, np.float64)[inc]
+    if linear:
+        psum = pssq = 0.0
+        for v_ in yfull:  # sequential adds, matching the reference
+            psum += v_
+            pssq += v_ * v_
+        if pssq * n == psum * psum:
+            log.log("Warning: Skipping --linear since phenotype is "
+                    "constant.")
+            return
+        if standard_beta:
+            mean = psum / n
+            mult = math.sqrt((n - 1) / (pssq - psum * mean))
+            yfull = (yfull - mean) * mult
+            # sequential (single-pass) sum/ssq accumulation, matching the
+            # reference exactly -- a BLAS dot's pairwise order flips the
+            # last ulp of the standardized columns, which the degenerate
+            # ~0 intercept coefficient then amplifies into display range
+            for i_ in range(1, p_ct):
+                col = X[i_]
+                dxx = dyy = 0.0
+                for v_ in col:
+                    dzz = float(v_)
+                    dxx += dzz
+                    dyy += dzz * dzz
+                dzz = dxx / n
+                dyy = math.sqrt((dyy - dxx * dzz) / (n - 1))
+                if dyy == 0:
+                    X[i_] = 0.0
+                else:
+                    X[i_] = (col - dzz) * (1.0 / dyy)
+        vif_thresh = getattr(cfg, "vif", None) or 50.0
+        if _glm_check_vif(vif_thresh, X):
+            log.log("Warning: Skipping --linear no-snp since VIF check "
+                    "failed.")
+            return
+        res = _glm_linear_fit(X, yfull)
+        if res is None:
+            log.log("Warning: Skipping --linear no-snp due to "
+                    "multicollinearity.")
+            return
+    else:
+        case_ct = int(yfull.sum())
+        if case_ct == 0 or case_ct == n:
+            log.log("Warning: Skipping --logistic since phenotype is "
+                    "constant.")
+            return
+        n4 = (n + 3) & ~3
+        X32 = np.zeros((p_ct, n4), F)
+        X32[:, :n] = X.astype(F)
+        y32 = np.zeros(n4, F)
+        y32[:n] = yfull.astype(F)
+        res = _logistic_fit(X32, y32)
+        if res is None:
+            log.log("Warning: Skipping --logistic no-snp due to "
+                    "multicollinearity.")
+            return
+    coef, se2, _joint, icept_var = res
+
+    out_path = cfg.out + (".assoc.linear" if linear else ".assoc.logistic")
+    ci_size = cfg.ci
+    display_ci = ci_size is not None
+    if display_ci:
+        from .cluster import _ltqnorm
+
+        ci_zt = _ltqnorm(1 - (1 - ci_size) / 2)
+    hdr = ("      TEST    NMISS       "
+           + ("  OR" if report_odds else "BETA") + " ")
+    if display_ci:
+        pct = int(ci_size * (100 + 1e-8))
+        if pct >= 10:
+            hdr += f"      SE      L{pct}      U{pct} "
+        else:
+            hdr += f"      SE       L{pct}       U{pct} "
+    hdr += "        STAT            P \n"
+    pfilter = cfg.pfilter if cfg.pfilter is not None else 2.0
+    output_min_p = getattr(cfg, "output_min_p", 0.0) or 0.0
+
+    rows = []
+    for pi in range(1, p_ct):
+        beta = float(coef[pi])
+        se = math.sqrt(float(se2[pi]))
+        zval = beta / se
+        if linear:
+            pval = calc_tprob(zval, n - p_ct)
+        else:
+            pval = _p_chisq(zval * zval, 1.0)
+        if pfilter == 2.0 or (0.0 <= pval <= pfilter):
+            row = _fw(names[pi], 10) + " " + _fw(n, 8) + " "
+            disp = _exp(beta) if report_odds else beta
+            row += _g4(disp, 10) + " "
+            if display_ci:
+                dyy = ci_zt * se
+                row += _g4(se, 8) + " "
+                if report_odds:
+                    row += _g4(_exp(beta - dyy), 8) + " "
+                    row += _g4(_exp(beta + dyy), 8) + " "
+                else:
+                    row += _g4(beta - dyy, 8) + " "
+                    row += _g4(beta + dyy, 8) + " "
+            row += _g4(zval, 12) + " "
+            row += _g4(max(pval, output_min_p), 12) + "\n"
+            rows.append(row)
+    if show_intercept:
+        beta0 = float(coef[0])
+        row = " INTERCEPT " + _fw(n, 8) + " "
+        disp = _exp(beta0) if report_odds else beta0
+        row += _g4(disp, 10) + " "
+        if display_ci:
+            se0 = math.sqrt(float(icept_var if linear else se2[0]))
+            dyy = ci_zt * se0
+            row += _g4(se0, 8) + " "
+            if report_odds:
+                row += _g4(_exp(beta0 - dyy), 8) + " "
+                row += _g4(_exp(beta0 + dyy), 8) + " "
+            else:
+                row += _g4(beta0 - dyy, 8) + " "
+                row += _g4(beta0 + dyy, 8) + " "
+        if linear:
+            row += "          NA           NA\n"
+        # logistic: no STAT/P and no newline (upstream quirk, :8464)
+        rows.append(row)
+    with open(out_path, "w") as f:
+        f.write(hdr)
+        f.writelines(rows)
+    log.log(
+        f"Writing {'linear' if linear else 'logistic'} model association "
+        f"results to {out_path} ... done."
+    )

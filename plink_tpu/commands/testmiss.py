@@ -8,7 +8,8 @@ Per variant: missing-call counts among nonmissing-phenotype cases and
 controls (chrY restricted to males; het-haploid calls on X/Y treated
 as missing per haploid_fix), two-sided Fisher exact p (optional midp),
 written to <out>.missing.  Sites with zero or all-missing calls are
-skipped.  Permutation modes are not implemented yet.
+skipped.  Adaptive (perm) and max(T) (mperm=) permutation modes are
+implemented (see the module-level notes on the upstream maxt bug).
 """
 
 from __future__ import annotations

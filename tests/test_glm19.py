@@ -84,6 +84,20 @@ CASES = [
     ("linear sex", "qb", []),
     ("linear", "qb", ["--xchr-model", "2"]),
     ("linear", "qb", ["--xchr-model", "0"]),
+    # no-snp: one-off covariate-only regressions (glm_linear_nosnp
+    # :7055 / glm_logistic_nosnp :7923)
+    ("logistic no-snp", "pb", ["--covar", "cv.txt"]),
+    ("logistic no-snp beta intercept", "pb",
+     ["--covar", "cv.txt", "--ci", "0.95"]),
+    ("logistic no-snp sex", "pb", ["--covar", "cv.txt"]),
+    ("linear no-snp", "qb", ["--covar", "cv.txt"]),
+    # standard-beta + intercept is NOT byte-compared: standardized
+    # covariates make the intercept mathematically 0, and its ~1e-17
+    # display exposes LAPACK accumulation-order noise across BLAS builds
+    ("linear no-snp standard-beta", "qb",
+     ["--covar", "cv.txt", "--ci", "0.9"]),
+    ("linear no-snp intercept", "qb", ["--covar", "cv.txt"]),
+    ("linear no-snp sex", "qb", ["--covar", "cv.txt"]),
 ]
 
 
@@ -145,6 +159,8 @@ COND_CASES = [
     ("logistic", "pb", []),
     ("linear", "qb", ["--condition-dominant"]),
     ("logistic", "pb", ["--condition-recessive"]),
+    ("linear", "qb", ["--covar", "cv.txt", "--no-snp"]),
+    ("logistic", "pb", ["--no-snp"]),
 ]
 
 
