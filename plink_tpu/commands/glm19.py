@@ -311,6 +311,68 @@ def _build_design(cnt_nm, male_nm, covars_nm, sex_col, model, gen_or_hh,
     return np.ascontiguousarray(np.stack(cols))
 
 
+def _build_design_interaction(cnt_nm, male_nm, covars_nm, sex_col, model,
+                              use_domdev, male_x_01, is_nonx_haploid,
+                              include_sex):
+    """glm_fill_design with 'interaction' columns (1.9/plink_glm.c:1977-
+    2238).  Order: intercept, main, [DOMDEV], fixed covars, per-covar
+    (MAINxCOV, [DOMDEVxCOV]) interleaved, [SEX, MAINxSEX, [DOMDEVxSEX]].
+
+    Coding quirks replicated exactly: the MAINxCOV genotype factor skips
+    the is_nonx_haploid demotion of the main-effect column (additive even
+    on non-X haploid chromosomes, :2006), and MAINxSEX checks only the
+    HETHOM bit -- dominant/recessive models get ADDITIVE coding there
+    (:2117)."""
+    dt = np.float64
+    nm = cnt_nm.size
+    cols = [np.ones(nm, dt)]
+    # main-effect column: same priority as _build_design
+    if model == "dominant":
+        g_main = (cnt_nm >= 1).astype(dt)
+    elif model not in ("hethom", "recessive") and not is_nonx_haploid:
+        if male_x_01:
+            g_main = np.where(male_nm, cnt_nm >> 1, cnt_nm).astype(dt)
+        else:
+            g_main = cnt_nm.astype(dt)
+    else:
+        g_main = (cnt_nm == 2).astype(dt)
+    cols.append(g_main)
+    domdev = (cnt_nm == 1).astype(dt)
+    if use_domdev:
+        cols.append(domdev)
+    # interaction genotype factor (no is_nonx_haploid check)
+    if model == "dominant":
+        g_int = (cnt_nm >= 1).astype(dt)
+    elif model not in ("hethom", "recessive"):
+        if male_x_01:
+            g_int = np.where(male_nm, cnt_nm >> 1, cnt_nm).astype(dt)
+        else:
+            g_int = cnt_nm.astype(dt)
+    else:
+        g_int = (cnt_nm == 2).astype(dt)
+    for k in range(covars_nm.shape[1]):
+        cols.append(covars_nm[:, k].astype(dt))
+    for k in range(covars_nm.shape[1]):
+        cv = covars_nm[:, k].astype(dt)
+        cols.append(g_int * cv)
+        if use_domdev:
+            cols.append(domdev * cv)
+    if include_sex:
+        sx = sex_col.astype(dt)
+        cols.append(sx)
+        # MAINxSEX: only the HETHOM bit is checked upstream
+        if model == "hethom":
+            g_sx = (cnt_nm == 2).astype(dt)
+        elif male_x_01:
+            g_sx = np.where(male_nm, cnt_nm >> 1, cnt_nm).astype(dt)
+        else:
+            g_sx = cnt_nm.astype(dt)
+        cols.append(g_sx * sx)
+        if use_domdev:
+            cols.append(domdev * sx)
+    return np.ascontiguousarray(np.stack(cols))
+
+
 def _standardize(X: np.ndarray) -> np.ndarray:
     """standard-beta design standardization (glm_fill_design tail)."""
     p, n = X.shape
@@ -340,9 +402,10 @@ def run_glm19(ds: Dataset, cfg, log: RunLogger, linear: bool) -> None:
     if "no-snp" in mods:
         return _run_glm19_nosnp(ds, cfg, log, linear, mods - {"no-snp"},
                                 mperm_val)
-    for bad in ("interaction", "set-test"):
-        if bad in mods:
-            raise _flag_error(f"{flagname} '{bad}' modifier is not implemented yet.")
+    if "set-test" in mods:
+        raise _flag_error(
+            f"{flagname} 'set-test' modifier is not implemented yet.")
+    interaction = "interaction" in mods
     genotypic = "genotypic" in mods
     hethom = "hethom" in mods
     dominant = "dominant" in mods
@@ -361,6 +424,12 @@ def run_glm19(ds: Dataset, cfg, log: RunLogger, linear: bool) -> None:
     perm_count = "perm-count" in mods
     mperm = mperm_val
     do_perms = do_perm or mperm is not None
+    if interaction and do_perms:
+        # without --tests there is no valid permutation target
+        # (glm_common_init, 1.9/plink_glm.c:3997)
+        raise _flag_error(
+            "--linear/--logistic 'interaction' modifier cannot be used "
+            "with\npermutation except with --tests.")
     # plink 1.9's default --xchr-model is 1 (male dosage 0..1); the Config
     # default of 2 belongs to the 2.0 --glm personality.  Genotype-model
     # modifiers force model 0 (1.9/plink.c:8070-8091) -- nonautosomal
@@ -390,10 +459,12 @@ def run_glm19(ds: Dataset, cfg, log: RunLogger, linear: bool) -> None:
 
     covar_names, covar_data, covar_nm = _load_covars(ds, cfg, log)
 
+    n_cond = 0
     if cfg.condition or cfg.condition_list:
         cond_names, cond_data, cond_nm = _scan_conditions19(ds, cfg, log)
         # condition covariates PRECEDE --covar columns (plink_glm.c:4597:
         # fixed-covariate slots 0..condition_ct-1 hold the conditions)
+        n_cond = len(cond_names)
         covar_names = cond_names + list(covar_names)
         covar_data = np.concatenate([cond_data, covar_data], axis=1)
         covar_nm = covar_nm & cond_nm
@@ -536,15 +607,30 @@ def run_glm19(ds: Dataset, cfg, log: RunLogger, linear: bool) -> None:
         nm_cts[mi] = cur_n
 
         use_domdev = gen_or_hh and not is_nonx_haploid
-        p_ct = 2 + (1 if use_domdev else 0) + ncov + (1 if include_sex else 0)
+        n_int = (ncov * (2 if use_domdev else 1)) if interaction else 0
+        n_sx = (1 + (1 + (1 if use_domdev else 0) if interaction else 0)) \
+            if include_sex else 0
+        p_ct = 2 + (1 if use_domdev else 0) + ncov + n_int + n_sx
         cur_constraint = constraint_max if (use_domdev and constraint_max) else 0
 
         test_names = ["INTERCEPT", main_name]
         if use_domdev:
             test_names.append(domdev_name)
         test_names += list(covar_names)
+        if interaction:
+            # ADDxCSNP<k> for conditions, ADDx<name> for file covariates;
+            # DOMDEVx/HETx interleaved per covariate (plink_glm.c:4651-4689)
+            for k, cn in enumerate(covar_names):
+                tgt = f"CSNP{k + 1}" if k < n_cond else cn
+                test_names.append(f"{main_name}x{tgt}")
+                if use_domdev:
+                    test_names.append(f"{domdev_name}x{tgt}")
         if include_sex:
             test_names.append("SEX")
+            if interaction:
+                test_names.append(f"{main_name}xSEX")
+                if use_domdev:
+                    test_names.append(f"{domdev_name}xSEX")
 
         prefix = (
             _fw(ci.name19(chrom), 4) + " " + _fw(str(vi.vid[v]), maxsnp)
@@ -557,11 +643,18 @@ def run_glm19(ds: Dataset, cfg, log: RunLogger, linear: bool) -> None:
         if not fail:
             cnt_nm = cnt[nm_sel]
             male_nm = male[nm_sel]
-            X = _build_design(
-                cnt_nm, male_nm, covars[nm_sel], sex_col_full[nm_sel],
-                model, use_domdev, male_x_01, is_nonx_haploid, include_sex,
-                np.float64,
-            )
+            if not interaction:
+                X = _build_design(
+                    cnt_nm, male_nm, covars[nm_sel], sex_col_full[nm_sel],
+                    model, use_domdev, male_x_01, is_nonx_haploid,
+                    include_sex, np.float64,
+                )
+            else:
+                X = _build_design_interaction(
+                    cnt_nm, male_nm, covars[nm_sel], sex_col_full[nm_sel],
+                    model, use_domdev, male_x_01, is_nonx_haploid,
+                    include_sex,
+                )
             if standard_beta:
                 X = _standardize(X)
             H = None

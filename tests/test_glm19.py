@@ -84,6 +84,14 @@ CASES = [
     ("linear sex", "qb", []),
     ("linear", "qb", ["--xchr-model", "2"]),
     ("linear", "qb", ["--xchr-model", "0"]),
+    # interaction: G x covariate / G x sex terms (glm_fill_design
+    # 1.9/plink_glm.c:1977-2238)
+    ("logistic interaction", "pb", ["--covar", "cv.txt"]),
+    ("linear interaction", "qb", ["--covar", "cv.txt"]),
+    ("linear interaction sex", "qb", ["--covar", "cv.txt"]),
+    ("linear interaction genotypic", "qb", ["--covar", "cv.txt"]),
+    ("logistic interaction hethom", "pb", ["--covar", "cv.txt"]),
+    ("linear interaction sex", "qb", []),
     # no-snp: one-off covariate-only regressions (glm_linear_nosnp
     # :7055 / glm_logistic_nosnp :7923)
     ("logistic no-snp", "pb", ["--covar", "cv.txt"]),
