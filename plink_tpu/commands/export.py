@@ -405,10 +405,33 @@ def _export_vcf(ds: Dataset, cfg, log: RunLogger,
                 # separators follow the current state (plink2's VCF exporter
                 # prev_phased tracking)
                 gt_rows = []
+                ma_mask_ph = ds.multiallelic_mask()
                 for r, i_local in enumerate(sel):
                     pp, pi = ds.phase_row(v0 + i_local)
                     pps, pis = pp[inc_s], pi[inc_s]
                     c = codes[r]
+                    if ma_mask_ph[v0 + i_local]:
+                        # multiallelic: allele pairs + phase; the het set
+                        # includes aux1b patches (phase_row handles it)
+                        ac = ds.allele_codes(int(v0 + i_local))[inc_s]
+                        miss = ac[:, 0] < 0
+                        het = (~miss) & (ac[:, 0] != ac[:, 1])
+                        prev = _vcf_prev_phased
+                        state = np.where(het, pps, prev)
+                        cells = []
+                        for col in range(len(inc_s)):
+                            sep = "|" if state[col] else "/"
+                            if miss[col]:
+                                cells.append(f".{sep}.")
+                            else:
+                                a, b = int(ac[col, 0]), int(ac[col, 1])
+                                if het[col] and pps[col] and pis[col]:
+                                    cells.append(f"{b}|{a}")
+                                else:
+                                    cells.append(f"{a}{sep}{b}")
+                        _vcf_prev_phased[het] = pps[het]
+                        gt_rows.append("\t" + "\t".join(cells))
+                        continue
                     het = c == 1
                     cells = np.empty(len(inc_s), dtype="U3")
                     prev = _vcf_prev_phased

@@ -62,10 +62,11 @@ def make_pgen(ds: Dataset, out_prefix: str, log: RunLogger, fmt: str = "pgen") -
     )
     if ma_any:
         # multiallelic variants present: rewrite dense rows + aux track 1
-        # with sample-index remapping
+        # (+ hardcall phase when present) with sample-index remapping
+        with_ph = ds.has_phase
         with PgenWriter(out_prefix + ".pgen", N, V, trusted_ref=trusted,
                     nonref_flags=nonref,
-                        with_multiallelic=True) as w:
+                        with_multiallelic=True, with_phase=with_ph) as w:
             from ..ops.pairwise import _unpack_np
 
             old_to_new = np.full(ds.raw_sample_ct, -1, np.int64)
@@ -85,8 +86,13 @@ def make_pgen(ds: Dataset, out_prefix: str, log: RunLogger, fmt: str = "pgen") -
                     k = old_to_new[ids10] >= 0
                     lo10, hi10 = lo10[k], hi10[k]
                     ids10 = old_to_new[ids10[k]]
+                pp_ = pi_ = None
+                if with_ph:
+                    pp, pi = ds.phase_row(int(v))
+                    pp_, pi_ = pp[sample_idx], pi[sample_idx]
                 w.append_codes_multiallelic(
-                    row, ids01, a01, ids10, lo10, hi10, int(acs[v])
+                    row, ids01, a01, ids10, lo10, hi10, int(acs[v]),
+                    phasepresent=pp_, phaseinfo=pi_,
                 )
         write_pvar(out_prefix + ".pvar", ds.vi, ds.variant_mask)
         write_psam(out_prefix + ".psam", ds.si, ds.sample_mask,

@@ -238,20 +238,29 @@ class Dataset:
         h = self.reader.header
         return h.mode == 0x10 and bool((h.vrtypes & 0x10).any())
 
+    def variant_allele_ct(self, v: int) -> int:
+        a = str(self.vi.alt[int(v)])
+        return 1 + (a.count(",") + 1 if a != "." else 0)
+
     def phase_row(self, v: int):
         """(phasepresent [N] bool, swapped [N] bool) for one variant's het
-        calls (False everywhere when no phase track)."""
+        calls (False everywhere when no phase track).  For multiallelic
+        variants the het universe includes aux1b het patches
+        (aux.het_ids)."""
         codes = None
-        aux = self.reader.read_dosage(int(v))
+        aux = self.reader.read_dosage(int(v), self.variant_allele_ct(v))
         pp = np.zeros(self.raw_sample_ct, bool)
         pi = np.zeros(self.raw_sample_ct, bool)
         if aux.phasepresent is not None:
-            from .ops.pairwise import _unpack_np
+            if aux.het_ids is not None:
+                het_idx = aux.het_ids
+            else:
+                from .ops.pairwise import _unpack_np
 
-            codes = _unpack_np(self.reader.read_packed(int(v), 1))[0][
-                : self.raw_sample_ct
-            ]
-            het_idx = np.flatnonzero(codes == 1)
+                codes = _unpack_np(self.reader.read_packed(int(v), 1))[0][
+                    : self.raw_sample_ct
+                ]
+                het_idx = np.flatnonzero(codes == 1)
             pp[het_idx] = aux.phasepresent
             phased_idx = het_idx[aux.phasepresent]
             pi[phased_idx] = aux.phaseinfo

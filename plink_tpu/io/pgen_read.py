@@ -157,6 +157,9 @@ class VariantAux:
     phaseinfo: np.ndarray | None = None  # bool over phased het calls (1 = swapped)
     dphase_ids: np.ndarray | None = None  # sample indices with explicit dphase
     dphase_delta: np.ndarray | None = None  # int16, 16384*(left - right hap dosage)
+    het_ids: np.ndarray | None = None  # multiallelic: the phase-bit het
+    # universe (main code-1 samples + het aux1b patches, sample-ID order);
+    # None for biallelic variants, where the universe is just codes == 1
 
 
 class PgenReader:
@@ -328,8 +331,10 @@ class PgenReader:
         return pack.unpack2(self.read_packed(vstart, vct), self.sample_ct)
 
     # -- dosage ------------------------------------------------------------
-    def read_dosage(self, vidx: int) -> VariantAux:
-        """Decode biallelic dosage track for one variant (if present)."""
+    def read_dosage(self, vidx: int, allele_ct: int = 2) -> VariantAux:
+        """Decode dosage/phase tracks for one variant (if present).
+        allele_ct is needed to parse past auxiliary track #1 on
+        multiallelic variants."""
         hdr = self.header
         vrtype = int(hdr.vrtypes[vidx])
         aux = VariantAux()
@@ -350,21 +355,38 @@ class PgenReader:
             _, _, o = decode_difflist(buf, o, N, True)
         elif main in (2, 3, 4, 6, 7):
             _, _, o = decode_difflist(buf, o, N, True)
+        het_ids = None
         if vrtype & VRTYPE_MULTIALLELIC:
-            # True multiallelic dosage (aux tracks #5-6) is unfinalized in
-            # the spec (pgen_spec.tex:621-630) and unimplemented by the
-            # reference as well (pgenlib_read.cc:9150 "true multiallelic
-            # dosages not yet supported by PgrGetMD()"; pgenlib_write.cc:317
-            # "todo: multiallelic dosage").  Matching that surface exactly:
-            # refuse rather than guess at a format.
-            raise NotImplementedError(
-                "multiallelic dosage/phase decode not supported (the pgen "
-                "spec leaves aux tracks #5-6 unfinalized; plink2's own "
-                "PgrGetMD() has the same limitation)")
+            if vrtype & VRTYPE_DOSAGE_BITS:
+                # True multiallelic dosage (aux tracks #5-6) is unfinalized
+                # in the spec (pgen_spec.tex:621-630) and unimplemented by
+                # the reference as well (pgenlib_read.cc:9150 "true
+                # multiallelic dosages not yet supported by PgrGetMD()";
+                # pgenlib_write.cc:317 "todo: multiallelic dosage").
+                # Matching that surface exactly.
+                raise NotImplementedError(
+                    "multiallelic dosage decode not supported (the pgen "
+                    "spec leaves aux tracks #5-6 unfinalized; plink2's own "
+                    "PgrGetMD() has the same limitation)")
+            # multiallelic + hardcall phase: parse past track #1; the phase
+            # het universe then includes aux1b het patches
+            # (GetAux1bHetIncr, 2.0/include/pgenlib_read.cc:7728)
+            codes = pack.unpack2(self.read_packed(vidx, 1)[0], N)
+            (_, _, ids10, lo10, hi10), o = self._parse_ma_track(
+                buf, o, codes, allele_ct)
+            het = codes == 1
+            if ids10.size:
+                het = het.copy()
+                het[ids10[lo10 != hi10]] = True
+            het_ids = np.flatnonzero(het)
+            aux.het_ids = het_ids
         if vrtype & VRTYPE_HPHASE:
             # Skip phase track: need het count.
-            codes = pack.unpack2(self.read_packed(vidx, 1)[0], N)
-            het_ct = int((codes == 1).sum())
+            if het_ids is not None:
+                het_ct = int(het_ids.size)
+            else:
+                codes = pack.unpack2(self.read_packed(vidx, 1)[0], N)
+                het_ct = int((codes == 1).sum())
             first = int(buf[o])
             if first & 1:
                 total_bits = 1 + het_ct
@@ -452,6 +474,14 @@ class PgenReader:
         elif main in (2, 3, 4, 6, 7):
             _, _, o = decode_difflist(buf, o, N, True)
         codes = pack.unpack2(self.read_packed(vidx, 1)[0], N)
+        res, _ = self._parse_ma_track(buf, o, codes, allele_ct)
+        return res
+
+    def _parse_ma_track(self, buf, o, codes, allele_ct):
+        """Parse auxiliary track #1 starting at offset o; returns
+        ((ids01, allele01, ids10, lo10, hi10), end_offset)."""
+        N = self.sample_ct
+        empt = np.zeros(0, np.int64)
         cat1 = np.flatnonzero(codes == 1)
         cat2 = np.flatnonzero(codes == 2)
         n_alt = allele_ct - 1
@@ -535,9 +565,9 @@ class PgenReader:
                 pairs, o = _read_packed_vals(o, 2 * K, w)
                 lo10 = pairs[0::2] + 1
                 hi10 = pairs[1::2] + 1
-        return (np.asarray(ids01, np.int64), np.asarray(allele01, np.int64),
-                np.asarray(ids10, np.int64), np.asarray(lo10, np.int64),
-                np.asarray(hi10, np.int64))
+        return ((np.asarray(ids01, np.int64), np.asarray(allele01, np.int64),
+                 np.asarray(ids10, np.int64), np.asarray(lo10, np.int64),
+                 np.asarray(hi10, np.int64)), o)
 
     def read_allele_codes(self, vidx: int, allele_ct: int) -> np.ndarray:
         """Per-sample unordered allele pair [N, 2] int16 (REF=0, ALT1=1, ...;

@@ -93,9 +93,13 @@ class PgenWriter:
                            + (sample_ct + 7) // 8)
         if with_multiallelic:
             # dense main + fmt byte + two N-bit arrays + <=4B/sample values
-            max_body = max(max_body,
-                           self._nb + 1 + 2 * ((sample_ct + 7) // 8)
-                           + 6 * sample_ct)
+            # (+ phase track when both enabled)
+            ma_body = (self._nb + 1 + 2 * ((sample_ct + 7) // 8)
+                       + 6 * sample_ct)
+            if with_phase:
+                ma_body += (1 + (sample_ct + 1 + 7) // 8
+                            + (sample_ct + 7) // 8)
+            max_body = max(max_body, ma_body)
         if with_dosage:
             # dense hardcalls (+ phase track if enabled) + presence bitarray
             # + 2 bytes/sample dosage values; when phase is also enabled the
@@ -199,12 +203,35 @@ class PgenWriter:
         if ld_valid[0]:
             self._ld_base = ld
 
+    @staticmethod
+    def _phase_track_bytes(pp: np.ndarray, pi_swapped: np.ndarray) -> bytes:
+        """Auxiliary track #2/#3 bytes for one variant given phasepresent
+        bits over the het universe (H bits) and the swapped bits of the
+        phased subset (pgen_spec.tex:541-560)."""
+        pp = np.asarray(pp, np.uint8)
+        pi = np.asarray(pi_swapped, np.uint8)
+        if pp.all():
+            bits = np.concatenate([[0], pi])
+            return np.packbits(
+                np.asarray(bits, np.uint8), bitorder="little").tobytes()
+        first = np.concatenate([[1], pp])
+        out = np.packbits(
+            np.asarray(first, np.uint8), bitorder="little").tobytes()
+        out += np.packbits(pi, bitorder="little").tobytes()
+        return out
+
     def append_codes_multiallelic(
         self, row: np.ndarray, ids01, a01, ids10, lo10, hi10,
-        allele_ct: int,
+        allele_ct: int, phasepresent=None, phaseinfo=None,
     ) -> None:
         """Append one multiallelic variant: dense hardcalls + auxiliary
-        track #1 (vrtype 0x08)."""
+        track #1 (vrtype 0x08).
+
+        With phasepresent/phaseinfo ([N] bool), also writes the hardcall-
+        phase track (vrtype 0x10).  The het universe for phase bits is the
+        main-track code-1 set UNION the aux1b entries with lo != hi, in
+        sample-ID order (GetAux1bHetIncr, 2.0/include/pgenlib_read.cc:7728:
+        raw_het_ct += rare10_ct - hom22_ct)."""
         if not self._with_multiallelic:
             raise ValueError("writer not opened with with_multiallelic=True")
         row = np.asarray(row, dtype=np.uint8)
@@ -217,6 +244,20 @@ class PgenWriter:
             vrtype |= 0x08
             body += multiallelic_track(row, ids01, a01, ids10, lo10, hi10,
                                        allele_ct)
+        if phasepresent is not None:
+            het = row == 1
+            i10 = np.asarray(ids10, np.int64)
+            if i10.size:
+                l10 = np.asarray(lo10, np.int64)
+                h10 = np.asarray(hi10, np.int64)
+                het = het.copy()
+                het[i10[l10 != h10]] = True
+            het_idx = np.flatnonzero(het)
+            pp = np.asarray(phasepresent, bool)[het_idx]
+            if pp.any():
+                vrtype |= 0x10
+                pi = np.asarray(phaseinfo, bool)[het_idx][pp]
+                body += self._phase_track_bytes(pp, pi)
         self._push_record(vrtype, body)
         self._ld_base = row.copy()
         self._written += 1

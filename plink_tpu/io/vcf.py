@@ -91,10 +91,15 @@ def _parse_gt(tok: str, halfcall: int = 2) -> int:
 
 
 def _parse_gt_ma(tok: str, halfcall: int = 2):
-    """Multiallelic GT parse -> (base_code, lo, hi) with 0=REF, k=ALTk and
-    lo <= hi; missing = (3, -1, -1).  Base code follows the pgen patch
-    convention (1 = REF-ALTx, 2 = ALTx-ALTy; pgen_spec.tex:469-479)."""
-    a = tok.replace("|", "/").split(":", 1)[0].split("/")
+    """Multiallelic GT parse -> (base_code, lo, hi, phased_het, swapped)
+    with 0=REF, k=ALTk and lo <= hi; missing = (3, -1, -1, False, False).
+    Base code follows the pgen patch convention (1 = REF-ALTx,
+    2 = ALTx-ALTy; pgen_spec.tex:469-479).  phased_het is True for '|'-
+    separated heterozygous calls; swapped = first allele index > second
+    (pgen_spec.tex:556-560)."""
+    gt = tok.split(":", 1)[0]
+    phased = "|" in gt
+    a = gt.replace("|", "/").split("/")
     alleles = []
     half = False
     for s in a:
@@ -109,31 +114,40 @@ def _parse_gt_ma(tok: str, halfcall: int = 2):
                 "how these should be processed."
             )
         if halfcall == 2:
-            return 3, -1, -1
+            return 3, -1, -1, False, False
         if halfcall == 0:  # treat as REF for the unknown allele
             alleles = [0, alleles[0]]
         else:  # haploid
             alleles = [alleles[0], alleles[0]]
     if not alleles:
-        return 3, -1, -1
+        return 3, -1, -1, False, False
     if len(alleles) == 1:
         alleles = [alleles[0], alleles[0]]
+    het = alleles[0] != alleles[1]
+    phased_het = phased and het
+    swapped = phased_het and alleles[0] > alleles[1]
     lo, hi = min(alleles), max(alleles)
     if hi == 0:
-        return 0, 0, 0
+        return 0, 0, 0, False, False
     if lo == 0:
-        return 1, lo, hi
-    return 2, lo, hi
+        return 1, lo, hi, phased_het, swapped
+    return 2, lo, hi, phased_het, swapped
 
 
-def _parse_gt_ma_row(tokens, halfcall: int):
-    """One multiallelic variant row -> (codes [N] uint8, patches tuple)."""
+def _parse_gt_ma_row(tokens, halfcall: int, with_phase: bool = False):
+    """One multiallelic variant row -> (codes [N] uint8, patches tuple[,
+    (phasepresent [N] bool, phaseinfo-swapped [N] bool)])."""
     n = len(tokens)
     codes = np.empty(n, np.uint8)
     ids01, a01, ids10, lo10, hi10 = [], [], [], [], []
+    pp = np.zeros(n, bool) if with_phase else None
+    pi = np.zeros(n, bool) if with_phase else None
     for i, g in enumerate(tokens):
-        c, lo, hi = _parse_gt_ma(g, halfcall)
+        c, lo, hi, phased_het, swapped = _parse_gt_ma(g, halfcall)
         codes[i] = c
+        if with_phase and phased_het:
+            pp[i] = True
+            pi[i] = swapped
         if c == 1 and hi >= 2:
             ids01.append(i)
             a01.append(hi)
@@ -141,11 +155,14 @@ def _parse_gt_ma_row(tokens, halfcall: int):
             ids10.append(i)
             lo10.append(lo)
             hi10.append(hi)
-    return codes, (
+    patches = (
         np.array(ids01, np.int64), np.array(a01, np.int64),
         np.array(ids10, np.int64), np.array(lo10, np.int64),
         np.array(hi10, np.int64),
     )
+    if with_phase:
+        return codes, patches, (pp, pi)
+    return codes, patches
 
 
 def _parse_dosage(parts, ds_idx, hds_idx, is_haploid, is_gp, certainty):
@@ -416,14 +433,19 @@ def read_vcf(path: str, chr_info: ChrInfo | None = None,
             infos.append(None if inf == "." else inf)
             is_ma = b"," in t[4]
             if is_ma and gt_exists:
-                codes, patches = _parse_gt_ma_row(t[9].decode().split("\t"),
-                                                  halfcall_mode)
+                if with_phase:
+                    codes, patches, ph = _parse_gt_ma_row(
+                        t[9].decode().split("\t"), halfcall_mode, True)
+                else:
+                    codes, patches = _parse_gt_ma_row(
+                        t[9].decode().split("\t"), halfcall_mode)
+                    ph = None
                 rows.append(codes)
                 ma_rows[len(rows) - 1] = patches
                 if dosage_field is not None:
                     dosage_rows.append(None)
                 if with_phase:
-                    phase_rows.append(None)
+                    phase_rows.append(ph)
                 continue
             if use_fast and nlib is not None and sample_ids:
                 rows.append(None)

@@ -147,9 +147,9 @@ def _import_vcf(path: str, out_prefix: str, log: RunLogger,
         vi, si, codes, dosage_rows, ma_rows = read_vcf(
             path, dosage_field=dosage_field, **thresh_kw)
         if ma_rows:
+            # the reference refuses this too (2.0/plink2_import.cc:3343)
             raise NotImplementedError(
-                "--vcf dosage import with multiallelic variants is not "
-                "supported yet; biallelic-split the VCF first."
+                "--vcf multiallelic dosage import is under development."
             )
         # dosage rows are 6-tuples (dosage_ids, dosage_vals, dphase_ids,
         # dphase_deltas, phasepresent[N], phaseinfo[N]); HDS import (and
@@ -178,23 +178,27 @@ def _import_vcf(path: str, out_prefix: str, log: RunLogger,
         vi, si, codes, phase_rows, ma_rows = read_vcf(
             path, with_phase=True, **thresh_kw)
         any_phase = any(pp is not None and pp[0].any() for pp in phase_rows)
-        if ma_rows and any_phase:
-            raise NotImplementedError(
-                "--vcf with both phased hardcalls and multiallelic variants "
-                "is not supported yet."
-            )
         if ma_rows:
             acs = [len(str(a).split(",")) + 1 for a in vi.alt]
             with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
                             trusted_ref=True, nonref_flags=vi.nonref,
-                            with_multiallelic=True) as w:
+                            with_multiallelic=True,
+                            with_phase=any_phase) as w:
                 z = np.zeros(0, np.int64)
                 for r_i, r in enumerate(codes):
                     p = ma_rows.get(r_i)
+                    pr = phase_rows[r_i] if any_phase else None
+                    pp_, pi_ = (pr if pr is not None else (None, None))
+                    if pp_ is not None and not pp_.any():
+                        pp_ = pi_ = None
                     if p is None:
-                        w.append_codes_multiallelic(r, z, z, z, z, z, 2)
+                        w.append_codes_multiallelic(
+                            r, z, z, z, z, z, 2,
+                            phasepresent=pp_, phaseinfo=pi_)
                     else:
-                        w.append_codes_multiallelic(r, *p, acs[r_i])
+                        w.append_codes_multiallelic(
+                            r, *p, acs[r_i],
+                            phasepresent=pp_, phaseinfo=pi_)
         elif any_phase:
             with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
                             trusted_ref=True, nonref_flags=vi.nonref,

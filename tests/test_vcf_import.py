@@ -64,3 +64,50 @@ def test_vcf_import_differential(tmp_path):
     a = PgenReader(str(tmp_path / "ov.pgen"), sample_ct=80)
     b = PgenReader(str(tmp_path / "tv.pgen"), sample_ct=80)
     assert (a.read_packed(0, 120) == b.read_packed(0, 120)).all()
+
+
+MA_PHASED_VCF = """##fileformat=VCFv4.3
+##contig=<ID=1,length=100000>
+##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2\ts3\ts4\ts5\ts6
+1\t100\tv1\tA\tC\t.\t.\t.\tGT\t0|1\t1|0\t0/1\t1|1\t0|0\t./.
+1\t200\tv2\tG\tC,T\t.\t.\t.\tGT\t1|2\t2|1\t0|2\t2|2\t0/1\t1/2
+1\t300\tv3\tT\tA,C,G\t.\t.\t.\tGT\t2|3\t0|3\t3|1\t3/3\t1|1\t0|0
+1\t400\tv4\tC\tG\t.\t.\t.\tGT\t0/0\t0/1\t1/1\t0|1\t1|0\t0/0
+1\t500\tv5\tA\tAT,ATT\t.\t.\t.\tGT\t0|1\t1/2\t2|0\t1|2\t2|1\t0/2
+"""
+
+
+def test_vcf_phased_multiallelic_roundtrip(tmp_path):
+    """Phased multiallelic import -> .pgen bytes == plink2's; export vcf
+    body matches; subsetting --make-pgen rewrite preserves the combined
+    aux1+phase record (het universe incl. aux1b patches, GetAux1bHetIncr
+    2.0/include/pgenlib_read.cc:7728)."""
+    import subprocess
+
+    from plink_tpu.cli import main
+
+    d = tmp_path
+    (d / "m.vcf").write_text(MA_PHASED_VCF)
+    subprocess.run([ORACLE, "--vcf", str(d / "m.vcf"), "--make-pgen",
+                    "--out", str(d / "o")], check=True, capture_output=True)
+    assert main(["--vcf", str(d / "m.vcf"), "--make-pgen",
+                 "--out", str(d / "t"), "--silent"]) == 0
+    for e in (".pgen", ".pvar", ".psam"):
+        assert (d / f"o{e}").read_bytes() == (d / f"t{e}").read_bytes(), e
+    # export roundtrip
+    subprocess.run([ORACLE, "--pfile", str(d / "o"), "--export", "vcf",
+                    "--out", str(d / "oe")], check=True, capture_output=True)
+    assert main(["--pfile", str(d / "t"), "--export", "vcf",
+                 "--out", str(d / "te"), "--silent"]) == 0
+    body = lambda p: "\n".join(
+        ln for ln in p.read_text().splitlines() if not ln.startswith("##"))
+    assert body(d / "oe.vcf") == body(d / "te.vcf")
+    # sample-subset rewrite
+    (d / "rm.txt").write_text("s2\ts2\n")
+    subprocess.run([ORACLE, "--pfile", str(d / "o"), "--remove",
+                    str(d / "rm.txt"), "--make-pgen", "--out", str(d / "os")],
+                   check=True, capture_output=True)
+    assert main(["--pfile", str(d / "t"), "--remove", str(d / "rm.txt"),
+                 "--make-pgen", "--out", str(d / "ts"), "--silent"]) == 0
+    assert (d / "os.pgen").read_bytes() == (d / "ts.pgen").read_bytes()
