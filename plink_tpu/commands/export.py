@@ -30,12 +30,13 @@ def run_export(ds: Dataset, cfg, log: RunLogger) -> None:
     fmts = [f for f in cfg.export_fmts]
     for fmt in fmts:
         fl = fmt.lower()
-        if fl in ("vcf", "vcf-4.3"):
+        if fl in ("vcf", "vcf-4.2", "vcf-4.3"):
             ds_mode = None
             for a in fmts:
                 if a.startswith("vcf-dosage="):
                     ds_mode = a.split("=", 1)[1]
-            _export_vcf(ds, cfg, log, dosage_mode=ds_mode)
+            _export_vcf(ds, cfg, log, dosage_mode=ds_mode,
+                        v43=fl != "vcf-4.2")
         elif fmt.startswith("vcf-dosage=") or fl == "bgz":
             continue
         elif fmt == "A":
@@ -47,16 +48,30 @@ def run_export(ds: Dataset, cfg, log: RunLogger) -> None:
         elif fl == "tped":
             _export_tped(ds, cfg, log)
         elif fl == "oxford":
-            _export_oxford(ds, cfg, log)
+            _export_oxford(ds, cfg, log, sample_v2="sample-v2" in fmts)
+        elif fl == "oxford-v2":
+            _export_oxford(ds, cfg, log, v2=True,
+                           sample_v2="sample-v2" in fmts)
+        elif fl == "sample-v2":
+            continue  # modifier consumed by oxford/haps/bgen handlers
         elif fl in ("a-transpose", "av"):
             _export_traw(ds, cfg, log)
+        elif fl == "bgen-1.1":
+            from ..io.bgen import write_bgen11
+
+            path = cfg.out + ".bgen"
+            write_bgen11(ds, path)
+            log.log(f"--export bgen-1.1: {path} written.")
+            _export_oxford_sample(ds, cfg, log,
+                                  v2="sample-v2" in fmts)
         elif fl in ("bgen-1.2", "bgen-1.3"):
             from ..io.bgen import write_bgen
 
             path = cfg.out + ".bgen"
             write_bgen(ds, path, fl[-3:])
-            log.log(f"--export {fmt}: {path} written.")
-            _export_oxford_sample(ds, cfg, log)
+            log.log(f"--export {fl}: {path} written.")
+            _export_oxford_sample(ds, cfg, log,
+                                  v2="sample-v2" in fmts)
         elif fl == "bcf":
             from ..io.bcf import write_bcf
 
@@ -74,7 +89,12 @@ def run_export(ds: Dataset, cfg, log: RunLogger) -> None:
         elif fl in ("haps", "hapslegend"):
             _export_haps(ds, cfg, log, legend=fl == "hapslegend")
         else:
-            raise NotImplementedError(f"--export {fmt} not supported yet")
+            # same surface as the reference (2.0/plink2.cc --export parse)
+            raise NotImplementedError(
+                "Only VCF, BCF, oxford, bgen-1.x, haps, hapslegend, A, AD, "
+                "Av, ped, tped,\ncompound-genotypes, phylip, phylip-phased, "
+                "eig, eigt, and ind-major-bed output\nhave been implemented "
+                "so far.")
 
 
 def _pheno_strs(ds: Dataset, inc_s) -> list[str]:
@@ -320,7 +340,7 @@ def _print_small_dosage(val: int) -> str:
 
 
 def _export_vcf(ds: Dataset, cfg, log: RunLogger,
-                dosage_mode: str | None = None) -> None:
+                dosage_mode: str | None = None, v43: bool = True) -> None:
     """dosage_mode: None / DS / DS-force / HDS / HDS-force (ExportVcf
     vcf_mode handling, 2.0/plink2_export.cc:4104-4133)."""
     with_ds = dosage_mode is not None
@@ -357,11 +377,26 @@ def _export_vcf(ds: Dataset, cfg, log: RunLogger,
     else:
         out_cm = open(path, "wb")
     with out_cm as f:
-        hdr = "##fileformat=VCFv4.3\n"
+        hdr = f"##fileformat=VCFv4.{3 if v43 else 2}\n"
         hdr += f"##fileDate={time.strftime('%Y%m%d')}\n"
         hdr += "##source=PLINKv2.0\n"
+        # copy ##contig lines carried in the .pvar header (keyed by ID;
+        # attributes like length are preserved -- ExportVcf,
+        # 2.0/plink2_export.cc:4218-4279); regenerate for chromosomes
+        # without one
+        contig_of = {}
+        for ln_ in (vi.header_lines or ()):
+            if ln_.startswith("##contig=<ID="):
+                idv = ln_[len("##contig=<ID="):]
+                for stop_ in (",", ">"):
+                    cut = idv.find(stop_)
+                    if cut >= 0:
+                        idv = idv[:cut]
+                        break
+                contig_of[idv] = ln_.rstrip("\n")
         for c in chroms_present:
-            hdr += f"##contig=<ID={ci.name(int(c))}>\n"
+            nm_ = ci.name(int(c))
+            hdr += contig_of.get(nm_, f"##contig=<ID={nm_}>") + "\n"
         _, prov_fn = _provref_strs(ds)
         any_prov = any(
             prov_fn(int(v)).lstrip("\t") == "Y" for v in inc_v
@@ -570,13 +605,16 @@ def _export_vcf(ds: Dataset, cfg, log: RunLogger,
     )
 
 
-def _export_oxford(ds: Dataset, cfg, log: RunLogger) -> None:
-    """--export oxford: .gen + .sample (ExportOxGen, 2.0/plink2_export.cc;
-    allele order ALT REF, triplets P(homALT) P(het) P(homREF), missing
-    genotype = "0 0 0"; .sample with the two-line Oxford header, per-sample
-    missing rate, sex 1/2 or NA, qt phenos type P, cc type B coded 0/1)."""
+def _export_oxford(ds: Dataset, cfg, log: RunLogger,
+                   v2: bool = False, sample_v2: bool = False) -> None:
+    """--export oxford[-v2]: .gen + .sample (ExportOxGen,
+    2.0/plink2_export.cc:583; allele order ALT REF, triplets P(homALT)
+    P(het) P(homREF), missing genotype = "0 0 0"; v2 writes the variant ID
+    twice (SNPID + rsid columns, :658) and the single-ID .sample format).
+    chrY missingness is only accumulated for non-female samples (:698),
+    and the .sample missing rate divides by variant_ct for males but
+    variant_ct - y_ct for everyone else (:3372-3388)."""
     from ..ops.pairwise import _unpack_np
-    from ..utils.fmt import g6
 
     inc_s = np.flatnonzero(ds.sample_mask)
     inc_v = np.flatnonzero(ds.variant_mask)
@@ -584,25 +622,35 @@ def _export_oxford(ds: Dataset, cfg, log: RunLogger) -> None:
     alt1 = vi.alt1()
     gen_path = cfg.out + ".gen"
     miss_ct = np.zeros(ds.raw_sample_ct, np.int64)
+    nonfemale = ds.si.sex[inc_s] != 2
+    is_y_all = ds.is_chry()
+    y_ct = int(is_y_all[inc_v].sum())
     _TRIP = {0: "0 0 1", 1: "0 1 0", 2: "1 0 0", 3: "0 0 0"}
     with open(gen_path, "w") as f:
         for v in inc_v:
             codes = _unpack_np(ds.reader.read_packed(int(v), 1))[0][
                 : ds.raw_sample_ct
             ][inc_s]
-            miss_ct[inc_s] += codes == 3
+            m = codes == 3
+            if bool(is_y_all[v]):
+                m = m & nonfemale
+            miss_ct[inc_s] += m
+            vid2 = f"{vi.vid[v]} " if v2 else ""
             f.write(
-                f"{vi.chr_info.name(vi.chrom[v])} {vi.vid[v]} {vi.pos[v]} "
+                f"{vi.chr_info.name(vi.chrom[v])} {vi.vid[v]} {vid2}"
+                f"{vi.pos[v]} "
                 f"{alt1[v]} {vi.ref[v]} "
                 + " ".join(_TRIP[c] for c in codes)
                 + "\n"
             )
-    log.log(f"--export oxford: {gen_path} written.")
-    _export_oxford_sample(ds, cfg, log, miss_ct, len(inc_v))
+    log.log(f"--export oxford{'-v2' if v2 else ''}: {gen_path} written.")
+    _export_oxford_sample(ds, cfg, log, miss_ct, len(inc_v), y_ct=y_ct,
+                          v2=sample_v2)
 
 
 def _export_oxford_sample(ds: Dataset, cfg, log: RunLogger,
-                          miss_ct=None, vct=None) -> None:
+                          miss_ct=None, vct=None, y_ct: int = 0,
+                          v2: bool = False) -> None:
     from ..ops.pairwise import _unpack_np
     from ..utils.fmt import g6
 
@@ -619,6 +667,53 @@ def _export_oxford_sample(ds: Dataset, cfg, log: RunLogger,
     sample_path = cfg.out + ".sample"
     si = ds.si
     pheno_items = list(si.phenos.items())
+
+    def _mr(i):
+        if not vct:
+            return "0"
+        recip = (1.0 / vct) if si.sex[i] == 1 else (1.0 / (vct - y_ct))
+        return g6(miss_ct[i] * recip)
+
+    if v2:
+        # ExportOxSampleV2 (2.0/plink2_export.cc:3443): single pasted ID
+        # column, optional father/mother columns, D-coded sex
+        use_fid = any(str(si.fid[i]) != "0" for i in inc_s)
+        pat = getattr(si, "pat", None)
+        mat = getattr(si, "mat", None)
+        write_parents = (
+            pat is not None and mat is not None
+            and any(str(pat[i]) != "0" or str(mat[i]) != "0" for i in inc_s)
+        )
+        with open(sample_path, "w") as f:
+            f.write("ID missing"
+                    + (" father mother" if write_parents else "") + " sex"
+                    + "".join(f" {n}" for n, _ in pheno_items) + "\n")
+            f.write("0 0" + (" D D" if write_parents else "") + " D"
+                    + "".join(
+                        " B" if pc.kind == "cc"
+                        else (" D" if pc.kind == "cat" else " P")
+                        for _, pc in pheno_items) + "\n")
+            for i in inc_s:
+                sid = (f"{si.fid[i]}_{si.iid[i]}" if use_fid
+                       else str(si.iid[i]))
+                row = f"{sid} {_mr(i)}"
+                if write_parents:
+                    row += f" {pat[i]} {mat[i]}"
+                row += f" {si.sex[i]}" if si.sex[i] else " NA"
+                for _, pc in pheno_items:
+                    if not pc.nonmiss[i]:
+                        row += " NA"
+                    elif pc.kind == "cc":
+                        row += f" {int(pc.data[i])}"
+                    elif pc.kind == "cat":
+                        cats = getattr(pc, "categories", None)
+                        row += (f" {cats[int(pc.data[i])]}" if cats
+                                else f" {int(pc.data[i])}")
+                    else:
+                        row += f" {g6(pc.data[i])}"
+                f.write(row + "\n")
+        log.log(f"--export: {sample_path} written.")
+        return
     with open(sample_path, "w") as f:
         f.write("ID_1 ID_2 missing sex"
                 + "".join(f" {n}" for n, _ in pheno_items) + "\n")
@@ -627,8 +722,7 @@ def _export_oxford_sample(ds: Dataset, cfg, log: RunLogger,
             for _, pc in pheno_items) + "\n")
         for i in inc_s:
             sex = str(si.sex[i]) if si.sex[i] else "NA"
-            mr = g6(miss_ct[i] / vct) if vct else "0"
-            row = f"{si.fid[i]} {si.iid[i]} {mr} {sex}"
+            row = f"{si.fid[i]} {si.iid[i]} {_mr(i)} {sex}"
             for _, pc in pheno_items:
                 if not pc.nonmiss[i]:
                     row += " NA"

@@ -409,3 +409,79 @@ def write_bgen(ds, path: str, version: str, bits: int = 16) -> None:
                     else cctx.compress(bytes(body)))
             f.write(struct.pack("<II", len(blob) + 4, len(body)))
             f.write(blob)
+
+
+def write_bgen11(ds, path: str) -> None:
+    """Export as layout-1 BGEN 1.1 (ExportBgen11, 2.0/plink2_export.cc:1334):
+    24-byte header (offset 20, flags 5 = zlib + layout 1, no sample block),
+    per-variant [N u32][empty SNPID u16][rsid][chrom][pos u32][ALT][REF]
+    then zlib-compressed uint16 triplets P(AA) P(AB) P(BB) scaled 32768
+    with A = ALT (ref-last); missing = three zeros.  Dosages interpolate
+    along AA->AB->BB exactly as the reference (:1276-1289)."""
+    import zlib as _zlib
+
+    from ..ops.pairwise import _unpack_np
+
+    inc_s = np.flatnonzero(ds.sample_mask)
+    inc_v = np.flatnonzero(ds.variant_mask)
+    si = ds.si
+    vi = ds.vi
+    alt1 = vi.alt1()
+    N = len(inc_s)
+    M = len(inc_v)
+    acs = None
+    if getattr(ds.reader.header, "mode", 0x02) not in (0x01,):
+        acs = vi.allele_ct() if hasattr(vi, "allele_ct") else None
+    # hardcall triplet table, indexed by our code (0=homREF,1=het,2=homALT)
+    trip = {
+        0: struct.pack("<3H", 0, 0, 32768),
+        1: struct.pack("<3H", 0, 32768, 0),
+        2: struct.pack("<3H", 32768, 0, 0),
+        3: struct.pack("<3H", 0, 0, 0),
+    }
+    has_dosage = ds.has_dosage
+    with open(path, "wb") as f:
+        f.write(struct.pack("<II", 20, 20))
+        f.write(struct.pack("<II", M, N))
+        f.write(b"bgen" + struct.pack("<I", 5))
+        for v in inc_v:
+            if acs is not None and int(acs[v]) != 2:
+                raise ValueError(
+                    f"{path} cannot contain multiallelic variants.")
+            codes = _unpack_np(ds.reader.read_packed(int(v), 1))[0][
+                : ds.raw_sample_ct
+            ][inc_s]
+            body = bytearray()
+            dof = {}
+            if has_dosage:
+                aux = ds.reader.read_dosage(int(v))
+                if aux.dosage_ids is not None:
+                    pos_of = {int(s): k for k, s in enumerate(inc_s)}
+                    for sid, val in zip(aux.dosage_ids, aux.dosage_vals):
+                        k = pos_of.get(int(sid))
+                        if k is not None:
+                            dof[k] = int(val)
+            for k, c in enumerate(codes):
+                dv = dof.get(k)
+                if dv is None:
+                    body += trip[int(c)]
+                else:
+                    d2 = 2 * (32768 - dv)
+                    if d2 <= 32768:
+                        body += struct.pack("<3H", 32768 - d2, d2, 0)
+                    else:
+                        d2 -= 32768
+                        body += struct.pack("<3H", 0, 32768 - d2, d2)
+            blob = _zlib.compress(bytes(body), 6)
+            vid = str(vi.vid[v]).encode()
+            chrom = vi.chr_info.name(vi.chrom[v]).encode()
+            aa = str(alt1[v]).encode()
+            ra = str(vi.ref[v]).encode()
+            f.write(struct.pack("<IH", N, 0))
+            f.write(struct.pack("<H", len(vid)) + vid)
+            f.write(struct.pack("<H", len(chrom)) + chrom)
+            f.write(struct.pack("<I", int(vi.pos[v])))
+            f.write(struct.pack("<I", len(aa)) + aa)
+            f.write(struct.pack("<I", len(ra)) + ra)
+            f.write(struct.pack("<I", len(blob)))
+            f.write(blob)

@@ -74,3 +74,56 @@ def test_eig_import(panel):
         os.chdir(old)
     assert (d / "o_i.afreq").read_text() == (d / "t_i.afreq").read_text()
     assert (d / "o_i.vmiss").read_text() == (d / "t_i.vmiss").read_text()
+
+
+@pytest.mark.parametrize("fmt", ["oxford-v2", "vcf-4.2"])
+def test_export_new_formats(panel, fmt):
+    """oxford-v2 (doubled variant-ID .gen column, ExportOxGen :658) and
+    vcf-4.2 (##fileformat version line): byte-identical vs the oracle."""
+    d = panel
+    pfx = str(d / "gac")
+    subprocess.run([ORACLE, "--pfile", pfx, "--export", fmt,
+                    "--out", str(d / f"o_{fmt}")], check=True,
+                   capture_output=True)
+    from plink_tpu.cli import main
+
+    assert main(["--pfile", pfx, "--export", fmt,
+                 "--out", str(d / f"t_{fmt}"), "--silent"]) == 0
+    exts = {"oxford-v2": (".gen", ".sample"), "vcf-4.2": (".vcf",)}[fmt]
+    for e in exts:
+        assert (d / f"o_{fmt}{e}").read_bytes() == \
+            (d / f"t_{fmt}{e}").read_bytes(), e
+
+
+def test_export_sample_v2_and_bgen11(panel):
+    """'sample-v2' modifier (.sample single-ID format, ExportOxSampleV2
+    :3443) and bgen-1.1 (layout-1; .bgen compared via oracle reimport
+    since the zlib implementations differ byte-wise)."""
+    d = panel
+    pfx = str(d / "gac")
+    from plink_tpu.cli import main
+
+    subprocess.run([ORACLE, "--pfile", pfx, "--export", "oxford",
+                    "sample-v2", "--out", str(d / "o_sv2")], check=True,
+                   capture_output=True)
+    assert main(["--pfile", pfx, "--export", "oxford", "sample-v2",
+                 "--out", str(d / "t_sv2"), "--silent"]) == 0
+    assert (d / "o_sv2.sample").read_bytes() == \
+        (d / "t_sv2.sample").read_bytes()
+    subprocess.run([ORACLE, "--pfile", pfx, "--export", "bgen-1.1",
+                    "--out", str(d / "o_b11")], check=True,
+                   capture_output=True)
+    assert main(["--pfile", pfx, "--export", "bgen-1.1",
+                 "--out", str(d / "t_b11"), "--silent"]) == 0
+    assert (d / "o_b11.sample").read_bytes() == \
+        (d / "t_b11.sample").read_bytes()
+    for tag in ("o_b11", "t_b11"):
+        subprocess.run(
+            [ORACLE, "--bgen", str(d / f"{tag}.bgen"), "ref-last",
+             "--sample", str(d / f"{tag}.sample"),
+             "--make-pgen", "--out", str(d / f"ri_{tag}")],
+            check=True, capture_output=True)
+    assert (d / "ri_o_b11.pgen").read_bytes() == \
+        (d / "ri_t_b11.pgen").read_bytes()
+    assert (d / "ri_o_b11.pvar").read_bytes() == \
+        (d / "ri_t_b11.pvar").read_bytes()
