@@ -148,10 +148,6 @@ def run_dosage(cfg, log: RunLogger) -> None:
     from .assoc19 import _g4
 
     dcfg = DosageConfig(cfg)
-    if dcfg.list_mode:
-        raise NotImplementedError(
-            "--dosage 'list'/'sepheader' multi-file batches are not "
-            "supported yet; run per-file and combine.")
     if not cfg.fam:
         raise FlagError("--dosage requires --fam.")
     si = read_tfam(cfg.fam)
@@ -209,171 +205,333 @@ def run_dosage(cfg, log: RunLogger) -> None:
     else:
         path = cfg.out + ".assoc.dosage" + out_gz
 
-    fh = gzip.open(path, "wt") if dcfg.zout else open(path, "w")
-    occur_counts: dict[str, int] = {}
-    try:
-        f = _open_auto(dcfg.fname)
-        # header -> read_map: list of (sample_idx, skip) in column order
-        fmt = dcfg.format
-        per = 1 + (fmt == 3)
-        read_map = []
-        if dcfg.noheader:
-            skip = 1 + dcfg.skip2
-            for i in range(n):
-                read_map.append((i, skip))
-                skip = per
+    # --- file list / batches (plink_dosage.c:1190-1345) ------------------
+    # each batch: list of (dosage_fname, sepheader_fname|None); files in a
+    # batch hold the SAME variants in the same order for disjoint sample
+    # sets; batches are ordered by ascending batch number
+    if dcfg.list_mode:
+        rows_ = []
+        with open(dcfg.fname) as lf:
+            for li, ln in enumerate(lf):
+                t = ln.split()
+                if not t:
+                    continue
+                ncol = len(t)
+                want = 1 + (1 if dcfg.sepheader else 0)
+                if ncol == want:
+                    rows_.append((None, t[0], t[1] if dcfg.sepheader
+                                  else None))
+                elif ncol == want + 1:
+                    try:
+                        bno = int(t[0])
+                    except ValueError:
+                        raise ValueError(
+                            f"Invalid batch number on line {li + 1} of "
+                            "--dosage list file.")
+                    rows_.append((bno, t[1], t[2] if dcfg.sepheader
+                                  else None))
+                else:
+                    raise ValueError(
+                        f"Line {li + 1} of --dosage list file has an "
+                        "unexpected number of tokens.")
+        if not rows_:
+            raise ValueError("Empty --dosage list file.")
+        if any(r[0] is not None for r in rows_):
+            if any(r[0] is None for r in rows_):
+                raise ValueError(
+                    "Unexpected number of columns in --dosage list file.")
+            batch_nos = sorted(set(r[0] for r in rows_))
+            batches = [[(r[1], r[2]) for r in rows_ if r[0] == b]
+                       for b in batch_nos]
         else:
-            hdr = f.readline().split()
-            p0 = dcfg.skip0
-            if hdr[p0] != "SNP":
-                raise ValueError(
-                    f"Column {p0 + 1} of {dcfg.fname}'s header isn't "
-                    "'SNP'.")
-            if hdr[p0 + dcfg.skip1 + 1] != "A1":
-                raise ValueError(
-                    f"Column {p0 + dcfg.skip1 + 2} of {dcfg.fname}'s "
-                    "header isn't 'A1'.")
-            if hdr[p0 + dcfg.skip1 + 2] != "A2":
-                raise ValueError(
-                    f"Column {p0 + dcfg.skip1 + 3} of {dcfg.fname}'s "
-                    "header isn't 'A2'.")
-            ids = {}
-            for i in range(n):
-                ids[(str(si.fid[i]), str(si.iid[i]))] = i
-            col = p0 + dcfg.skip1 + 3 + dcfg.skip2
-            toks = hdr[col:]
-            if len(toks) % 2:
-                raise ValueError(
-                    f"Header of {dcfg.fname} has an odd number of tokens "
-                    "in the FID/IID section.")
-            seen = set()
-            skip = 1 + dcfg.skip2
-            for k in range(0, len(toks), 2):
-                key = (toks[k], toks[k + 1])
-                i = ids.get(key)
+            batches = [[(r[1], r[2]) for r in rows_]]
+        if dcfg.write:
+            raise NotImplementedError(
+                "--dosage list + 'write' is not implemented yet.")
+    else:
+        batches = [[(dcfg.fname, None)]]
+
+    fmt = dcfg.format
+    per = 1 + (fmt == 3)
+    ids = {}
+    for i in range(n):
+        ids[(str(si.fid[i]), str(si.iid[i]))] = i
+
+    def _header_read_map(f, fname):
+        """Parse a dosage-file header -> read_map [(sample_idx, skip)],
+        with skips measured from the A2 column (plink_dosage.c:1671)."""
+        hdr = f.readline().split()
+        p0 = dcfg.skip0
+        if hdr[p0] != "SNP":
+            raise ValueError(
+                f"Column {p0 + 1} of {fname}\'s header isn\'t \'SNP\'.")
+        if hdr[p0 + dcfg.skip1 + 1] != "A1":
+            raise ValueError(
+                f"Column {p0 + dcfg.skip1 + 2} of {fname}\'s header "
+                "isn\'t \'A1\'.")
+        if hdr[p0 + dcfg.skip1 + 2] != "A2":
+            raise ValueError(
+                f"Column {p0 + dcfg.skip1 + 3} of {fname}\'s header "
+                "isn\'t \'A2\'.")
+        col = p0 + dcfg.skip1 + 3 + dcfg.skip2
+        toks = hdr[col:]
+        if len(toks) % 2:
+            raise ValueError(
+                f"Header of {fname} has an odd number of tokens in the "
+                "FID/IID section.")
+        rm = []
+        skip = 1 + dcfg.skip2
+        for k in range(0, len(toks), 2):
+            i = ids.get((toks[k], toks[k + 1]))
+            if i is None:
+                skip += per
+                continue
+            rm.append((i, skip))
+            skip = per
+        return rm
+
+    def _sepheader_read_map(path):
+        """sepheader file: one FID IID pair per line (plink_dosage.c:1602)."""
+        rm = []
+        skip = 1 + dcfg.skip2
+        with _open_auto(path) as hf:
+            for ln in hf:
+                t = ln.split()
+                if not t:
+                    continue
+                if len(t) < 2:
+                    raise ValueError(
+                        f"Line of {path} has fewer tokens than expected.")
+                i = ids.get((t[0], t[1]))
                 if i is None:
                     skip += per
                     continue
-                if i in seen:
-                    raise ValueError(
-                        f"'{toks[k]} {toks[k + 1]}' appears multiple "
-                        "times.")
-                seen.add(i)
-                read_map.append((i, skip))
+                rm.append((i, skip))
                 skip = per
-            missing_ids = n - len(seen)
-            if missing_ids:
-                log.log(
-                    f"Warning: {missing_ids} sample ID"
-                    f"{'' if missing_ids == 1 else 's'} present in .fam "
-                    "file but missing from dosage file.")
+        if not rm:
+            raise ValueError(f"{path} is empty.")
+        return rm
 
-        in_file = np.zeros(n, bool)
-        for i, _s in read_map:
-            in_file[i] = True
+    def _noheader_read_map():
+        rm = []
+        skip = 1 + dcfg.skip2
+        for i in range(n):
+            rm.append((i, skip))
+            skip = per
+        return rm
 
-        if dcfg.occur:
-            for line in f:
-                t = line.split()
-                if not t:
-                    continue
-                vid = t[dcfg.skip0]
-                occur_counts[vid] = occur_counts.get(vid, 0) + 1
-            for vid, ct in occur_counts.items():
-                fh.write(f"{vid} {ct}\n")
-            log.log(f"--dosage occurrence counts written to {path} .")
+    fh = gzip.open(path, "wt") if dcfg.zout else open(path, "w")
+    occur_counts: dict[str, int] = {}
+    occur_order: list[str] = []
+    idcol = dcfg.skip0
+    a1col = idcol + dcfg.skip1 + 1
+    a2_pos = a1col + 1
+    y_full = pc.data[:n].astype(np.float64)
+    is_cc_local = is_cc
+    case_full = (pc.data[:n] == 1) if is_cc else None
+
+    # association/write header
+    wrote_hdr = False
+
+    def _write_hdr(read_map):
+        nonlocal wrote_hdr
+        if wrote_hdr:
             return
-
-        # association header
+        wrote_hdr = True
+        if dcfg.occur:
+            return
         if not dcfg.write:
             hdr_s = (" CHR         SNP          BP" if load_map
                      else "         SNP")
             hdr_s += ("  A1  A2   FRQ_A   FRQ_U    INFO    "
                       if dcfg.freq_cc else "  A1  A2     FRQ    INFO    ")
-            hdr_s += ("  OR" if is_cc else "BETA") + "      SE       P"
+            hdr_s += ("  OR" if is_cc_local else "BETA") + "      SE       P"
             fh.write(hdr_s + "\n")
         else:
             fh.write("SNP A1 A2 " + "".join(
                 f"{si.fid[i]} {si.iid[i]} " for i, _ in read_map) + "\n")
 
-        idcol = dcfg.skip0
-        a1col = idcol + dcfg.skip1 + 1
-        a2_pos = a1col + 1
-        y_full = pc.data[:n].astype(np.float64)
-        case_full = (pc.data[:n] == 1) if is_cc else None
-        for line in f:
-            toks = line.split()
-            if not toks:
-                continue
-            vid = toks[idcol]
-            a1 = toks[a1col]
-            a2 = toks[a1col + 1]
-            if load_map and vid not in map_info:
-                continue
-            dos, valid = _parse_line_dosages(
-                toks, a2_pos, read_map, fmt, dcfg.dose1, n)
-            if dcfg.write:
-                fh.write(f"{vid} {a1} {a2}")
-                for i, _s in read_map:
-                    fh.write(" %g" % (dos[i] * (2.0 if not dcfg.dose1
-                                                else 1.0)))
-                fh.write("\n")
-                continue
-            cur = in_file & valid & pheno_nm
-            vct = int(cur.sum())
-            d = dos[cur]
-            sample_valid_ct_recip = 1.0 / vct if vct else 0.0
-            dxx = float(d.sum())
-            dyy = float((d * d).sum())
-            dzz = dxx * sample_valid_ct_recip   # A1 frequency
-            dyy -= dxx * dzz                    # ssq about the mean
-            theo = dzz * (1.0 - dzz)
-            emp = 2 * dyy * sample_valid_ct_recip
-            rsq = (emp / theo) if theo > 0.0 else 0.0
-            res = None
-            if theo >= 0.0098999999999999 and 0.1 <= rsq <= 2.0:
-                cov = None
-                if dcfg.sex:
-                    cov = sex_cov[cur].reshape(-1, 1)
-                if is_cc:
-                    res = glm_logistic_dosage(
-                        d, case_full[cur].astype(np.float64), cov)
+    def _emit_assoc(vid, a1, a2, dos, valid, in_batch, read_order):
+        from .assoc19 import _g4
+
+        cur = in_batch & valid & pheno_nm
+        vct = int(cur.sum())
+        d = dos[cur]
+        sample_valid_ct_recip = 1.0 / vct if vct else 0.0
+        # sequential accumulation in batch read order, matching the
+        # reference's per-read_idx adds (plink_dosage.c:1929)
+        dxx = dyy = 0.0
+        for i_ in read_order:
+            if cur[i_]:
+                v_ = dos[i_]
+                dxx += v_
+                dyy += v_ * v_
+        dzz = dxx * sample_valid_ct_recip   # A1 frequency
+        dyy -= dxx * dzz                    # ssq about the mean
+        theo = dzz * (1.0 - dzz)
+        emp = 2 * dyy * sample_valid_ct_recip
+        rsq = (emp / theo) if theo > 0.0 else 0.0
+        res = None
+        if theo >= 0.0098999999999999 and 0.1 <= rsq <= 2.0:
+            from ..stats.glm19f import glm_linear_dosage, glm_logistic_dosage
+
+            cov = None
+            if dcfg.sex:
+                cov = sex_cov[cur].reshape(-1, 1)
+            if is_cc_local:
+                res = glm_logistic_dosage(
+                    d, case_full[cur].astype(np.float64), cov)
+            else:
+                res = glm_linear_dosage(d, y_full[cur], cov)
+        elif rsq > 2.0:
+            rsq = 2.0
+        row = ""
+        if load_map:
+            code, bp = map_info[vid]
+            row += _fw(ci.name19(code), 4) + " "
+            row += _fw(vid, 11) + "  " + _fw(str(bp), 10)
+        else:
+            row += " " + _fw(vid, 11)
+        row += " " + _fw(a1, 3) + " " + _fw(a2, 3) + " "
+        if dcfg.freq_cc and is_cc_local:
+            cs = case_full[:n] & cur
+            ct = ~case_full[:n] & cur & pc.nonmiss[:n]
+            ncs = int(cs.sum())
+            nct = vct - ncs
+            row += (_f74(float(dos[cs].sum()) / ncs) if ncs
+                    else "     NA") + " "
+            row += (_f74(float(dos[ct].sum()) / nct) if nct
+                    else "     NA")
+        else:
+            row += _f74(dzz)
+            if dcfg.freq_cc:
+                row += " " + _f74(dzz)
+        row += " " + _f74(rsq) + " "
+        if res is not None:
+            beta, se, pval = res
+            row += _f74(math.exp(beta * 0.5) if is_cc_local
+                        else beta * 0.5) + " "
+            row += _f74(se * 0.5) + " "
+            row += _g4(max(pval, 0.0), 7)
+        else:
+            row += "     NA      NA      NA"
+        fh.write(row + "\n")
+
+    try:
+        for batch in batches:
+            # per-file read maps (samples must be disjoint within a batch)
+            handles = []
+            rmaps = []
+            seen_batch = set()
+            for fname_, sep_ in batch:
+                f = _open_auto(fname_)
+                if dcfg.noheader:
+                    rm = _noheader_read_map()
+                elif dcfg.sepheader:
+                    rm = _sepheader_read_map(sep_)
                 else:
-                    res = glm_linear_dosage(d, y_full[cur], cov)
-            elif rsq > 2.0:
-                rsq = 2.0
-            row = ""
-            if load_map:
-                code, bp = map_info[vid]
-                row += _fw(ci.name19(code), 4) + " "
-                row += _fw(vid, 11) + "  " + _fw(str(bp), 10)
-            else:
-                row += " " + _fw(vid, 11)
-            row += " " + _fw(a1, 3) + " " + _fw(a2, 3) + " "
-            if dcfg.freq_cc and is_cc:
-                cs = case_full[:n] & cur
-                ct = ~case_full[:n] & cur & pc.nonmiss[:n]
-                ncs = int(cs.sum())
-                nct = vct - ncs
-                row += (_f74(float(dos[cs].sum()) / ncs) if ncs
-                        else "     NA") + " "
-                row += (_f74(float(dos[ct].sum()) / nct) if nct
-                        else "     NA")
-            else:
-                row += _f74(dzz)
-                if dcfg.freq_cc:
-                    row += " " + _f74(dzz)
-            row += " " + _f74(rsq) + " "
-            if res is not None:
-                beta, se, pval = res
-                row += _f74(math.exp(beta * 0.5) if is_cc
-                            else beta * 0.5) + " "
-                row += _f74(se * 0.5) + " "
-                row += _g4(max(pval, 0.0), 7)
-            else:
-                row += "     NA      NA      NA"
-            fh.write(row + "\n")
-        if not dcfg.write:
+                    rm = _header_read_map(f, fname_)
+                for i, _sk in rm:
+                    if i in seen_batch:
+                        raise ValueError(
+                            f"\'{si.fid[i]} {si.iid[i]}\' appears "
+                            "multiple times.")
+                    seen_batch.add(i)
+                handles.append(f)
+                rmaps.append(rm)
+            in_batch = np.zeros(n, bool)
+            read_order = []
+            for rm in rmaps:
+                for i, _sk in rm:
+                    in_batch[i] = True
+                    read_order.append(i)
+            if len(batches) == 1 and not dcfg.noheader:
+                miss_n = n - len(seen_batch)
+                if miss_n:
+                    log.log(
+                        f"Warning: {miss_n} sample ID"
+                        f"{'' if miss_n == 1 else 's'} present in .fam "
+                        "file but missing from dosage file"
+                        f"{'' if len(batch) == 1 else 's'}.")
+            _write_hdr(rmaps[0] if rmaps else [])
+
+            if dcfg.occur:
+                for f in handles:
+                    for line in f:
+                        t = line.split()
+                        if not t:
+                            continue
+                        vid = t[idcol]
+                        if vid not in occur_counts:
+                            occur_order.append(vid)
+                            occur_counts[vid] = 0
+                        occur_counts[vid] += 1
+                    f.close()
+                continue
+
+            # line-locked iteration across the batch\'s files
+            # (plink_dosage.c:1744-1830)
+            while True:
+                dos = np.zeros(n)
+                valid = np.ones(n, bool)
+                vid = a1 = a2 = None
+                hit_eof = False
+                for k, f in enumerate(handles):
+                    toks = None
+                    for line in f:
+                        toks = line.split()
+                        if toks:
+                            break
+                        toks = None
+                    if toks is None:
+                        if k:
+                            raise ValueError(
+                                "Misaligned dosage data files.")
+                        hit_eof = True
+                        break
+                    cvid = toks[idcol]
+                    ca1 = toks[a1col]
+                    ca2 = toks[a1col + 1]
+                    if k == 0:
+                        vid, a1, a2 = cvid, ca1, ca2
+                    else:
+                        if cvid != vid:
+                            raise ValueError(
+                                "Variant ID mismatch between --dosage "
+                                "list files.")
+                        if ca1 != a1 or ca2 != a2:
+                            raise ValueError(
+                                "Allele code mismatch between --dosage "
+                                "list files.")
+                    dk, vk = _parse_line_dosages(
+                        toks, a2_pos, rmaps[k], fmt, dcfg.dose1, n)
+                    sel = np.zeros(n, bool)
+                    for i, _sk in rmaps[k]:
+                        sel[i] = True
+                    dos[sel] = dk[sel]
+                    valid[sel] = vk[sel]
+                if hit_eof:
+                    break
+                if load_map and vid not in map_info:
+                    continue
+                if dcfg.write:
+                    fh.write(f"{vid} {a1} {a2}")
+                    for rm in rmaps:
+                        for i, _sk in rm:
+                            fh.write(" %g" % (dos[i] * (
+                                2.0 if not dcfg.dose1 else 1.0)))
+                    fh.write("\n")
+                    continue
+                _emit_assoc(vid, a1, a2, dos, valid, in_batch,
+                            read_order)
+            for f in handles:
+                f.close()
+
+        if dcfg.occur:
+            for vid in occur_order:
+                fh.write(f"{vid} {occur_counts[vid]}\n")
+            log.log(f"--dosage occurrence counts written to {path} .")
+        elif not dcfg.write:
             log.log(f"--dosage association results written to {path} .")
         else:
             log.log(f"--dosage data written to {path} .")

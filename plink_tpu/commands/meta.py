@@ -620,15 +620,42 @@ def _chiprob(chisq, df):
         return -9.0
 
 
+def _bround4(d: float, band) -> tuple:
+    """double_bround4 (1.9/plink_common.c:1571): truncate, then add the
+    even/odd banker band to the fractional part."""
+    m = d * 10000.0
+    rem = int(m)
+    rem += int((m - rem) + band[rem & 1])
+    return divmod(rem, 10000)
+
+
 def _f74(x: float) -> str:
-    """dtoa_f_w7p4: fixed %7.4f."""
+    """dtoa_f_w7p4 (1.9/plink_common.c:2345): %7.4f with banker-rounding
+    bands that narrow as magnitude grows; ties round half-to-even."""
     if x != x:
         return "    nan"
-    if x == math.inf:
-        return "    inf"
-    if x == -math.inf:
-        return "   -inf"
-    return f"{x:7.4f}"
+    d = x
+    neg = ""
+    if d < 9.9999499999999:
+        if d < 0:
+            neg = "-"
+            d = -d
+        if d < 9.9999499999999:
+            q, r = _bround4(d, (0.4999999995, 0.5000000005))
+            return (neg or " ") + f"{q}.{r:04d}"
+    if d < 99999.999949999:
+        if d < 999.99994999999:
+            band = ((0.499999995, 0.500000005) if d < 99.999949999999
+                    else (0.49999995, 0.50000005))
+        elif d < 9999.9999499999:
+            band = (0.4999995, 0.5000005)
+        else:
+            band = (0.499995, 0.500005)
+        q, r = _bround4(d, band)
+        return neg + f"{q}.{r:04d}"
+    if d == math.inf:
+        return neg + "    inf" if not neg else "-inf"
+    return neg + f"{d:.4f}"
 
 
 def _fp2(x: float) -> str:

@@ -134,3 +134,80 @@ def test_dosage_occur(panel):
     run19(args + ["--out", "o_oc"], str(d))
     run_tpu(args + ["--out", "t_oc", "--silent"], str(d))
     _cmp(d, "o_oc.occur.dosage", "t_oc.occur.dosage")
+
+
+@pytest.fixture(scope="module")
+def list_panel(tmp_path_factory):
+    """Multi-file batches: one unnumbered batch (samples split across two
+    files) and two numbered batches with disjoint variant sets, plus
+    sepheader variants (plink_dosage.c:1190-1345)."""
+    import numpy as np
+
+    d = tmp_path_factory.mktemp("dlist")
+    rng = np.random.default_rng(5)
+    n = 30
+    with open(d / "d.fam", "w") as f:
+        for i in range(n):
+            f.write(f"f{i} i{i} 0 0 {1 + i % 2} {1 + (i % 3 == 0)}\n")
+    ids = [(f"f{i}", f"i{i}") for i in range(n)]
+
+    def write_dosage(path, sample_slice, vids, seed):
+        r = np.random.default_rng(seed)
+        with open(path, "w") as f:
+            f.write("SNP A1 A2 " + " ".join(
+                f"{a} {b}" for a, b in sample_slice) + "\n")
+            for v in vids:
+                probs = []
+                for _ in sample_slice:
+                    p1 = r.uniform(0, 1)
+                    p2 = r.uniform(0, 1 - p1)
+                    probs += [round(p1, 3), round(p2, 3)]
+                f.write(f"{v} A B "
+                        + " ".join(str(x) for x in probs) + "\n")
+
+    vids1 = [f"rs{k}" for k in range(12)]
+    vids2 = [f"rx{k}" for k in range(9)]
+    write_dosage(d / "fA.dose", ids[:14], vids1, 11)
+    write_dosage(d / "fB.dose", ids[14:], vids1, 12)
+    write_dosage(d / "fC.dose", ids[:20], vids2, 13)
+    write_dosage(d / "fD.dose", ids[20:], vids2, 14)
+    (d / "list1.txt").write_text("fA.dose\nfB.dose\n")
+    (d / "list2.txt").write_text(
+        "2 fC.dose\n1 fA.dose\n1 fB.dose\n2 fD.dose\n")
+    for tag in ("fA", "fB"):
+        lines = (d / f"{tag}.dose").read_text().splitlines()
+        hdr = lines[0].split()[3:]
+        (d / f"{tag}.hdr").write_text("".join(
+            f"{hdr[k]} {hdr[k + 1]}\n" for k in range(0, len(hdr), 2)))
+        (d / f"{tag}.nh").write_text("\n".join(lines[1:]) + "\n")
+    (d / "list3.txt").write_text("fA.nh fA.hdr\nfB.nh fB.hdr\n")
+    return d
+
+
+LIST_CASES = [
+    (["list1.txt", "list"], "l1", "assoc.dosage"),
+    (["list2.txt", "list"], "l2", "assoc.dosage"),
+    (["list3.txt", "list", "sepheader"], "l3", "assoc.dosage"),
+    (["list2.txt", "list", "occur"], "oc", "occur.dosage"),
+]
+
+
+@pytest.mark.parametrize("mods,tag,ext", LIST_CASES,
+                         ids=[c[1] for c in LIST_CASES])
+def test_dosage_list(list_panel, mods, tag, ext):
+    import subprocess
+
+    from plink_tpu.cli import main
+
+    d = list_panel
+    args = ["--fam", "d.fam", "--dosage"] + mods
+    subprocess.run([ORACLE19] + args + ["--out", f"o_{tag}"], cwd=d,
+                   check=True, capture_output=True)
+    old = os.getcwd()
+    os.chdir(d)
+    try:
+        assert main(args + ["--out", f"t_{tag}", "--silent"]) == 0
+    finally:
+        os.chdir(old)
+    assert (d / f"o_{tag}.{ext}").read_bytes() == \
+        (d / f"t_{tag}.{ext}").read_bytes()
