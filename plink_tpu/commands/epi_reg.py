@@ -237,12 +237,17 @@ class _RegParams:
     joint = False
     cellmin = 0
 
+    set_by_set = False
+    set_by_all = False
+
     def __init__(self, cfg):
         for m in cfg.epistasis or ():
-            if m in ("set-by-set", "set-by-all"):
-                raise FlagError(
-                    f"--epistasis '{m}' is not implemented yet.")
-            raise FlagError(f"Invalid --epistasis modifier '{m}'.")
+            if m == "set-by-set":
+                self.set_by_set = True
+            elif m == "set-by-all":
+                self.set_by_all = True
+            else:
+                raise FlagError(f"Invalid --epistasis modifier '{m}'.")
         self.epi1 = cfg.epi1
         self.epi2 = cfg.epi2 if cfg.epi2 is not None else 0.01
 
@@ -257,23 +262,70 @@ def run_epistasis(ds: Dataset, cfg, log: RunLogger) -> None:
     pheno_nm = pc.nonmiss & ds.sample_mask
     from ..ops.pairwise import _unpack_np
 
+    # set-by-set / set-by-all (shared semantics with --fast-epistasis;
+    # epistasis_report 1.9/plink_ld.c:9478-9533)
+    set1_raw = set2_raw = None
+    triangular = True
+    if hp.set_by_set or hp.set_by_all:
+        from .sets import define_sets
+
+        sinfo = define_sets(ds, cfg, log)
+        nset = 0 if sinfo is None else sinfo.ct
+        if not nset:
+            raise FlagError(
+                "--epistasis set-by-"
+                f"{'set' if hp.set_by_set else 'all'} requires a variant "
+                "set to be loaded.")
+        if hp.set_by_all and nset > 1:
+            raise FlagError(
+                "--{fast-}epistasis set-by-all requires exactly one set.  "
+                "(--set-names or\n--set-collapse-all may be handy here.")
+        if hp.set_by_set and nset > 2:
+            raise FlagError(
+                "--{fast-}epistasis set-by-set requires exactly one or two "
+                "sets.\n(--set-names or --set-collapse-all may be handy "
+                "here.)")
+        fidx_ = np.flatnonzero(ds.variant_mask)
+        set1_raw = np.zeros(ds.raw_variant_ct, bool)
+        set1_raw[fidx_[sinfo.setdefs[0]]] = True
+        if hp.set_by_set and nset == 2:
+            set2_raw = np.zeros(ds.raw_variant_ct, bool)
+            set2_raw[fidx_[sinfo.setdefs[1]]] = True
+            triangular = False
+        elif hp.set_by_all:
+            triangular = False
+
     pk = ds.all_packed()
     codes = _unpack_np(pk)[:, : ds.raw_sample_ct]
     # screen: haploid chroms + monomorphic over pheno_nm samples
     zeros = np.zeros_like(pheno_nm)
-    keep = _screen_markers(ds, codes, ds.variant_mask.copy(), pheno_nm,
-                           zeros, hp)
+    base_mask = ds.variant_mask.copy()
+    if triangular and set1_raw is not None:
+        base_mask &= set1_raw
+    keep = _screen_markers(ds, codes, base_mask, pheno_nm, zeros, hp)
     vidx = np.flatnonzero(keep)
     m_ct = vidx.size
-    if m_ct < 2:
+    if triangular and m_ct < 2:
         raise FlagError(
-            "--{fast-}epistasis requires 2+ autosomal diploid loci not "
-            "monomorphic in either cases or controls.")
-    n_skipped = int(ds.variant_mask.sum()) - m_ct
+            "--epistasis requires 2+ non-monomorphic autosomal diploid "
+            "loci.")
+    n_skipped = int(base_mask.sum()) - m_ct
     if n_skipped:
         log.log(f"--epistasis: Skipping {n_skipped} "
                 f"monomorphic/non-autosomal site"
                 f"{'' if n_skipped == 1 else 's'}.")
+    if triangular:
+        row_sel = None
+        col_mask_u = np.ones(m_ct, bool)
+    else:
+        row_sel = np.flatnonzero(set1_raw[vidx])
+        col_mask_u = (set2_raw[vidx] if set2_raw is not None
+                      else np.ones(m_ct, bool))
+        if row_sel.size == 0 or int(col_mask_u.sum()) == 0:
+            raise FlagError(
+                "Each --epistasis set must contain at least one "
+                "non-monomorphic autosomal\ndiploid site.")
+    m2_ct = int(col_mask_u.sum())
     chrom = vi.chrom[vidx]
 
     from .basic_reports import alt_allele_freqs
@@ -311,14 +363,16 @@ def run_epistasis(ds: Dataset, cfg, log: RunLogger) -> None:
     if is_cc:
         yfull = (pc.data[pheno_nm] == 1).astype(F32)
         results = _scan_logistic(g, yfull, alpha1, alpha2, n_sig, fails,
-                                 best_chisq, best_id)
+                                 best_chisq, best_id, row_sel, col_mask_u,
+                                 gap_cts)
     else:
         pheno = pc.data[pheno_nm].astype(np.float64)
         vif_thresh = cfg.vif if getattr(cfg, "vif", None) else 50.0
         if _seqsum(pheno * pheno) * n == _seqsum(pheno) ** 2:
             raise FlagError("Phenotype is constant.")
         results = _scan_linear(g, pheno, alpha1, alpha2, vif_thresh,
-                               n_sig, fails, best_chisq, best_id)
+                               n_sig, fails, best_chisq, best_id, row_sel,
+                               col_mask_u, gap_cts)
 
     min_p = 0.0
     for i, j, chisq, beta in results:
@@ -340,11 +394,29 @@ def run_epistasis(ds: Dataset, cfg, log: RunLogger) -> None:
     mode = "Case/control" if is_cc else "QT"
     log.log(f"{mode} --epistasis to {out_path} ... done.")
     write_epi_summary(out_path, vi, ci, chrom, vidx, maxsnp, n_sig,
-                      fails, gap_cts, best_chisq, best_id, m_ct, log)
+                      fails, gap_cts, best_chisq, best_id, m_ct, log,
+                      row_sel=row_sel, m2_ct=m2_ct)
+
+
+def _pair_iter(m_ct, row_sel, col_mask, gap_cts):
+    """(i, j, triangular) pair stream: triangular j > i when row_sel is
+    None, otherwise set1-row x column-universe with self skipped (and
+    counted in gap_cts, 1.9/plink_ld.c:8666-8676)."""
+    if row_sel is None:
+        for i in range(m_ct):
+            yield i, range(i + 1, m_ct), True
+        return
+    col_idx = np.flatnonzero(col_mask)
+    for i in row_sel:
+        i = int(i)
+        if col_mask[i]:
+            gap_cts[i] += 1
+        yield i, [int(j) for j in col_idx if j != i], False
 
 
 def _scan_linear(g, pheno, alpha1, alpha2, vif_thresh, n_sig, fails,
-                 best_chisq, best_id):
+                 best_chisq, best_id, row_sel=None, col_mask=None,
+                 gap_cts=None):
     """epi_linear_thread (1.9/plink_ld.c:4143-4600): exact-f64 OLS with
     the reference's precompute-and-adjust op order."""
     m_ct, n = g.shape
@@ -366,9 +438,9 @@ def _scan_linear(g, pheno, alpha1, alpha2, vif_thresh, n_sig, fails,
         sum_aa_base[i] = n1 + 4 * n2
     results = []
     dconst = (1.0, 2.0, 2.0, 4.0)
-    for i in range(m_ct):
+    for i, jr, tri in _pair_iter(m_ct, row_sel, col_mask, gap_cts):
         gi = g[i].astype(np.int64)
-        for j in range(i + 1, m_ct):
+        for j in jr:
             gj = g[j].astype(np.int64)
             ok, out = _pair_linear(
                 gi, gj, pheno, pheno_sum, pheno_ssq, pg_base[i],
@@ -376,7 +448,8 @@ def _scan_linear(g, pheno, alpha1, alpha2, vif_thresh, n_sig, fails,
                 sum_a_base[j], sum_aa_base[j], n, vif_thresh, dconst)
             if not ok:
                 fails[i] += 1
-                fails[j] += 1
+                if tri:
+                    fails[j] += 1
                 if alpha1 == 0.0:
                     results.append((i, j, math.nan, math.nan))
                 continue
@@ -385,11 +458,12 @@ def _scan_linear(g, pheno, alpha1, alpha2, vif_thresh, n_sig, fails,
                 results.append((i, j, zsq, beta))
             if zsq >= alpha2:
                 n_sig[i] += 1
-                n_sig[j] += 1
+                if tri:
+                    n_sig[j] += 1
             if zsq > best_chisq[i]:
                 best_chisq[i] = zsq
                 best_id[i] = j
-            if zsq > best_chisq[j]:
+            if tri and zsq > best_chisq[j]:
                 best_chisq[j] = zsq
                 best_id[j] = i
     return results
@@ -543,21 +617,22 @@ def _pair_linear(gi, gj, pheno, pheno_sum, pheno_ssq, pg_i, pg_j,
 
 
 def _scan_logistic(g, y, alpha1, alpha2, n_sig, fails, best_chisq,
-                   best_id):
+                   best_id, row_sel=None, col_mask=None, gap_cts=None):
     """epi_logistic_thread (1.9/plink_ld.c:4599): float32 IRLS per
     pair."""
     m_ct, n = g.shape
     results = []
     np.seterr(over="ignore", divide="ignore", invalid="ignore",
               under="ignore")
-    for i in range(m_ct):
+    for i, jr, tri in _pair_iter(m_ct, row_sel, col_mask, gap_cts):
         gi = g[i].astype(np.int64)
-        for j in range(i + 1, m_ct):
+        for j in jr:
             gj = g[j].astype(np.int64)
             ok, out = _pair_logistic(gi, gj, y)
             if not ok:
                 fails[i] += 1
-                fails[j] += 1
+                if tri:
+                    fails[j] += 1
                 if alpha1 == 0.0:
                     results.append((i, j, math.nan, math.nan))
                 continue
@@ -566,11 +641,12 @@ def _scan_logistic(g, y, alpha1, alpha2, n_sig, fails, best_chisq,
                 results.append((i, j, zsq, beta))
             if zsq >= alpha2:
                 n_sig[i] += 1
-                n_sig[j] += 1
+                if tri:
+                    n_sig[j] += 1
             if zsq > best_chisq[i]:
                 best_chisq[i] = zsq
                 best_id[i] = j
-            if zsq > best_chisq[j]:
+            if tri and zsq > best_chisq[j]:
                 best_chisq[j] = zsq
                 best_id[j] = i
     return results

@@ -86,6 +86,8 @@ class EpiParams:
         self.no_ueki = False
         self.case_only = False
         self.nop = False
+        self.set_by_set = False
+        self.set_by_all = False
         for m in fast_mods:
             if m == "boost":
                 if self.no_ueki or self.joint:
@@ -117,9 +119,10 @@ class EpiParams:
                 self.case_only = True
             elif m == "nop":
                 self.nop = True
-            elif m in ("set-by-set", "set-by-all"):
-                raise FlagError(
-                    f"--fast-epistasis '{m}' is not implemented yet.")
+            elif m == "set-by-set":
+                self.set_by_set = True
+            elif m == "set-by-all":
+                self.set_by_all = True
             else:
                 raise FlagError(
                     f"Invalid --fast-epistasis modifier '{m}'.")
@@ -437,17 +440,54 @@ def run_fast_epistasis(ds: Dataset, cfg, log: RunLogger) -> None:
                 f"Too few cases or controls for --je-cellmin "
                 f"{hp.cellmin}.")
 
+    # set-by-set / set-by-all restriction (epistasis_report,
+    # 1.9/plink_ld.c:9478-9533): one set -> triangular within the set;
+    # two sets or set-by-all -> non-triangular row x column grid with
+    # self-pairs skipped and row-side-only tallies
+    set1_raw = set2_raw = None
+    triangular = True
+    if hp.set_by_set or hp.set_by_all:
+        from .sets import define_sets
+
+        sinfo = define_sets(ds, cfg, log)
+        nset = 0 if sinfo is None else sinfo.ct
+        if not nset:
+            raise FlagError(
+                "--fast-epistasis set-by-"
+                f"{'set' if hp.set_by_set else 'all'} requires a variant "
+                "set to be loaded.")
+        if hp.set_by_all and nset > 1:
+            raise FlagError(
+                "--{fast-}epistasis set-by-all requires exactly one set.  "
+                "(--set-names or\n--set-collapse-all may be handy here.")
+        if hp.set_by_set and nset > 2:
+            raise FlagError(
+                "--{fast-}epistasis set-by-set requires exactly one or two "
+                "sets.\n(--set-names or --set-collapse-all may be handy "
+                "here.)")
+        fidx = np.flatnonzero(ds.variant_mask)
+        set1_raw = np.zeros(ds.raw_variant_ct, bool)
+        set1_raw[fidx[sinfo.setdefs[0]]] = True
+        if hp.set_by_set and nset == 2:
+            set2_raw = np.zeros(ds.raw_variant_ct, bool)
+            set2_raw[fidx[sinfo.setdefs[1]]] = True
+            triangular = False
+        elif hp.set_by_all:
+            triangular = False
+
     pk = ds.all_packed()
     codes = _unpack_np(pk)[:, : ds.raw_sample_ct]
-    keep = _screen_markers(ds, codes, ds.variant_mask.copy(), case, ctrl,
-                           hp)
+    base_mask = ds.variant_mask.copy()
+    if triangular and set1_raw is not None:
+        base_mask &= set1_raw
+    keep = _screen_markers(ds, codes, base_mask, case, ctrl, hp)
     vidx = np.flatnonzero(keep)
     m_ct = vidx.size
-    if m_ct < 2:
+    if triangular and m_ct < 2:
         raise FlagError(
             "--{fast-}epistasis requires 2+ autosomal diploid loci not "
             "monomorphic in either cases or controls.")
-    n_skipped = int(ds.variant_mask.sum()) - m_ct
+    n_skipped = int(base_mask.sum()) - m_ct
     if n_skipped:
         if hp.joint and hp.cellmin:
             log.log(f"--fast-epistasis: Skipping {n_skipped} site"
@@ -457,6 +497,23 @@ def run_fast_epistasis(ds: Dataset, cfg, log: RunLogger) -> None:
             log.log(f"--fast-epistasis: Skipping {n_skipped} "
                     f"monomorphic/non-autosomal site"
                     f"{'' if n_skipped == 1 else 's'}.")
+
+    # row/column universes over the keep survivors
+    if triangular:
+        row_sel = np.arange(m_ct)
+        col_mask_u = np.ones(m_ct, bool)
+    else:
+        row_sel = np.flatnonzero(set1_raw[vidx])
+        if set2_raw is not None:
+            col_mask_u = set2_raw[vidx]
+        else:
+            col_mask_u = np.ones(m_ct, bool)
+        if row_sel.size == 0 or int(col_mask_u.sum()) == 0:
+            raise FlagError(
+                "Each --{fast-}epistasis set must contain at least one "
+                "autosomal diploid\nlocus not monomorphic in either cases "
+                "or controls.")
+    m2_ct = int(col_mask_u.sum())
 
     chrom = vi.chrom[vidx]
     pos = vi.pos[vidx].astype(np.int64)
@@ -546,12 +603,14 @@ def run_fast_epistasis(ds: Dataset, cfg, log: RunLogger) -> None:
     B = 256 if not hp.boost else 96
     min_p = 0.0
     tests_done = 0
-    for r0 in range(0, m_ct, B):
-        r1 = min(r0 + B, m_ct)
+    n_rows_tot = row_sel.size
+    for r0 in range(0, n_rows_tot, B):
+        r1 = min(r0 + B, n_rows_tot)
         nb = r1 - r0
+        rsel = row_sel[r0:r1]
         tabs = []
         for gi, p in enumerate(planes):
-            rows = p[:, r0:r1].reshape(3 * nb, -1)
+            rows = p[:, rsel].reshape(3 * nb, -1)
             if on_device:
                 j = np.asarray(jnp.dot(
                     jnp.asarray(rows), dev_planes[gi].T,
@@ -561,18 +620,26 @@ def run_fast_epistasis(ds: Dataset, cfg, log: RunLogger) -> None:
             # j[[g1, v1], [g2, v2]] -> [v1, v2, g1, g2]
             t = j.reshape(3, nb, 3, m_ct).transpose(1, 3, 0, 2)
             tabs.append(t.reshape(nb, m_ct, 9).astype(np.int64))
-        # pair mask: triangular j > i, case-only gap applied
-        rows_idx = np.arange(r0, r1)
+        # pair mask: triangular j > i (case-only gap applied), or the
+        # column universe minus self in set mode
+        rows_idx = row_sel[r0:r1]
         mask = np.zeros((nb, m_ct), bool)
-        for k, i in enumerate(rows_idx):
-            mask[k, resume[i]:] = True
+        if triangular:
+            for k, i in enumerate(rows_idx):
+                mask[k, resume[i]:] = True
+        else:
+            for k, i in enumerate(rows_idx):
+                mask[k] = col_mask_u
+                if col_mask_u[i]:
+                    mask[k, i] = False
+                    gap_cts[i] += 1
         pi, pj = np.nonzero(mask)
         if pi.size == 0:
             continue
         cts = [t[pi, pj] for t in tabs]  # [N, 9] per group
         n_pairs = pi.size
         tests_done += n_pairs
-        gi_idx = rows_idx[pi]
+        gi_idx = np.asarray(rows_idx)[pi]
         out_rows = {}
         if hp.boost:
             c18 = np.concatenate(cts, axis=1)
@@ -626,11 +693,15 @@ def run_fast_epistasis(ds: Dataset, cfg, log: RunLogger) -> None:
             has_store = ok & (zsq >= alpha1[0])
             stored = zsq
             df_out = None
-        # aggregate per-marker tallies (both orientations)
+        # aggregate per-marker tallies (both orientations when
+        # triangular; row side only in set mode -- the reference's
+        # column-side accumulation is gated on is_triangular,
+        # 1.9/plink_ld.c:8763)
         np.add.at(n_sig, gi_idx, sig)
-        np.add.at(n_sig, pj, sig)
         np.add.at(fails, gi_idx, ~ok)
-        np.add.at(fails, pj, ~ok)
+        if triangular:
+            np.add.at(n_sig, pj, sig)
+            np.add.at(fails, pj, ~ok)
         zbest = np.where(ok, zsq, 0.0)
         for k in range(n_pairs):
             i, jx = gi_idx[k], pj[k]
@@ -638,7 +709,7 @@ def run_fast_epistasis(ds: Dataset, cfg, log: RunLogger) -> None:
             if v > best_chisq[i]:
                 best_chisq[i] = v
                 best_id[i] = jx
-            if v > best_chisq[jx]:
+            if triangular and v > best_chisq[jx]:
                 best_chisq[jx] = v
                 best_id[jx] = i
         # emit rows in (i, j) order
@@ -677,24 +748,32 @@ def run_fast_epistasis(ds: Dataset, cfg, log: RunLogger) -> None:
     fh.close()
 
     write_epi_summary(out_path, vi, ci, chrom, vidx, maxsnp, n_sig,
-                      fails, gap_cts, best_chisq, best_id, m_ct, log)
+                      fails, gap_cts, best_chisq, best_id, m_ct, log,
+                      row_sel=None if triangular else row_sel,
+                      m2_ct=m2_ct)
 
 
 def write_epi_summary(out_path, vi, ci, chrom, vidx, maxsnp, n_sig,
                       fails, gap_cts, best_chisq, best_id, m_ct,
-                      log) -> None:
+                      log, row_sel=None, m2_ct=None) -> None:
     """Shared .summary writer (epistasis_report,
-    1.9/plink_ld.c:10300-10420)."""
+    1.9/plink_ld.c:10300-10420).  With row_sel (set mode), only the set1
+    rows are listed, N_TOT = column count - thrown, and the valid-test
+    total is not halved."""
     sum_path = out_path + ".summary"
+    rows_iter = range(m_ct) if row_sel is None else [int(r) for r in row_sel]
+    if m2_ct is None:
+        m2_ct = m_ct
     with open(sum_path, "w") as fo:
         fo.write(" CHR " + "SNP".rjust(maxsnp)
                  + "        N_SIG        N_TOT         PROP   BEST_CHISQ"
                  " BEST_CHR " + "BEST_SNP".rjust(maxsnp) + " \n")
         thrown = 0
-        for i in range(m_ct):
+        for i in rows_iter:
             bad = int(fails[i] + gap_cts[i])
             thrown += bad
-            n_tot = m_ct - 1 - bad
+            n_tot = (m_ct - 1 - bad) if row_sel is None \
+                else (m2_ct - bad)
             u = int(vidx[i])
             line = (ci.name19(int(chrom[i])).rjust(4) + " "
                     + str(vi.vid[u]).rjust(maxsnp) + "   "
@@ -711,7 +790,10 @@ def write_epi_summary(out_path, vi, ci, chrom, vidx, maxsnp, n_sig,
                 # (1.9/plink_ld.c:10380-10383)
                 line += "          NA   NA" + " " * (maxsnp - 1) + "NA"
             fo.write(line + " \n")
-    total = (m_ct * (m_ct - 1)) // 2
-    valid = total - thrown // 2
+    if row_sel is None:
+        total = (m_ct * (m_ct - 1)) // 2
+        valid = total - thrown // 2
+    else:
+        valid = len(rows_iter) * m2_ct - thrown
     log.log(f"{valid} valid test{'' if valid == 1 else 's'} performed, "
             f"summary written to {sum_path} .")

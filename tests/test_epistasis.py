@@ -136,3 +136,69 @@ def test_epistasis_cc_logistic(epi_panel):
              "--allow-no-sex", "--out", "tcl", "--silent"], str(d))
     _cmp(d, "ocl.epi.cc", "tcl.epi.cc")
     _cmp(d, "ocl.epi.cc.summary", "tcl.epi.cc.summary")
+
+
+@pytest.fixture(scope="module")
+def set_panel(tmp_path_factory):
+    d = tmp_path_factory.mktemp("episet")
+    subprocess.run([ORACLE19, "--dummy", "100", "60", "0.02", "--seed",
+                    "3", "--make-bed", "--out", "e"], cwd=d, check=True,
+                   capture_output=True)
+    lines = (d / "e.bim").read_text().splitlines()
+    out = []
+    for k, ln in enumerate(lines):
+        t = ln.split("\t")
+        t[3] = str(1000 + k * 1000)
+        out.append("\t".join(t))
+    (d / "e.bim").write_text("\n".join(out) + "\n")
+    subprocess.run([ORACLE19, "--dummy", "100", "60", "0.02",
+                    "scalar-pheno", "--seed", "3", "--make-bed", "--out",
+                    "q"], cwd=d, check=True, capture_output=True)
+    (d / "q.bim").write_text((d / "e.bim").read_text())
+    (d / "sets.txt").write_text("1 6000 20000 SETA\n1 31000 45000 SETB\n")
+    (d / "setsA.txt").write_text("1 6000 20000 SETA\n")
+    return d
+
+
+SET_CASES = [
+    (["--bfile", "e", "--fast-epistasis", "set-by-set", "--make-set",
+      "setsA.txt", "--epi1", "0.5"], "fe_s1"),
+    (["--bfile", "e", "--fast-epistasis", "set-by-set", "--make-set",
+      "sets.txt", "--epi1", "0.5"], "fe_s2"),
+    (["--bfile", "e", "--fast-epistasis", "set-by-all", "--make-set",
+      "setsA.txt", "--epi1", "0.5"], "fe_sa"),
+    (["--bfile", "e", "--fast-epistasis", "boost", "set-by-set",
+      "--make-set", "sets.txt"], "fe_boost"),
+    (["--bfile", "e", "--epistasis", "set-by-set", "--make-set",
+      "sets.txt", "--epi1", "0.9"], "re_s2"),
+    (["--bfile", "e", "--epistasis", "set-by-all", "--make-set",
+      "setsA.txt", "--epi1", "0.9"], "re_sa"),
+    (["--bfile", "q", "--epistasis", "set-by-set", "--make-set",
+      "sets.txt", "--epi1", "0.9"], "re_qt"),
+]
+
+
+@pytest.mark.parametrize("args,tag", SET_CASES, ids=[c[1] for c in SET_CASES])
+def test_epistasis_sets(set_panel, args, tag):
+    """set-by-set / set-by-all pair restriction (epistasis_report,
+    1.9/plink_ld.c:9478-9533; row-side-only tallies :8763)."""
+    import glob
+
+    from plink_tpu.cli import main
+
+    d = set_panel
+    subprocess.run([ORACLE19] + args + ["--allow-no-sex", "--out",
+                   f"o_{tag}"], cwd=d, check=True, capture_output=True)
+    old = os.getcwd()
+    os.chdir(d)
+    try:
+        assert main(args + ["--allow-no-sex", "--out", f"t_{tag}",
+                            "--silent"]) == 0
+    finally:
+        os.chdir(old)
+    ofiles = sorted(glob.glob(str(d / f"o_{tag}.epi*")))
+    assert ofiles
+    for of in ofiles:
+        tf = of.replace(f"o_{tag}", f"t_{tag}", 1)
+        assert open(of, "rb").read() == open(tf, "rb").read(), \
+            os.path.basename(of)
