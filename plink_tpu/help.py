@@ -114,6 +114,8 @@ HELP: dict[str, tuple[str, str]] = {
     "update_map": ("--update-map <file> [bp-col] [id-col] [skip]",
                    "Update variant positions."),
     "update_alleles": ("--update-alleles <file>", "Update allele codes."),
+    "no_snp": ("--no-snp",
+               "One-off covariate-only --linear/--logistic regression."),
     "allele1234": ("--allele1234 [multichar]",
                    "Translate A/C/G/T allele codes to 1/2/3/4."),
     "alleleACGT": ("--alleleACGT [multichar]",
