@@ -209,6 +209,7 @@ class Config:
     recode19: str | None = None
     linear19: tuple | None = None
     no_snp: bool = False
+    write_dosage: bool = False
     logistic19: tuple | None = None
     xchr_model_set: bool = False
     model: bool = False
@@ -1241,6 +1242,8 @@ def parse_args(argv: list[str]) -> Config:
             setattr(cfg, name, tuple(args))
         elif name == "no_snp":
             cfg.no_snp = True
+        elif name == "write_dosage":
+            cfg.write_dosage = True
         elif name in ("keep_if", "remove_if"):
             setattr(cfg, name, args)
         elif name in ("keep_cats", "keep_cat_pheno", "remove_cats",

@@ -93,16 +93,24 @@ class DosageConfig:
         if self.sepheader and not self.list_mode:
             raise FlagError(
                 "--dosage 'sepheader' modifier requires 'list'.")
+        if getattr(cfg, "write_dosage", False):
+            if self.occur:
+                raise FlagError(
+                    '--write-dosage cannot be used with "--dosage occur".')
+            self.write = True
 
 
-def _parse_line_dosages(toks, a2_pos, read_map, fmt, dose1, n):
+def _parse_line_dosages(toks, a2_pos, read_map, fmt, dose1, n,
+                        raw2=None):
     """One dosage line's per-sample fields -> (dosage [n] float64,
     valid [n] bool) on the 0..1 A1-diplotype scale
     (plink_dosage.c:1864-1916).
 
     read_map entries are (sample_idx, skip): token steps from the
     previously consumed token, mirroring the reference's skip_vals
-    (initially from the A2 column)."""
+    (initially from the A2 column).  With raw2 = ([n], [n]) arrays, the
+    rescaled p1/p2 pair is also stored (--write-dosage keeps the raw
+    probabilities, :1908-1912)."""
     dos = np.zeros(n)
     valid = np.ones(n, bool)
     pos = a2_pos
@@ -137,6 +145,9 @@ def _parse_line_dosages(toks, a2_pos, read_map, fmt, dose1, n):
                 dzz = 1.0 / dzz
                 dxx *= dzz
                 dyy *= dzz
+            if raw2 is not None:
+                raw2[0][si] = dxx
+                raw2[1][si] = dyy
             dos[si] = dxx + dyy * 0.5
     return dos, valid
 
@@ -245,9 +256,6 @@ def run_dosage(cfg, log: RunLogger) -> None:
                        for b in batch_nos]
         else:
             batches = [[(r[1], r[2]) for r in rows_]]
-        if dcfg.write:
-            raise NotImplementedError(
-                "--dosage list + 'write' is not implemented yet.")
     else:
         batches = [[(dcfg.fname, None)]]
 
@@ -348,8 +356,10 @@ def run_dosage(cfg, log: RunLogger) -> None:
             hdr_s += ("  OR" if is_cc_local else "BETA") + "      SE       P"
             fh.write(hdr_s + "\n")
         else:
+            # --write-dosage header lists ALL .fam samples
+            # (plink_dosage.c:1553-1566)
             fh.write("SNP A1 A2 " + "".join(
-                f"{si.fid[i]} {si.iid[i]} " for i, _ in read_map) + "\n")
+                f"{si.fid[i]} {si.iid[i]} " for i in range(n)) + "\n")
 
     def _emit_assoc(vid, a1, a2, dos, valid, in_batch, read_order):
         from .assoc19 import _g4
@@ -474,6 +484,8 @@ def run_dosage(cfg, log: RunLogger) -> None:
             while True:
                 dos = np.zeros(n)
                 valid = np.ones(n, bool)
+                raw_p1 = np.zeros(n)
+                raw_p2 = np.zeros(n)
                 vid = a1 = a2 = None
                 hit_eof = False
                 for k, f in enumerate(handles):
@@ -504,7 +516,9 @@ def run_dosage(cfg, log: RunLogger) -> None:
                                 "Allele code mismatch between --dosage "
                                 "list files.")
                     dk, vk = _parse_line_dosages(
-                        toks, a2_pos, rmaps[k], fmt, dcfg.dose1, n)
+                        toks, a2_pos, rmaps[k], fmt, dcfg.dose1, n,
+                        raw2=((raw_p1, raw_p2) if dcfg.write and fmt != 1
+                              else None))
                     sel = np.zeros(n, bool)
                     for i, _sk in rmaps[k]:
                         sel[i] = True
@@ -515,12 +529,28 @@ def run_dosage(cfg, log: RunLogger) -> None:
                 if load_map and vid not in map_info:
                     continue
                 if dcfg.write:
-                    fh.write(f"{vid} {a1} {a2}")
-                    for rm in rmaps:
-                        for i, _sk in rm:
-                            fh.write(" %g" % (dos[i] * (
-                                2.0 if not dcfg.dose1 else 1.0)))
-                    fh.write("\n")
+                    from ..utils.fmt import dtoa_g
+
+                    cur = in_batch & valid
+                    parts = [f"{vid} {a1} {a2} "]
+                    for i in range(n):
+                        if not cur[i]:
+                            parts.append(
+                                {1: "NA ", 2: "NA NA ",
+                                 3: "NA NA NA "}[fmt])
+                        elif fmt == 1:
+                            parts.append(dtoa_g(2 * dos[i]) + " ")
+                        else:
+                            p1 = float(raw_p1[i])
+                            p2 = float(raw_p2[i])
+                            parts.append(dtoa_g(p1) + " "
+                                         + dtoa_g(p2) + " ")
+                            if fmt == 3:
+                                p3 = 1.0 - p1 - p2
+                                if abs(p3) < 1e-6:
+                                    p3 = 0.0
+                                parts.append(dtoa_g(p3) + " ")
+                    fh.write("".join(parts).rstrip(" ") + " \n")
                     continue
                 _emit_assoc(vid, a1, a2, dos, valid, in_batch,
                             read_order)

@@ -211,3 +211,28 @@ def test_dosage_list(list_panel, mods, tag, ext):
         os.chdir(old)
     assert (d / f"o_{tag}.{ext}").read_bytes() == \
         (d / f"t_{tag}.{ext}").read_bytes()
+
+
+def test_write_dosage(list_panel):
+    """--write-dosage merge/reformat: all-fam-sample header, NA padding
+    for uncovered samples, raw p1/p2 retention for format 2/3
+    (plink_dosage.c:1553-1566, 2100-2185)."""
+    import subprocess
+
+    from plink_tpu.cli import main
+
+    d = list_panel
+    for tag, mods in (("w1", ["fA.dose"]),
+                      ("w2", ["list1.txt", "list"]),
+                      ("w3", ["list2.txt", "list"])):
+        args = ["--fam", "d.fam", "--dosage"] + mods + ["--write-dosage"]
+        subprocess.run([ORACLE19] + args + ["--out", f"o_{tag}"], cwd=d,
+                       check=True, capture_output=True)
+        old = os.getcwd()
+        os.chdir(d)
+        try:
+            assert main(args + ["--out", f"t_{tag}", "--silent"]) == 0
+        finally:
+            os.chdir(old)
+        assert (d / f"o_{tag}.out.dosage").read_bytes() == \
+            (d / f"t_{tag}.out.dosage").read_bytes(), tag
