@@ -1,4 +1,4 @@
-"""BCF 2.2 import and export (GT-only hardcalls).
+"""BCF 2.2 import and export.
 
 Behavior reference: BcfGenoToPgenThread (2.0/plink2_import.cc:7217) and
 the BCF branch of Exportf (2.0/plink2_export.cc).  Records are parsed or
@@ -11,6 +11,7 @@ cross-import rather than byte-diff.
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 
@@ -53,8 +54,16 @@ def _typed_int(v: int) -> bytes:
     return b"\x13" + struct.pack("<i", v)
 
 
-def read_bcf(path: str, hard_call_threshold: float = 0.1):
-    """Returns (vi, si, codes [V, N] uint8)."""
+def read_bcf(path: str, hard_call_threshold: float = 0.1,
+             with_phase: bool = False):
+    """Returns (vi, si, codes [V, N] uint8[, phase_rows, ma_rows]).
+
+    GT values are (allele_idx + 1) << 1 | phased; 0 = missing allele and
+    int8 -127 (0x81) = END_OF_VECTOR padding for lower-ploidy samples
+    (BCF2.2 spec; BcfGenoToPgenThread 2.0/plink2_import.cc:7217).  With
+    with_phase, per-variant (phasepresent, phaseinfo-swapped) arrays and
+    multiallelic patch tuples (pgen aux-track-1 convention) are returned
+    alongside the hardcalls."""
     from .compress import BgzfReader, _is_bgzf
 
     if _is_bgzf(path):
@@ -72,8 +81,12 @@ def read_bcf(path: str, hard_call_threshold: float = 0.1):
     fmt_gt_idx = None
     idx_ctr = {"contig": 0, "fmt": 0}
     samples = []
+    header_lines = []
     for ln in text.splitlines():
         if ln.startswith("##contig=<"):
+            # carry contig lines to the .pvar header with the BCF IDX
+            # annotation stripped, like the reference's converter
+            header_lines.append(re.sub(r",IDX=\d+", "", ln))
             body = ln[10:].rstrip(">")
             fields = dict(
                 kv.split("=", 1) for kv in body.split(",") if "=" in kv
@@ -93,6 +106,8 @@ def read_bcf(path: str, hard_call_threshold: float = 0.1):
     p = 9 + l_text
     chroms, poss, vids, refs, alts = [], [], [], [], []
     rows = []
+    phase_rows = []
+    ma_rows = {}
 
     def read_typed(buf, q):
         t = buf[q]
@@ -155,6 +170,8 @@ def read_bcf(path: str, hard_call_threshold: float = 0.1):
 
         # individual data: find GT
         codes = np.full(N, 3, np.uint8)
+        patches = None
+        pp = pi = None
         q = 0
         for _ in range(n_fmt):
             key, q = read_typed_int(indiv, q)
@@ -169,13 +186,46 @@ def read_bcf(path: str, hard_call_threshold: float = 0.1):
             q += per * size * N
             if fmt_gt_idx is not None and key == fmt_gt_idx and ntype == 1:
                 g = np.frombuffer(block, np.int8).reshape(N, per)
-                a = (g >> 1) - 1  # allele index, -1 = missing
-                valid = (a[:, :2] >= 0).all(axis=1) if per >= 2 else a[:, 0] >= 0
-                alt_ct = np.clip(a[:, : min(per, 2)], 0, None).sum(axis=1)
+                eov = g == -127  # END_OF_VECTOR: lower-ploidy padding
+                a = (g.astype(np.int32) >> 1) - 1  # allele idx, -1 missing
+                phased_bit = (g & 1).astype(bool)
                 if per == 1:
-                    alt_ct = alt_ct * 2  # haploid call counted diploid
-                codes = np.where(valid, np.minimum(alt_ct, 2), 3).astype(np.uint8)
+                    a0 = a[:, 0]
+                    a1 = a0.copy()
+                    ph = np.zeros(N, bool)
+                else:
+                    a0 = a[:, 0]
+                    hap = eov[:, 1]
+                    a1 = np.where(hap, a0, a[:, 1])
+                    ph = phased_bit[:, 1] & ~hap
+                miss = (a0 < 0) | (a1 < 0)
+                lo = np.minimum(a0, a1)
+                hi = np.maximum(a0, a1)
+                base = np.where(hi == 0, 0,
+                                np.where(lo == 0, 1, 2)).astype(np.uint8)
+                codes = np.where(miss, 3, base).astype(np.uint8)
+                if n_allele > 2:
+                    sel01 = (~miss) & (codes == 1) & (hi >= 2)
+                    sel10 = (~miss) & (codes == 2) & ((lo != 1) | (hi != 1))
+                    i01 = np.flatnonzero(sel01)
+                    i10 = np.flatnonzero(sel10)
+                    if i01.size or i10.size:
+                        patches = (
+                            i01.astype(np.int64),
+                            hi[i01].astype(np.int64),
+                            i10.astype(np.int64),
+                            lo[i10].astype(np.int64),
+                            hi[i10].astype(np.int64),
+                        )
+                if with_phase:
+                    het = (~miss) & (a0 != a1)
+                    pp = ph & het
+                    pi = pp & (a0 > a1)
+        if patches is not None:
+            ma_rows[len(rows)] = patches
         rows.append(codes)
+        if with_phase:
+            phase_rows.append((pp, pi) if pp is not None else None)
 
     si = SampleInfo(
         fid=np.array(["0"] * N, dtype=object),
@@ -190,8 +240,12 @@ def read_bcf(path: str, hard_call_threshold: float = 0.1):
         ref=np.array(refs, dtype=object),
         alt=np.array(alts, dtype=object),
         chr_info=ci,
+        header_lines=header_lines,
     )
-    return vi, si, (np.stack(rows) if rows else np.zeros((0, N), np.uint8))
+    codes_all = np.stack(rows) if rows else np.zeros((0, N), np.uint8)
+    if with_phase:
+        return vi, si, codes_all, phase_rows, ma_rows
+    return vi, si, codes_all
 
 
 def write_bcf(ds, path: str) -> None:

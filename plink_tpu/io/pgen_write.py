@@ -371,6 +371,12 @@ class PgenWriter:
             self._block_offsets.append(self._f.tell())
         counts = np.bincount(row, minlength=4).astype(np.int64)
 
+        # Representation choice is byte-cost-optimal.  NOTE: plink2's
+        # writer instead uses a sample_ct/8 difflist-length threshold
+        # (PwcAppendBiallelicGenovecMain), so on small panels the two can
+        # legitimately pick different (content-identical) encodings; the
+        # make-pgen byte-parity tests pass because the choices coincide at
+        # realistic sample counts.
         candidates: list[tuple[int, int, bytes]] = []  # (cost, vrtype, body)
         dense_body = pack.pack2(row).tobytes()
         candidates.append((len(dense_body), 0, dense_body))

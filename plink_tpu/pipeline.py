@@ -258,17 +258,50 @@ def _import_oxford(cfg: Config, log: RunLogger) -> Dataset:
 
 
 def _import_bcf(cfg: Config, log: RunLogger) -> Dataset:
-    """--bcf: BCF2.2 import via temporary pgen trio."""
+    """--bcf: BCF2.2 import via temporary pgen trio (phased hardcalls and
+    multiallelic patches preserved, mirroring the VCF importer)."""
     from .io.bcf import read_bcf
     from .io.pgen_write import PgenWriter
     from .io.psam import write_psam
     from .io.pvar import write_pvar
 
-    vi, si, codes = read_bcf(cfg.bcf[0])
+    vi, si, codes, phase_rows, ma_rows = read_bcf(cfg.bcf[0],
+                                                  with_phase=True)
     tmp = cfg.out + "-temporary"
-    with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
-                    trusted_ref=True) as w:
-        w.append_codes(codes)
+    any_phase = any(pr is not None and pr[0].any() for pr in phase_rows)
+    if ma_rows:
+        acs = [len(str(a).split(",")) + 1 for a in vi.alt]
+        with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
+                        trusted_ref=True, with_multiallelic=True,
+                        with_phase=any_phase) as w:
+            z = np.zeros(0, np.int64)
+            for r_i in range(vi.variant_ct):
+                p = ma_rows.get(r_i)
+                pr = phase_rows[r_i] if any_phase else None
+                pp_, pi_ = (pr if pr is not None else (None, None))
+                if pp_ is not None and not pp_.any():
+                    pp_ = pi_ = None
+                if p is None:
+                    w.append_codes_multiallelic(
+                        codes[r_i], z, z, z, z, z, 2,
+                        phasepresent=pp_, phaseinfo=pi_)
+                else:
+                    w.append_codes_multiallelic(
+                        codes[r_i], *p, acs[r_i],
+                        phasepresent=pp_, phaseinfo=pi_)
+    elif any_phase:
+        with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
+                        trusted_ref=True, with_phase=True) as w:
+            for r_i in range(vi.variant_ct):
+                pr = phase_rows[r_i]
+                if pr is None:
+                    pr = (np.zeros(si.sample_ct, bool),
+                          np.zeros(si.sample_ct, bool))
+                w.append_codes_with_phase(codes[r_i], pr[0], pr[1])
+    else:
+        with PgenWriter(tmp + ".pgen", si.sample_ct, vi.variant_ct,
+                        trusted_ref=True) as w:
+            w.append_codes(codes)
     write_pvar(tmp + ".pvar", vi)
     write_psam(tmp + ".psam", si)
     log.log(f"--bcf: {vi.variant_ct} variants, {si.sample_ct} samples "

@@ -111,3 +111,26 @@ def test_vcf_phased_multiallelic_roundtrip(tmp_path):
     assert main(["--pfile", str(d / "t"), "--remove", str(d / "rm.txt"),
                  "--make-pgen", "--out", str(d / "ts"), "--silent"]) == 0
     assert (d / "os.pgen").read_bytes() == (d / "ts.pgen").read_bytes()
+
+
+def test_bcf_phased_multiallelic(tmp_path):
+    """--bcf with phased hardcalls + multiallelic patches + haploid
+    END_OF_VECTOR padding: .pgen/.pvar byte-identical vs plink2's own
+    BCF import (BcfGenoToPgenThread, 2.0/plink2_import.cc:7217)."""
+    import subprocess
+
+    from plink_tpu.cli import main
+
+    d = tmp_path
+    (d / "m.vcf").write_text(MA_PHASED_VCF + "1\t600\tv6\tT\tC\t.\t.\t.\t"
+                             "GT\t1\t0\t1|1\t0|1\t./.\t1\n")
+    subprocess.run([ORACLE, "--vcf", str(d / "m.vcf"), "--export", "bcf",
+                    "--out", str(d / "mb")], check=True,
+                   capture_output=True)
+    subprocess.run([ORACLE, "--bcf", str(d / "mb.bcf"), "--make-pgen",
+                    "--out", str(d / "ob")], check=True,
+                   capture_output=True)
+    assert main(["--bcf", str(d / "mb.bcf"), "--make-pgen",
+                 "--out", str(d / "tb"), "--silent"]) == 0
+    for e in (".pgen", ".pvar", ".psam"):
+        assert (d / f"ob{e}").read_bytes() == (d / f"tb{e}").read_bytes(), e
