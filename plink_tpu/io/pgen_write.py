@@ -363,6 +363,14 @@ class PgenWriter:
             self._append_one(pack.unpack2(row, self.sample_ct))
 
     def _append_one(self, row: np.ndarray) -> None:
+        """Representation choice is a faithful port of
+        PwcAppendBiallelicGenovecMain (2.0/include/pgenlib_write.cc:915):
+        difflist viability via the sample_ct/8 threshold, LD considered
+        first with the difflist_len - sample_ct/64 threshold (inverted LD
+        on strictly fewer diffs), 1-bit when the two rare categories sum
+        below N/16, then plain difflist, else dense.  Mirrored bit-for-bit
+        by the native batch encoder (native/pgen_decode.cc
+        encode_row_cc)."""
         if self._written >= self.variant_ct:
             raise ValueError("more variants appended than declared")
         N = self.sample_ct
@@ -370,51 +378,67 @@ class PgenWriter:
         if at_block_start:
             self._block_offsets.append(self._f.tell())
         counts = np.bincount(row, minlength=4).astype(np.int64)
+        most = 1 if counts[1] > counts[0] else 0
+        second = 1 - most
+        largest, second_largest = int(counts[most]), int(counts[second])
+        for g in (2, 3):
+            c = int(counts[g])
+            if c > second_largest:
+                if c > largest:
+                    second_largest, second = largest, most
+                    largest, most = c, g
+                else:
+                    second_largest, second = c, g
+        difflist_len = N - largest
+        rare2 = difflist_len - second_largest
+        d8, d64 = N // 8, N // 64
+        max_dl = min(d8, d8 - 2 * d64 + rare2)
+        viable = (most != 1) and (difflist_len <= max_dl)
 
-        # Representation choice is byte-cost-optimal.  NOTE: plink2's
-        # writer instead uses a sample_ct/8 difflist-length threshold
-        # (PwcAppendBiallelicGenovecMain), so on small panels the two can
-        # legitimately pick different (content-identical) encodings; the
-        # make-pgen byte-parity tests pass because the choices coincide at
-        # realistic sample counts.
-        candidates: list[tuple[int, int, bytes]] = []  # (cost, vrtype, body)
-        dense_body = pack.pack2(row).tobytes()
-        candidates.append((len(dense_body), 0, dense_body))
+        if (self.use_ld and self._ld_base is not None
+                and not at_block_start and difflist_len > d64):
+            thr = (difflist_len - d64) if viable else max_dl
+            base = self._ld_base
+            diff_mask = row != base
+            ld_diff = int(diff_mask.sum())
+            inv_row = row.copy()
+            inv_row[row == 0] = 2
+            inv_row[row == 2] = 0
+            inv_mask = inv_row != base
+            ld_inv = int(inv_mask.sum())
+            if ld_diff < thr or ld_inv < thr:
+                inv = ld_inv < ld_diff
+                if inv:
+                    sids = np.flatnonzero(inv_mask).astype(np.uint32)
+                    body = encode_difflist(sids, inv_row[sids], N)
+                else:
+                    sids = np.flatnonzero(diff_mask).astype(np.uint32)
+                    body = encode_difflist(sids, row[sids], N)
+                self._push_record(2 + int(inv), body)
+                self._written += 1
+                return
 
-        # Difflist-only representations (types 4/6/7): all samples outside one category.
-        for vrtype, cat in ((4, 0), (6, 2), (7, 3)):
-            n_out = int(N - counts[cat])
-            if _difflist_cost(n_out, N) < len(dense_body):
-                sids = np.flatnonzero(row != cat).astype(np.uint32)
-                body = encode_difflist(sids, row[sids], N)
-                candidates.append((len(body), vrtype, body))
-
-        # 1-bit representation.
-        order = np.argsort(-counts, kind="stable")
-        rare_ct = int(counts[order[2]] + counts[order[3]])
-        onebit_cost = 1 + (N + 7) // 8 + _difflist_cost(rare_ct, N)
-        if onebit_cost < len(dense_body):
-            code, low, high = _choose_onebit_pair(counts)
-            in_pair = (row == low) | (row == high)
+        self._ld_base = row.copy()
+        if not viable and rare2 < N // 16:
+            a, b = (most, second) if most < second else (second, most)
+            code = {(0, 1): 1, (0, 2): 2, (0, 3): 3, (1, 2): 5,
+                    (1, 3): 6, (2, 3): 9}[(a, b)]
             bits = np.zeros(N, dtype=np.uint8)
-            bits[row == high] = 1
-            bitbytes = np.packbits(bits, bitorder="little").tobytes()
-            sids = np.flatnonzero(~in_pair).astype(np.uint32)
-            body = bytes([code]) + bitbytes + encode_difflist(sids, row[sids], N)
-            candidates.append((len(body), 1, body))
-
-        # LD-compressed (type 2) against the last non-LD record.
-        if self.use_ld and self._ld_base is not None and not at_block_start:
-            diff_ct = int((row != self._ld_base).sum())
-            if _difflist_cost(diff_ct, N) < min(c[0] for c in candidates):
-                sids = np.flatnonzero(row != self._ld_base).astype(np.uint32)
-                body = encode_difflist(sids, row[sids], N)
-                candidates.append((len(body), 2, body))
-
-        cost, vrtype, body = min(candidates, key=lambda c: c[0])
-        self._push_record(vrtype, body)
-        if vrtype not in (2, 3):
-            self._ld_base = row.copy()
+            bits[row == b] = 1
+            body = bytes([code]) + np.packbits(
+                bits, bitorder="little").tobytes()
+            sids = np.flatnonzero((row != a) & (row != b)).astype(np.uint32)
+            body += encode_difflist(sids, row[sids], N)
+            self._push_record(1, body)
+            self._written += 1
+            return
+        if viable:
+            sids = np.flatnonzero(row != most).astype(np.uint32)
+            body = encode_difflist(sids, row[sids], N)
+            self._push_record(4 + most, body)
+            self._written += 1
+            return
+        self._push_record(0, pack.pack2(row).tobytes())
         self._written += 1
 
     # ------------------------------------------------------------------

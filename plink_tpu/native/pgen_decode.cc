@@ -501,141 +501,114 @@ void encode_difflist_cc(const uint32_t* ids, const uint8_t* vals, int64_t L,
 }
 
 // encode one row; appends the chosen body to out and returns the vrtype.
+// Decision rule is a faithful port of PwcAppendBiallelicGenovecMain
+// (2.0/include/pgenlib_write.cc:915): difflist viability via the
+// sample_ct/8 threshold, LD considered first with the difflist_len -
+// sample_ct/64 threshold (inverted LD preferred on strictly fewer
+// diffs), then 1-bit when the two rare categories sum below N/16,
+// then plain difflist, else dense.  The genocount prescreen before the
+// brute-force LD diff is a sound lower bound upstream, so skipping it
+// cannot change any decision.
 int encode_row_cc(const uint8_t* row, int64_t N, const uint8_t* ld_base,
                   int use_ld, int at_block_start,
                   std::vector<uint8_t>& scratch_ids,
                   std::vector<uint8_t>& out_body) {
   int64_t counts[4] = {0, 0, 0, 0};
   for (int64_t i = 0; i < N; ++i) ++counts[row[i]];
-
-  struct Cand {
-    int64_t cost;
-    int vrtype;
-    std::vector<uint8_t> body;
-  };
-  std::vector<Cand> cands;
-
-  // dense 2-bit
-  {
-    Cand c;
-    c.vrtype = 0;
-    int64_t nb = (N + 3) / 4;
-    c.body.assign(nb, 0);
-    for (int64_t i = 0; i < N; ++i) {
-      c.body[i >> 2] |= static_cast<uint8_t>(row[i] << ((i & 3) * 2));
+  int most = counts[1] > counts[0] ? 1 : 0;
+  int second = 1 - most;
+  int64_t largest = counts[most], second_largest = counts[second];
+  for (int g = 2; g < 4; ++g) {
+    if (counts[g] > second_largest) {
+      if (counts[g] > largest) {
+        second_largest = largest;
+        second = most;
+        largest = counts[g];
+        most = g;
+      } else {
+        second_largest = counts[g];
+        second = g;
+      }
     }
-    c.cost = nb;
-    cands.push_back(std::move(c));
   }
-  int64_t dense_len = cands[0].cost;
+  const int64_t difflist_len = N - largest;
+  const int64_t rare2 = difflist_len - second_largest;
+  const int64_t d8 = N / 8, d64 = N / 64;
+  int64_t max_dl = d8 - 2 * d64 + rare2;
+  if (max_dl > d8) max_dl = d8;
+  const int viable = (most != 1) && (difflist_len <= max_dl);
 
   std::vector<uint32_t> ids;
   std::vector<uint8_t> vals;
   ids.reserve(256);
   vals.reserve(256);
+  out_body.clear();
 
-  // difflist-only types 4/6/7 (all-but-one-category)
-  const int dl_types[3] = {4, 6, 7};
-  const int dl_cats[3] = {0, 2, 3};
-  for (int t = 0; t < 3; ++t) {
-    int64_t n_out = N - counts[dl_cats[t]];
-    if (difflist_cost(n_out, N) < dense_len) {
-      ids.clear();
-      vals.clear();
-      for (int64_t i = 0; i < N; ++i) {
-        if (row[i] != dl_cats[t]) {
-          ids.push_back(static_cast<uint32_t>(i));
-          vals.push_back(row[i]);
-        }
-      }
-      Cand c;
-      c.vrtype = dl_types[t];
-      encode_difflist_cc(ids.data(), vals.data(),
-                         static_cast<int64_t>(ids.size()), N, c.body);
-      c.cost = static_cast<int64_t>(c.body.size());
-      cands.push_back(std::move(c));
+  if (use_ld && ld_base && !at_block_start && difflist_len > d64) {
+    const int64_t thr = viable ? (difflist_len - d64) : max_dl;
+    int64_t ld_diff = 0, ld_inv = 0;
+    for (int64_t i = 0; i < N; ++i) {
+      const uint8_t b = ld_base[i];
+      const uint8_t v = row[i];
+      const uint8_t vi = v == 0 ? 2 : (v == 2 ? 0 : v);
+      ld_diff += v != b;
+      ld_inv += vi != b;
     }
-  }
-
-  // 1-bit (two most common categories; stable descending count order)
-  {
-    int order[4] = {0, 1, 2, 3};
-    // stable sort by count descending (insertion sort over 4 elems)
-    for (int i = 1; i < 4; ++i) {
-      int key = order[i];
-      int j = i - 1;
-      while (j >= 0 && counts[order[j]] < counts[key]) {
-        order[j + 1] = order[j];
-        --j;
-      }
-      order[j + 1] = key;
-    }
-    int64_t rare_ct = counts[order[2]] + counts[order[3]];
-    int64_t onebit_cost = 1 + (N + 7) / 8 + difflist_cost(rare_ct, N);
-    if (onebit_cost < dense_len) {
-      int a = order[0] < order[1] ? order[0] : order[1];
-      int b = order[0] < order[1] ? order[1] : order[0];
-      static const int code_map[4][4] = {
-          {0, 1, 2, 3}, {0, 0, 5, 6}, {0, 0, 0, 9}, {0, 0, 0, 0}};
-      int code = code_map[a][b];
-      Cand c;
-      c.vrtype = 1;
-      c.body.push_back(static_cast<uint8_t>(code));
-      int64_t bitbytes = (N + 7) / 8;
-      size_t base = c.body.size();
-      c.body.resize(base + bitbytes, 0);
-      ids.clear();
-      vals.clear();
+    if (ld_diff < thr || ld_inv < thr) {
+      const int inv = ld_inv < ld_diff;
       for (int64_t i = 0; i < N; ++i) {
-        uint8_t v = row[i];
-        if (v == b) {
-          c.body[base + (i >> 3)] |= static_cast<uint8_t>(1u << (i & 7));
-        } else if (v != a) {
+        const uint8_t v = row[i];
+        const uint8_t cur = inv ? (v == 0 ? 2 : (v == 2 ? 0 : v)) : v;
+        if (cur != ld_base[i]) {
           ids.push_back(static_cast<uint32_t>(i));
-          vals.push_back(v);
+          vals.push_back(cur);
         }
       }
       encode_difflist_cc(ids.data(), vals.data(),
-                         static_cast<int64_t>(ids.size()), N, c.body);
-      c.cost = static_cast<int64_t>(c.body.size());
-      cands.push_back(std::move(c));
+                         static_cast<int64_t>(ids.size()), N, out_body);
+      (void)scratch_ids;
+      return 2 + inv;
     }
   }
-
-  // LD-compressed type 2
-  if (use_ld && ld_base && !at_block_start) {
-    int64_t diff_ct = 0;
-    for (int64_t i = 0; i < N; ++i) diff_ct += row[i] != ld_base[i];
-    int64_t best = cands[0].cost;
-    for (const auto& c : cands) {
-      if (c.cost < best) best = c.cost;
-    }
-    if (difflist_cost(diff_ct, N) < best) {
-      ids.clear();
-      vals.clear();
-      for (int64_t i = 0; i < N; ++i) {
-        if (row[i] != ld_base[i]) {
-          ids.push_back(static_cast<uint32_t>(i));
-          vals.push_back(row[i]);
-        }
+  if (!viable && rare2 < N / 16) {
+    const int a = most < second ? most : second;
+    const int b = most < second ? second : most;
+    static const int code_map[4][4] = {
+        {0, 1, 2, 3}, {0, 0, 5, 6}, {0, 0, 0, 9}, {0, 0, 0, 0}};
+    out_body.push_back(static_cast<uint8_t>(code_map[a][b]));
+    const int64_t bitbytes = (N + 7) / 8;
+    const size_t base = out_body.size();
+    out_body.resize(base + bitbytes, 0);
+    for (int64_t i = 0; i < N; ++i) {
+      const uint8_t v = row[i];
+      if (v == b) {
+        out_body[base + (i >> 3)] |= static_cast<uint8_t>(1u << (i & 7));
+      } else if (v != a) {
+        ids.push_back(static_cast<uint32_t>(i));
+        vals.push_back(v);
       }
-      Cand c;
-      c.vrtype = 2;
-      encode_difflist_cc(ids.data(), vals.data(),
-                         static_cast<int64_t>(ids.size()), N, c.body);
-      c.cost = static_cast<int64_t>(c.body.size());
-      cands.push_back(std::move(c));
     }
+    encode_difflist_cc(ids.data(), vals.data(),
+                       static_cast<int64_t>(ids.size()), N, out_body);
+    return 1;
   }
-
-  // first-minimum selection (Python min() semantics)
-  size_t pick = 0;
-  for (size_t i = 1; i < cands.size(); ++i) {
-    if (cands[i].cost < cands[pick].cost) pick = i;
+  if (viable) {
+    for (int64_t i = 0; i < N; ++i) {
+      if (row[i] != most) {
+        ids.push_back(static_cast<uint32_t>(i));
+        vals.push_back(row[i]);
+      }
+    }
+    encode_difflist_cc(ids.data(), vals.data(),
+                       static_cast<int64_t>(ids.size()), N, out_body);
+    return 4 + most;
   }
-  out_body = std::move(cands[pick].body);
-  (void)scratch_ids;
-  return cands[pick].vrtype;
+  const int64_t nb = (N + 3) / 4;
+  out_body.assign(nb, 0);
+  for (int64_t i = 0; i < N; ++i) {
+    out_body[i >> 2] |= static_cast<uint8_t>(row[i] << ((i & 3) * 2));
+  }
+  return 0;
 }
 
 }  // namespace

@@ -154,3 +154,51 @@ def test_reference_bed_fixture():
         codes = r.read_codes(0, n_variants)
         assert codes.shape == (n_variants, n_samples)
         assert codes.max() <= 3
+
+
+def test_encoder_matches_plink2_small_panel(tmp_path):
+    """Representation choice follows PwcAppendBiallelicGenovecMain's
+    threshold rule (2.0/include/pgenlib_write.cc:915), so .pgen bytes
+    match plink2 even on small panels where the byte-cost-optimal choice
+    would differ; also checks the native batch encoder stays bit-identical
+    to the Python scalar path."""
+    import os
+    import subprocess
+
+    import numpy as np
+
+    oracle = os.environ.get("PLINK2_ORACLE",
+                            "/tmp/oracle/2.0/build_dynamic/plink2")
+    if not os.path.exists(oracle):
+        import pytest as _p
+
+        _p.skip("no plink2 oracle")
+    d = tmp_path
+    subprocess.run([oracle, "--dummy", "40", "50", "0.05", "--seed", "77",
+                    "--out", str(d / "sp")], check=True,
+                   capture_output=True)
+    subprocess.run([oracle, "--pfile", str(d / "sp"), "--export", "vcf",
+                    "--out", str(d / "spv")], check=True,
+                   capture_output=True)
+    subprocess.run([oracle, "--vcf", str(d / "spv.vcf"), "--make-pgen",
+                    "--out", str(d / "osp")], check=True,
+                   capture_output=True)
+    from plink_tpu.cli import main
+
+    assert main(["--vcf", str(d / "spv.vcf"), "--make-pgen",
+                 "--out", str(d / "tsp"), "--silent"]) == 0
+    assert (d / "osp.pgen").read_bytes() == (d / "tsp.pgen").read_bytes()
+
+    from plink_tpu.io.pgen_write import PgenWriter
+
+    rng = np.random.default_rng(1)
+    for N in (13, 150, 513):
+        codes = rng.choice(4, size=(40, N),
+                           p=[0.5, 0.2, 0.25, 0.05]).astype(np.uint8)
+        fa, fb = str(d / f"a{N}.pgen"), str(d / f"b{N}.pgen")
+        with PgenWriter(fa, N, 40) as w:
+            w.append_codes(codes)          # native batch path
+        with PgenWriter(fb, N, 40) as w:
+            for r in codes:
+                w._append_one(r)           # Python scalar path
+        assert open(fa, "rb").read() == open(fb, "rb").read(), N
