@@ -210,6 +210,7 @@ class Config:
     linear19: tuple | None = None
     no_snp: bool = False
     write_dosage: bool = False
+    interaction19: bool = False
     logistic19: tuple | None = None
     xchr_model_set: bool = False
     model: bool = False
@@ -1244,6 +1245,8 @@ def parse_args(argv: list[str]) -> Config:
             cfg.no_snp = True
         elif name == "write_dosage":
             cfg.write_dosage = True
+        elif name == "interaction":
+            cfg.interaction19 = True
         elif name in ("keep_if", "remove_if"):
             setattr(cfg, name, args)
         elif name in ("keep_cats", "keep_cat_pheno", "remove_cats",
@@ -1263,6 +1266,14 @@ def parse_args(argv: list[str]) -> Config:
                     "plink-tpu yet."
                 )
             raise FlagError(f"unrecognized flag '--{dash}'")
+    if cfg.interaction19:
+        # deprecated alias (1.9/plink.c:7710): same as the 'interaction'
+        # modifier on --linear/--logistic
+        if cfg.linear19 is not None and "interaction" not in cfg.linear19:
+            cfg.linear19 = tuple(cfg.linear19) + ("interaction",)
+        elif cfg.logistic19 is not None \
+                and "interaction" not in cfg.logistic19:
+            cfg.logistic19 = tuple(cfg.logistic19) + ("interaction",)
     if cfg.no_snp:
         if cfg.linear19 is not None:
             if "no-snp" not in cfg.linear19:
